@@ -1,0 +1,225 @@
+package graft.relational
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryPack, Tables}
+
+/** Relational surface of the reference (it drives SQLite with
+  * filter/group/count/distinct/index/upsert SQL — main.py:143-332,
+  * mcs.py:81-164), re-expressed as Catalyst-optimized DataFrame
+  * plans over the TPC-H-ish test tables.
+  *
+  * Determinism contract with the DuckDB oracle (driver hash-compares
+  * values after sorting): monetary aggregates are computed in exact
+  * decimal arithmetic, rounded to a fixed scale, and only then cast
+  * to double; timestamps are emitted as yyyy-MM-dd strings; every
+  * top-k has a unique total tiebreak order.
+  */
+object RelationalPack extends QueryPack {
+
+  private val D = DecimalType(18, 2)
+
+  /** sum(col cast decimal(18,2)) rounded to 2dp as double — exact in
+    * both engines, so hash-identical regardless of partial-agg order. */
+  private def dsum(c: org.apache.spark.sql.Column) = round(sum(c.cast(D)), 2).cast("double")
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // C2: group-by aggregation (TPC-H Q1 pricing summary)
+    "q1_pricing" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
+        .groupBy($"l_returnflag", $"l_linestatus")
+        .agg(
+          dsum($"l_quantity").as("sum_qty"),
+          dsum($"l_extendedprice").as("sum_base_price"),
+          dsum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))).as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // C1: scan + filter + project pushdown (TPC-H Q6 forecast revenue)
+    "q6_filter_agg" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
+          $"l_discount" >= 0.03 && $"l_discount" <= 0.07 &&
+          $"l_quantity" < 24)
+        .agg(dsum($"l_extendedprice".cast(D) * $"l_discount".cast(D)).as("revenue"),
+          count(lit(1)).as("n_rows"))
+    },
+
+    // C3: multi-way join + group + top-N with total tiebreak (TPC-H Q3)
+    "q3_topn" -> { (s, d) =>
+      import s.implicits._
+      val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
+      val ord  = Tables.orders(s, d).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      val li   = Tables.lineitem(s, d).filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
+        .agg(dsum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))).as("revenue"))
+        .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
+          $"o_orderpriority", $"revenue")
+        .orderBy($"revenue".desc, $"l_orderkey".asc)
+        .limit(10)
+    },
+
+    // C4: 6-way star join — dims broadcast, facts shuffle on keys (TPC-H Q5)
+    "q5_star_join" -> { (s, d) =>
+      import s.implicits._
+      val region = Tables.region(s, d).filter($"r_name" === "ASIA")
+      val nation = Tables.nation(s, d)
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      li.join(ord, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
+        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey" &&
+          $"c_nationkey" === $"s_nationkey")
+        .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
+        .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
+        .groupBy($"n_name")
+        .agg(dsum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))).as("revenue"))
+    },
+
+    // C5: distinct
+    "q_distinct" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d).select($"o_orderstatus", $"o_orderpriority").distinct()
+    },
+
+    // C6: semi-join — customers with >=1 urgent open order (EXISTS)
+    "q_semi" -> { (s, d) =>
+      import s.implicits._
+      val urgent = Tables.orders(s, d)
+        .filter($"o_orderpriority" === "1-URGENT" && $"o_orderstatus" === "O")
+        .select($"o_custkey")
+      Tables.customer(s, d)
+        .join(urgent, $"c_custkey" === $"o_custkey", "left_semi")
+        .select($"c_custkey", $"c_name")
+    },
+
+    // C6: anti-join — customers with no orders at all (NOT EXISTS)
+    "q_anti" -> { (s, d) =>
+      import s.implicits._
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+        .select($"c_custkey", $"c_acctbal")
+    },
+
+    // C7: window rank — top-3 parts by retail price within each brand
+    "q_window_topn" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"p_brand").orderBy($"p_retailprice".desc, $"p_partkey".asc)
+      Tables.part(s, d)
+        .withColumn("rank_in_brand", row_number().over(w).cast("long"))
+        .filter($"rank_in_brand" <= 3)
+        .select($"p_brand", $"rank_in_brand", $"p_partkey", $"p_retailprice")
+    },
+
+    // C7: window running sum per supplier over ship order
+    "q_running_sum" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_suppkey")
+        .orderBy($"l_shipdate".asc, $"l_orderkey".asc, $"l_linenumber".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.lineitem(s, d)
+        .filter($"l_suppkey" < 5)
+        .withColumn("running_qty", round(sum($"l_quantity".cast(D)).over(w), 2).cast("double"))
+        .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"running_qty")
+    },
+
+    // C8: upsert / INSERT-OR-IGNORE — first row wins per unique key
+    // (main.py:203's INSERT OR IGNORE on (smiles, target_smiles))
+    "q_upsert_dedup" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"l_orderkey", $"l_partkey")
+        .orderBy($"l_linenumber".asc)
+      Tables.lineitem(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter($"rn" === 1)
+        .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
+    },
+
+    // C9: rollup aggregation
+    "q_rollup" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .rollup($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+    },
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_base_price,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),2) AS DOUBLE) AS sum_disc_price,
+        | COUNT(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q6_filter_agg" ->
+      """SELECT
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue,
+        | COUNT(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.03 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin,
+    "q3_topn" ->
+      """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate, o_orderpriority,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+    "q5_star_join" ->
+      """SELECT n_name,
+        | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))),2) AS DOUBLE) AS revenue
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN supplier ON l_suppkey = s_suppkey
+        | JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+    "q_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')""".stripMargin,
+    "q_anti" ->
+      """SELECT c_custkey, c_acctbal FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+    "q_window_topn" ->
+      """SELECT p_brand, rank_in_brand, p_partkey, p_retailprice FROM (
+        | SELECT p_brand, p_partkey, p_retailprice,
+        |  ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey ASC) AS rank_in_brand
+        | FROM part) t WHERE rank_in_brand <= 3""".stripMargin,
+    "q_running_sum" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))) OVER (
+        |   PARTITION BY l_suppkey ORDER BY l_shipdate ASC, l_orderkey ASC, l_linenumber ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS DOUBLE) AS running_qty
+        |FROM lineitem WHERE l_suppkey < 5""".stripMargin,
+    "q_upsert_dedup" ->
+      """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
+        | SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
+        |  ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC) AS rn
+        | FROM lineitem) t WHERE rn = 1""".stripMargin,
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+  )
+}
