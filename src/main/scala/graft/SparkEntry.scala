@@ -12,10 +12,21 @@ object SparkEntry {
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
-    packs.flatMap(_.queries).toMap
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    val flat = packs.flatMap(_.queries)
+    val merged = flat.toMap
+    require(flat.size == merged.size,
+      s"duplicate query keys across packs: ${flat.map(_._1).diff(merged.keys.toSeq).distinct.mkString(", ")}")
+    merged
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = packs.flatMap(_.oracles).toMap
+  def oracleSql: Map[String, String] = {
+    val flat = packs.flatMap(_.oracles)
+    val merged = flat.toMap
+    require(flat.size == merged.size,
+      s"duplicate oracle keys across packs: ${flat.map(_._1).diff(merged.keys.toSeq).distinct.mkString(", ")}")
+    merged
+  }
 }

@@ -21,9 +21,16 @@ object RelationalPack extends QueryPack {
 
   private val D = DecimalType(18, 2)
 
-  /** sum(col cast decimal(18,2)) rounded to 2dp as double — exact in
-    * both engines, so hash-identical regardless of partial-agg order. */
-  private def dsum(c: org.apache.spark.sql.Column) = round(sum(c.cast(D)), 2).cast("double")
+  /** Exact-decimal sum rounded ONCE after aggregation (oracle shape:
+    * `CAST(ROUND(SUM(<decimal expr>), 2) AS DOUBLE)`). The argument
+    * must already be decimal; raw double columns are cast via [[dec]]
+    * at the leaves, and product expressions keep their natural scale
+    * (e.g. DECIMAL(38,4)) so no per-row rounding ever happens. */
+  private def dsum(c: org.apache.spark.sql.Column) = round(sum(c), 2).cast("double")
+
+  /** Cast a raw (double) column to DECIMAL(18,2) — ingestion-edge cast
+    * mirroring the oracle's `CAST(x AS DECIMAL(18,2))`. */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(D)
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C2: group-by aggregation (TPC-H Q1 pricing summary)
@@ -33,9 +40,9 @@ object RelationalPack extends QueryPack {
         .filter($"l_shipdate" <= lit("1999-12-01").cast("timestamp"))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          dsum($"l_quantity").as("sum_qty"),
-          dsum($"l_extendedprice").as("sum_base_price"),
-          dsum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))).as("sum_disc_price"),
+          dsum(dec($"l_quantity")).as("sum_qty"),
+          dsum(dec($"l_extendedprice")).as("sum_base_price"),
+          dsum(dec($"l_extendedprice") * (lit(1).cast(D) - dec($"l_discount"))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
 
@@ -47,7 +54,7 @@ object RelationalPack extends QueryPack {
           $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
           $"l_discount" >= 0.03 && $"l_discount" <= 0.07 &&
           $"l_quantity" < 24)
-        .agg(dsum($"l_extendedprice".cast(D) * $"l_discount".cast(D)).as("revenue"),
+        .agg(dsum(dec($"l_extendedprice") * dec($"l_discount")).as("revenue"),
           count(lit(1)).as("n_rows"))
     },
 
@@ -57,10 +64,13 @@ object RelationalPack extends QueryPack {
       val cust = Tables.customer(s, d).filter($"c_mktsegment" === "BUILDING")
       val ord  = Tables.orders(s, d).filter($"o_orderdate" < lit("1998-01-01").cast("timestamp"))
       val li   = Tables.lineitem(s, d).filter($"l_shipdate" > lit("1998-01-01").cast("timestamp"))
+      // No broadcast hint on customer: it is fact-scaled (grows with SF),
+      // so at 100 TB a forced broadcast would kill the driver. AQE
+      // promotes the join to broadcast at small SF on its own.
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(cust), $"o_custkey" === $"c_custkey")
+        .join(cust, $"o_custkey" === $"c_custkey")
         .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
-        .agg(dsum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))).as("revenue"))
+        .agg(dsum(dec($"l_extendedprice") * (lit(1).cast(D) - dec($"l_discount"))).as("revenue"))
         .select($"l_orderkey", date_format($"o_orderdate", "yyyy-MM-dd").as("o_orderdate"),
           $"o_orderpriority", $"revenue")
         .orderBy($"revenue".desc, $"l_orderkey".asc)
@@ -76,14 +86,17 @@ object RelationalPack extends QueryPack {
       val ord = Tables.orders(s, d)
         .filter($"o_orderdate" >= lit("1996-01-01").cast("timestamp") &&
           $"o_orderdate" < lit("1998-01-01").cast("timestamp"))
+      // Broadcast only the TRUE dimension tables (nation/region —
+      // fixed-size regardless of SF). supplier/customer scale with the
+      // data, so they shuffle-join and AQE decides at runtime.
       li.join(ord, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(Tables.supplier(s, d)), $"l_suppkey" === $"s_suppkey")
-        .join(broadcast(Tables.customer(s, d)), $"o_custkey" === $"c_custkey" &&
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey" &&
           $"c_nationkey" === $"s_nationkey")
         .join(broadcast(nation), $"s_nationkey" === $"n_nationkey")
         .join(broadcast(region), $"n_regionkey" === $"r_regionkey")
         .groupBy($"n_name")
-        .agg(dsum($"l_extendedprice".cast(D) * (lit(1).cast(D) - $"l_discount".cast(D))).as("revenue"))
+        .agg(dsum(dec($"l_extendedprice") * (lit(1).cast(D) - dec($"l_discount"))).as("revenue"))
     },
 
     // C5: distinct
@@ -137,8 +150,11 @@ object RelationalPack extends QueryPack {
     // (main.py:203's INSERT OR IGNORE on (smiles, target_smiles))
     "q_upsert_dedup" -> { (s, d) =>
       import s.implicits._
+      // ORDER BY must be a TOTAL order: the data contains duplicate
+      // (orderkey, partkey, linenumber) rows, so l_quantity and
+      // l_extendedprice break the tie identically in both engines.
       val w = Window.partitionBy($"l_orderkey", $"l_partkey")
-        .orderBy($"l_linenumber".asc)
+        .orderBy($"l_linenumber".asc, $"l_quantity".asc, $"l_extendedprice".asc)
       Tables.lineitem(s, d)
         .withColumn("rn", row_number().over(w))
         .filter($"rn" === 1)
@@ -215,7 +231,7 @@ object RelationalPack extends QueryPack {
     "q_upsert_dedup" ->
       """SELECT l_orderkey, l_partkey, l_linenumber, l_quantity FROM (
         | SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
-        |  ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC) AS rn
+        |  ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC) AS rn
         | FROM lineitem) t WHERE rn = 1""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
