@@ -5,6 +5,7 @@ object SparkEntry {
   /** All query packs; each covers a section of SURVEY.md §2. */
   private def packs: Seq[QueryPack] = Seq(
     graft.relational.RelationalPack,
+    graft.graph.GraphPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

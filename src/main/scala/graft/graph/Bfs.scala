@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative frontier-join BFS and wavefront expansion over an edge
+  * DataFrame (src, dst).
+  *
+  * Spark-first re-expression of the reference's in-memory traversal:
+  * `query()` keeps previous/current/next wavefront *sets* on one
+  * machine (main.py:272-305) and `add_relations` expands a frontier
+  * depth-bounded (main.py:212-242). Here the frontier and the visited
+  * set are DataFrames — one hash join per wave, nothing collected to
+  * the driver.
+  *
+  * Scale design (SURVEY §5): edges are hash-partitioned on `src` once
+  * and persisted, so every wave's join reuses the same exchange; the
+  * frontier side is small and reshuffles cheaply (or AQE broadcasts
+  * it). Every wave is localCheckpoint-ed (eager) to truncate lineage —
+  * without that the plan doubles per wave and a deep traversal dies in
+  * the optimizer long before any shuffle does.
+  */
+object Bfs {
+
+  /** Multi-root BFS. `seeds` has columns (root, node); returns
+    * (root, node, wave) for every reachable node, where the seed
+    * itself is wave 1 — the reference counts the source's wave as 1
+    * and returns it immediately when source == target
+    * (main.py:286-292). Unreachable nodes are simply absent (callers
+    * emit the reference's -1 via a left join).
+    */
+  def bfs(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100): DataFrame = {
+    val e = edges.select("src", "dst").repartition(col("src")).persist()
+    var visited = seeds.select(col("root"), col("node"), lit(1L).as("wave")).localCheckpoint()
+    var frontier = visited
+    var wave = 1L
+    while (wave < maxWaves && !frontier.isEmpty) {
+      wave += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(frontier("root"), e("dst").as("node"))
+        .distinct()
+        .join(visited.select("root", "node"), Seq("root", "node"), "left_anti")
+        .withColumn("wave", lit(wave))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
+
+  /** Depth-bounded wavefront expansion (add_relations,
+    * main.py:212-242): seeds are wave 0, each wave reaches the
+    * neighbors not already seen, up to `depth` waves. Returns
+    * (node, first_wave).
+    */
+  def expand(edges: DataFrame, seedNodes: DataFrame, depth: Int): DataFrame = {
+    val e = edges.select("src", "dst").repartition(col("src")).persist()
+    var visited = seedNodes.select(col("node"), lit(0L).as("first_wave")).localCheckpoint()
+    var frontier = visited
+    var wave = 0L
+    while (wave < depth && !frontier.isEmpty) {
+      wave += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .select(e("dst").as("node"))
+        .distinct()
+        .join(visited.select("node"), Seq("node"), "left_anti")
+        .withColumn("first_wave", lit(wave))
+        .localCheckpoint()
+      visited = visited.union(next).localCheckpoint()
+      frontier = next
+    }
+    e.unpersist()
+    visited
+  }
+}

@@ -1,0 +1,71 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import graft.Tables
+
+/** Relational tables → property graphs (SURVEY §4 domain mapping).
+  *
+  * The reference stores a bidirectional edge table with a
+  * UNIQUE(smiles, target_smiles) constraint and delta attributes per
+  * edge (main.py:113-153). Here the graphs are *derived* from the
+  * TPC-H-ish tables so the DuckDB oracle can derive the identical
+  * edge sets in SQL.
+  */
+object GraphBuilder {
+
+  /** Trade graph: nations are vertices; an edge connects the customer
+    * nation and the supplier nation of every (order, lineitem) pair.
+    * Bidirectional + distinct + no self-loops — the analog of the
+    * reference's UNIQUE bidirectional edge table (main.py:143-153).
+    *
+    * Scale shape: lineitem⋈orders is the one fact-fact shuffle (on
+    * orderkey); customer/supplier joins are AQE-broadcastable; the
+    * distinct on (a, b) is map-side combinable before its shuffle, and
+    * runs on the *pair* domain (≤ |nations|²), not the fact domain.
+    */
+  def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val pairs = Tables.lineitem(s, d).select($"l_orderkey", $"l_suppkey")
+      .join(Tables.orders(s, d).select($"o_orderkey", $"o_custkey"), $"l_orderkey" === $"o_orderkey")
+      .join(Tables.customer(s, d).select($"c_custkey", $"c_nationkey"), $"o_custkey" === $"c_custkey")
+      .join(Tables.supplier(s, d).select($"s_suppkey", $"s_nationkey"), $"l_suppkey" === $"s_suppkey")
+      .filter($"c_nationkey" =!= $"s_nationkey")
+      .select($"c_nationkey".as("a"), $"s_nationkey".as("b"))
+      .distinct()
+    pairs.select($"a".as("src"), $"b".as("dst"))
+      .union(pairs.select($"b".as("src"), $"a".as("dst")))
+      .distinct()
+  }
+
+  /** Part edit-graph with edge deltas: parts are "molecules"; the edit
+    * rule links parts of the same brand whose size differs by exactly
+    * one (the atom-deletion analog, main.py:60-75), and each edge
+    * carries the attribute deltas between its endpoints like the
+    * reference's (diff_atom, diff_bond) columns (main.py:109-114).
+    *
+    * Size-diff-of-1 is expressed as an EQUI-join on
+    * (brand, size + 1) — one shuffle on the composite key, no range
+    * join, no cartesian. The reverse orientation is derived by
+    * negating the deltas instead of joining again.
+    */
+  def partEdgeDeltas(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(18, 2)
+    val p = Tables.part(s, d)
+      .select($"p_partkey", $"p_brand", $"p_size", $"p_retailprice".cast(D).as("price"))
+    val b = p.select($"p_partkey".as("dst"), $"p_brand".as("brand_b"),
+      $"p_size".as("size_b"), $"price".as("price_b"))
+    val up = p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + 1)
+      .select($"p_partkey".as("src"), $"dst",
+        ($"size_b" - $"p_size").as("diff_size"),
+        ($"price_b" - $"price").cast("double").as("diff_price"))
+    up.union(up.select($"dst".as("src"), $"src".as("dst"),
+      (-$"diff_size").as("diff_size"), (-$"diff_price").as("diff_price")))
+  }
+
+  /** Part edit-graph as a plain (src, dst) edge list. */
+  def partEdges(s: SparkSession, d: String): DataFrame =
+    partEdgeDeltas(s, d).select("src", "dst")
+}

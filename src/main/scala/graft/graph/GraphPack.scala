@@ -1,0 +1,211 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Graph engine surface (SURVEY §2 A1–A10) — the reference's core
+  * capability re-expressed Spark-first.
+  *
+  * The reference keeps a bidirectional SQLite edge table with UNIQUE
+  * dedup (main.py:143-153), expands it by depth-bounded wavefront
+  * (main.py:212-242), answers BFS shortest-path wave queries
+  * (main.py:272-305, source counts as wave 1, -1 if unreachable) and
+  * basic stats (main.py:307-332). Here the same semantics run as
+  * DataFrame plans (construction, traversal) and GraphX (whole-graph
+  * analytics) over graphs derived from the TPC-H-ish tables per
+  * SURVEY §4, so the DuckDB oracle can derive identical graphs in SQL.
+  *
+  * All node id / count columns are emitted as BIGINT on both sides —
+  * the driver compare is dtype-sensitive after its sort.
+  */
+object GraphPack extends QueryPack {
+
+  /** Directed (both orientations) trade edge derivation, shared by all
+    * trade-graph oracles. Matches [[GraphBuilder.tradeEdges]]. */
+  private val tradeEdgesSql =
+    """pairs AS (
+      | SELECT DISTINCT CAST(c.c_nationkey AS BIGINT) AS a, CAST(s.s_nationkey AS BIGINT) AS b
+      | FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      | WHERE c.c_nationkey <> s.s_nationkey),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs)""".stripMargin
+
+  /** Directed part edit-graph edge derivation. Matches
+    * [[GraphBuilder.partEdges]]. */
+  private val partEdgesSql =
+    """up AS (
+      | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst
+      | FROM part a JOIN part b ON a.p_brand = b.p_brand AND b.p_size = a.p_size + 1),
+      |edges AS (SELECT src, dst FROM up UNION ALL SELECT dst, src FROM up)""".stripMargin
+
+  /** Unrolled fixed-iteration PageRank oracle (same update rule and
+    * per-message DECIMAL(28,12) quantization as [[PageRank.run]]). */
+  private def pagerankSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS (
+         | SELECT d.node, 0.15 + 0.85 * COALESCE(m.msg, CAST(0 AS DOUBLE)) AS rank
+         | FROM deg d LEFT JOIN (
+         |  SELECT ed.dst AS node, CAST(SUM(CAST(r.rank / ed.outdeg AS DECIMAL(28,12))) AS DOUBLE) AS msg
+         |  FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst) m ON d.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $tradeEdgesSql,
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.node),
+       |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) AS rank FROM deg),
+       |$steps
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
+
+  private val PR_ITERS = 10
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1: property-graph construction — bidirectional, UNIQUE-dedup'd
+    // edge set (main.py:143-153's UNIQUE(smiles, target_smiles)).
+    "g_edges_build" -> { (s, d) => GraphBuilder.tradeEdges(s, d) },
+
+    // A2: edge attributes as deltas between endpoint attributes
+    // (main.py:109-114's (diff_atom, diff_bond) columns).
+    "g_edge_deltas" -> { (s, d) => GraphBuilder.partEdgeDeltas(s, d) },
+
+    // A3: depth-bounded wavefront expansion (add_relations,
+    // main.py:212-242): seeds at wave 0, 3 waves out, first-seen wins.
+    "g_expand" -> { (s, d) =>
+      import s.implicits._
+      val seeds = Tables.part(s, d).filter($"p_partkey" % 100 === 0)
+        .select($"p_partkey".as("node"))
+      Bfs.expand(GraphBuilder.partEdges(s, d), seeds, depth = 3)
+    },
+
+    // A4: BFS shortest path with the reference's wave semantics
+    // (main.py:272-305): source is wave 1, unreachable is -1.
+    "g_bfs" -> { (s, d) =>
+      import s.implicits._
+      val seeds = s.range(1).select(lit(0L).as("root"), lit(0L).as("node"))
+      val waves = Bfs.bfs(GraphBuilder.tradeEdges(s, d), seeds).select($"node", $"wave")
+      Tables.nation(s, d).select($"n_nationkey".cast("long").as("node"))
+        .join(waves, Seq("node"), "left")
+        .select($"node", coalesce($"wave", lit(-1L)).as("wave"))
+    },
+
+    // A5: graph stats (get_stats, main.py:307-332).
+    "g_stats" -> { (s, d) =>
+      import s.implicits._
+      GraphBuilder.tradeEdges(s, d)
+        .agg(countDistinct($"src").as("n_nodes"), count(lit(1)).as("n_edges"))
+        .withColumn("avg_degree",
+          round($"n_edges".cast("double") / $"n_nodes".cast("double"), 2))
+    },
+
+    // A6: degrees (the reference's secondary-index lookups by
+    // src/dst, main.py:156-161; symmetric since bidirectional).
+    "g_degrees" -> { (s, d) =>
+      import s.implicits._
+      GraphBuilder.tradeEdges(s, d).groupBy($"src".as("node"))
+        .agg(count(lit(1)).as("degree"))
+    },
+
+    // A7: connected components over the part edit-graph (GraphX;
+    // component = min vertex id, singletons included).
+    "g_cc" -> { (s, d) =>
+      import s.implicits._
+      val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
+      GraphXAlgos.connectedComponents(s, vertices, GraphBuilder.partEdges(s, d))
+    },
+
+    // A8: per-vertex triangle counts over the trade graph (GraphX).
+    "g_triangles" -> { (s, d) =>
+      import s.implicits._
+      val vertices = Tables.nation(s, d).select($"n_nationkey".cast("long").as("id"))
+      GraphXAlgos.triangleCounts(s, vertices, GraphBuilder.tradeEdges(s, d))
+        .select($"id", $"n_triangles".cast("long").as("n_triangles"))
+    },
+
+    // A9: fixed-iteration PageRank as a deterministic DataFrame plan
+    // (decimal-quantized messages — see PageRank.scala's contract).
+    "g_pagerank" -> { (s, d) =>
+      PageRank.run(GraphBuilder.tradeEdges(s, d), PR_ITERS)
+    },
+
+    // A10: all-pairs BFS wave matrix (batch analogue of repeatedly
+    // calling query(), main.py:272) — reachable pairs only.
+    "g_bfs_allpairs" -> { (s, d) =>
+      import s.implicits._
+      val edges = GraphBuilder.tradeEdges(s, d)
+      val seeds = edges.select($"src".as("node")).distinct()
+        .select($"node".as("root"), $"node")
+      Bfs.bfs(edges, seeds)
+    },
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "g_edges_build" ->
+      s"""WITH $tradeEdgesSql
+         |SELECT src, dst FROM edges""".stripMargin,
+    "g_edge_deltas" ->
+      """WITH up AS (
+        | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst,
+        |  CAST(b.p_size - a.p_size AS BIGINT) AS diff_size,
+        |  CAST(CAST(b.p_retailprice AS DECIMAL(18,2)) - CAST(a.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS diff_price
+        | FROM part a JOIN part b ON a.p_brand = b.p_brand AND b.p_size = a.p_size + 1)
+        |SELECT src, dst, diff_size, diff_price FROM up
+        |UNION ALL
+        |SELECT dst AS src, src AS dst, -diff_size AS diff_size, -diff_price AS diff_price FROM up""".stripMargin,
+    "g_expand" ->
+      s"""WITH RECURSIVE $partEdgesSql,
+         |walk(node, first_wave) AS (
+         | SELECT CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT) FROM part WHERE p_partkey % 100 = 0
+         | UNION
+         | SELECT e.dst, w.first_wave + 1 FROM walk w JOIN edges e ON e.src = w.node
+         | WHERE w.first_wave < 3)
+         |SELECT node, MIN(first_wave) AS first_wave FROM walk GROUP BY node""".stripMargin,
+    "g_bfs" ->
+      s"""WITH RECURSIVE $tradeEdgesSql,
+         |walk(node, wave) AS (
+         | SELECT CAST(0 AS BIGINT), CAST(1 AS BIGINT)
+         | UNION
+         | SELECT e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
+         | WHERE w.wave < 30)
+         |SELECT CAST(n.n_nationkey AS BIGINT) AS node, COALESCE(m.wave, CAST(-1 AS BIGINT)) AS wave
+         |FROM nation n LEFT JOIN (SELECT node, MIN(wave) AS wave FROM walk GROUP BY node) m
+         | ON m.node = n.n_nationkey""".stripMargin,
+    "g_stats" ->
+      s"""WITH $tradeEdgesSql
+         |SELECT CAST(COUNT(DISTINCT src) AS BIGINT) AS n_nodes,
+         | CAST(COUNT(*) AS BIGINT) AS n_edges,
+         | ROUND(CAST(COUNT(*) AS DOUBLE) / CAST(COUNT(DISTINCT src) AS DOUBLE), 2) AS avg_degree
+         |FROM edges""".stripMargin,
+    "g_degrees" ->
+      s"""WITH $tradeEdgesSql
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src""".stripMargin,
+    "g_cc" ->
+      s"""WITH RECURSIVE $partEdgesSql,
+         |reach(node, lbl) AS (
+         | SELECT CAST(p_partkey AS BIGINT), CAST(p_partkey AS BIGINT) FROM part
+         | UNION
+         | SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node)
+         |SELECT node AS id, MIN(lbl) AS component FROM reach GROUP BY node""".stripMargin,
+    "g_triangles" ->
+      s"""WITH $tradeEdgesSql,
+         |canon AS (SELECT src AS x, dst AS y FROM edges WHERE src < dst),
+         |tri AS (
+         | SELECT a.src AS id, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+         |  JOIN canon c ON c.x = a.dst AND c.y = b.dst
+         | GROUP BY a.src)
+         |SELECT CAST(n.n_nationkey AS BIGINT) AS id, COALESCE(t.n, CAST(0 AS BIGINT)) AS n_triangles
+         |FROM nation n LEFT JOIN tri t ON t.id = n.n_nationkey""".stripMargin,
+    "g_pagerank" -> pagerankSql(PR_ITERS),
+    "g_bfs_allpairs" ->
+      s"""WITH RECURSIVE $tradeEdgesSql,
+         |roots AS (SELECT DISTINCT src AS node FROM edges),
+         |walk(root, node, wave) AS (
+         | SELECT node, node, CAST(1 AS BIGINT) FROM roots
+         | UNION
+         | SELECT w.root, e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
+         | WHERE w.wave < 30)
+         |SELECT root, node, MIN(wave) AS wave FROM walk GROUP BY root, node""".stripMargin,
+  )
+}
