@@ -6,6 +6,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.relational.RelationalPack,
     graft.graph.GraphPack,
+    graft.dedup.DedupPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
