@@ -7,6 +7,8 @@ object SparkEntry {
     graft.relational.RelationalPack,
     graft.graph.GraphPack,
     graft.dedup.DedupPack,
+    graft.text.TextPack,
+    graft.streaming.EventsPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

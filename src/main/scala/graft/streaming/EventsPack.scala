@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.{QueryPack, Tables}
+
+/** Events pack (SURVEY §2 H1–H3): batch windowing / sessionization /
+  * top-k over the `events` table. The Structured Streaming variants
+  * of the same logic live in [[EventStreams]] with their own specs
+  * (H4) — this pack is the batch-parity surface the oracle can check.
+  *
+  * Determinism: money-ish sums use DECIMAL(18,2) leaf casts summed
+  * exactly and rounded once (the relational pack's contract); session
+  * bounds are emitted as epoch microseconds (exact integers); the
+  * session ordering key is the total order (ts, event_id).
+  */
+object EventsPack extends QueryPack {
+
+  private val D = DecimalType(18, 2)
+  private val SESSION_GAP_US = 1800L * 1000000L // 30 min
+  private val WINDOW_SEC = 300L // 5-min tumbling windows
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // H1: tumbling-window aggregation (5-min windows, per event type).
+    "e_window" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy(window($"ts", s"$WINDOW_SEC seconds"), $"event_type")
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value".cast(D)), 2).cast("double").as("sum_value"))
+        .select(date_format($"window.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"event_type", $"n_events", $"sum_value")
+    },
+
+    // H2: sessionization — 30-minute inactivity gap per user; one row
+    // per session with bounds and totals.
+    "e_sessions" -> { (s, d) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_us".isNull || $"ts_us" - $"prev_us" > SESSION_GAP_US, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_session").over(
+          Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
+          round(sum($"value".cast(D)), 2).cast("double").as("sum_value"))
+    },
+
+    // H3: top-k users by total value (total-order ranked).
+    "e_topk" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .groupBy($"user_id")
+        .agg(sum($"value".cast(D)).as("total_dec"), count(lit(1)).as("n_events"))
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"total_dec".desc, $"user_id".asc)).cast("long"))
+        .filter($"rank" <= 20)
+        .select($"rank", $"user_id", round($"total_dec", 2).cast("double").as("total_value"),
+          $"n_events")
+    },
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "e_window" ->
+      s"""SELECT
+         | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+         | event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+         |FROM events GROUP BY 1, 2""".stripMargin,
+    "e_sessions" ->
+      s"""WITH base AS (
+         | SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+         | FROM events),
+         |flagged AS (
+         | SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SESSION_GAP_US THEN 1 ELSE 0 END AS new_session
+         | FROM base),
+         |sess AS (
+         | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         | FROM flagged)
+         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "e_topk" ->
+      """SELECT rank, user_id, total_value, n_events FROM (
+        | SELECT user_id,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY SUM(CAST(value AS DECIMAL(18,2))) DESC, user_id ASC) AS BIGINT) AS rank,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value,
+        |  CAST(COUNT(*) AS BIGINT) AS n_events
+        | FROM events GROUP BY user_id) t
+        |WHERE rank <= 20""".stripMargin,
+  )
+}

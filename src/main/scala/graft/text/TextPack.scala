@@ -1,0 +1,161 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** Text-analysis pack (SURVEY §2 F1–F4) over the `documents` table.
+  *
+  * Every operator is a pure column-expression plan (whole-stage
+  * codegen, no UDFs) with an exact DuckDB oracle. The per-document
+  * work is embarrassingly parallel — no shuffle at all except the
+  * final distinct in the fingerprint query — so the pack scales
+  * linearly with the corpus.
+  */
+object TextPack extends QueryPack {
+
+  /** Stopword profiles for the language-ID heuristic (tiny fixed
+    * lists, inlined into codegen — no join). */
+  private val PROFILES: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit"),
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los"),
+    "fr" -> Seq("le", "la", "et", "les", "des", "un", "une"),
+  )
+  private val STOPWORDS = PROFILES.flatMap(_._2).distinct.sorted
+
+  private def inList(ws: Seq[String]): String = ws.map("'" + _ + "'").mkString(", ")
+
+  /** Fingerprint winnowing parameters: k-gram length and window. */
+  private val FP_K = 8
+  private val FP_W = 4
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F1: token counting — whitespace tokens and a BPE-ish regex
+    // tokenizer (alpha runs / digit runs as separate tokens).
+    "t_tokens" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("nrm", TextOps.norm($"text"))
+        .select($"doc_id",
+          size(split($"nrm", " ")).cast("long").as("n_tokens_ws"),
+          expr("size(regexp_extract_all(nrm, '[a-z]+|[0-9]+', 0))").cast("long").as("n_tokens_re"),
+          length($"nrm").cast("long").as("n_chars_norm"))
+    },
+
+    // F2: quality scoring from length / alpha / punct / stopword ratios.
+    "t_quality" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("nrm", TextOps.norm($"text"))
+        .withColumn("w", split($"nrm", " "))
+        .withColumn("n_chars", length($"nrm").cast("long"))
+        .withColumn("n_alpha", length(regexp_replace($"nrm", "[^a-z]", "")).cast("long"))
+        .withColumn("n_punct", length(regexp_replace($"nrm", "[a-z0-9 ]", "")).cast("long"))
+        .withColumn("n_toks", size($"w").cast("long"))
+        .withColumn("n_stop", expr(s"size(filter(w, x -> x IN (${inList(STOPWORDS)})))").cast("long"))
+        .withColumn("alpha_ratio", $"n_alpha".cast("double") / $"n_chars".cast("double"))
+        .withColumn("punct_ratio", $"n_punct".cast("double") / $"n_chars".cast("double"))
+        .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_toks".cast("double"))
+        .withColumn("quality_score",
+          lit(0.5) * $"alpha_ratio" + lit(0.3) * $"stop_ratio" + lit(0.2) * (lit(1.0) - $"punct_ratio"))
+        .select($"doc_id", $"n_chars", $"n_toks", $"alpha_ratio", $"punct_ratio",
+          $"stop_ratio", $"quality_score")
+    },
+
+    // F3: language-ID by stopword-profile hit counts (argmax with a
+    // fixed chain order for ties; 'und' when nothing matches).
+    "t_langid" -> { (s, d) =>
+      import s.implicits._
+      val withScores = PROFILES.foldLeft(
+        Tables.documents(s, d).withColumn("w", split(TextOps.norm($"text"), " "))) {
+        case (df, (lang, ws)) =>
+          df.withColumn(s"s_$lang", expr(s"size(filter(w, x -> x IN (${inList(ws)})))").cast("long"))
+      }
+      withScores
+        .withColumn("pred_lang",
+          when($"s_de" + $"s_en" + $"s_es" + $"s_fr" === 0, lit("und"))
+            .when($"s_de" >= $"s_en" && $"s_de" >= $"s_es" && $"s_de" >= $"s_fr", lit("de"))
+            .when($"s_en" >= $"s_es" && $"s_en" >= $"s_fr", lit("en"))
+            .when($"s_es" >= $"s_fr", lit("es"))
+            .otherwise(lit("fr")))
+        .select($"doc_id", $"pred_lang", $"lang".as("true_lang"),
+          ($"pred_lang" === $"lang").as("correct"))
+    },
+
+    // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
+    // winnowed with a 4-window minimum (standard winnowing scheme).
+    "t_fingerprint" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("nrm", TextOps.norm($"text"))
+        .filter(length($"nrm") >= FP_K + FP_W - 1)
+        .withColumn("h",
+          expr(s"transform(sequence(1, length(nrm) - ${FP_K - 1}), i -> md5(CAST(substring(nrm, i, $FP_K) AS BINARY)))"))
+        .withColumn("fp",
+          explode(expr(s"transform(sequence(1, size(h) - ${FP_W - 1}), p -> array_min(slice(h, p, $FP_W)))")))
+        .select($"doc_id", $"fp")
+        .distinct()
+    },
+  )
+
+  override def oracles: Map[String, String] = {
+    val nrmSql = """regexp_replace(lower(trim(text)),'\s+',' ','g')"""
+    Map(
+      "t_tokens" ->
+        s"""SELECT doc_id,
+           | CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tokens_ws,
+           | CAST(len(regexp_extract_all(nrm, '[a-z]+|[0-9]+')) AS BIGINT) AS n_tokens_re,
+           | CAST(length(nrm) AS BIGINT) AS n_chars_norm
+           |FROM (SELECT doc_id, $nrmSql AS nrm FROM documents)""".stripMargin,
+      "t_quality" ->
+        s"""WITH base AS (
+           | SELECT doc_id, nrm, string_split(nrm, ' ') AS w,
+           |  CAST(length(nrm) AS BIGINT) AS n_chars,
+           |  CAST(length(regexp_replace(nrm, '[^a-z]', '', 'g')) AS BIGINT) AS n_alpha,
+           |  CAST(length(regexp_replace(nrm, '[a-z0-9 ]', '', 'g')) AS BIGINT) AS n_punct
+           | FROM (SELECT doc_id, $nrmSql AS nrm FROM documents)),
+           |r AS (
+           | SELECT doc_id, n_chars, CAST(len(w) AS BIGINT) AS n_toks,
+           |  CAST(n_alpha AS DOUBLE) / CAST(n_chars AS DOUBLE) AS alpha_ratio,
+           |  CAST(n_punct AS DOUBLE) / CAST(n_chars AS DOUBLE) AS punct_ratio,
+           |  CAST(len(list_filter(w, x -> x IN (${inList(STOPWORDS)}))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS stop_ratio
+           | FROM base)
+           |SELECT doc_id, n_chars, n_toks, alpha_ratio, punct_ratio, stop_ratio,
+           | 0.5 * alpha_ratio + 0.3 * stop_ratio + 0.2 * (1.0 - punct_ratio) AS quality_score
+           |FROM r""".stripMargin,
+      "t_langid" -> {
+        val scores = PROFILES.map { case (lang, ws) =>
+          s"CAST(len(list_filter(w, x -> x IN (${inList(ws)}))) AS BIGINT) AS s_$lang"
+        }.mkString(", ")
+        s"""WITH sc AS (
+           | SELECT doc_id, lang, $scores
+           | FROM (SELECT doc_id, lang, string_split($nrmSql, ' ') AS w FROM documents))
+           |SELECT doc_id,
+           | CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+           |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END AS pred_lang,
+           | lang AS true_lang,
+           | (CASE WHEN s_de + s_en + s_es + s_fr = 0 THEN 'und'
+           |  WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+           |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+           |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS correct
+           |FROM sc""".stripMargin
+      },
+      "t_fingerprint" ->
+        s"""WITH base AS (
+           | SELECT doc_id, nrm FROM (SELECT doc_id, $nrmSql AS nrm FROM documents)
+           | WHERE length(nrm) >= ${FP_K + FP_W - 1}),
+           |grams AS (
+           | SELECT doc_id,
+           |  list_transform(range(1, length(nrm) - ${FP_K - 2}), i -> md5(substr(nrm, CAST(i AS INT), $FP_K))) AS h
+           | FROM base),
+           |wins AS (
+           | SELECT doc_id,
+           |  UNNEST(list_transform(range(1, len(h) - ${FP_W - 2}), p -> list_min(h[p:p+${FP_W - 1}]))) AS fp
+           | FROM grams)
+           |SELECT DISTINCT doc_id, fp FROM wins""".stripMargin,
+    )
+  }
+}
