@@ -8,6 +8,7 @@ object SparkEntry {
     graft.graph.GraphPack,
     graft.dedup.DedupPack,
     graft.text.TextPack,
+    graft.similarity.SimilarityPack,
     graft.streaming.EventsPack,
   )
 

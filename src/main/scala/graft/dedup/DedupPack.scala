@@ -157,37 +157,20 @@ object DedupPack extends QueryPack {
     // random-hyperplane LSH banding.
     "d_embed_dup" -> { (s, d) =>
       import s.implicits._
-      val dims = Tables.embeddings(s, d)
-        .select($"vec_id", posexplode($"embedding").as(Seq("pos", "xf")))
-        .select($"vec_id", ($"pos" + 1).as("i"), $"xf".cast("double").as("x"))
-        .persist()
-      val proj = dims
-        .select($"vec_id", $"i", $"x", explode(sequence(lit(1), lit(EMBED_PLANES))).as("j"))
-        .withColumn("term", dq(
-          when(expr("substring(md5(CAST(concat(CAST(j AS STRING), '_', CAST(i AS STRING)) AS BINARY)), 1, 1) < '8'"), $"x").otherwise(-$"x")))
-        .groupBy($"vec_id", $"j")
-        .agg(when(sum($"term") >= 0, lit("1")).otherwise(lit("0")).as("bit"))
-      val sig = proj.groupBy($"vec_id")
-        .agg(array_join(expr("transform(array_sort(collect_list(struct(j, bit))), x -> x.bit)"), "").as("sg"))
-      val bands = sig.select($"vec_id",
-          explode(sequence(lit(1), lit(EMBED_BANDS))).as("b"), $"sg")
-        .withColumn("bv", expr("substring(sg, (b-1)*4 + 1, 4)"))
+      import graft.similarity.VectorOps
+      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      val bands = VectorOps.bandKeys(
+        VectorOps.signatures(VectorOps.dims(Tables.embeddings(s, d), "vec_id"), "vec_id", EMBED_PLANES),
+        "vec_id", EMBED_PLANES, EMBED_BANDS)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
             col("x.vec_id") < col("y.vec_id"))
         .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"))
         .distinct()
-      val nrm = dims.groupBy($"vec_id")
-        .agg(sqrt(sum(dq($"x" * $"x")).cast("double")).as("n"))
-      val dot = cand.join(dims.as("da"), col("a") === col("da.vec_id"))
-        .join(dims.as("db"),
-          col("b") === col("db.vec_id") && col("da.i") === col("db.i"))
-        .groupBy($"a", $"b")
-        .agg(sum(dq(col("da.x") * col("db.x"))).cast("double").as("dp"))
-      dot
-        .join(nrm.as("na"), col("a") === col("na.vec_id"))
-        .join(nrm.as("nb"), col("b") === col("nb.vec_id"))
-        .withColumn("cosine", $"dp" / (col("na.n") * col("nb.n")))
+      cand
+        .join(e.select($"vec_id".as("a"), $"embedding".as("ea"), $"nrm".as("na")), "a")
+        .join(e.select($"vec_id".as("b"), $"embedding".as("eb"), $"nrm".as("nb")), "b")
+        .withColumn("cosine", VectorOps.dotDec("ea", "eb") / ($"na" * $"nb"))
         .filter($"cosine" >= EMBED_MIN_COSINE)
         .select($"a".as("vec_a"), $"b".as("vec_b"), $"cosine")
     },

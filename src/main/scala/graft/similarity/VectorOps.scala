@@ -1,0 +1,65 @@
+package graft.similarity
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Vector primitives shared by the similarity and dedup packs.
+  *
+  * Determinism contract (same as the rest of the engine): every sum
+  * that feeds a comparison or an output is accumulated in
+  * DECIMAL(28,12) — exact, order-free addition — so Spark and the
+  * DuckDB oracle produce bit-identical doubles. Element products are
+  * computed in double (float leaves cast up first), identical IEEE
+  * semantics in both engines.
+  *
+  * The random-hyperplane LSH uses ±1 hyperplanes derived from
+  * md5(plane || '_' || dim): sign(h_j · v) with s_ji = +1 iff the
+  * first hex digit of md5(j_i) is < '8'. Fully deterministic and
+  * reproducible in SQL — no RNG, no seed plumbing.
+  */
+object VectorOps {
+
+  /** Sequential decimal-accumulated dot product of two array<float>
+    * columns (codegen'd higher-order functions, no UDF). */
+  def dotDec(a: String, b: String): Column =
+    expr(s"""CAST(aggregate(
+            |  zip_with($a, $b, (x, y) -> CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(28,12)),
+            |  (acc, v) -> CAST(acc + v AS DECIMAL(28,12))) AS DOUBLE)""".stripMargin)
+
+  /** Euclidean norm of an array<float> column, decimal-accumulated. */
+  def normDec(a: String): Column =
+    expr(s"""sqrt(CAST(aggregate(
+            |  transform($a, x -> CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(28,12))),
+            |  CAST(0 AS DECIMAL(28,12)),
+            |  (acc, v) -> CAST(acc + v AS DECIMAL(28,12))) AS DOUBLE))""".stripMargin)
+
+  /** (id, i, x): 1-based exploded dimensions of an embedding table. */
+  def dims(e: DataFrame, idCol: String): DataFrame =
+    e.select(col(idCol), posexplode(col("embedding")).as(Seq("pos", "xf")))
+      .select(col(idCol), (col("pos") + 1).as("i"), col("xf").cast("double").as("x"))
+
+  /** Random-hyperplane sign signatures: (id, sg) where sg is a
+    * `planes`-char '0'/'1' string. One shuffle (the per-plane
+    * projection sum); everything else is map-side. */
+  def signatures(dims: DataFrame, idCol: String, planes: Int): DataFrame = {
+    val proj = dims
+      .select(col(idCol), col("i"), col("x"),
+        explode(sequence(lit(1), lit(planes))).as("j"))
+      .withColumn("term",
+        when(expr("substring(md5(CAST(concat(CAST(j AS STRING), '_', CAST(i AS STRING)) AS BINARY)), 1, 1) < '8'"),
+          col("x")).otherwise(-col("x")).cast("decimal(28,12)"))
+      .groupBy(col(idCol), col("j"))
+      .agg(when(sum(col("term")) >= 0, lit("1")).otherwise(lit("0")).as("bit"))
+    proj.groupBy(col(idCol))
+      .agg(array_join(expr("transform(array_sort(collect_list(struct(j, bit))), x -> x.bit)"), "").as("sg"))
+  }
+
+  /** Explode a signature into `bands` equal chunks: (id, b, bv). */
+  def bandKeys(sig: DataFrame, idCol: String, planes: Int, bands: Int): DataFrame = {
+    val width = planes / bands
+    sig.select(col(idCol), explode(sequence(lit(1), lit(bands))).as("b"), col("sg"))
+      .withColumn("bv", expr(s"substring(sg, (b-1)*$width + 1, $width)"))
+      .select(col(idCol), col("b"), col("bv"))
+  }
+}
