@@ -6,6 +6,7 @@ object SparkEntry {
   private def packs: Seq[QueryPack] = Seq(
     graft.relational.RelationalPack,
     graft.graph.GraphPack,
+    graft.graph.SubgraphPack,
     graft.dedup.DedupPack,
     graft.text.TextPack,
     graft.similarity.SimilarityPack,

@@ -1,0 +1,52 @@
+package graft.graph
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Wave semantics of the frontier-join BFS / expansion against the
+  * reference's contract (query(): source found at wave 1, target wave
+  * = BFS layer + 1, main.py:272-305; add_relations: depth-bounded,
+  * first-seen wins, main.py:212-242). */
+class BfsSpec extends SparkSpec {
+
+  private def edgesDf(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    val both = pairs ++ pairs.map(p => (p._2, p._1))
+    both.toDF("src", "dst")
+  }
+
+  test("bfs waves on a path: source=1, each hop +1") {
+    import spark.implicits._
+    val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L))
+    val seeds = Seq((1L, 1L)).toDF("root", "node")
+    val got = Bfs.bfs(e, seeds).as[(Long, Long, Long)].collect().toSet
+    assert(got === Set((1L, 1L, 1L), (1L, 2L, 2L), (1L, 3L, 3L), (1L, 4L, 4L)))
+  }
+
+  test("bfs takes the shortest of multiple paths") {
+    import spark.implicits._
+    // 1-2-3-4 plus shortcut 1-4
+    val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L))
+    val seeds = Seq((1L, 1L)).toDF("root", "node")
+    val got = Bfs.bfs(e, seeds).as[(Long, Long, Long)].collect()
+      .map { case (_, n, w) => n -> w }.toMap
+    assert(got(4L) === 2L)
+    assert(got(3L) === 3L)
+  }
+
+  test("unreachable nodes are absent from bfs output") {
+    import spark.implicits._
+    val e = edgesDf((1L, 2L), (5L, 6L))
+    val seeds = Seq((1L, 1L)).toDF("root", "node")
+    val got = Bfs.bfs(e, seeds).select("node").as[Long].collect().toSet
+    assert(got === Set(1L, 2L))
+  }
+
+  test("expand is depth-bounded and first-seen wins") {
+    import spark.implicits._
+    val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    val seeds = Seq(1L).toDF("node")
+    val got = Bfs.expand(e, seeds, depth = 2).as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+}
