@@ -11,6 +11,7 @@ object SparkEntry {
     graft.text.TextPack,
     graft.similarity.SimilarityPack,
     graft.streaming.EventsPack,
+    graft.multimodal.MultimodalPack,
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

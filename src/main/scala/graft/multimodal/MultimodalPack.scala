@@ -1,0 +1,81 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryPack, Tables}
+
+/** One decoded multimodal record: id, payload size, extracted
+  * feature vector. */
+final case class FeatureRow(doc_id: Long, n_bytes: Long, features: Seq[Float])
+
+/** Multimodal-column pack (SURVEY §2 G1–G2).
+  *
+  * Media columns are opaque `binary` with typed metadata alongside —
+  * the test tables carry no real media, so the payload is the
+  * document text's UTF-8 bytes, and the DECODER is a deterministic
+  * stub (byte-histogram "features"); everything around it — binary
+  * schema, batched per-partition decode plumbing, fixed-width
+  * feature output — is real and tested.
+  *
+  * Scale shape: decode is per-row map work batched per partition
+  * (the mapInPandas batch shape): no shuffle at all; a real decoder
+  * (JNI image lib, ONNX runtime) would slot into
+  * [[Decode.featuresOf]] unchanged, amortizing model/library init
+  * once per partition via mapPartitions.
+  */
+object MultimodalPack extends QueryPack {
+
+  override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // G1: opaque binary payload + typed metadata extraction, all
+    // columnar (codegen'd) — length, magic prefix, checksum.
+    "m_binary_meta" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("payload", $"text".cast("binary"))
+        .select($"doc_id",
+          length($"payload").cast("long").as("n_bytes"),
+          lower(hex(substring($"payload", 1, 4))).as("magic_hex"),
+          md5($"payload").as("checksum"))
+    },
+
+    // G2: batched decode / feature-extraction plumbing with the
+    // decoder stubbed deterministically (rows-only + spec).
+    "m_features" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .mapPartitions { batch =>
+          // Per-partition init happens HERE once (decoder handle,
+          // model session, …) — the stub needs none.
+          batch.map { case (id, payload) =>
+            FeatureRow(id, payload.length.toLong, Decode.featuresOf(payload))
+          }
+        }
+        .toDF()
+    },
+  )
+
+  override def oracles: Map[String, String] = Map(
+    "m_binary_meta" ->
+      """SELECT doc_id,
+        | CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        | lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
+        | md5(text) AS checksum
+        |FROM documents""".stripMargin,
+  )
+}
+
+/** The stubbed decoder: a deterministic fake standing in for a real
+  * image/audio decode + feature extractor (the real libraries are
+  * not in this container). Normalized 16-bin byte histogram. */
+object Decode {
+  val DIM = 16
+
+  def featuresOf(payload: Array[Byte]): Seq[Float] = {
+    val counts = new Array[Int](DIM)
+    payload.foreach(b => counts((b & 0xff) % DIM) += 1)
+    val n = math.max(payload.length, 1).toFloat
+    counts.toSeq.map(_ / n)
+  }
+}

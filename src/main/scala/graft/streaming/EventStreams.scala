@@ -1,0 +1,90 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** A raw stream event (mirrors the `events` table columns the
+  * streaming surface needs). */
+final case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
+                             event_type: String, value: Double)
+
+/** One closed session emitted by the stateful sessionizer. */
+final case class SessionOut(user_id: Long, n_events: Long,
+                            start_us: Long, end_us: Long, sum_value: Double)
+
+/** Structured Streaming surface (SURVEY §2 H4): the streaming
+  * counterparts of the batch events pack, spec-verified with
+  * MemoryStream sources (no oracle — the driver's DuckDB gate has no
+  * streaming notion).
+  *
+  * - [[windowedCounts]]: watermarked tumbling-window aggregation —
+  *   the H1 batch query as an incremental plan. Append mode emits a
+  *   window only once its watermark passes: exactly-once per window.
+  * - [[sessionize]]: 30-min-gap sessions via
+  *   flatMapGroupsWithState + event-time timeout — the H2 batch
+  *   query as per-key incremental state. State is one small struct
+  *   per active user; the watermark bounds it, so state size tracks
+  *   ACTIVE users, not history — the property that matters at
+  *   100 TB/day of events.
+  */
+object EventStreams {
+
+  val SESSION_GAP_US: Long = 1800L * 1000000L
+
+  /** Tumbling 5-minute windowed counts/sums with a 10-minute
+    * watermark (append-mode-safe). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Per-user 30-min-gap sessionization. Sessions close (and are
+    * emitted) when the event-time watermark passes start-of-gap. */
+  def sessionize(events: Dataset[StreamEvent]): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, s.n, s.startUs, s.endUs, s.sum))
+          } else {
+            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            var cur = state.getOption
+            val closed = Seq.newBuilder[SessionOut]
+            for (e <- evs) {
+              val us = e.ts.getTime * 1000L
+              cur match {
+                case Some(s) if us - s.endUs <= SESSION_GAP_US =>
+                  cur = Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1,
+                    sum = s.sum + e.value))
+                case Some(s) =>
+                  closed += SessionOut(userId, s.n, s.startUs, s.endUs, s.sum)
+                  cur = Some(SessionState(us, us, 1L, e.value))
+                case None =>
+                  cur = Some(SessionState(us, us, 1L, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              // Time out once no event can extend the session.
+              state.setTimeoutTimestamp(s.endUs / 1000L + SESSION_GAP_US / 1000L)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+
+  final case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
+}

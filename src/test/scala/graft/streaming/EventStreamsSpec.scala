@@ -1,0 +1,62 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+/** H4: Structured Streaming parity specs driven by MemoryStream. */
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long = 1L, typ: String = "click", v: Double = 1.0) =
+    StreamEvent(id, ts(minute), user, typ, v)
+
+  test("windowedCounts emits finalized 5-min windows in append mode") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("win_out").outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 0), ev(2, 1), ev(3, 4), ev(4, 6))
+      q.processAllAvailable()
+      // watermark: max(6min) - 10min < window ends -> nothing final yet
+      in.addData(ev(5, 30, typ = "view"))
+      q.processAllAvailable()
+      in.addData(ev(6, 60, typ = "view")) // pushes watermark to 50min
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .as[(String, String, Long, Double)].collect().toSet
+      assert(rows.contains(("2024-01-01 00:00:00", "click", 3L, 3.0)))
+      assert(rows.contains(("2024-01-01 00:05:00", "click", 1L, 1.0)))
+      assert(rows.contains(("2024-01-01 00:30:00", "view", 1L, 1.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session after a 30-min gap and keeps state per user") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_out").outputMode(OutputMode.Append()).start()
+    try {
+      // user 1: two events 5 min apart (one session); user 2: one event
+      in.addData(ev(1, 0), ev(2, 5), ev(3, 2, user = 2L, v = 7.0))
+      q.processAllAvailable()
+      // 40-min gap for user 1 -> new session; advances watermark enough
+      // to time out user 2's and user 1's first sessions
+      in.addData(ev(4, 120))
+      q.processAllAvailable()
+      in.addData(ev(5, 300)) // flush remaining state via watermark
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out").as[SessionOut].collect().toSet
+      def us(minute: Int): Long = ts(minute).getTime * 1000L
+      assert(sessions.contains(SessionOut(1L, 2L, us(0), us(5), 2.0)))
+      assert(sessions.contains(SessionOut(2L, 1L, us(2), us(2), 7.0)))
+      assert(sessions.contains(SessionOut(1L, 1L, us(120), us(120), 1.0)))
+    } finally q.stop()
+  }
+}
