@@ -18,7 +18,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -35,13 +35,22 @@ object Bench {
     names.foreach { name =>
       try materialize(SparkEntry.queries(name)(spark, warmDir))
       catch { case _: Throwable => () }
+      // Queries are independent; drop persisted blocks so one query's
+      // cache never skews (or starves) a later measurement, and nudge
+      // the ContextCleaner so localCheckpoint blocks from iterative
+      // queries (BFS/PageRank) are actually reclaimed.
+      spark.catalog.clearCache()
+      System.gc()
     }
 
     val results = names.map { name =>
       val t0 = System.nanoTime()
       try materialize(SparkEntry.queries(name)(spark, sfDir))
       catch { case _: Throwable => () }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

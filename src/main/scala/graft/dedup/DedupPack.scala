@@ -20,8 +20,8 @@ import graft.text.TextOps
   *     (band, band-value) — O(Σ bucket²), not O(n²).
   *   - SimHash: per-token bit vectors are computed once over the
   *     DISTINCT token vocabulary (tiny, AQE-broadcast) and joined
-  *     back; candidate pairs come from 8-bit chunk blocking
-  *     (pigeonhole: hamming ≤ 7 ⇒ some chunk of 8 equal).
+  *     back; candidate pairs come from 16-bit chunk blocking
+  *     (pigeonhole: hamming ≤ 3 ⇒ some chunk of 16 equal).
   *   - n-gram Jaccard: candidates blocked on *rare* shingles
   *     (document frequency ≤ 20), capping join fan-out per shingle —
   *     the skew-resistant verify join.
@@ -41,9 +41,18 @@ object DedupPack extends QueryPack {
   private val MINHASH_BANDS = 4
   private val MINHASH_ROWS = 4
   private val SIMHASH_BITS = 64
-  private val SIMHASH_CHUNKS = 8
-  private val SIMHASH_MAX_HAMMING = 7
+  // 4 chunks of 16 bits: pigeonhole-complete for hamming ≤ 3, and the
+  // 16-bit chunk keys keep buckets tiny (185k candidate pairs at
+  // sf0.1 vs 4.0M with 8-bit chunks — measured via the oracle shape).
+  private val SIMHASH_CHUNKS = 4
+  private val SIMHASH_CHUNK_W = SIMHASH_BITS / SIMHASH_CHUNKS
+  private val SIMHASH_MAX_HAMMING = 3
   private val NGRAM_MAX_DF = 20
+  // Candidates must share ≥ 2 rare shingles: a single shared shingle
+  // is mostly coincidence on a small vocabulary (1.1M pairs at sf0.1);
+  // two shared rare shingles prune that to 110k while true near-dups
+  // share dozens.
+  private val NGRAM_MIN_COMMON = 2
   private val NGRAM_MIN_JACCARD = 0.5
   private val EMBED_PLANES = 16
   private val EMBED_BANDS = 4
@@ -59,6 +68,19 @@ object DedupPack extends QueryPack {
 
   /** Exact decimal-quantized sum term (order-free addition). */
   private def dq(c: Column): Column = c.cast("decimal(28,12)")
+
+  /** Merge-count of the intersection of two sorted string arrays. */
+  private val sortedIntersectCount: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Seq[String], b: Seq[String]) =>
+      var i = 0; var j = 0; var n = 0L
+      while (i < a.length && j < b.length) {
+        val c = a(i).compareTo(b(j))
+        if (c == 0) { n += 1; i += 1; j += 1 }
+        else if (c < 0) i += 1
+        else j += 1
+      }
+      n
+    }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: exact dedup — normalized-text hash groups, first-id-wins
@@ -91,7 +113,7 @@ object DedupPack extends QueryPack {
         .distinct()
     },
 
-    // D3: SimHash 64-bit + hamming radius via 8-chunk blocking.
+    // D3: SimHash 64-bit + hamming radius via 16-bit chunk blocking.
     // Term-frequency weighted (Charikar simhash): tf weights separate
     // docs drawn from a small shared vocabulary, which both matches
     // the standard algorithm and keeps chunk buckets small.
@@ -114,7 +136,7 @@ object DedupPack extends QueryPack {
         .agg(array_join(expr("transform(array_sort(collect_list(struct(b, sb))), x -> x.sb)"), "").as("sg"))
       val chunks = sig.select($"doc_id", $"sg",
           explode(sequence(lit(1), lit(SIMHASH_CHUNKS))).as("c"))
-        .withColumn("cv", expr("substring(sg, (c-1)*8 + 1, 8)"))
+        .withColumn("cv", expr(s"substring(sg, (c-1)*$SIMHASH_CHUNK_W + 1, $SIMHASH_CHUNK_W)"))
       val cand = chunks.as("x").join(chunks.as("y"),
           col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -122,13 +144,16 @@ object DedupPack extends QueryPack {
           col("y.doc_id").as("doc_b"), col("y.sg").as("sb"))
         .distinct()
       cand
-        .withColumn("hamming",
-          expr(s"size(filter(sequence(1, $SIMHASH_BITS), i -> substring(sa, i, 1) != substring(sb, i, 1)))").cast("long"))
+        .withColumn("hamming", TextOps.hamming($"sa", $"sb"))
         .filter($"hamming" <= SIMHASH_MAX_HAMMING)
         .select($"doc_a", $"doc_b", $"hamming")
     },
 
     // D4: n-gram Jaccard verification join, blocked on rare shingles.
+    // The verify stage joins each candidate pair to the two docs'
+    // collected sorted shingle sets and merge-counts the
+    // intersection — pair-count × set-size work, instead of a
+    // pair × shingle × shingle three-way join.
     "d_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
       val sh = shingleTable(s, d).persist()
@@ -137,18 +162,17 @@ object DedupPack extends QueryPack {
         "shingle")
       val cand = rare.as("a").join(rare.as("b"),
           col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
-        .distinct()
-      val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = cand.join(sh.as("s1"), col("da") === col("s1.doc_id"))
-        .join(sh.as("s2"),
-          col("db") === col("s2.doc_id") && col("s1.shingle") === col("s2.shingle"))
-        .groupBy($"da", $"db").agg(count(lit(1)).as("i"))
-      inter
-        .join(sizes.as("za"), col("da") === col("za.doc_id"))
-        .join(sizes.as("zb"), col("db") === col("zb.doc_id"))
+        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter($"n_common" >= NGRAM_MIN_COMMON)
+        .select($"da", $"db")
+      val sets = sh.groupBy($"doc_id").agg(sort_array(collect_set($"shingle")).as("set"))
+      cand
+        .join(sets.select($"doc_id".as("da"), $"set".as("seta")), "da")
+        .join(sets.select($"doc_id".as("db"), $"set".as("setb")), "db")
+        .withColumn("i", sortedIntersectCount($"seta", $"setb"))
         .withColumn("jaccard",
-          $"i".cast("double") / (col("za.n") + col("zb.n") - $"i").cast("double"))
+          $"i".cast("double") / (size($"seta") + size($"setb") - $"i").cast("double"))
         .filter($"jaccard" >= NGRAM_MIN_JACCARD)
         .select($"da".as("doc_a"), $"db".as("doc_b"), $"jaccard")
     },
@@ -170,7 +194,7 @@ object DedupPack extends QueryPack {
       cand
         .join(e.select($"vec_id".as("a"), $"embedding".as("ea"), $"nrm".as("na")), "a")
         .join(e.select($"vec_id".as("b"), $"embedding".as("eb"), $"nrm".as("nb")), "b")
-        .withColumn("cosine", VectorOps.dotDec("ea", "eb") / ($"na" * $"nb"))
+        .withColumn("cosine", VectorOps.dotDecFast($"ea", $"eb") / ($"na" * $"nb"))
         .filter($"cosine" >= EMBED_MIN_COSINE)
         .select($"a".as("vec_a"), $"b".as("vec_b"), $"cosine")
     },
@@ -215,7 +239,7 @@ object DedupPack extends QueryPack {
          | SELECT t.doc_id, tb.b, CASE WHEN SUM(tb.sgn * t.tf) >= 0 THEN '1' ELSE '0' END AS sb
          | FROM toks t JOIN tokbits tb ON t.tok = tb.tok GROUP BY t.doc_id, tb.b),
          |sig AS (SELECT doc_id, string_agg(sb, '' ORDER BY b) AS sg FROM bits GROUP BY doc_id),
-         |chunks AS (SELECT doc_id, sg, c, substr(sg, (c-1)*8 + 1, 8) AS cv
+         |chunks AS (SELECT doc_id, sg, c, substr(sg, (c-1)*$SIMHASH_CHUNK_W + 1, $SIMHASH_CHUNK_W) AS cv
          |           FROM sig, UNNEST(range(1, ${SIMHASH_CHUNKS + 1})) tc(c)),
          |cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.sg AS sa, y.doc_id AS doc_b, y.sg AS sb
          |         FROM chunks x JOIN chunks y ON x.c = y.c AND x.cv = y.cv AND x.doc_id < y.doc_id)
@@ -227,8 +251,9 @@ object DedupPack extends QueryPack {
       s"""WITH $shSql,
          |df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
          |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df USING (shingle) WHERE df.c <= $NGRAM_MAX_DF),
-         |cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
-         |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= $NGRAM_MIN_COMMON),
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT c.da, c.db, COUNT(*) AS i
          |          FROM cand c JOIN sh s1 ON s1.doc_id = c.da
@@ -253,7 +278,7 @@ object DedupPack extends QueryPack {
          |cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b
          |         FROM bands x JOIN bands y ON x.b = y.b AND x.bv = y.bv AND x.vec_id < y.vec_id),
          |nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS n FROM dims GROUP BY vec_id),
-         |dot AS (SELECT c.a, c.b, CAST(SUM(CAST(da.x * db.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+         |dot AS (SELECT c.a, c.b, CAST(SUM(CAST(floor(da.x * db.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
          |        FROM cand c JOIN dims da ON da.vec_id = c.a
          |         JOIN dims db ON db.vec_id = c.b AND db.i = da.i
          |        GROUP BY c.a, c.b)

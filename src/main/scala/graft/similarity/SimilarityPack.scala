@@ -46,7 +46,7 @@ object SimilarityPack extends QueryPack {
       val c = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
       topK(c.crossJoin(broadcast(q))
         .filter($"q_id" =!= $"n_id")
-        .withColumn("cosine", VectorOps.dotDec("qe", "ne") / ($"qn" * $"nn")))
+        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
     },
 
     // E2: LSH-bucketed ANN top-k — score only same-band candidates.
@@ -65,7 +65,7 @@ object SimilarityPack extends QueryPack {
         .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
       val c = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
       topK(cand.join(broadcast(q), "q_id").join(c, "n_id")
-        .withColumn("cosine", VectorOps.dotDec("qe", "ne") / ($"qn" * $"nn")))
+        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
     },
   )
 
@@ -80,7 +80,7 @@ object SimilarityPack extends QueryPack {
     "s_knn_brute" ->
       s"""WITH $dimsSql,
          |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
-         |         CAST(SUM(CAST(q.x * c.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+         |         CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
          |        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
          |        WHERE q.vec_id < $N_QUERIES
          |        GROUP BY q.vec_id, c.vec_id),
@@ -104,7 +104,7 @@ object SimilarityPack extends QueryPack {
          |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
          |         FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv AND q.vec_id <> c.vec_id
          |         WHERE q.vec_id < $N_QUERIES),
-         |dot AS (SELECT cd.q_id, cd.n_id, CAST(SUM(CAST(dq.x * dc.x AS DECIMAL(28,12))) AS DOUBLE) AS dp
+         |dot AS (SELECT cd.q_id, cd.n_id, CAST(SUM(CAST(floor(dq.x * dc.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
          |        FROM cand cd JOIN dims dq ON dq.vec_id = cd.q_id
          |         JOIN dims dc ON dc.vec_id = cd.n_id AND dc.i = dq.i
          |        GROUP BY cd.q_id, cd.n_id),

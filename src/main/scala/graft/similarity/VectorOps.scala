@@ -40,20 +40,46 @@ object VectorOps {
       .select(col(idCol), (col("pos") + 1).as("i"), col("xf").cast("double").as("x"))
 
   /** Random-hyperplane sign signatures: (id, sg) where sg is a
-    * `planes`-char '0'/'1' string. One shuffle (the per-plane
+    * `planes`-char '0'/'1' string. The ±1 hyperplane matrix is a
+    * (dims × planes) table — ~1k rows — computed ONCE and
+    * broadcast-joined, so the md5 derivation runs per matrix cell,
+    * not per (vector × plane) row. One shuffle (the per-plane
     * projection sum); everything else is map-side. */
   def signatures(dims: DataFrame, idCol: String, planes: Int): DataFrame = {
-    val proj = dims
-      .select(col(idCol), col("i"), col("x"),
-        explode(sequence(lit(1), lit(planes))).as("j"))
-      .withColumn("term",
+    val planeSigns = dims.select(col("i")).distinct()
+      .select(col("i"), explode(sequence(lit(1), lit(planes))).as("j"))
+      .withColumn("sgn",
         when(expr("substring(md5(CAST(concat(CAST(j AS STRING), '_', CAST(i AS STRING)) AS BINARY)), 1, 1) < '8'"),
-          col("x")).otherwise(-col("x")).cast("decimal(28,12)"))
+          lit(1.0)).otherwise(lit(-1.0)))
+    val proj = dims.join(broadcast(planeSigns), "i")
+      // ±1.0 × x is an exact IEEE sign flip — identical to the
+      // oracle's CASE WHEN ... THEN x ELSE -x END.
+      .withColumn("term", (col("sgn") * col("x")).cast("decimal(28,12)"))
       .groupBy(col(idCol), col("j"))
       .agg(when(sum(col("term")) >= 0, lit("1")).otherwise(lit("0")).as("bit"))
     proj.groupBy(col(idCol))
       .agg(array_join(expr("transform(array_sort(collect_list(struct(j, bit))), x -> x.bit)"), "").as("sg"))
   }
+
+  /** Tight-loop exact quantized dot product. Contract (mirrored
+    * verbatim by the oracles): each double product is quantized to
+    * integer picos via floor(p·1e12 + 0.5) — floor, multiply and add
+    * are exact IEEE ops, so Scala and DuckDB produce the identical
+    * long — then summed exactly in 64-bit; the result is
+    * sum/1e12 as a double. Order-free, no per-element boxing, no
+    * BigDecimal/string churn (the previous decimal-cast formulation
+    * cost ~400 ns/element and dominated the candidate-verify stage). */
+  val dotDecFast: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: Array[Float], b: Array[Float]) =>
+      var sum = 0L
+      var k = 0
+      val n = math.min(a.length, b.length)
+      while (k < n) {
+        sum += math.floor(a(k).toDouble * b(k).toDouble * 1e12 + 0.5).toLong
+        k += 1
+      }
+      sum.toDouble / 1e12
+    }
 
   /** Explode a signature into `bands` equal chunks: (id, b, bv). */
   def bandKeys(sig: DataFrame, idCol: String, planes: Int, bands: Int): DataFrame = {

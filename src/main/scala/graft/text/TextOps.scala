@@ -22,14 +22,76 @@ object TextOps {
   def words(text: Column): Column = split(norm(text), " ")
 
   /** All 3-word shingles (1-based sliding window, matching the
-    * oracle's list indexing). Empty array when fewer than 3 words. */
-  def shingles3(w: Column): Column =
-    when(size(w) >= 3,
-      transform(sequence(lit(1), size(w) - 2), i =>
-        concat_ws(" ", element_at(w, i), element_at(w, i + 1), element_at(w, i + 2))))
-      .otherwise(array().cast("array<string>"))
+    * oracle's list indexing). Empty array when fewer than 3 words.
+    * A Scala UDF rather than transform/element_at: higher-order
+    * functions are interpreted per element (12 s for one pass over
+    * the sf0.1 corpus vs <1 s here), and the shingle explode feeds
+    * several downstream stages. */
+  private val shingles3Udf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { w: Seq[String] =>
+      if (w.length < 3) Seq.empty[String]
+      else w.sliding(3).map(_.mkString(" ")).toSeq
+    }
+
+  def shingles3(w: Column): Column = shingles3Udf(w)
 
   /** md5 hex digest of a string column (UTF-8 bytes — identical to
     * DuckDB's md5(varchar)). */
   def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** Winnowing fingerprints: md5 over every k-char gram of the
+    * normalized text, then the minimum hash of each w-gram window,
+    * deduplicated. Identical to the oracle's
+    * list_transform/list_min formulation (md5hex lowercase = both
+    * engines' md5). One tight pass instead of an interpreted
+    * per-position lambda with md5 inside it. */
+  def winnowUdf(k: Int, w: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { nrm: String =>
+      if (nrm == null || nrm.length < k + w - 1) Seq.empty[String]
+      else {
+        // One digest reused across all grams of the row — allocating
+        // a MessageDigest per gram dominates the runtime otherwise.
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val hexd = "0123456789abcdef".toCharArray
+        def md5hex(s: String): String = {
+          md.reset()
+          val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          val out = new Array[Char](32)
+          var i = 0
+          while (i < 16) {
+            out(2 * i) = hexd((dig(i) >> 4) & 0xf)
+            out(2 * i + 1) = hexd(dig(i) & 0xf)
+            i += 1
+          }
+          new String(out)
+        }
+        val grams = Array.tabulate(nrm.length - k + 1)(i => md5hex(nrm.substring(i, i + k)))
+        val out = scala.collection.mutable.LinkedHashSet.empty[String]
+        var p = 0
+        while (p + w <= grams.length) {
+          var m = grams(p)
+          var q = p + 1
+          while (q < p + w) { if (grams(q) < m) m = grams(q); q += 1 }
+          out += m
+          p += 1
+        }
+        out.toSeq
+      }
+    }
+
+  /** Hamming distance between two equal-length bit strings. Same
+    * count the oracle computes with list_filter over positions; a
+    * tight char loop here because the HOF formulation is interpreted
+    * per element (13 s vs <1 s on a 185k-pair candidate set). */
+  val hamming: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (a: String, b: String) =>
+      var n = 0L
+      var k = 0
+      val len = math.min(a.length, b.length)
+      while (k < len) {
+        if (a.charAt(k) != b.charAt(k)) n += 1
+        k += 1
+      }
+      n
+    }
 }

@@ -90,10 +90,7 @@ object TextPack extends QueryPack {
       Tables.documents(s, d)
         .withColumn("nrm", TextOps.norm($"text"))
         .filter(length($"nrm") >= FP_K + FP_W - 1)
-        .withColumn("h",
-          expr(s"transform(sequence(1, length(nrm) - ${FP_K - 1}), i -> md5(CAST(substring(nrm, i, $FP_K) AS BINARY)))"))
-        .withColumn("fp",
-          explode(expr(s"transform(sequence(1, size(h) - ${FP_W - 1}), p -> array_min(slice(h, p, $FP_W)))")))
+        .withColumn("fp", explode(TextOps.winnowUdf(FP_K, FP_W)($"nrm")))
         .select($"doc_id", $"fp")
         .distinct()
     },
