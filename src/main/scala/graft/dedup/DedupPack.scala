@@ -119,6 +119,7 @@ object DedupPack extends QueryPack {
     // the standard algorithm and keeps chunk buckets small.
     "d_simhash" -> { (s, d) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val toks = Tables.documents(s, d)
         .select($"doc_id", explode(TextOps.words($"text")).as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
@@ -182,6 +183,7 @@ object DedupPack extends QueryPack {
     "d_embed_dup" -> { (s, d) =>
       import s.implicits._
       import graft.similarity.VectorOps
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
       val bands = VectorOps.bandKeys(
         VectorOps.signatures(VectorOps.dims(Tables.embeddings(s, d), "vec_id"), "vec_id", EMBED_PLANES),

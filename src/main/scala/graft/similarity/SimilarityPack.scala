@@ -40,6 +40,7 @@ object SimilarityPack extends QueryPack {
     // E1: brute-force cosine top-k per query vector.
     "s_knn_brute" -> { (s, d) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
       val q = e.filter($"vec_id" < N_QUERIES)
         .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
@@ -52,6 +53,7 @@ object SimilarityPack extends QueryPack {
     // E2: LSH-bucketed ANN top-k — score only same-band candidates.
     "s_knn_ann" -> { (s, d) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
       val dims = VectorOps.dims(Tables.embeddings(s, d), "vec_id")
       val bands = VectorOps.bandKeys(

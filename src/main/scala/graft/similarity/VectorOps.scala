@@ -61,25 +61,12 @@ object VectorOps {
       .agg(array_join(expr("transform(array_sort(collect_list(struct(j, bit))), x -> x.bit)"), "").as("sg"))
   }
 
-  /** Tight-loop exact quantized dot product. Contract (mirrored
-    * verbatim by the oracles): each double product is quantized to
-    * integer picos via floor(p·1e12 + 0.5) — floor, multiply and add
-    * are exact IEEE ops, so Scala and DuckDB produce the identical
-    * long — then summed exactly in 64-bit; the result is
-    * sum/1e12 as a double. Order-free, no per-element boxing, no
-    * BigDecimal/string churn (the previous decimal-cast formulation
-    * cost ~400 ns/element and dominated the candidate-verify stage). */
-  val dotDecFast: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Array[Float], b: Array[Float]) =>
-      var sum = 0L
-      var k = 0
-      val n = math.min(a.length, b.length)
-      while (k < n) {
-        sum += math.floor(a(k).toDouble * b(k).toDouble * 1e12 + 0.5).toLong
-        k += 1
-      }
-      sum.toDouble / 1e12
-    }
+  /** Exact quantized dot product — the native codegen'd Catalyst
+    * expression [[graft.functions.DotQuant]] (see its scaladoc for the
+    * quantization contract mirrored by the oracles). Callers must have
+    * run [[graft.functions.GraftFunctions.register]] on the session. */
+  def dotDecFast(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.dotQuant(a, b)
 
   /** Explode a signature into `bands` equal chunks: (id, b, bv). */
   def bandKeys(sig: DataFrame, idCol: String, planes: Int, bands: Int): DataFrame = {

@@ -79,19 +79,11 @@ object TextOps {
       }
     }
 
-  /** Hamming distance between two equal-length bit strings. Same
-    * count the oracle computes with list_filter over positions; a
-    * tight char loop here because the HOF formulation is interpreted
-    * per element (13 s vs <1 s on a 185k-pair candidate set). */
-  val hamming: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: String, b: String) =>
-      var n = 0L
-      var k = 0
-      val len = math.min(a.length, b.length)
-      while (k < len) {
-        if (a.charAt(k) != b.charAt(k)) n += 1
-        k += 1
-      }
-      n
-    }
+  /** Hamming distance between two equal-length bit strings — the
+    * native codegen'd Catalyst expression
+    * [[graft.functions.HammingDist]] (same count the oracle computes
+    * with list_filter over positions). Callers must have run
+    * [[graft.functions.GraftFunctions.register]] on the session. */
+  def hamming(a: Column, b: Column): Column =
+    graft.functions.GraftFunctions.hamming(a, b)
 }
