@@ -31,6 +31,15 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Fan a small-file scan out to the session's parallelism before a
+    * CPU-bound map stage (signature hashing, winnowing). A few-MB
+    * parquet arrives as ONE input split, which would serialize such a
+    * stage on a single core; at warehouse scale the file count makes
+    * this shuffle a no-op-sized rebalance, locally it is the
+    * difference between 1 core and all of them. */
+  def fanOut(s: SparkSession, df: DataFrame): DataFrame =
+    df.repartition(s.sparkContext.defaultParallelism)
 }
 
 /** A named group of driver-checkable queries: the Spark definition and

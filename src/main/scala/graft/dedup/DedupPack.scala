@@ -14,14 +14,16 @@ import graft.text.TextOps
   * Jaccard with graph shingles). Here the same ideas run at corpus
   * scale with the standard sketching tricks.
   *
-  * Scale design (graded — SURVEY §5): nothing here is all-pairs.
-  *   - MinHash: signatures are one groupBy over exploded shingles;
-  *     LSH banding turns candidate generation into an equi-join on
-  *     (band, band-value) — O(Σ bucket²), not O(n²).
-  *   - SimHash: per-token bit vectors are computed once over the
-  *     DISTINCT token vocabulary (tiny, AQE-broadcast) and joined
-  *     back; candidate pairs come from 16-bit chunk blocking
-  *     (pigeonhole: hamming ≤ 3 ⇒ some chunk of 16 equal).
+  * Scale design (graded — SURVEY §5): nothing here is all-pairs, and
+  * every signature is computed MAP-SIDE in one pass per document
+  * ([[Signatures]]) — the only shuffles left are the band-bucket
+  * joins themselves.
+  *   - MinHash: per-doc k-min signature, then LSH banding turns
+  *     candidate generation into an equi-join on (band, band-value) —
+  *     O(Σ bucket²), not O(n²).
+  *   - SimHash: per-doc 64-bit tf-weighted signature; candidate pairs
+  *     come from 16-bit chunk blocking (pigeonhole: hamming ≤ 3 ⇒
+  *     some chunk of 16 equal).
   *   - n-gram Jaccard: candidates blocked on *rare* shingles
   *     (document frequency ≤ 20), capping join fan-out per shingle —
   *     the skew-resistant verify join.
@@ -31,9 +33,10 @@ import graft.text.TextOps
   *
   * Determinism contract: every hash is md5-hex (identical UTF-8
   * semantics in Spark and DuckDB); min-hash ordering is lexicographic
-  * on hex strings; all floating sums that feed a comparison are
-  * quantized to DECIMAL(28,12) before aggregation (order-free exact
-  * addition), so both engines produce bit-identical doubles.
+  * on hex strings; all floating sums that feed a comparison follow
+  * the engine-wide quantization contract (floor(term·1e12 + 0.5)
+  * longs, exact 64-bit sums — order-free), so both engines produce
+  * bit-identical doubles.
   */
 object DedupPack extends QueryPack {
 
@@ -58,16 +61,25 @@ object DedupPack extends QueryPack {
   private val EMBED_BANDS = 4
   private val EMBED_MIN_COSINE = 0.35
 
-  /** (doc_id, shingle) distinct 3-word shingles. */
-  private def shingleTable(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, d)
-      .select($"doc_id", explode(TextOps.shingles3(TextOps.words($"text"))).as("shingle"))
-      .distinct()
-  }
-
-  /** Exact decimal-quantized sum term (order-free addition). */
-  private def dq(c: Column): Column = c.cast("decimal(28,12)")
+  /** All ordered (a < b) pairs of a bucket's doc ids — the
+    * within-bucket candidate enumeration. Bucket size is capped by
+    * the rare-shingle document-frequency bound, so the quadratic is
+    * bounded per bucket. */
+  private val bucketPairs: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { ds: Seq[Long] =>
+      val a = ds.toArray.sorted
+      val out = Seq.newBuilder[(Long, Long)]
+      var i = 0
+      while (i < a.length) {
+        var j = i + 1
+        while (j < a.length) {
+          if (a(i) != a(j)) out += ((a(i), a(j)))
+          j += 1
+        }
+        i += 1
+      }
+      out.result()
+    }
 
   /** Merge-count of the intersection of two sorted string arrays. */
   private val sortedIntersectCount: org.apache.spark.sql.expressions.UserDefinedFunction =
@@ -94,18 +106,19 @@ object DedupPack extends QueryPack {
     },
 
     // D2: MinHash signatures + LSH banding → near-dup candidate pairs.
+    // The k-min signature is one map-side pass per document
+    // (Signatures.minhashSig); only the band equi-join shuffles.
     "d_minhash_lsh" -> { (s, d) =>
       import s.implicits._
-      val sh = shingleTable(s, d)
-      val minAggs = (1 to MINHASH_K)
-        .map(h => min(TextOps.md5s(concat(lit(s"${h}_"), $"shingle"))).as(s"m$h"))
-      val sig = sh.groupBy($"doc_id").agg(minAggs.head, minAggs.tail: _*)
-      val bandCols = (1 to MINHASH_BANDS).map { b =>
-        struct(lit(b).as("band"),
-          concat((1 to MINHASH_ROWS).map(r => col(s"m${(b - 1) * MINHASH_ROWS + r}")): _*).as("bv"))
-      }
-      val bands = sig.select($"doc_id", explode(array(bandCols: _*)).as("bk"))
-        .select($"doc_id", $"bk.band".as("band"), $"bk.bv".as("bv"))
+      val sig = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id",
+          Signatures.minhashSig(MINHASH_K)(TextOps.words($"text")).as("sig"))
+        .filter($"sig".isNotNull)
+      val bands = sig
+        .select($"doc_id", explode(sequence(lit(1), lit(MINHASH_BANDS))).as("band"), $"sig")
+        .withColumn("bv",
+          expr(s"array_join(slice(sig, (band-1)*$MINHASH_ROWS + 1, $MINHASH_ROWS), '')"))
+        .select($"doc_id", $"band", $"bv")
       bands.as("x").join(bands.as("y"),
           col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
             col("x.doc_id") < col("y.doc_id"))
@@ -120,21 +133,11 @@ object DedupPack extends QueryPack {
     "d_simhash" -> { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val toks = Tables.documents(s, d)
-        .select($"doc_id", explode(TextOps.words($"text")).as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("tf"))
-      // Per-token ±1 bit rows over the DISTINCT vocabulary only (tiny).
-      val tokBits = toks.select($"tok").distinct()
-        .withColumn("h", TextOps.md5s($"tok"))
-        .select($"tok", explode(sequence(lit(1), lit(SIMHASH_BITS))).as("b"), $"h")
-        .withColumn("nv", expr("position(substring(h, (b+3) div 4, 1) IN '0123456789abcdef') - 1"))
-        .withColumn("sgn", when(expr("(shiftright(nv, 3 - ((b-1) % 4)) & 1) = 1"), 1).otherwise(-1))
-        .select($"tok", $"b", $"sgn")
-      val sig = toks.join(tokBits, "tok")
-        .groupBy($"doc_id", $"b")
-        .agg(when(sum($"sgn" * $"tf") >= 0, lit("1")).otherwise(lit("0")).as("sb"))
-        .groupBy($"doc_id")
-        .agg(array_join(expr("transform(array_sort(collect_list(struct(b, sb))), x -> x.sb)"), "").as("sg"))
+      // Whole 64-bit tf-weighted signature in one map-side pass per
+      // document (Signatures.simhashSig) — the relational
+      // formulation shuffled (tokens × 64) bit rows twice.
+      val sig = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id", Signatures.simhashSig(SIMHASH_BITS)(TextOps.words($"text")).as("sg"))
       val chunks = sig.select($"doc_id", $"sg",
           explode(sequence(lit(1), lit(SIMHASH_CHUNKS))).as("c"))
         .withColumn("cv", expr(s"substring(sg, (c-1)*$SIMHASH_CHUNK_W + 1, $SIMHASH_CHUNK_W)"))
@@ -157,17 +160,25 @@ object DedupPack extends QueryPack {
     // pair × shingle × shingle three-way join.
     "d_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
-      val sh = shingleTable(s, d).persist()
-      val rare = sh.join(
-        sh.groupBy($"shingle").agg(count(lit(1)).as("df")).filter($"df" <= NGRAM_MAX_DF),
-        "shingle")
-      val cand = rare.as("a").join(rare.as("b"),
-          col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("da"), col("b.doc_id").as("db"))
+      // Per-doc sorted distinct shingle set in one map-side pass —
+      // replaces a corpus-wide DISTINCT shuffle plus a collect_set
+      // aggregation; the exploded view below is already distinct.
+      val sets = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id",
+          Signatures.shingleSet(TextOps.words($"text")).as("set"))
+        .filter(size($"set") > 0)
+        .persist()
+      val sh = sets.select($"doc_id", explode($"set").as("shingle"))
+      // One shuffle groups each shingle's posting list; rare buckets
+      // (2 ≤ df ≤ bound) explode into their within-bucket pairs
+      // map-side — no df-join-back, no shingle self-join.
+      val cand = sh.groupBy($"shingle").agg(collect_list($"doc_id").as("ds"))
+        .filter(size($"ds").between(2, NGRAM_MAX_DF))
+        .select(explode(bucketPairs($"ds")).as("p"))
+        .groupBy($"p._1".as("da"), $"p._2".as("db"))
         .agg(count(lit(1)).as("n_common"))
         .filter($"n_common" >= NGRAM_MIN_COMMON)
         .select($"da", $"db")
-      val sets = sh.groupBy($"doc_id").agg(sort_array(collect_set($"shingle")).as("set"))
       cand
         .join(sets.select($"doc_id".as("da"), $"set".as("seta")), "da")
         .join(sets.select($"doc_id".as("db"), $"set".as("setb")), "db")
@@ -186,7 +197,7 @@ object DedupPack extends QueryPack {
       graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
       val bands = VectorOps.bandKeys(
-        VectorOps.signatures(VectorOps.dims(Tables.embeddings(s, d), "vec_id"), "vec_id", EMBED_PLANES),
+        VectorOps.signatures(Tables.embeddings(s, d), "vec_id", EMBED_PLANES),
         "vec_id", EMBED_PLANES, EMBED_BANDS)
       val cand = bands.as("x").join(bands.as("y"),
           col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
@@ -271,7 +282,7 @@ object DedupPack extends QueryPack {
          | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
          |proj AS (
          | SELECT vec_id, j,
-         |  CASE WHEN SUM(CAST(CASE WHEN substr(md5(j || '_' || i), 1, 1) < '8' THEN x ELSE -x END AS DECIMAL(28,12))) >= 0
+         |  CASE WHEN SUM(CAST(floor((CASE WHEN substr(md5(j || '_' || i), 1, 1) < '8' THEN x ELSE -x END) * 1e12 + 0.5) AS BIGINT)) >= 0
          |   THEN '1' ELSE '0' END AS bit
          | FROM dims, UNNEST(range(1, ${EMBED_PLANES + 1})) tj(j) GROUP BY vec_id, j),
          |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sg FROM proj GROUP BY vec_id),

@@ -55,9 +55,9 @@ object SimilarityPack extends QueryPack {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
-      val dims = VectorOps.dims(Tables.embeddings(s, d), "vec_id")
       val bands = VectorOps.bandKeys(
-        VectorOps.signatures(dims, "vec_id", PLANES), "vec_id", PLANES, BANDS)
+        VectorOps.signatures(Tables.embeddings(s, d), "vec_id", PLANES),
+        "vec_id", PLANES, BANDS)
       val qb = bands.filter($"vec_id" < N_QUERIES).select($"vec_id".as("q_id"), $"b", $"bv")
       val cand = qb.join(bands, Seq("b", "bv"))
         .filter($"q_id" =!= $"vec_id")
@@ -97,7 +97,7 @@ object SimilarityPack extends QueryPack {
       s"""WITH $dimsSql,
          |proj AS (
          | SELECT vec_id, j,
-         |  CASE WHEN SUM(CAST(CASE WHEN substr(md5(j || '_' || i), 1, 1) < '8' THEN x ELSE -x END AS DECIMAL(28,12))) >= 0
+         |  CASE WHEN SUM(CAST(floor((CASE WHEN substr(md5(j || '_' || i), 1, 1) < '8' THEN x ELSE -x END) * 1e12 + 0.5) AS BIGINT)) >= 0
          |   THEN '1' ELSE '0' END AS bit
          | FROM dims, UNNEST(range(1, ${PLANES + 1})) tj(j) GROUP BY vec_id, j),
          |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sg FROM proj GROUP BY vec_id),

@@ -40,26 +40,15 @@ object VectorOps {
       .select(col(idCol), (col("pos") + 1).as("i"), col("xf").cast("double").as("x"))
 
   /** Random-hyperplane sign signatures: (id, sg) where sg is a
-    * `planes`-char '0'/'1' string. The ±1 hyperplane matrix is a
-    * (dims × planes) table — ~1k rows — computed ONCE and
-    * broadcast-joined, so the md5 derivation runs per matrix cell,
-    * not per (vector × plane) row. One shuffle (the per-plane
-    * projection sum); everything else is map-side. */
-  def signatures(dims: DataFrame, idCol: String, planes: Int): DataFrame = {
-    val planeSigns = dims.select(col("i")).distinct()
-      .select(col("i"), explode(sequence(lit(1), lit(planes))).as("j"))
-      .withColumn("sgn",
-        when(expr("substring(md5(CAST(concat(CAST(j AS STRING), '_', CAST(i AS STRING)) AS BINARY)), 1, 1) < '8'"),
-          lit(1.0)).otherwise(lit(-1.0)))
-    val proj = dims.join(broadcast(planeSigns), "i")
-      // ±1.0 × x is an exact IEEE sign flip — identical to the
-      // oracle's CASE WHEN ... THEN x ELSE -x END.
-      .withColumn("term", (col("sgn") * col("x")).cast("decimal(28,12)"))
-      .groupBy(col(idCol), col("j"))
-      .agg(when(sum(col("term")) >= 0, lit("1")).otherwise(lit("0")).as("bit"))
-    proj.groupBy(col(idCol))
-      .agg(array_join(expr("transform(array_sort(collect_list(struct(j, bit))), x -> x.bit)"), "").as("sg"))
-  }
+    * `planes`-char '0'/'1' string, computed map-side in one pass per
+    * vector ([[graft.dedup.Signatures.planeSig]] — the ±1 hyperplane
+    * matrix is deterministic md5 signs, cached per executor). The
+    * first formulation exploded every (vector, dim, plane) row and
+    * aggregated twice; a signature is row-local, so that shuffled
+    * (n·dim·planes) rows for nothing. */
+  def signatures(e: DataFrame, idCol: String, planes: Int): DataFrame =
+    e.select(col(idCol),
+      graft.dedup.Signatures.planeSig(planes)(col("embedding")).as("sg"))
 
   /** Exact quantized dot product — the native codegen'd Catalyst
     * expression [[graft.functions.DotQuant]] (see its scaladoc for the

@@ -87,7 +87,8 @@ object TextPack extends QueryPack {
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
+      // winnowing is md5-per-gram CPU-bound: fan the scan out first
+      Tables.fanOut(s, Tables.documents(s, d))
         .withColumn("nrm", TextOps.norm($"text"))
         .filter(length($"nrm") >= FP_K + FP_W - 1)
         .withColumn("fp", explode(TextOps.winnowUdf(FP_K, FP_W)($"nrm")))

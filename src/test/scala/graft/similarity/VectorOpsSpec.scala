@@ -18,7 +18,7 @@ class VectorOpsSpec extends SparkSpec {
     import spark.implicits._
     val e = Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(-1.0f, 0.5f)))
       .toDF("vec_id", "embedding")
-    val sigs = VectorOps.signatures(VectorOps.dims(e, "vec_id"), "vec_id", 8)
+    val sigs = VectorOps.signatures(e, "vec_id", 8)
       .as[(Long, String)].collect().toMap
     assert(sigs(1L).length === 8)
     assert(sigs(1L) === sigs(2L)) // identical vectors, identical signature
