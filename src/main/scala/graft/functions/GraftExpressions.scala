@@ -145,6 +145,16 @@ object GraftFunctions {
     (FunctionIdentifier("graft_hamming"),
       new ExpressionInfo(classOf[HammingDist].getName, "graft_hamming"),
       (es: Seq[Expression]) => HammingDist(es(0), es(1))),
+    (FunctionIdentifier("graft_top_k"),
+      new ExpressionInfo(classOf[TopKByScore].getName, "graft_top_k"),
+      (es: Seq[Expression]) => {
+        val k = es(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_top_k(score, id, k): k must be an integer literal, got $other")
+        }
+        TopKByScore(es(0), es(1), k).toAggregateExpression()
+      }),
   )
 
   def register(spark: SparkSession): Unit = {
@@ -162,6 +172,9 @@ object GraftFunctions {
     org.apache.spark.sql.functions.call_udf("graft_dot_quant", a, b)
   def hamming(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_udf("graft_hamming", a, b)
+  def topK(score: Column, id: Column, k: Int): Column =
+    org.apache.spark.sql.functions.call_udf("graft_top_k", score, id,
+      org.apache.spark.sql.functions.lit(k))
 }
 
 /** `SparkSessionExtensions` injection point (SURVEY §3's extension

@@ -2,7 +2,6 @@ package graft.similarity
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.{QueryPack, Tables}
 
 /** Similarity-search pack (SURVEY §2 E1–E2) over `embeddings`.
@@ -29,12 +28,17 @@ object SimilarityPack extends QueryPack {
   private val PLANES = 16
   private val BANDS = 8
 
-  private def topK(pairs: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cosine").desc, col("n_id").asc)
-    pairs.withColumn("rank", row_number().over(w).cast("long"))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("n_id"), col("cosine"))
-  }
+  /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
+    * aggregate: each map partition reduces to ≤ K entries per query
+    * before the exchange, so the shuffle carries O(queries × K) rows —
+    * a ROW_NUMBER window would shuffle and sort the entire candidate
+    * set. Same (cosine DESC, n_id ASC) total order as the oracle. */
+  private def topK(pairs: DataFrame): DataFrame =
+    pairs.groupBy(col("q_id"))
+      .agg(graft.functions.GraftFunctions.topK(col("cosine"), col("n_id"), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("n_id"), col("t.score").as("cosine"))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: brute-force cosine top-k per query vector.
