@@ -87,4 +87,26 @@ object EventStreams {
   }
 
   final case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
+
+  /** Streaming exact dedup on a key column (the D1 operator as an
+    * incremental plan): first occurrence wins, duplicates within the
+    * watermark horizon are dropped. `dropDuplicatesWithinWatermark`
+    * keys state by the dedup column only and expires it with the
+    * watermark, so state tracks the RECENT key set, not all history —
+    * the bound that keeps a 100 TB/day ingest feasible. */
+  def dedupByKey(events: DataFrame, keyCol: String,
+                 watermarkDelay: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermarkDelay)
+      .dropDuplicatesWithinWatermark(keyCol)
+
+  /** Streaming per-user running totals (the H3 top-k feeder as an
+    * incremental plan): complete-mode aggregation over user totals.
+    * The top-k cut itself stays in the sink query (rank-over-totals
+    * on a 〈users〉-sized table, not the event stream). */
+  def userTotals(events: DataFrame): DataFrame =
+    events
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
 }

@@ -59,4 +59,46 @@ class EventStreamsSpec extends SparkSpec {
       assert(sessions.contains(SessionOut(1L, 1L, us(120), us(120), 1.0)))
     } finally q.stop()
   }
+
+  test("dedupByKey drops duplicate event ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.dedupByKey(in.toDF(), "event_id")
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 0, v = 1.0), ev(2, 1), ev(1, 2, v = 99.0)) // dup id 1
+      q.processAllAvailable()
+      in.addData(ev(2, 3), ev(3, 4)) // dup id 2 in a later batch
+      q.processAllAvailable()
+      val rows = spark.table("dedup_out").as[StreamEvent].collect()
+      assert(rows.map(_.event_id).sorted.toSeq === Seq(1L, 2L, 3L))
+      // first occurrence of id 1 survived, not the v=99 duplicate
+      assert(rows.find(_.event_id == 1L).get.value === 1.0)
+    } finally q.stop()
+  }
+
+  test("userTotals maintains running per-user aggregates in complete mode") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.userTotals(in.toDF())
+      .writeStream.format("memory").queryName("totals_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      in.addData(ev(1, 0, user = 1L, v = 2.5), ev(2, 1, user = 2L, v = 1.0))
+      q.processAllAvailable()
+      in.addData(ev(3, 2, user = 1L, v = 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("totals_out")
+        .as[(Long, Long, Double)].collect().toMap2
+      assert(rows(1L) === ((2L, 3.0)))
+      assert(rows(2L) === ((1L, 1.0)))
+    } finally q.stop()
+  }
+
+  private implicit class TripleOps(rs: Array[(Long, Long, Double)]) {
+    def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> ((r._2, r._3))).toMap
+  }
 }
