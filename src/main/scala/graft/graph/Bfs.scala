@@ -22,6 +22,16 @@ import org.apache.spark.sql.functions._
   */
 object Bfs {
 
+  /** Truncate plan lineage WITHOUT a dedicated materialization job:
+    * a NON-eager localCheckpoint severs the logical plan (fresh
+    * LogicalRDD — also what keeps each wave's self-join against the
+    * shared edge table unambiguous) and lets the block persistence
+    * happen inside the next real job (the loop-control isEmpty)
+    * instead of one extra full job per wave. An eager checkpoint per
+    * wave was ~3 scheduler round-trips per wave of pure overhead. */
+  private def settle(df: DataFrame, wave: Long): DataFrame =
+    df.localCheckpoint(eager = false)
+
   /** Multi-root BFS. `seeds` has columns (root, node); returns
     * (root, node, wave) for every reachable node, where the seed
     * itself is wave 1 — the reference counts the source's wave as 1
@@ -31,18 +41,20 @@ object Bfs {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100): DataFrame = {
     val e = edges.select("src", "dst").repartition(col("src")).persist()
-    var visited = seeds.select(col("root"), col("node"), lit(1L).as("wave")).localCheckpoint()
+    var visited = seeds.select(col("root"), col("node"), lit(1L).as("wave"))
+      .localCheckpoint(eager = false)
     var frontier = visited
     var wave = 1L
     while (wave < maxWaves && !frontier.isEmpty) {
       wave += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(frontier("root"), e("dst").as("node"))
-        .distinct()
-        .join(visited.select("root", "node"), Seq("root", "node"), "left_anti")
-        .withColumn("wave", lit(wave))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+      val next = settle(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(frontier("root"), e("dst").as("node"))
+          .distinct()
+          .join(visited.select("root", "node"), Seq("root", "node"), "left_anti")
+          .withColumn("wave", lit(wave)),
+        wave)
+      visited = settle(visited.union(next), wave)
       frontier = next
     }
     e.unpersist()
@@ -56,18 +68,20 @@ object Bfs {
     */
   def expand(edges: DataFrame, seedNodes: DataFrame, depth: Int): DataFrame = {
     val e = edges.select("src", "dst").repartition(col("src")).persist()
-    var visited = seedNodes.select(col("node"), lit(0L).as("first_wave")).localCheckpoint()
+    var visited = seedNodes.select(col("node"), lit(0L).as("first_wave"))
+      .localCheckpoint(eager = false)
     var frontier = visited
     var wave = 0L
     while (wave < depth && !frontier.isEmpty) {
       wave += 1
-      val next = frontier.join(e, frontier("node") === e("src"))
-        .select(e("dst").as("node"))
-        .distinct()
-        .join(visited.select("node"), Seq("node"), "left_anti")
-        .withColumn("first_wave", lit(wave))
-        .localCheckpoint()
-      visited = visited.union(next).localCheckpoint()
+      val next = settle(
+        frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node"))
+          .distinct()
+          .join(visited.select("node"), Seq("node"), "left_anti")
+          .withColumn("first_wave", lit(wave)),
+        wave)
+      visited = settle(visited.union(next), wave)
       frontier = next
     }
     e.unpersist()

@@ -32,16 +32,21 @@ object PageRank {
     val ed = e.join(deg, e("src") === deg("node"))
       .select(e("src"), e("dst"), col("outdeg"))
       .repartition(col("src")).persist()
-    var ranks = deg.select(col("node"), lit(1.0).as("rank")).localCheckpoint()
-    for (_ <- 1 to iters) {
+    var ranks = deg.select(col("node"), lit(1.0).as("rank"))
+      .localCheckpoint(eager = false)
+    for (i <- 1 to iters) {
       val msgs = ed.join(ranks, ed("src") === ranks("node"))
         .select(ed("dst"), (ranks("rank") / ed("outdeg")).cast(M).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
-      ranks = ranks.select(col("node"))
+      val next = ranks.select(col("node"))
         .join(msgs, col("node") === msgs("dst"), "left")
         .select(col("node"),
           (lit(0.15) + lit(0.85) * coalesce(col("msg").cast("double"), lit(0.0))).as("rank"))
-        .localCheckpoint()
+      // Non-eager checkpoint: severs the plan every iteration (so the
+      // optimizer never sees an unrolled 10-join tree) but defers
+      // block materialization into the next iteration's job instead
+      // of paying one dedicated job per iteration.
+      ranks = next.localCheckpoint(eager = false)
     }
     ed.unpersist()
     ranks
