@@ -1,0 +1,43 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+class GraphStoreSpec extends SparkSpec {
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-store").resolve("edges").toString
+
+  test("write dedups on (src, dst) and read returns the snapshot") {
+    import spark.implicits._
+    val root = tmpRoot()
+    val edges = Seq((1L, 2L, "a"), (2L, 1L, "b"), (1L, 2L, "dup")).toDF("src", "dst", "tag")
+    val v = GraphStore.write(edges, root)
+    assert(v === 1)
+    val got = GraphStore.read(spark, root).as[(Long, Long, String)].collect().toSet
+    assert(got.map(e => (e._1, e._2)) === Set((1L, 2L), (2L, 1L)))
+  }
+
+  test("upsert ignores existing (src, dst) pairs and appends new ones") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "orig")).toDF("src", "dst", "tag"), root)
+    val v2 = GraphStore.upsert(spark, root,
+      Seq((1L, 2L, "CLOBBER"), (2L, 3L, "new")).toDF("src", "dst", "tag"))
+    assert(v2 === 2)
+    val got = GraphStore.read(spark, root).as[(Long, Long, String)].collect().toSet
+    // existing edge kept its original attributes (INSERT OR IGNORE)
+    assert(got === Set((1L, 2L, "orig"), (2L, 3L, "new")))
+    // previous snapshot still readable (immutable versions)
+    assert(GraphStore.latestVersion(spark, root) === 2)
+  }
+
+  test("upsert is idempotent") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "x")).toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root, Seq((1L, 2L, "x")).toDF("src", "dst", "tag"))
+    assert(GraphStore.read(spark, root).count() === 1)
+  }
+}
