@@ -101,4 +101,27 @@ class EventStreamsSpec extends SparkSpec {
   private implicit class TripleOps(rs: Array[(Long, Long, Double)]) {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> ((r._2, r._3))).toMap
   }
+
+  test("clickAttribution joins purchases to preceding clicks within the window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.clickAttribution(in.toDF(), windowMinutes = 10)
+      .writeStream.format("memory").queryName("attr_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(
+        ev(1, 0, user = 1L),                                 // click @0
+        ev(2, 5, user = 1L, typ = "purchase", v = 9.0),      // within 10 min -> match
+        ev(3, 40, user = 1L, typ = "purchase", v = 2.0),     // 40 min after click -> no match
+        ev(4, 3, user = 2L, typ = "purchase", v = 5.0))      // user 2 never clicked
+      q.processAllAvailable()
+      in.addData(ev(9, 200, user = 9L)) // advance watermarks to flush
+      q.processAllAvailable()
+      val got = spark.table("attr_out")
+        .select("user_id", "click_id", "purchase_id", "value")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(got === Set((1L, 1L, 2L, 9.0)))
+    } finally q.stop()
+  }
 }
