@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One place for engine session defaults — the knobs that change
+  * between local[32] testing and a 1000-executor cluster are all
+  * here, documented, instead of scattered across mains.
+  *
+  * Scale guidance (SURVEY §5):
+  *  - `shufflePartitions`: = total cores locally; on a cluster start
+  *    at 2–3× total executor cores and let AQE coalesce down. With
+  *    AQE enabled this is a ceiling, not a constant.
+  *  - AQE stays ON (Spark 4 default): runtime broadcast promotion,
+  *    partition coalescing and skew-join splitting are exactly the
+  *    degrees of freedom a 100 TB plan needs — the engine's plans
+  *    deliberately avoid forced broadcasts of SF-scaled tables so AQE
+  *    can decide per run.
+  *  - `spark.sql.session.timeZone=UTC` is part of the oracle-parity
+  *    determinism contract (timestamp literals must not depend on
+  *    host timezone).
+  *  - Native functions (graft_dot_quant, graft_hamming, graft_top_k)
+  *    are injected via [[graft.functions.GraftExtensions]]; packs
+  *    also register them imperatively so driver-provided sessions
+  *    work too.
+  */
+object GraftSession {
+
+  def builder(master: String, shufflePartitions: Int): SparkSession.Builder =
+    SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.functions.GraftExtensions)
+
+  /** The driver-facing local session: cores from SPARK_GRAFT_CPUS. */
+  def local(defaultCpus: String): SparkSession = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", defaultCpus)
+    val s = builder(s"local[$cpus]", cpus.toInt).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}
