@@ -83,6 +83,22 @@ object TextPack extends QueryPack {
           ($"pred_lang" === $"lang").as("correct"))
     },
 
+    // F5: deterministic train/val/test splitting by content-free id
+    // hash — the standard reproducible way to partition a training
+    // corpus (no RNG, no seed plumbing, stable under reshuffling and
+    // re-runs; a doc keeps its split when the corpus grows). Buckets
+    // via the first hex char of md5(doc_id): 0..c → train (13/16),
+    // d → val (1/16), e..f → test (2/16).
+    "t_split" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("h", TextOps.md5s($"doc_id".cast("string")))
+        .select($"doc_id",
+          when(substring($"h", 1, 1) < "d", lit("train"))
+            .when(substring($"h", 1, 1) === "d", lit("val"))
+            .otherwise(lit("test")).as("split"))
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -141,6 +157,12 @@ object TextPack extends QueryPack {
            |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS correct
            |FROM sc""".stripMargin
       },
+      "t_split" ->
+        """SELECT doc_id,
+          | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+          |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+          |  ELSE 'test' END AS split
+          |FROM documents""".stripMargin,
       "t_fingerprint" ->
         s"""WITH base AS (
            | SELECT doc_id, nrm FROM (SELECT doc_id, $nrmSql AS nrm FROM documents)
