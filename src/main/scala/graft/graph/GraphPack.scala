@@ -107,12 +107,13 @@ object GraphPack extends QueryPack {
         .agg(count(lit(1)).as("degree"))
     },
 
-    // A7: connected components over the part edit-graph (GraphX;
+    // A7: connected components over the part edit-graph (alternating
+    // star contraction — O(log n) rounds, diameter-independent;
     // component = min vertex id, singletons included).
     "g_cc" -> { (s, d) =>
       import s.implicits._
       val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
-      GraphXAlgos.connectedComponents(s, vertices, GraphBuilder.partEdges(s, d))
+      ConnectedComponents.run(s, vertices, GraphBuilder.partEdges(s, d))
     },
 
     // A8: per-vertex triangle counts over the trade graph (GraphX).
