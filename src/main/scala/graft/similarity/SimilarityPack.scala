@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 
-/** Similarity-search pack (SURVEY §2 E1–E2) over `embeddings`.
+/** Similarity-search pack (SURVEY §2 E1–E3) over `embeddings`.
   *
   * E1 is the correctness baseline: brute-force cosine top-k with the
   * scale-correct plan shape — the (small) query set is broadcast
@@ -27,15 +27,17 @@ object SimilarityPack extends QueryPack {
   private val N_QUERIES = 10 // query set: vec_id < 10
   private val PLANES = 16
   private val BANDS = 8
+  private val NLIST = 16 // IVF coarse cells
+  private val NPROBE = 4 // cells probed per query
 
   /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
     * aggregate: each map partition reduces to ≤ K entries per query
     * before the exchange, so the shuffle carries O(queries × K) rows —
     * a ROW_NUMBER window would shuffle and sort the entire candidate
     * set. Same (cosine DESC, n_id ASC) total order as the oracle. */
-  private def topK(pairs: DataFrame): DataFrame =
+  private def topK(pairs: DataFrame, k: Int = K): DataFrame =
     pairs.groupBy(col("q_id"))
-      .agg(graft.functions.GraftFunctions.topK(col("cosine"), col("n_id"), K).as("tk"))
+      .agg(graft.functions.GraftFunctions.topK(col("cosine"), col("n_id"), k).as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("n_id"), col("t.score").as("cosine"))
@@ -73,7 +75,58 @@ object SimilarityPack extends QueryPack {
       topK(cand.join(broadcast(q), "q_id").join(c, "n_id")
         .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
     },
+
+    // E3: IVF (inverted-file) ANN top-k — the clustered-index scale
+    // path. Coarse centroids are broadcast; every corpus vector is
+    // assigned to its nearest cell MAP-SIDE (broadcast cross join +
+    // bounded top-1 partial agg — the shuffle carries one row per
+    // vector); each query probes its NPROBE nearest cells and scores
+    // only that inverted list, reached by an equi-join on the cell id.
+    // A corpus vector lives in exactly one cell, so candidate pairs
+    // are already distinct — no dedup shuffle. Centroid choice is a
+    // pluggable policy; here it is the deterministic first-NLIST
+    // vectors so the oracle can derive the identical index (real
+    // deployments would k-means-sample, which only changes the
+    // centroid table, not the plan).
+    "s_knn_ivf" -> { (s, d) =>
+      graft.functions.GraftFunctions.register(s)
+      ivfTopK(Tables.embeddings(s, d), N_QUERIES, NLIST, NPROBE, K)
+    },
   )
+
+  /** IVF top-k over an embeddings DF (`vec_id`, `embedding`):
+    * queries are vec_id < nQueries, centroids the deterministic first
+    * `nlist` vectors. Shared by the `s_knn_ivf` query and the
+    * clustered-data recall spec. */
+  def ivfTopK(e0: DataFrame, nQueries: Int, nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val e = e0.withColumn("nrm", VectorOps.normDec("embedding"))
+    val cents = e.filter(col("vec_id") < nlist)
+      .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
+    def assign(side: DataFrame, idCol: String, kCells: Int): DataFrame =
+      side.crossJoin(broadcast(cents))
+        .withColumn("ccos",
+          VectorOps.dotDecFast(col("ve"), col("ce")) / (col("vn") * col("cn")))
+        .groupBy(col(idCol))
+        .agg(graft.functions.GraftFunctions.topK(col("ccos"), col("c_id"), kCells).as("tk"))
+        .select(col(idCol), explode(col("tk.id")).as("cell"))
+    val ccell = assign(
+      e.select(col("vec_id").as("n_id"), col("embedding").as("ve"), col("nrm").as("vn")),
+      "n_id", 1)
+    val qcell = assign(
+      e.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("q_id"), col("embedding").as("ve"), col("nrm").as("vn")),
+      "q_id", nprobe)
+    val cand = qcell.join(ccell, "cell")
+      .filter(col("q_id") =!= col("n_id"))
+      .select(col("q_id"), col("n_id"))
+    val q = e.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qe"), col("nrm").as("qn"))
+    val c = e.select(col("vec_id").as("n_id"), col("embedding").as("ne"), col("nrm").as("nn"))
+    topK(cand.join(broadcast(q), "q_id").join(c, "n_id")
+      .withColumn("cosine",
+        VectorOps.dotDecFast(col("qe"), col("ne")) / (col("qn") * col("nn"))),
+      k)
+  }
 
   /** Shared oracle CTEs for dims / norms. */
   private val dimsSql =
@@ -121,5 +174,31 @@ object SimilarityPack extends QueryPack {
          |           FROM cosv)
          |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K""".stripMargin
     },
+    "s_knn_ivf" ->
+      s"""WITH $dimsSql,
+         |adot AS (SELECT v.vec_id AS vid, k.vec_id AS cid,
+         |          CAST(SUM(CAST(floor(v.x * k.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |         FROM dims v JOIN dims k ON k.i = v.i AND k.vec_id < $NLIST
+         |         GROUP BY v.vec_id, k.vec_id),
+         |acos AS (SELECT a.vid, a.cid, a.dp / (nv.n * nc.n) AS c
+         |         FROM adot a JOIN nrm nv ON nv.vec_id = a.vid JOIN nrm nc ON nc.vec_id = a.cid),
+         |ranked_cells AS (SELECT vid, cid,
+         |                  ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, cid ASC) AS rn
+         |                 FROM acos),
+         |ccell AS (SELECT vid AS n_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+         |qcell AS (SELECT vid AS q_id, cid AS cell FROM ranked_cells
+         |          WHERE vid < $N_QUERIES AND rn <= $NPROBE),
+         |cand AS (SELECT q.q_id, c.n_id FROM qcell q JOIN ccell c USING (cell)
+         |         WHERE q.q_id <> c.n_id),
+         |dot AS (SELECT cd.q_id, cd.n_id, CAST(SUM(CAST(floor(dq.x * dc.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM cand cd JOIN dims dq ON dq.vec_id = cd.q_id
+         |         JOIN dims dc ON dc.vec_id = cd.n_id AND dc.i = dq.i
+         |        GROUP BY cd.q_id, cd.n_id),
+         |cosv AS (SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
+         |         FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |ranked AS (SELECT q_id, n_id, cosine,
+         |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
+         |           FROM cosv)
+         |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K""".stripMargin,
   )
 }
