@@ -1,0 +1,115 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.sources.GraphStore
+
+/** User-facing graph database facade — the API-parity layer for the
+  * reference's `PersistentDataBase` (main.py:117-360). A user of the
+  * reference maps their calls 1:1:
+  *
+  *   - `__init__(db_path)`            → `new GraphDB(spark, root)`
+  *   - `add_relations(mols, depth)`   → [[addRelations]] (direct
+  *     INSERT-OR-IGNORE deltas) / [[addExpansion]] (rule-driven
+  *     depth-bounded wavefront expansion, persisted per wave —
+  *     main.py:212-260)
+  *   - `query(from, to)`              → [[query]] (BFS shortest path
+  *     in waves; source = wave 1, -1 unreachable — main.py:272-305)
+  *   - `get_stats()`                  → [[stats]] (main.py:307-332)
+  *   - `number_entries()`             → [[numberEntries]]
+  *
+  * Where the reference holds the whole graph in a driver-side dict
+  * (`self._cache`) and walks it with Python sets, every operation
+  * here is a distributed DataFrame plan over the parquet-backed
+  * [[GraphStore]] — the wavefronts, the visited set and the edge
+  * table all stay on executors, so the same API survives graphs that
+  * no longer fit one machine.
+  */
+class GraphDB(s: SparkSession, root: String) {
+
+  /** Initialize (or reset to a fresh snapshot) with an edge
+    * DataFrame (src, dst, attrs...). Returns the snapshot version. */
+  def init(edges: DataFrame): Int = GraphStore.write(edges, root)
+
+  /** INSERT-OR-IGNORE a delta of edges: existing (src, dst) pairs
+    * keep their attributes, new pairs append (main.py:203). */
+  def addRelations(delta: DataFrame): Int = GraphStore.upsert(s, root, delta)
+
+  /** The current edge table (latest snapshot). */
+  def edges: DataFrame = GraphStore.read(s, root)
+
+  /** Depth-bounded wavefront expansion (add_relations,
+    * main.py:212-260): starting from `seeds` (single column "node"),
+    * apply `rule` — a frontier-of-nodes → new-edges derivation, the
+    * analog of the reference's bond/atom modification generators — up
+    * to `depth` waves, INSERT-OR-IGNORE persisting each wave's edges
+    * (the reference batch-saves per wave too). A node expands at most
+    * once (first-seen wins). Returns the final snapshot version.
+    */
+  def addExpansion(seeds: DataFrame, rule: DataFrame => DataFrame, depth: Int): Int = {
+    var version = GraphStore.latestVersion(s, root)
+    require(version > 0, s"GraphDB at $root is empty - call init() first")
+    var frontier = seeds.select(col("node")).distinct().localCheckpoint(eager = false)
+    var seen = frontier
+    var wave = 0
+    while (wave < depth && !frontier.isEmpty) {
+      wave += 1
+      val newEdges = rule(frontier)
+      version = addRelations(newEdges)
+      frontier = newEdges.select(col("dst").as("node")).distinct()
+        .join(seen, Seq("node"), "left_anti")
+        .localCheckpoint(eager = false)
+      seen = seen.union(frontier).localCheckpoint(eager = false)
+    }
+    version
+  }
+
+  /** BFS shortest path from `src` to `dst` in wave counts: the source
+    * is wave 1, each hop adds one, -1 if unreachable
+    * (main.py:272-305, including the source == target fast path).
+    * Early-exits the moment the target enters the frontier; each wave
+    * is one co-partitioned frontier join, and the per-wave loop
+    * control (frontier size + target hit) is a single aggregation. */
+  def query(src: Long, dst: Long, maxWaves: Int = 100): Long = {
+    import s.implicits._
+    if (src == dst) return 1L
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
+    try {
+      var frontier = Seq(src).toDF("node").localCheckpoint(eager = false)
+      var visited = frontier
+      var wave = 1L
+      while (wave <= maxWaves) {
+        // one job decides both loop conditions
+        val (n, hit) = frontier
+          .agg(count(lit(1)), max(when(col("node") === dst, 1L)))
+          .as[(Long, Option[Long])].head()
+        if (hit.contains(1L)) return wave
+        if (n == 0) return -1L
+        wave += 1
+        frontier = frontier.join(e, frontier("node") === e("src"))
+          .select(e("dst").as("node")).distinct()
+          .join(visited, Seq("node"), "left_anti")
+          .localCheckpoint(eager = false)
+        visited = visited.union(frontier).localCheckpoint(eager = false)
+      }
+      -1L
+    } finally e.unpersist()
+  }
+
+  /** Graph stats (get_stats, main.py:307-332): distinct source nodes,
+    * edge count, average degree rounded to 2 dp. */
+  def stats(): DataFrame =
+    edges.agg(
+      countDistinct(col("src")).as("n_nodes"),
+      count(lit(1)).as("n_edges"))
+      .withColumn("avg_degree",
+        round(col("n_edges").cast("double") / col("n_nodes").cast("double"), 2))
+
+  /** Per-node out-degrees (the reference's secondary-index lookups,
+    * main.py:156-161). */
+  def degrees(): DataFrame =
+    edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("degree"))
+
+  /** number_entries (main.py:335-337). */
+  def numberEntries(): Long = edges.count()
+}

@@ -53,15 +53,21 @@ object EventsPack extends QueryPack {
           round(sum($"value".cast(D)), 2).cast("double").as("sum_value"))
     },
 
-    // H3: top-k users by total value (total-order ranked).
+    // H3: top-k users by total value (total-order ranked). The top 20
+    // are taken with orderBy+limit — TakeOrderedAndProject keeps a
+    // bounded heap per partition and never globally sorts — and only
+    // the 20 survivors pass through the single-partition ranking
+    // window (a global ROW_NUMBER before the cut would funnel every
+    // user through one partition).
     "e_topk" -> { (s, d) =>
       import s.implicits._
       Tables.events(s, d)
         .groupBy($"user_id")
         .agg(sum($"value".cast(D)).as("total_dec"), count(lit(1)).as("n_events"))
+        .orderBy($"total_dec".desc, $"user_id".asc)
+        .limit(20)
         .withColumn("rank", row_number().over(
           Window.orderBy($"total_dec".desc, $"user_id".asc)).cast("long"))
-        .filter($"rank" <= 20)
         .select($"rank", $"user_id", round($"total_dec", 2).cast("double").as("total_value"),
           $"n_events")
     },

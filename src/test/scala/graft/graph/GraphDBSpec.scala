@@ -1,0 +1,75 @@
+package graft.graph
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The PersistentDataBase-parity facade: wave semantics of query()
+  * (source = wave 1, -1 unreachable — main.py:272-305), rule-driven
+  * expansion with per-wave persistence (main.py:212-260), and
+  * INSERT-OR-IGNORE attribute stability. */
+class GraphDBSpec extends SparkSpec {
+
+  private def freshDb(): GraphDB =
+    new GraphDB(spark, Files.createTempDirectory("graft-db").resolve("g").toString)
+
+  private def chain(n: Long): DataFrame = {
+    import spark.implicits._
+    (0L until n).flatMap(i => Seq((i, i + 1), (i + 1, i))).toDF("src", "dst")
+  }
+
+  test("query counts waves like the reference: source is wave 1") {
+    val db = freshDb()
+    db.init(chain(4)) // 0-1-2-3-4 bidirectional
+    assert(db.query(0L, 0L) === 1L) // source == target fast path
+    assert(db.query(0L, 1L) === 2L)
+    assert(db.query(0L, 4L) === 5L)
+    assert(db.query(4L, 0L) === 5L) // symmetric
+  }
+
+  test("query returns -1 for unreachable and respects maxWaves") {
+    import spark.implicits._
+    val db = freshDb()
+    db.init(chain(3).union(Seq((100L, 101L)).toDF("src", "dst")))
+    assert(db.query(0L, 101L) === -1L)
+    assert(db.query(0L, 3L, maxWaves = 2) === -1L) // cut off before found
+  }
+
+  test("addRelations is INSERT-OR-IGNORE: existing attrs survive") {
+    import spark.implicits._
+    val db = freshDb()
+    db.init(Seq((1L, 2L, "orig")).toDF("src", "dst", "tag"))
+    val v = db.addRelations(Seq((1L, 2L, "CLOBBER"), (2L, 3L, "new")).toDF("src", "dst", "tag"))
+    assert(v === 2)
+    assert(db.edges.as[(Long, Long, String)].collect().toSet ===
+      Set((1L, 2L, "orig"), (2L, 3L, "new")))
+    assert(db.numberEntries() === 2L)
+  }
+
+  test("addExpansion applies the rule wave by wave, depth-bounded") {
+    import spark.implicits._
+    val db = freshDb()
+    db.init(Seq((0L, 1L)).toDF("src", "dst"))
+    // rule: n -> n+1 for n < 10 (an "atom deletion" style generator)
+    val rule: DataFrame => DataFrame = f =>
+      f.filter(col("node") < 10).select(col("node").as("src"), (col("node") + 1).as("dst"))
+    db.addExpansion(Seq(1L).toDF("node"), rule, depth = 3)
+    // waves: 1->2, 2->3, 3->4; plus the initial 0->1
+    assert(db.edges.as[(Long, Long)].collect().toSet ===
+      Set((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L)))
+    // now queryable end to end
+    assert(db.query(0L, 4L) === 5L)
+  }
+
+  test("stats and degrees reflect the persisted edge table") {
+    val db = freshDb()
+    db.init(chain(2)) // edges: 4 directed, 3 distinct src nodes
+    val st = db.stats().collect().head
+    assert(st.getLong(0) === 3L) // n_nodes (0,1,2 all appear as src)
+    assert(st.getLong(1) === 4L) // n_edges
+    val deg = db.degrees().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(deg === Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
+  }
+}
