@@ -1,0 +1,55 @@
+package graft.relational
+
+import graft.SparkSpec
+
+import scala.util.Random
+
+/** Salted join / salted distinct-count must be RESULT-IDENTICAL to
+  * their plain formulations — skew handling is a physical rewrite,
+  * never a semantic one. Data is seeded power-law skew: one key holds
+  * ~80% of rows. */
+class SkewSpec extends SparkSpec {
+
+  private def skewedData(n: Int, seed: Int): Seq[(Long, Long)] = {
+    val rng = new Random(seed)
+    (1 to n).map { i =>
+      val key = if (rng.nextInt(10) < 8) 1L else 1L + rng.nextInt(50)
+      (key, rng.nextInt(100).toLong)
+    }
+  }
+
+  test("saltedJoin equals the plain join under heavy skew (multiset)") {
+    import spark.implicits._
+    val big = skewedData(2000, 7).toDF("k", "v")
+    val compact = (1L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(compact, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val salted = Skew.saltedJoin(big, compact, Seq("k"), salt = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(salted.sorted === plain.sorted)
+    assert(plain.nonEmpty)
+  }
+
+  test("saltedJoin with composite keys and salt = 1 degenerates to plain join") {
+    import spark.implicits._
+    val big = skewedData(500, 8).map { case (k, v) => (k, k % 3, v) }.toDF("k1", "k2", "v")
+    val compact = (for (k1 <- 1L to 50L; k2 <- 0L to 2L) yield (k1, k2, k1 * 10 + k2))
+      .toDF("k1", "k2", "w")
+    val plain = big.join(compact, Seq("k1", "k2")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    val salted = Skew.saltedJoin(big, compact, Seq("k1", "k2"), salt = 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(salted.sorted === plain.sorted)
+  }
+
+  test("saltedCountDistinct equals countDistinct under heavy skew") {
+    import spark.implicits._
+    val df = skewedData(3000, 9).toDF("k", "v")
+    val plain = df.groupBy("k").agg(
+        org.apache.spark.sql.functions.countDistinct("v").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val salted = Skew.saltedCountDistinct(df, Seq("k"), "v", "n", salt = 16)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+}
