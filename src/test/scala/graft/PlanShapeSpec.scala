@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, ResolvedHint}
+import org.apache.spark.sql.execution.datasources.LogicalRelation
+
+/** Plan-SHAPE guardrails: the scale-critical physical properties the
+  * engine promises (SURVEY §5) asserted over every declared query, so
+  * a refactor can't silently reintroduce a cartesian product or a
+  * forced broadcast of an SF-scaled table. Checked at sf0.001 — plan
+  * shape, not data, is under test. */
+class PlanShapeSpec extends SparkSpec {
+
+  /** Queries whose plans deliberately broadcast one side of a cross
+    * or non-equi join: BroadcastNestedLoopJoin is the intended
+    * operator there (tiny query set × corpus for the kNN pair;
+    * okey-bounded pairwise a.okey < b.okey self-join for GED — the
+    * reference's surface is all-pairs over a bounded set). */
+  private val deliberateCross = Set("s_knn_brute", "s_knn_ivf", "g_ged_pairs")
+
+  private def df(name: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    SparkEntry.queries(name)(spark, sfDir)
+  }
+
+  private def hintedTables(plan: LogicalPlan): Seq[String] =
+    plan.collect { case h: ResolvedHint =>
+      h.child.collectLeaves().collect {
+        case r: LogicalRelation =>
+          r.relation.toString
+      }
+    }.flatten
+
+  test("no query plan contains a CartesianProduct") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val physical = df(name).queryExecution.sparkPlan.toString
+      assert(!physical.contains("CartesianProduct"), s"$name has a cartesian product")
+    }
+  }
+
+  test("BroadcastNestedLoopJoin appears only in the deliberate broadcast-cross queries") {
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val physical = df(name).queryExecution.sparkPlan.toString
+      if (!deliberateCross(name)) {
+        assert(!physical.contains("BroadcastNestedLoopJoin"),
+          s"$name has an unplanned nested-loop join")
+      }
+    }
+  }
+
+  test("broadcast hints never cover SF-scaled base tables") {
+    // nation/region are fixed-size dimensions; everything else grows
+    // with the scale factor and must be left to AQE.
+    val sfScaled = Seq("customer", "supplier", "part", "orders", "lineitem",
+      "documents", "events")
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val hinted = hintedTables(df(name).queryExecution.optimizedPlan)
+      sfScaled.foreach { t =>
+        assert(!hinted.exists(_.contains(s"$t.parquet")),
+          s"$name force-broadcasts SF-scaled table $t")
+      }
+    }
+  }
+
+  test("q6 scan pushes its filters and prunes to the 4 needed columns") {
+    // (Spark elides long PushedFilters lists with "...", so assert on
+    // the leading filters and on the exact pruned ReadSchema.)
+    val scan = df("q6_filter_agg").queryExecution.executedPlan.toString
+      .linesIterator.filter(_.contains("FileScan parquet")).mkString("\n")
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      s"shipdate filter not pushed to scan: $scan")
+    val readSchema = scan.split("ReadSchema: ").last
+    val cols = "l_(\\w+):".r.findAllMatchIn(readSchema).map(_.group(1)).toSet
+    assert(cols === Set("quantity", "extendedprice", "discount", "shipdate"),
+      s"q6 reads wrong column set $cols")
+  }
+
+  test("iterative graph queries keep lineage truncated (no unrolled join towers)") {
+    // A 10-iteration PageRank plan that did NOT checkpoint would nest
+    // ~10 joins; with per-iteration localCheckpoint the final plan has
+    // at most one rank-join level above the checkpointed RDD scan.
+    val plan = df("g_pagerank").queryExecution.optimizedPlan.toString
+    val joins = plan.linesIterator.count(_.trim.startsWith("Join"))
+    assert(joins <= 4, s"g_pagerank plan has $joins joins - lineage not truncated?\n$plan")
+  }
+}
