@@ -1,0 +1,39 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Non-parquet ingestion surface — the reference accepts raw text
+  * records (SMILES lines, main.py:41-50 / mcs.py:27-54's validated
+  * string inputs); a warehouse engine additionally meets CSV and
+  * JSONL at its edges.
+  *
+  * Contract: every reader is SCHEMA-EXPLICIT and FAILFAST. Schema
+  * inference reads the data twice and silently guesses types
+  * (a 100 TB anti-pattern); permissive mode turns corrupt rows into
+  * nulls mid-pipeline. Bad input should fail at the edge, loudly —
+  * the ingest analog of the reference's input validation (B6).
+  */
+object Ingest {
+
+  /** CSV with header, explicit schema, FAILFAST on malformed rows. */
+  def csv(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("header", "true").option("mode", "FAILFAST").csv(path)
+
+  /** JSON-lines with explicit schema, FAILFAST on malformed rows. */
+  def jsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).option("mode", "FAILFAST").json(path)
+
+  /** Raw text corpus: one document per line, skipping blank lines.
+    * Emits (doc_id, text) with a CONTENT-ADDRESSED id (md5 of the
+    * line): deterministic under re-runs, re-partitioning and file
+    * reordering — the property line numbers and
+    * monotonically_increasing_id both lack — and exact duplicates
+    * collide by construction, which is what a dedup-first pipeline
+    * wants at the edge. */
+  def textLines(s: SparkSession, path: String): DataFrame =
+    s.read.textFile(path).toDF("text")
+      .filter(length(trim(col("text"))) > 0)
+      .select(md5(col("text")).as("doc_id"), col("text"))
+}
