@@ -4,13 +4,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 
-/** Text-analysis pack (SURVEY §2 F1–F4) over the `documents` table.
+/** Text-analysis pack (SURVEY §2 F1–F6) over the `documents` table.
   *
   * Every operator is a pure column-expression plan (whole-stage
-  * codegen, no UDFs) with an exact DuckDB oracle. The per-document
-  * work is embarrassingly parallel — no shuffle at all except the
-  * final distinct in the fingerprint query — so the pack scales
-  * linearly with the corpus.
+  * codegen, no UDFs except the shared shingling/winnowing passes)
+  * with an exact DuckDB oracle. The per-document work is
+  * embarrassingly parallel — the only shuffles are the fingerprint
+  * distinct and the decontamination per-doc count — so the pack
+  * scales linearly with the corpus.
   */
 object TextPack extends QueryPack {
 
@@ -29,6 +30,12 @@ object TextPack extends QueryPack {
   /** Fingerprint winnowing parameters: k-gram length and window. */
   private val FP_K = 8
   private val FP_W = 4
+
+  /** Decontamination: docs with doc_id < bound form the held-out
+    * "benchmark" set; training docs at or above a 10% distinct-shingle
+    * overlap with it are flagged. */
+  private val CONTAM_BENCH_BOUND = 20
+  private val CONTAM_THRESHOLD = 0.1
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1: token counting — whitespace tokens and a BPE-ish regex
@@ -99,6 +106,35 @@ object TextPack extends QueryPack {
             .otherwise(lit("test")).as("split"))
     },
 
+    // F6: benchmark decontamination — per training doc, the share of
+    // its distinct 3-gram shingles that also occur in a held-out
+    // benchmark set (the standard eval-leak check before training).
+    // Scale shape: the benchmark side is a FIXED-size eval suite, so
+    // its distinct shingle set broadcasts; the corpus side is one
+    // map-side shingling pass + one broadcast semi-match + one
+    // per-doc count — no corpus-wide self-join anywhere (unlike the
+    // symmetric near-dup ops in pack D).
+    "t_contam" -> { (s, d) =>
+      import s.implicits._
+      val sets = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id",
+          graft.dedup.Signatures.shingleSet(TextOps.words($"text")).as("set"))
+        .filter(size($"set") > 0)
+      val bench = sets.filter($"doc_id" < CONTAM_BENCH_BOUND)
+        .select(explode($"set").as("shingle")).distinct()
+      val train = sets.filter($"doc_id" >= CONTAM_BENCH_BOUND)
+      val sizes = train.select($"doc_id", size($"set").cast("long").as("n_shingles"))
+      val hits = train.select($"doc_id", explode($"set").as("shingle"))
+        .join(broadcast(bench), "shingle")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+      sizes.join(hits, Seq("doc_id"), "left")
+        .withColumn("n_hits", coalesce($"n_hits", lit(0L)))
+        .withColumn("contamination",
+          $"n_hits".cast("double") / $"n_shingles".cast("double"))
+        .select($"doc_id", $"n_shingles", $"n_hits", $"contamination",
+          ($"contamination" >= CONTAM_THRESHOLD).as("contaminated"))
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -163,6 +199,20 @@ object TextPack extends QueryPack {
           |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
           |  ELSE 'test' END AS split
           |FROM documents""".stripMargin,
+      "t_contam" ->
+        s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           |       FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $CONTAM_BENCH_BOUND),
+           |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh
+           |       WHERE doc_id >= $CONTAM_BENCH_BOUND GROUP BY 1),
+           |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |         FROM sh s JOIN bench b USING (shingle)
+           |         WHERE s.doc_id >= $CONTAM_BENCH_BOUND GROUP BY 1)
+           |SELECT z.doc_id, z.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+           | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) AS contamination,
+           | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) >= $CONTAM_THRESHOLD AS contaminated
+           |FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
       "t_fingerprint" ->
         s"""WITH base AS (
            | SELECT doc_id, nrm FROM (SELECT doc_id, $nrmSql AS nrm FROM documents)
