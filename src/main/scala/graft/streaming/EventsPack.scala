@@ -21,6 +21,7 @@ object EventsPack extends QueryPack {
   private val D = DecimalType(18, 2)
   private val SESSION_GAP_US = 1800L * 1000000L // 30 min
   private val WINDOW_SEC = 300L // 5-min tumbling windows
+  private val FUNNEL_WINDOW_US = 600L * 1000000L // click→purchase within 10 min
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // H1: tumbling-window aggregation (5-min windows, per event type).
@@ -51,6 +52,28 @@ object EventsPack extends QueryPack {
         .agg(count(lit(1)).as("n_events"),
           min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),
           round(sum($"value".cast(D)), 2).cast("double").as("sum_value"))
+    },
+
+    // H5: funnel attribution — per user, how many purchases follow a
+    // click within 10 minutes (the batch twin of the stream-stream
+    // click-attribution join in EventStreams.clickAttribution). One
+    // per-user window pass carries the last-click timestamp forward;
+    // no self-join, so the work is one shuffle on user_id however
+    // long the history is.
+    "e_funnel" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("last_click_us",
+          max(when($"event_type" === "click", $"ts_us")).over(w))
+        .filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(when($"last_click_us".isNotNull &&
+              $"ts_us" - $"last_click_us" <= FUNNEL_WINDOW_US, 1L).otherwise(0L))
+            .as("n_attributed"))
     },
 
     // H3: top-k users by total value (total-order ranked). The top 20
@@ -96,6 +119,17 @@ object EventsPack extends QueryPack {
          | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
          | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
          |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "e_funnel" ->
+      s"""WITH base AS (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |marked AS (
+         | SELECT *, MAX(CASE WHEN event_type = 'click' THEN ts_us END) OVER (
+         |   PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_us
+         | FROM base)
+         |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+         | CAST(SUM(CASE WHEN last_click_us IS NOT NULL AND ts_us - last_click_us <= $FUNNEL_WINDOW_US THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
+         |FROM marked WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
     "e_topk" ->
       """SELECT rank, user_id, total_value, n_events FROM (
         | SELECT user_id,
