@@ -92,6 +92,30 @@ object SimilarityPack extends QueryPack {
       graft.functions.GraftFunctions.register(s)
       ivfTopK(Tables.embeddings(s, d), N_QUERIES, NLIST, NPROBE, K)
     },
+
+    // E4: symmetric int8 quantization of the embedding column — the
+    // storage/serving step of an embedding pipeline (4× smaller than
+    // fp32, cheap SIMD dot products downstream). Entirely row-local
+    // map work (no shuffle at any scale); quantized values are
+    // emitted as a checksum plus the max reconstruction error so the
+    // oracle verifies the exact codes AND their fidelity. All math is
+    // engine-portable IEEE (floor(x/scale + 0.5), no locale-dependent
+    // rounding).
+    "s_quantize" -> { (s, d) =>
+      import s.implicits._
+      Tables.embeddings(s, d)
+        .withColumn("m", expr(
+          "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"))
+        .withColumn("scale", when($"m" === 0.0, lit(1.0)).otherwise($"m" / 127.0))
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT))"))
+        .select($"vec_id", $"scale",
+          md5(expr("array_join(q, ',')").cast("binary")).as("q_checksum"),
+          expr("""aggregate(
+                 |  zip_with(q, embedding, (qi, x) -> abs(qi * scale - CAST(x AS DOUBLE))),
+                 |  CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))""".stripMargin)
+            .as("max_abs_err"))
+    },
   )
 
   /** IVF top-k over an embeddings DF (`vec_id`, `embedding`):
@@ -200,5 +224,18 @@ object SimilarityPack extends QueryPack {
          |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
          |           FROM cosv)
          |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K""".stripMargin,
+    "s_quantize" ->
+      """WITH dims AS (
+        | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+        | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+        |sc AS (SELECT vec_id, CASE WHEN MAX(ABS(x)) = 0 THEN 1.0 ELSE MAX(ABS(x)) / 127.0 END AS scale
+        |       FROM dims GROUP BY vec_id),
+        |q AS (SELECT d.vec_id, d.i, s.scale,
+        |       CAST(floor(d.x / s.scale + 0.5) AS BIGINT) AS qi, d.x
+        |      FROM dims d JOIN sc s ON s.vec_id = d.vec_id)
+        |SELECT vec_id, ANY_VALUE(scale) AS scale,
+        | md5(string_agg(CAST(qi AS VARCHAR), ',' ORDER BY i)) AS q_checksum,
+        | MAX(ABS(qi * scale - x)) AS max_abs_err
+        |FROM q GROUP BY vec_id""".stripMargin,
   )
 }

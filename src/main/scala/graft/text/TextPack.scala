@@ -37,6 +37,9 @@ object TextPack extends QueryPack {
   private val CONTAM_BENCH_BOUND = 20
   private val CONTAM_THRESHOLD = 0.1
 
+  /** Corpus balancing: per-language quota. */
+  private val BALANCE_QUOTA = 50
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1: token counting — whitespace tokens and a BPE-ish regex
     // tokenizer (alpha runs / digit runs as separate tokens).
@@ -135,6 +138,24 @@ object TextPack extends QueryPack {
           ($"contamination" >= CONTAM_THRESHOLD).as("contaminated"))
     },
 
+    // F7: deterministic stratified balancing — cap each language at a
+    // fixed quota, choosing survivors by content-free id-hash rank
+    // (the corpus data-mixing step). No RNG: the same corpus always
+    // keeps the same docs, and adding documents of one language never
+    // perturbs another's sample. One window shuffle on the stratum
+    // key; strata are bounded by the quota so the window never sorts
+    // more than a language's docs.
+    "t_balance" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"lang").orderBy($"h".asc, $"doc_id".asc)
+      Tables.documents(s, d)
+        .withColumn("h", TextOps.md5s($"doc_id".cast("string")))
+        .withColumn("pick_rank", row_number().over(w).cast("long"))
+        .filter($"pick_rank" <= BALANCE_QUOTA)
+        .select($"doc_id", $"lang", $"pick_rank")
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -199,6 +220,13 @@ object TextPack extends QueryPack {
           |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
           |  ELSE 'test' END AS split
           |FROM documents""".stripMargin,
+      "t_balance" ->
+        s"""SELECT doc_id, lang, pick_rank FROM (
+           | SELECT doc_id, lang,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY lang
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS pick_rank
+           | FROM documents) t
+           |WHERE pick_rank <= $BALANCE_QUOTA""".stripMargin,
       "t_contam" ->
         s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
