@@ -168,6 +168,24 @@ object RelationalPack extends QueryPack {
         .rollup($"l_returnflag", $"l_linestatus")
         .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
     },
+
+    // C10: sketch aggregations — HLL++ approximate distinct counts and
+    // Greenwald-Khanna approximate quantiles per nation. At warehouse
+    // scale these replace exact DISTINCT / exact percentiles (whose
+    // shuffles carry every distinct value / sort every group) with
+    // constant-size mergeable state per group. Approximate results
+    // have no SQL oracle (DuckDB's sketches differ); the error bound
+    // vs the exact answers is asserted in SketchAccuracySpec.
+    "q_approx_stats" -> { (s, d) =>
+      import s.implicits._
+      Tables.orders(s, d)
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .agg(
+          approx_count_distinct($"o_custkey", rsd = 0.02).as("n_cust_approx"),
+          percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("p50_total"),
+          percentile_approx($"o_totalprice", lit(0.95), lit(10000)).as("p95_total"))
+    },
   )
 
   override def oracles: Map[String, String] = Map(
