@@ -87,4 +87,23 @@ object GraphStore {
     require(v > 0, s"GraphStore at $root is empty")
     s.read.parquet(snapshotPath(root, v))
   }
+
+  /** Read a specific snapshot version (snapshots are immutable, so
+    * every historical version stays queryable — time travel). */
+  def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
+    require(v > 0 && v <= latestVersion(s, root), s"no snapshot v=$v at $root")
+    s.read.parquet(snapshotPath(root, v))
+  }
+
+  /** Edge diff between two snapshots: (src, dst, change) with change
+    * 'added' or 'removed' (upserts only add, but [[write]] resets, so
+    * both directions exist). One anti-join per direction on the
+    * (src, dst) identity — no full-table comparison state. */
+  def diff(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
+    val from = readVersion(s, root, fromV).select("src", "dst")
+    val to = readVersion(s, root, toV).select("src", "dst")
+    to.join(from, EDGE_COLS, "left_anti").withColumn("change", lit("added"))
+      .unionByName(
+        from.join(to, EDGE_COLS, "left_anti").withColumn("change", lit("removed")))
+  }
 }

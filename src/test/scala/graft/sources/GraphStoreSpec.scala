@@ -40,4 +40,24 @@ class GraphStoreSpec extends SparkSpec {
     GraphStore.upsert(spark, root, Seq((1L, 2L, "x")).toDF("src", "dst", "tag"))
     assert(GraphStore.read(spark, root).count() === 1)
   }
+
+  test("readVersion time-travels and diff reports added/removed edges") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "a"), (2L, 3L, "b")).toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root, Seq((3L, 4L, "c")).toDF("src", "dst", "tag"))
+    // v3 resets the store to a different edge set
+    GraphStore.write(Seq((1L, 2L, "a2"), (9L, 9L, "z")).toDF("src", "dst", "tag"), root)
+
+    assert(GraphStore.readVersion(spark, root, 1).count() === 2)
+    assert(GraphStore.readVersion(spark, root, 2).count() === 3)
+
+    val d12 = GraphStore.diff(spark, root, 1, 2)
+      .as[(Long, Long, String)].collect().toSet
+    assert(d12 === Set((3L, 4L, "added")))
+
+    val d23 = GraphStore.diff(spark, root, 2, 3)
+      .as[(Long, Long, String)].collect().toSet
+    assert(d23 === Set((9L, 9L, "added"), (2L, 3L, "removed"), (3L, 4L, "removed")))
+  }
 }
