@@ -26,5 +26,11 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] runs driver + 32 executor threads in ONE JVM: an 8g heap
+  // left long multi-query runs GC-bound (occasional 2-4x per-query
+  // spikes). 16g adds headroom while staying WELL under the 32 GB
+  // compressed-oops boundary — measured at -Xmx32g, uncompressed oops
+  // made the string-heavy UDF stages 5x slower. Override with
+  // SPARK_DRIVER_MEM.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )
