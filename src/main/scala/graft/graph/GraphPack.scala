@@ -139,6 +139,30 @@ object GraphPack extends QueryPack {
         .select($"node".as("root"), $"node")
       Bfs.bfs(edges, seeds)
     },
+
+    // A11: neighborhood feature aggregation — per-node degree, mean
+    // 1-hop neighbor degree, and distinct 2-hop reach (GNN-style
+    // feature generation). Each hop is ONE equi-join + groupBy on the
+    // same key — no iteration, no frontier state — so k-hop features
+    // cost k co-partitioned joins at any scale. Mean = exact long sum
+    // / count (IEEE division, engine-portable).
+    "g_neighbor_feats" -> { (s, d) =>
+      import s.implicits._
+      val e = GraphBuilder.tradeEdges(s, d)
+      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("degree"))
+      val nbrAvg = e.join(deg.select($"node".as("dst"), $"degree".as("ndeg")), "dst")
+        .groupBy($"src".as("node"))
+        .agg((sum($"ndeg").cast("double") / count(lit(1)).cast("double")).as("nbr_avg_degree"))
+      val two = e.select($"src", $"dst".as("mid"))
+        .join(e.select($"src".as("mid"), $"dst".as("far")), "mid")
+        .select($"src", $"far")
+        .union(e.select($"src", $"dst".as("far")))
+        .filter($"src" =!= $"far")
+        .distinct()
+        .groupBy($"src".as("node")).agg(count(lit(1)).as("n_reach2"))
+      deg.join(nbrAvg, "node").join(two, "node")
+        .select($"node", $"degree", $"nbr_avg_degree", $"n_reach2")
+    },
   )
 
   override def oracles: Map[String, String] = Map(
@@ -199,6 +223,19 @@ object GraphPack extends QueryPack {
          |SELECT CAST(n.n_nationkey AS BIGINT) AS id, COALESCE(t.n, CAST(0 AS BIGINT)) AS n_triangles
          |FROM nation n LEFT JOIN tri t ON t.id = n.n_nationkey""".stripMargin,
     "g_pagerank" -> pagerankSql(PR_ITERS),
+    "g_neighbor_feats" ->
+      s"""WITH $tradeEdgesSql,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src),
+         |nbr AS (SELECT e.src AS node,
+         |         CAST(SUM(d.degree) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS nbr_avg_degree
+         |        FROM edges e JOIN deg d ON d.node = e.dst GROUP BY e.src),
+         |two AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS n_reach2 FROM (
+         |         SELECT DISTINCT src, far FROM (
+         |          SELECT a.src, b.dst AS far FROM edges a JOIN edges b ON a.dst = b.src
+         |          UNION SELECT src, dst AS far FROM edges) t
+         |         WHERE src <> far) u GROUP BY src)
+         |SELECT d.node, d.degree, n.nbr_avg_degree, t.n_reach2
+         |FROM deg d JOIN nbr n ON n.node = d.node JOIN two t ON t.node = d.node""".stripMargin,
     "g_bfs_allpairs" ->
       s"""WITH RECURSIVE $tradeEdgesSql,
          |roots AS (SELECT DISTINCT src AS node FROM edges),
