@@ -81,18 +81,6 @@ object DedupPack extends QueryPack {
       out.result()
     }
 
-  /** Merge-count of the intersection of two sorted string arrays. */
-  private val sortedIntersectCount: org.apache.spark.sql.expressions.UserDefinedFunction =
-    udf { (a: Seq[String], b: Seq[String]) =>
-      var i = 0; var j = 0; var n = 0L
-      while (i < a.length && j < b.length) {
-        val c = a(i).compareTo(b(j))
-        if (c == 0) { n += 1; i += 1; j += 1 }
-        else if (c < 0) i += 1
-        else j += 1
-      }
-      n
-    }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: exact dedup — normalized-text hash groups, first-id-wins
@@ -182,7 +170,9 @@ object DedupPack extends QueryPack {
       cand
         .join(sets.select($"doc_id".as("da"), $"set".as("seta")), "da")
         .join(sets.select($"doc_id".as("db"), $"set".as("setb")), "db")
-        .withColumn("i", sortedIntersectCount($"seta", $"setb"))
+        // sets are distinct, so the codegen'd array_intersect size IS
+        // the intersection cardinality (no UDF row boundary here)
+        .withColumn("i", size(array_intersect($"seta", $"setb")).cast("long"))
         .withColumn("jaccard",
           $"i".cast("double") / (size($"seta") + size($"setb") - $"i").cast("double"))
         .filter($"jaccard" >= NGRAM_MIN_JACCARD)
