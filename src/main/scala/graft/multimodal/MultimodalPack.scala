@@ -39,22 +39,40 @@ object MultimodalPack extends QueryPack {
     },
 
     // G2: batched decode / feature-extraction plumbing with the
-    // decoder stubbed deterministically (rows-only + spec).
+    // decoder stubbed deterministically (rows-only + spec). The
+    // harness-facing projection is SCALAR columns derived from the
+    // vector (argmax bin, rounded max/L2) — the raw Array[Float]
+    // column stays a library API ([[featureVectors]]): value
+    // comparators that sort rows can't order an array column.
     "m_features" -> { (s, d) =>
       import s.implicits._
-      Tables.documents(s, d)
-        .select($"doc_id", $"text".cast("binary").as("payload"))
-        .as[(Long, Array[Byte])]
-        .mapPartitions { batch =>
-          // Per-partition init happens HERE once (decoder handle,
-          // model session, …) — the stub needs none.
-          batch.map { case (id, payload) =>
-            FeatureRow(id, payload.length.toLong, Decode.featuresOf(payload))
-          }
-        }
-        .toDF()
+      featureVectors(s, d)
+        .select($"doc_id", $"n_bytes",
+          size($"features").cast("long").as("dim"),
+          array_position($"features", array_max($"features")).as("argmax_bin"),
+          round(array_max($"features").cast("double"), 6).as("f_max"),
+          round(aggregate($"features", lit(0.0d),
+            (acc, x) => acc + x.cast("double") * x.cast("double")),
+            6).as("f_l2sq"))
     },
   )
+
+  /** G2 library surface: one fixed-width feature vector per document.
+    * Decode is per-row map work batched per partition — per-partition
+    * init (decoder handle, model session, …) happens once inside
+    * mapPartitions; the stub needs none. */
+  def featureVectors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .select($"doc_id", $"text".cast("binary").as("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, payload) =>
+          FeatureRow(id, payload.length.toLong, Decode.featuresOf(payload))
+        }
+      }
+      .toDF()
+  }
 
   override def oracles: Map[String, String] = Map(
     "m_binary_meta" ->
@@ -63,6 +81,27 @@ object MultimodalPack extends QueryPack {
         | lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
         | md5(text) AS checksum
         |FROM documents""".stripMargin,
+    // The corpus is pure ASCII (spec-checked), so the byte histogram
+    // is expressible over characters; ::FLOAT emulates the decoder's
+    // IEEE-single division bit-exactly before the double round.
+    "m_features" ->
+      """WITH chars AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         ascii(substr(text, CAST(i AS INT), 1)) % 16 AS bin
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+        |), hist AS (
+        |  SELECT doc_id, n, bin,
+        |         CAST(CAST(count(*) AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS f
+        |  FROM chars GROUP BY 1, 2, 3
+        |)
+        |SELECT doc_id,
+        |       CAST(n AS BIGINT) AS n_bytes,
+        |       CAST(16 AS BIGINT) AS dim,
+        |       CAST(min(bin) FILTER (WHERE f = fmax) + 1 AS BIGINT) AS argmax_bin,
+        |       round(fmax, 6) AS f_max,
+        |       round(sum(f*f), 6) AS f_l2sq
+        |FROM (SELECT *, max(f) OVER (PARTITION BY doc_id) AS fmax FROM hist)
+        |GROUP BY doc_id, n, fmax""".stripMargin,
   )
 }
 

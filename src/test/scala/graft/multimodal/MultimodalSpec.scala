@@ -15,12 +15,33 @@ class MultimodalSpec extends SparkSpec {
     assert(f(1) === 0.25f && f(2) === 0.25f && f(3) === 0.25f && f(4) === 0.25f)
   }
 
-  test("m_features emits one fixed-width vector per document") {
+  test("featureVectors emits one fixed-width vector per document") {
     import org.apache.spark.sql.functions._
-    val df = MultimodalPack.queries("m_features")(spark, sfDir).cache()
+    val df = MultimodalPack.featureVectors(spark, sfDir).cache()
     val n = df.count()
     assert(n > 0)
     assert(df.filter(size(col("features")) =!= Decode.DIM).count() === 0)
     assert(df.filter(col("n_bytes") <= 0).count() === 0)
+  }
+
+  test("m_features scalar projection is consistent with the vectors") {
+    import org.apache.spark.sql.functions._
+    val df = MultimodalPack.queries("m_features")(spark, sfDir).cache()
+    assert(df.count() > 0)
+    // scalar projection must stay sortable (driver comparator contract):
+    // no array/map/struct columns.
+    assert(df.schema.fields.forall(f =>
+      !f.dataType.typeName.matches("array|map|struct")))
+    assert(df.filter(col("dim") =!= Decode.DIM).count() === 0)
+    assert(df.filter(col("argmax_bin") < 1 || col("argmax_bin") > Decode.DIM).count() === 0)
+    // l2sq of a probability histogram lies in (0, 1]
+    assert(df.filter(col("f_l2sq") <= 0 || col("f_l2sq") > 1).count() === 0)
+    assert(df.filter(col("f_max") <= 0 || col("f_max") > 1).count() === 0)
+  }
+
+  test("the corpus is pure ASCII (oracle contract: bytes == characters)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+    assert(docs.filter(octet_length(col("text")) =!= length(col("text"))).count() === 0)
   }
 }
