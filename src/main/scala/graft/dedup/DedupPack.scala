@@ -82,6 +82,27 @@ object DedupPack extends QueryPack {
     }
 
 
+  /** D2's candidate generation, shared with D6: per-doc k-min
+    * signature (map-side), LSH band keys, band equi-join → distinct
+    * ordered near-dup pairs (doc_a < doc_b). */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val sig = Tables.fanOut(s, Tables.documents(s, d))
+      .select($"doc_id",
+        Signatures.minhashSig(MINHASH_K)(TextOps.words($"text")).as("sig"))
+      .filter($"sig".isNotNull)
+    val bands = sig
+      .select($"doc_id", explode(sequence(lit(1), lit(MINHASH_BANDS))).as("band"), $"sig")
+      .withColumn("bv",
+        expr(s"array_join(slice(sig, (band-1)*$MINHASH_ROWS + 1, $MINHASH_ROWS), '')"))
+      .select($"doc_id", $"band", $"bv")
+    bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // D1: exact dedup — normalized-text hash groups, first-id-wins
     // canonical representative (the INSERT-OR-IGNORE analog).
@@ -96,22 +117,24 @@ object DedupPack extends QueryPack {
     // D2: MinHash signatures + LSH banding → near-dup candidate pairs.
     // The k-min signature is one map-side pass per document
     // (Signatures.minhashSig); only the band equi-join shuffles.
-    "d_minhash_lsh" -> { (s, d) =>
+    "d_minhash_lsh" -> { (s, d) => minhashPairs(s, d) },
+
+    // D6: dup-cluster consolidation — the step AFTER candidate
+    // generation in a real dedup pipeline. Near-dup similarity is not
+    // transitive, but the keep/drop decision must be: the candidate
+    // pairs are closed into clusters (connected components over the
+    // doc-pair graph — same O(log n) star contraction as g_cc, no
+    // diameter dependence even for long dup chains) and one survivor
+    // (min doc_id) is kept per cluster. Output: every document with
+    // its cluster id and survivor verdict.
+    "d_cluster" -> { (s, d) =>
       import s.implicits._
-      val sig = Tables.fanOut(s, Tables.documents(s, d))
-        .select($"doc_id",
-          Signatures.minhashSig(MINHASH_K)(TextOps.words($"text")).as("sig"))
-        .filter($"sig".isNotNull)
-      val bands = sig
-        .select($"doc_id", explode(sequence(lit(1), lit(MINHASH_BANDS))).as("band"), $"sig")
-        .withColumn("bv",
-          expr(s"array_join(slice(sig, (band-1)*$MINHASH_ROWS + 1, $MINHASH_ROWS), '')"))
-        .select($"doc_id", $"band", $"bv")
-      bands.as("x").join(bands.as("y"),
-          col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-        .distinct()
+      val docs = Tables.documents(s, d).select($"doc_id".cast("long").as("id"))
+      val pairs = minhashPairs(s, d)
+        .select($"doc_a".as("src"), $"doc_b".as("dst"))
+      graft.graph.ConnectedComponents.run(s, docs, pairs)
+        .select($"id".as("doc_id"), $"component".as("cluster_id"),
+          ($"id" === $"component").as("is_survivor"))
     },
 
     // D3: SimHash 64-bit + hamming radius via 16-bit chunk blocking.
@@ -210,24 +233,41 @@ object DedupPack extends QueryPack {
       |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
       |       FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3)""".stripMargin
 
+  /** CTE list deriving `cand(doc_a, doc_b)` — the MinHash-LSH
+    * candidate pairs — shared by the D2 and D6 oracles. */
+  private val minhashCandSql: String = {
+    val mins = (1 to MINHASH_K)
+      .map(h => s"MIN(md5('${h}_' || shingle)) AS m$h").mkString(", ")
+    val bandSelects = (1 to MINHASH_BANDS).map { b =>
+      val bv = (1 to MINHASH_ROWS).map(r => s"m${(b - 1) * MINHASH_ROWS + r}").mkString(" || ")
+      s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$shSql,
+       |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
+       |bands AS ($bandSelects),
+       |cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+       |         FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id)""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "d_exact" ->
       """SELECT md5(regexp_replace(lower(trim(text)),'\s+',' ','g')) AS norm_hash,
         | CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS canonical_id
         |FROM documents GROUP BY 1""".stripMargin,
-    "d_minhash_lsh" -> {
-      val mins = (1 to MINHASH_K)
-        .map(h => s"MIN(md5('${h}_' || shingle)) AS m$h").mkString(", ")
-      val bandSelects = (1 to MINHASH_BANDS).map { b =>
-        val bv = (1 to MINHASH_ROWS).map(r => s"m${(b - 1) * MINHASH_ROWS + r}").mkString(" || ")
-        s"SELECT doc_id, $b AS band, $bv AS bv FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $shSql,
-         |sig AS (SELECT doc_id, $mins FROM sh GROUP BY doc_id),
-         |bands AS ($bandSelects)
-         |SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-         |FROM bands x JOIN bands y ON x.band = y.band AND x.bv = y.bv AND x.doc_id < y.doc_id""".stripMargin
-    },
+    "d_minhash_lsh" ->
+      s"""WITH $minhashCandSql
+         |SELECT doc_a, doc_b FROM cand""".stripMargin,
+    "d_cluster" ->
+      s"""WITH RECURSIVE $minhashCandSql,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(node, lbl) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node)
+         |SELECT node AS doc_id, MIN(lbl) AS cluster_id,
+         | node = MIN(lbl) AS is_survivor
+         |FROM reach GROUP BY node""".stripMargin,
     "d_simhash" ->
       s"""WITH toks AS (
          | SELECT doc_id, tok, COUNT(*) AS tf

@@ -1,10 +1,10 @@
 package graft.text
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 
-/** Text-analysis pack (SURVEY §2 F1–F6) over the `documents` table.
+/** Text-analysis pack (SURVEY §2 F1–F8) over the `documents` table.
   *
   * Every operator is a pure column-expression plan (whole-stage
   * codegen, no UDFs except the shared shingling/winnowing passes)
@@ -39,6 +39,20 @@ object TextPack extends QueryPack {
 
   /** Corpus balancing: per-language quota. */
   private val BALANCE_QUOTA = 50
+
+  /** Corpus-mixing weights by source: >1 upsamples (emit ⌊w⌋ or ⌈w⌉
+    * copies), <1 downsamples (keep with probability w). Sources not
+    * listed get [[MIX_DEFAULT]]. */
+  private val MIX_WEIGHTS: Seq[(String, Double)] = Seq(
+    "src0" -> 2.5, "src1" -> 2.0, "src2" -> 1.0, "src3" -> 0.75, "src4" -> 0.5)
+  private val MIX_DEFAULT = 0.25
+
+  /** The fractional part of a weight as the 2-hex-digit md5-prefix
+    * threshold that accepts it: P(md5 prefix < hex(⌊frac·256⌋)) =
+    * frac, and the comparison is a plain string compare in both
+    * engines. */
+  private def mixThr(w: Double): String =
+    f"${math.floor((w - math.floor(w)) * 256).toInt}%02x"
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1: token counting — whitespace tokens and a BPE-ish regex
@@ -156,6 +170,30 @@ object TextPack extends QueryPack {
         .select($"doc_id", $"lang", $"pick_rank")
     },
 
+    // F8: corpus mixing — deterministic weighted up/down-sampling per
+    // source (the "data mixture" step before training: weight up
+    // high-quality sources, thin out the rest). Each doc emits
+    // ⌊w⌋ + Bernoulli(frac(w)) copies, with the Bernoulli draw a pure
+    // function of doc_id (md5-prefix threshold), so the mixture is
+    // reproducible row-for-row across engines and runs. Map-side only:
+    // no shuffle at any scale (filter + bounded explode).
+    "t_mix" -> { (s, d) =>
+      import s.implicits._
+      def perSource(f: Double => Column): Column =
+        MIX_WEIGHTS.foldLeft(f(MIX_DEFAULT)) { case (acc, (src, w)) =>
+          when($"source" === src, f(w)).otherwise(acc)
+        }
+      Tables.documents(s, d)
+        .withColumn("h2", substring(
+          TextOps.md5s(concat(lit("mix_"), $"doc_id".cast("string"))), 1, 2))
+        .withColumn("n_copies",
+          perSource(w => lit(math.floor(w).toLong)) +
+            when($"h2" < perSource(w => lit(mixThr(w))), 1L).otherwise(0L))
+        .filter($"n_copies" >= 1)
+        .select($"doc_id", $"source",
+          explode(sequence(lit(1L), $"n_copies")).as("rep"))
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -213,6 +251,24 @@ object TextPack extends QueryPack {
            |  WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
            |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS correct
            |FROM sc""".stripMargin
+      },
+      "t_mix" -> {
+        val baseCase = MIX_WEIGHTS
+          .map { case (s, w) => s"WHEN '$s' THEN ${math.floor(w).toInt}" }
+          .mkString(" ")
+        val thrCase = MIX_WEIGHTS
+          .map { case (s, w) => s"WHEN '$s' THEN '${mixThr(w)}'" }
+          .mkString(" ")
+        s"""WITH w AS (
+           | SELECT doc_id, source,
+           |  CAST(CASE source $baseCase ELSE ${math.floor(MIX_DEFAULT).toInt} END
+           |   + CASE WHEN substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 2) <
+           |      (CASE source $thrCase ELSE '${mixThr(MIX_DEFAULT)}' END)
+           |     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           | FROM documents)
+           |SELECT doc_id, source, CAST(i AS BIGINT) AS rep
+           |FROM w, UNNEST(range(1, n_copies + 1)) t(i)
+           |WHERE n_copies >= 1""".stripMargin
       },
       "t_split" ->
         """SELECT doc_id,
