@@ -43,33 +43,115 @@ object Subgraphs {
     }
   }
 
-  private def connected(sub: Seq[Int], edges: Set[(Int, Int)]): Boolean = {
-    val s = sub.toSet
-    val adj = edges.toSeq.filter { case (a, b) => s(a) && s(b) }
-    if (sub.size == 1) return true
-    var reach = Set(sub.head)
-    var grew = true
-    while (grew) {
-      val next = reach ++ adj.collect {
-        case (a, b) if reach(a) => b
-        case (a, b) if reach(b) => a
-      }
-      grew = next.size > reach.size
-      reach = next
-    }
-    reach.size == sub.size
-  }
+  /** WL-hash memo keyed by (n, m, sorted degree sequence) — a COMPLETE
+    * isomorphism invariant for connected graphs of ≤ 4 nodes (the six
+    * 4-node, two 3-node and one 2-node connected classes all have
+    * pairwise-distinct keys), so the cached hash equals the hash of
+    * the actual subgraph. Bounded by the number of iso classes
+    * (~10 entries); shared across tasks in the executor JVM. */
+  private val wlMemo = new java.util.concurrent.ConcurrentHashMap[Long, String]()
 
   /** Distinct (canonical hash, size) of all connected induced
-    * subgraphs of size 2..maxSize with ≥ 1 edge. */
+    * subgraphs of size 2..maxSize with ≥ 1 edge.
+    *
+    * Enumeration is Wernicke's ESU over ≤[[MAX_NODES]]-node bitmasks:
+    * each connected vertex set is generated exactly once (rooted at
+    * its minimum vertex, extension candidates restricted to indices
+    * above the root and outside N(sub)), so there is no subset
+    * filtering and no per-subset connectivity BFS. Hash values are
+    * identical to hashing every subgraph directly — sub-5-node
+    * hashes come from the iso-class memo, larger ones from
+    * [[WLHash.hash]] on the induced subgraph.
+    */
   def census(g: LocalGraph, maxSize: Int = 4): Seq[(String, Int)] = {
+    val n = g.n
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    for (size <- 2 to math.min(maxSize, g.n);
-         sub <- g.nodes.combinations(size)) {
-      val induced = g.edges.filter { case (a, b) => sub.contains(a) && sub.contains(b) }
-      if (induced.nonEmpty && connected(sub, induced)) {
-        val h = WLHash.hash(sub, induced.toSeq)
-        if (!out.contains(h)) out(h) = size
+    if (n < 2 || g.edges.isEmpty) return out.toSeq
+    val ids = g.nodes.toArray
+    java.util.Arrays.sort(ids)
+    val adj = new Array[Int](n)
+    g.edges.foreach { case (a, b) =>
+      val i = java.util.Arrays.binarySearch(ids, a)
+      val j = java.util.Arrays.binarySearch(ids, b)
+      adj(i) |= 1 << j
+      adj(j) |= 1 << i
+    }
+
+    // WL hash of the induced subgraph `mask`, via the iso-class memo
+    // for ≤ 4 nodes (where (n, m, degseq) is complete).
+    def hashOf(mask: Int): String = {
+      var m = 0
+      var size = 0
+      val degs = new Array[Int](Integer.bitCount(mask))
+      var i = 0
+      while (i < n) {
+        if ((mask & (1 << i)) != 0) {
+          val d = Integer.bitCount(adj(i) & mask)
+          degs(size) = d
+          size += 1
+          m += d
+        }
+        i += 1
+      }
+      m /= 2
+      def wlDirect(): String = {
+        val subNodes = Vector.newBuilder[Int]
+        val subEdges = Seq.newBuilder[(Int, Int)]
+        var i = 0
+        while (i < n) {
+          if ((mask & (1 << i)) != 0) {
+            subNodes += ids(i)
+            var rest = adj(i) & mask & ~((1 << (i + 1)) - 1)
+            while (rest != 0) {
+              val j = Integer.numberOfTrailingZeros(rest)
+              rest &= rest - 1
+              subEdges += ((ids(i), ids(j)))
+            }
+          }
+          i += 1
+        }
+        WLHash.hash(subNodes.result(), subEdges.result())
+      }
+      if (size <= 4) {
+        java.util.Arrays.sort(degs)
+        var key = size.toLong << 40 | m.toLong << 32
+        var k = 0
+        while (k < size) { key = key << 4 | degs(k); k += 1 }
+        val cached = wlMemo.get(key)
+        if (cached != null) cached
+        else {
+          val h = wlDirect()
+          wlMemo.putIfAbsent(key, h)
+          h
+        }
+      } else wlDirect()
+    }
+
+    def emit(mask: Int): Unit = {
+      val h = hashOf(mask)
+      if (!out.contains(h)) out(h) = Integer.bitCount(mask)
+    }
+
+    // ESU: sub ∪ N(sub) is tracked in subNbr; ext ⊆ N(sub) holds only
+    // indices > root not yet explored from this tree node.
+    def extendSub(sub: Int, ext: Int, root: Int, subNbr: Int): Unit = {
+      val size = Integer.bitCount(sub)
+      if (size >= 2) emit(sub)
+      if (size == maxSize) return
+      var e = ext
+      while (e != 0) {
+        val w = Integer.numberOfTrailingZeros(e)
+        e &= e - 1
+        val wNew = adj(w) & ~subNbr & ~((1 << (root + 1)) - 1)
+        extendSub(sub | (1 << w), e | wNew, root, subNbr | adj(w) | (1 << w))
+      }
+    }
+    val cap = math.min(maxSize, n)
+    if (cap >= 2) {
+      var v = 0
+      while (v < n) {
+        extendSub(1 << v, adj(v) & ~((1 << (v + 1)) - 1), v, adj(v) | (1 << v))
+        v += 1
       }
     }
     out.toSeq
