@@ -72,7 +72,11 @@ object Bfs {
       .localCheckpoint(eager = false)
     var frontier = visited
     var wave = 0L
-    while (wave < depth && !frontier.isEmpty) {
+    // No per-wave isEmpty probe: the loop is depth-bounded (depth is
+    // small by contract), and once a frontier IS empty every later
+    // wave's join is empty-input-fast — cheaper than paying one
+    // scheduler job per wave just to maybe exit early.
+    while (wave < depth) {
       wave += 1
       val next = settle(
         frontier.join(e, frontier("node") === e("src"))

@@ -126,8 +126,12 @@ object GraphPack extends QueryPack {
 
     // A9: fixed-iteration PageRank as a deterministic DataFrame plan
     // (decimal-quantized messages — see PageRank.scala's contract).
+    // tradeEdges is bidirectional by construction, and its node set is
+    // the nation dimension (bounded at any fact scale), so the rank
+    // vector broadcasts and each iteration is one shuffle.
     "g_pagerank" -> { (s, d) =>
-      PageRank.run(GraphBuilder.tradeEdges(s, d), PR_ITERS)
+      PageRank.run(GraphBuilder.tradeEdges(s, d), PR_ITERS,
+        bidirectional = true, smallRanks = true)
     },
 
     // A10: all-pairs BFS wave matrix (batch analogue of repeatedly
