@@ -46,6 +46,45 @@ class GraphPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("ESU census equals brute-force subset enumeration (300 random graphs, sizes 2..5)") {
+    // The production census enumerates connected induced subgraphs
+    // via ESU over bitmasks with an iso-class hash memo; this is the
+    // definitionally-obvious reference: every subset, connectivity by
+    // BFS, hash every survivor directly.
+    def naive(g: Subgraphs.LocalGraph, maxSize: Int): Map[String, Int] = {
+      def connected(sub: Seq[Int], edges: Set[(Int, Int)]): Boolean = {
+        if (sub.size == 1) return true
+        var reach = Set(sub.head)
+        var grew = true
+        while (grew) {
+          val next = reach ++ edges.collect {
+            case (a, b) if reach(a) => b
+            case (a, b) if reach(b) => a
+          }
+          grew = next.size > reach.size
+          reach = next
+        }
+        reach.size == sub.size
+      }
+      val out = scala.collection.mutable.Map.empty[String, Int]
+      for (size <- 2 to math.min(maxSize, g.n);
+           sub <- g.nodes.combinations(size)) {
+        val induced = g.edges.filter { case (a, b) => sub.contains(a) && sub.contains(b) }
+        if (induced.nonEmpty && connected(sub, induced))
+          out.getOrElseUpdate(WLHash.hash(sub, induced.toSeq), size)
+      }
+      out.toMap
+    }
+    val rng = new Random(46)
+    for (i <- 1 to 300) {
+      val (nodes, edges) = randomGraph(rng, 8)
+      val maxSize = 2 + rng.nextInt(4) // 2..5: exercises the memo (≤4) AND the direct path (5)
+      val g = Subgraphs.LocalGraph(nodes, edges)
+      assert(Subgraphs.census(g, maxSize).toMap === naive(g, maxSize),
+        s"i=$i nodes=$nodes edges=$edges maxSize=$maxSize")
+    }
+  }
+
   test("exact GED: symmetric, non-negative, zero iff WL-equal, self-distance 0 (100 pairs)") {
     val rng = new Random(44)
     for (_ <- 1 to 100) {
