@@ -74,23 +74,42 @@ object ConnectedComponents {
       .distinct()
   }
 
+  /** One-job set fingerprint: (row count, XOR of per-row hashes).
+    * Order-independent, overflow-free, and valid for SETS (the edge
+    * DF is distinct by construction). Equal sets ⇒ equal fingerprint,
+    * so it gates the exact `except` check: a fingerprint collision
+    * merely wastes one except job, never affects the result. This is
+    * also the materializing action for the non-eager checkpoint. */
+  private def fingerprint(e: DataFrame): (Long, Long) = {
+    val r = e.agg(
+      count(lit(1)),
+      coalesce(expr("bit_xor(xxhash64(hi, lo))"), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   /** (id, component) for every vertex in `vertices` (col "id");
     * `edges` has (src, dst), either or both orientations. */
   def run(s: SparkSession, vertices: DataFrame, edges: DataFrame,
           maxRounds: Int = 50): DataFrame = {
     var cur = canonical(edges).localCheckpoint(eager = false)
-    var converged = cur.isEmpty
+    var curFp = fingerprint(cur)
+    var converged = curFp._1 == 0L
     var round = 0
     while (!converged && round < maxRounds) {
       round += 1
       val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       // At the fixpoint both stars are identities, so next == cur
-      // (sets of canonical pairs): equal counts + empty one-sided
-      // difference is a complete equality check. The except job only
-      // runs when counts already agree (a necessary condition), so
-      // progressing rounds pay one count, not a set difference.
-      converged = next.count() == cur.count() && next.except(cur).isEmpty
+      // (sets of canonical pairs). The exact one-sided difference
+      // runs only when the one-job fingerprints already agree —
+      // progressing rounds pay a single count+xor aggregate, and
+      // equal-count-but-still-moving rounds (which a count-only gate
+      // lets through) skip the except too.
+      val nextFp = fingerprint(next)
+      converged = nextFp == curFp && next.except(cur).isEmpty
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        System.err.println(s"[cc] round $round fp=$nextFp converged=$converged")
       cur = next
+      curFp = nextFp
     }
     val labels = cur.select(col("hi").as("id"), col("lo").as("component"))
     vertices.select(col("id").cast("long").as("id"))
