@@ -40,6 +40,25 @@ object Tables {
     * difference between 1 core and all of them. */
   def fanOut(s: SparkSession, df: DataFrame): DataFrame =
     df.repartition(s.sparkContext.defaultParallelism)
+
+  /** All table names with a loader. */
+  val names: Seq[String] = Seq("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
+  /** Register every table as a temp view so users can drive the
+    * engine with plain `spark.sql(...)` — the relational surface the
+    * reference exposes through SQLite. Custom functions
+    * (graft_dot_quant, graft_hamming, graft_top_k) ride along. */
+  def registerViews(s: SparkSession, sfDir: String): Unit = {
+    graft.functions.GraftFunctions.register(s)
+    names.foreach { n =>
+      val df = n match {
+        case "events" => events(s, sfDir)
+        case other    => load(s, sfDir, other)
+      }
+      df.createOrReplaceTempView(n)
+    }
+  }
 }
 
 /** A named group of driver-checkable queries: the Spark definition and
