@@ -25,10 +25,11 @@ object Bfs {
   /** Truncate plan lineage WITHOUT a dedicated materialization job:
     * a NON-eager localCheckpoint severs the logical plan (fresh
     * LogicalRDD — also what keeps each wave's self-join against the
-    * shared edge table unambiguous) and lets the block persistence
-    * happen inside the next real job (the loop-control isEmpty)
-    * instead of one extra full job per wave. An eager checkpoint per
-    * wave was ~3 scheduler round-trips per wave of pure overhead. */
+    * shared edge table unambiguous) and defers block persistence to
+    * the next real job — bfs's per-wave loop-control isEmpty, or (in
+    * depth-bounded expand, which has no in-loop action) the caller's
+    * first action after the loop. An eager checkpoint per wave was
+    * ~3 scheduler round-trips per wave of pure overhead. */
   private def settle(df: DataFrame, wave: Long): DataFrame =
     df.localCheckpoint(eager = false)
 

@@ -24,8 +24,10 @@ import org.apache.spark.sql.functions._
   * Scale notes (SURVEY §5): every round is two groupBy-min shuffles +
   * two self-joins on the same key — no driver-side state, no
   * collect. Rounds localCheckpoint (non-eager) to truncate lineage,
-  * same pattern as [[Bfs]]. The convergence check is an exact
-  * set-equality (`count` + one-sided `except`), not a checksum.
+  * same pattern as [[Bfs]]. Convergence is an exact set-equality
+  * check (one-sided `except`), gated by a cheap one-job fingerprint
+  * so the except runs only on rounds that can actually be the
+  * fixpoint — see [[fingerprint]].
   */
 object ConnectedComponents {
 

@@ -65,6 +65,9 @@ object Subgraphs {
     */
   def census(g: LocalGraph, maxSize: Int = 4): Seq[(String, Int)] = {
     val n = g.n
+    // Int bitmasks alias silently above bit 31 — fail loudly instead.
+    // (validate() caps graphs at MAX_NODES=10 long before this.)
+    require(n < 32, s"census supports < 32 nodes, got $n")
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
     if (n < 2 || g.edges.isEmpty) return out.toSeq
     val ids = g.nodes.toArray

@@ -46,13 +46,22 @@ object MultimodalPack extends QueryPack {
     // comparators that sort rows can't order an array column.
     "m_features" -> { (s, d) =>
       import s.implicits._
+      // Empty payloads are excluded on BOTH sides (the oracle's
+      // per-character unnest yields no rows for them); the L2 sum
+      // follows the engine-wide quantization contract
+      // (floor(term·1e12 + 0.5) longs, exact order-free 64-bit sum)
+      // so the pre-round value cannot differ across engines by a
+      // last-ulp reassociation.
       featureVectors(s, d)
+        .filter($"n_bytes" >= 1)
         .select($"doc_id", $"n_bytes",
           size($"features").cast("long").as("dim"),
           array_position($"features", array_max($"features")).as("argmax_bin"),
           round(array_max($"features").cast("double"), 6).as("f_max"),
-          round(aggregate($"features", lit(0.0d),
-            (acc, x) => acc + x.cast("double") * x.cast("double")),
+          round(
+            aggregate($"features", lit(0L), (acc, x) =>
+              acc + floor(x.cast("double") * x.cast("double") * lit(1e12) + lit(0.5)))
+              .cast("double") / lit(1e12),
             6).as("f_l2sq"))
     },
   )
@@ -99,7 +108,7 @@ object MultimodalPack extends QueryPack {
         |       CAST(16 AS BIGINT) AS dim,
         |       CAST(min(bin) FILTER (WHERE f = fmax) + 1 AS BIGINT) AS argmax_bin,
         |       round(fmax, 6) AS f_max,
-        |       round(sum(f*f), 6) AS f_l2sq
+        |       round(CAST(SUM(CAST(floor(f*f*1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS f_l2sq
         |FROM (SELECT *, max(f) OVER (PARTITION BY doc_id) AS fmax FROM hist)
         |GROUP BY doc_id, n, fmax""".stripMargin,
   )

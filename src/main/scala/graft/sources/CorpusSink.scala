@@ -26,19 +26,32 @@ import org.apache.spark.sql.functions._
 object CorpusSink {
 
   /** Write `docs` partitioned by `partitionCols`, sorted inside each
-    * file on `sortCol`. */
+    * file on `sortCol`.
+    *
+    * Distribution is `repartitionByRange` on (partitionCols :+
+    * sortCol): a dominant partition (the 80%-English corpus) spans
+    * MANY range slices split on sortCol, so write parallelism stays
+    * at the session's partition count — a hash repartition on the
+    * low-cardinality routing columns alone would collapse the write
+    * to one task per (split, lang) combo. The explicit sort covers
+    * the partition columns FIRST, satisfying the parquet writer's
+    * required ordering, so Spark inserts no sort of its own above
+    * the write and the sortCol order inside every file is the one
+    * we specified (not an artifact of sort stability). */
   def write(docs: DataFrame, outDir: String,
             partitionCols: Seq[String] = Seq("split", "lang"),
             sortCol: String = "doc_id",
-            maxRecordsPerFile: Long = 1000000L): Unit =
+            maxRecordsPerFile: Long = 1000000L): Unit = {
+    val keys = (partitionCols :+ sortCol).map(col)
     docs
-      .repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions(sortCol)
+      .repartitionByRange(keys: _*)
+      .sortWithinPartitions(keys: _*)
       .write
       .mode(SaveMode.Overwrite)
       .option("maxRecordsPerFile", maxRecordsPerFile)
       .partitionBy(partitionCols: _*)
       .parquet(outDir)
+  }
 
   /** Read a written corpus back (partition columns are restored from
     * the directory layout). */
