@@ -194,6 +194,39 @@ object TextPack extends QueryPack {
           explode(sequence(lit(1L), $"n_copies")).as("rep"))
     },
 
+    // F9: the end-to-end corpus pipeline — exact-dedup survivors →
+    // deterministic split assignment → weighted source mixing, as ONE
+    // composed DataFrame plan (the composition is the point: each
+    // stage is an operator this pack already exposes standalone, and
+    // Catalyst fuses the whole chain into window + map-side stages
+    // with no extra scans). This is the "prepare the training
+    // corpus" query a user of the engine actually runs.
+    "t_pipeline" -> { (s, d) =>
+      import s.implicits._
+      def perSource(f: Double => Column): Column =
+        MIX_WEIGHTS.foldLeft(f(MIX_DEFAULT)) { case (acc, (src, w)) =>
+          when($"source" === src, f(w)).otherwise(acc)
+        }
+      val w = org.apache.spark.sql.expressions.Window.partitionBy($"norm_hash")
+      Tables.documents(s, d)
+        .withColumn("norm_hash", TextOps.md5s(TextOps.norm($"text")))
+        .withColumn("survivor_id", min($"doc_id").over(w))
+        .filter($"doc_id" === $"survivor_id")
+        .withColumn("h", TextOps.md5s($"doc_id".cast("string")))
+        .withColumn("split",
+          when(substring($"h", 1, 1) < "d", lit("train"))
+            .when(substring($"h", 1, 1) === "d", lit("val"))
+            .otherwise(lit("test")))
+        .withColumn("h2", substring(
+          TextOps.md5s(concat(lit("mix_"), $"doc_id".cast("string"))), 1, 2))
+        .withColumn("n_copies",
+          perSource(w => lit(math.floor(w).toLong)) +
+            when($"h2" < perSource(w => lit(mixThr(w))), 1L).otherwise(0L))
+        .filter($"n_copies" >= 1 && $"split" === "train")
+        .select($"doc_id", $"source", $"lang", $"split",
+          explode(sequence(lit(1L), $"n_copies")).as("rep"))
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -268,6 +301,35 @@ object TextPack extends QueryPack {
            | FROM documents)
            |SELECT doc_id, source, CAST(i AS BIGINT) AS rep
            |FROM w, UNNEST(range(1, n_copies + 1)) t(i)
+           |WHERE n_copies >= 1""".stripMargin
+      },
+      "t_pipeline" -> {
+        val baseCase = MIX_WEIGHTS
+          .map { case (s, w) => s"WHEN '$s' THEN ${math.floor(w).toInt}" }
+          .mkString(" ")
+        val thrCase = MIX_WEIGHTS
+          .map { case (s, w) => s"WHEN '$s' THEN '${mixThr(w)}'" }
+          .mkString(" ")
+        s"""WITH surv AS (
+           | SELECT doc_id, source, lang
+           | FROM (SELECT doc_id, source, lang,
+           |        MIN(doc_id) OVER (PARTITION BY md5($nrmSql)) AS survivor_id
+           |       FROM documents) t
+           | WHERE doc_id = survivor_id),
+           |split AS (
+           | SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+           |   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+           |   ELSE 'test' END AS split
+           | FROM surv),
+           |mixed AS (
+           | SELECT doc_id, source, lang, split,
+           |  CAST(CASE source $baseCase ELSE ${math.floor(MIX_DEFAULT).toInt} END
+           |   + CASE WHEN substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 2) <
+           |      (CASE source $thrCase ELSE '${mixThr(MIX_DEFAULT)}' END)
+           |     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           | FROM split WHERE split = 'train')
+           |SELECT doc_id, source, lang, split, CAST(i AS BIGINT) AS rep
+           |FROM mixed, UNNEST(range(1, n_copies + 1)) t(i)
            |WHERE n_copies >= 1""".stripMargin
       },
       "t_split" ->

@@ -43,4 +43,17 @@ class CorpusMixSpec extends SparkSpec {
     assert(mix.exceptAll(again).count() === 0)
     assert(again.exceptAll(mix).count() === 0)
   }
+
+  test("t_pipeline: survivors only, train split only, copies follow the mix weights") {
+    val p = TextPack.queries("t_pipeline")(spark, sfDir).cache()
+    assert(p.count() > 0)
+    assert(p.filter(col("split") =!= "train").count() === 0)
+    // every emitted doc is its dedup group's survivor (min doc_id)
+    val surv = graft.dedup.DedupPack.queries("d_exact")(spark, sfDir)
+      .select(col("canonical_id").as("doc_id"))
+    assert(p.select("doc_id").distinct().join(surv, Seq("doc_id"), "left_anti").count() === 0)
+    // copies bounded by ceil(max weight)
+    val copies = p.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    assert(copies.filter(col("n") > 3L).count() === 0)
+  }
 }
