@@ -35,10 +35,14 @@ object EventStreams {
   val SESSION_GAP_US: Long = 1800L * 1000000L
 
   /** Tumbling 5-minute windowed counts/sums with a 10-minute
-    * watermark (append-mode-safe). */
-  def windowedCounts(events: DataFrame): DataFrame =
-    events
-      .withWatermark("ts", "10 minutes")
+    * watermark (append-mode-safe).
+    *
+    * @param declareWatermark false when composing BELOW a stage that
+    *        already declared the event-time watermark (Spark forbids
+    *        redefining it mid-query; the chain shares the upstream
+    *        one — see the chained dedup→window spec). */
+  def windowedCounts(events: DataFrame, declareWatermark: Boolean = true): DataFrame =
+    (if (declareWatermark) events.withWatermark("ts", "10 minutes") else events)
       .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))

@@ -60,6 +60,29 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedup chains into windowed aggregation as one incremental query") {
+    // The streaming twin of the batch t_pipeline composition claim:
+    // stage outputs are ordinary streaming DataFrames, so watermarked
+    // dedup feeds the windowed agg in a single query with one shared
+    // watermark — duplicates never reach the window counts.
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedCounts(
+        EventStreams.dedupByKey(in.toDF(), "event_id"), declareWatermark = false)
+      .writeStream.format("memory").queryName("pipe_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      in.addData(ev(1, 0), ev(2, 1), ev(1, 2, v = 99.0), ev(2, 3)) // two dups
+      q.processAllAvailable()
+      in.addData(ev(9, 60)) // advance watermark far past the first window
+      q.processAllAvailable()
+      val rows = spark.table("pipe_out").as[(String, String, Long, Double)].collect().toSet
+      // 4 raw events, 2 distinct ids -> count 2, sum 2.0 (dup v=99 dropped)
+      assert(rows.contains(("2024-01-01 00:00:00", "click", 2L, 2.0)))
+    } finally q.stop()
+  }
+
   test("dedupByKey drops duplicate event ids within the watermark") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
