@@ -186,6 +186,42 @@ object RelationalPack extends QueryPack {
           percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("p50_total"),
           percentile_approx($"o_totalprice", lit(0.95), lit(10000)).as("p95_total"))
     },
+
+    // C11: AS-OF join — each purchase attributed to the latest prior
+    // (or same-instant) click by the same user. One shuffle on
+    // user_id, no join (see AsofJoin.lastPrior); the DuckDB oracle is
+    // its native ASOF JOIN — an independent implementation of the
+    // same semantics.
+    "q_asof" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts_us")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us".as("click_us"))
+      AsofJoin.lastPrior(purchases, clicks,
+          key = "user_id", leftTs = "ts_us", rightTs = "click_us",
+          carryPrefix = "", inner = true)
+        .select($"user_id", $"event_id", $"ts_us", $"click_us",
+          ($"ts_us" - $"click_us").as("gap_us"))
+    },
+
+    // C12: range (point-in-interval) join — per order, how many
+    // lineitems anywhere shipped during the week starting at its
+    // order date. Prefix-sums over the day spine instead of non-equi
+    // pairs (see RangeJoin.intervalPointCounts); the oracle is
+    // DuckDB's native inequality join (IEJoin) — again an independent
+    // algorithm for the same semantics.
+    "q_range_count" -> { (s, d) =>
+      import s.implicits._
+      val points = Tables.lineitem(s, d)
+        .select(unix_date(to_date($"l_shipdate")).cast("long").as("p"))
+      val intervals = Tables.orders(s, d).select($"o_orderkey",
+        unix_date(to_date($"o_orderdate")).cast("long").as("lo"),
+        (unix_date(to_date($"o_orderdate")) + 7).cast("long").as("hi"))
+      RangeJoin.intervalPointCounts(points, intervals, idCols = Seq("o_orderkey"))
+        .select($"o_orderkey", $"n_points".as("n_shipped"))
+    },
   )
 
   override def oracles: Map[String, String] = Map(
@@ -255,5 +291,15 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_asof" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts_us, c.click_us, p.ts_us - c.click_us AS gap_us
+        |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.click_us""".stripMargin,
+    "q_range_count" ->
+      """SELECT o_orderkey, CAST(COUNT(l_orderkey) AS BIGINT) AS n_shipped
+        |FROM orders LEFT JOIN lineitem
+        |  ON l_shipdate >= o_orderdate AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |GROUP BY o_orderkey""".stripMargin,
   )
 }

@@ -1,0 +1,131 @@
+package graft.relational
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Temporal join operators Spark lacks natively, built scale-first.
+  *
+  * The reference's event-history queries (ordered scans over an
+  * indexed table, main.py:156-178) are point lookups; at warehouse
+  * scale the equivalents are the AS-OF join and the range
+  * (point-in-interval) join. Neither is a built-in Spark operator, and
+  * the naive formulations are scale killers: a non-equi theta join
+  * plans as BroadcastNestedLoopJoin (quadratic pairs), and an
+  * "equi-join then keep latest" explodes every key's full history
+  * before discarding it. Both operators here are O(n log n) single
+  * logical passes.
+  */
+object AsofJoin {
+
+  /** AS-OF join: for each left row, attach the latest right row with
+    * the same key and `right.ts <= left.ts` (DuckDB `ASOF JOIN` with
+    * `l.ts >= r.ts` semantics).
+    *
+    * Shape: instead of joining, both sides are unioned into one
+    * stream, shuffled ONCE on the key, sorted by (ts, side) within
+    * the partition, and the right row's payload is carried forward to
+    * every later left row with a running `last(..., ignoreNulls)`
+    * window. No join, no pair explosion, no per-key history blowup:
+    * cost is one shuffle + one sort however skewed the match ratio
+    * is, the same shape a merge-based ASOF implementation uses
+    * internally — expressed declaratively so Catalyst keeps pushdown
+    * and codegen.
+    *
+    * Right rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+    * right row at exactly left.ts matches, per ASOF `>=`.
+    *
+    * Determinism: the carried payload is well-defined iff the right
+    * side has at most one row per (key, ts) — the same precondition
+    * DuckDB's ASOF JOIN needs to be deterministic.
+    *
+    * @param carryPrefix prefix for the attached right columns, so they
+    *                    never collide with left column names.
+    * @param inner       drop left rows with no prior right row (ASOF
+    *                    inner join); otherwise keep them with nulls.
+    */
+  def lastPrior(left: DataFrame, right: DataFrame, key: String,
+                leftTs: String, rightTs: String,
+                carryPrefix: String = "asof_",
+                inner: Boolean = true): DataFrame = {
+    val carryCols = right.columns.filterNot(_ == key).toSeq
+    val lPrep = left.select(
+      col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"))
+    val rPrep = right.select(
+      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+      struct(carryCols.map(col): _*).as("__r"))
+    val unioned = lPrep
+      .withColumn("__r", lit(null).cast(rPrep.schema("__r").dataType))
+      .unionByName(rPrep.withColumn("__l", lit(null).cast(lPrep.schema("__l").dataType)))
+
+    val w = Window.partitionBy(col("__k")).orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = unioned
+      .withColumn("__m", last(when(col("__side") === 0, col("__r")), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+    val filtered = if (inner) matched.filter(col("__m").isNotNull) else matched
+    val out: Seq[Column] =
+      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+        carryCols.map(c => col(s"__m.$c").as(s"$carryPrefix$c"))
+    filtered.select(out: _*)
+  }
+}
+
+object RangeJoin {
+
+  /** Point-in-interval COUNT join: for each interval `[lo, hi)` over a
+    * bounded integer domain (epoch days, bucket ids), the number of
+    * points it contains — including zero.
+    *
+    * The naive `points JOIN intervals ON lo <= p AND p < hi` is a
+    * non-equi join: Spark plans a nested loop, and even a clever range
+    * partitioner materializes every (point, interval) containment pair
+    * — at 100 TB with week-long windows that is billions of rows of
+    * pure intermediate state. This operator never forms pairs:
+    *
+    *   1. points collapse to per-value counts (map-side combinable),
+    *   2. the counts are densified onto the value spine and prefix-
+    *      summed, so `cum(v)` = points with value <= v,
+    *   3. each interval reads `cum(hi-1) - cum(lo-1)` via two
+    *      equi-joins against the spine.
+    *
+    * Cost: one aggregation over the points + two joins against a
+    * DIMENSION-sized table (the spine is the value domain — calendar
+    * days, not facts — so AQE broadcasts it). The prefix-sum window
+    * runs un-partitioned over that same dimension-sized spine
+    * (thousands of rows at any fact scale; the "no partition defined"
+    * warning it triggers is about fact-sized inputs, not this).
+    *
+    * @param points    single LONG column `p`.
+    * @param intervals id columns plus LONG `lo` (inclusive) / `hi`
+    *                  (exclusive); `hi >= lo`.
+    * @return intervals' id columns + `n_points` (long).
+    */
+  def intervalPointCounts(points: DataFrame, intervals: DataFrame,
+                          idCols: Seq[String]): DataFrame = {
+    val byVal = points.groupBy(col("p").as("v")).agg(count(lit(1)).as("cnt"))
+    // Spine bounds must cover every lookup value (lo-1 and hi-1) as
+    // well as every point, so the two cum lookups below always hit.
+    val bounds = byVal.select(col("v"))
+      .unionByName(intervals.select((col("lo") - 1).as("v")))
+      .unionByName(intervals.select((col("hi") - 1).as("v")))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("v"))
+    val cum = spine.join(byVal, Seq("v"), "left")
+      .withColumn("cum", sum(coalesce(col("cnt"), lit(0L))).over(
+        Window.orderBy(col("v").asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("v"), col("cum"))
+
+    val ids = idCols.map(col)
+    intervals
+      .join(cum.select(col("v").as("__hi_v"), col("cum").as("__cum_hi")),
+        col("hi") - 1 === col("__hi_v"), "left")
+      .join(cum.select(col("v").as("__lo_v"), col("cum").as("__cum_lo")),
+        col("lo") - 1 === col("__lo_v"), "left")
+      .select(ids :+
+        (coalesce(col("__cum_hi"), lit(0L)) - coalesce(col("__cum_lo"), lit(0L)))
+          .as("n_points"): _*)
+  }
+}
