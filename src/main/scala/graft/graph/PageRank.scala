@@ -31,25 +31,31 @@ object PageRank {
     *              fewer per iteration, same result.
     * @param smallRanks caller asserts the NODE set is dimension-
     *              bounded (does not grow with fact data — e.g. the
-    *              nation trade graph). The rank vector then joins the
-    *              edge table broadcast, so an iteration is ONE shuffle
-    *              (the message groupBy), not three. Leave false for
-    *              graphs whose node count scales with the data.
+    *              nation trade graph: deriving its edges scans the
+    *              facts, but the graph itself is ≤ |dims|² rows). The
+    *              message graph is then collected ONCE and the rank
+    *              vector iterated on the driver — dim-sized state,
+    *              exactly like any broadcast-dimension computation —
+    *              instead of paying a shuffle per iteration to update
+    *              25 numbers. Bit-identical to the distributed path
+    *              (same Decimal quantization, exact decimal sums).
+    *              Leave false for graphs whose node count scales with
+    *              the data.
     * @return (node, rank) with rank as a raw double.
     */
   def run(edges: DataFrame, iters: Int, bidirectional: Boolean = false,
           smallRanks: Boolean = false): DataFrame = {
     val e = edges.select("src", "dst")
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    if (smallRanks) return runDimBounded(e, deg, iters, bidirectional)
     val ed = e.join(deg, e("src") === deg("node"))
       .select(e("src"), e("dst"), col("outdeg"))
       .repartition(col("src")).persist()
     var ranks = deg.select(col("node"), lit(1.0).as("rank"))
       .localCheckpoint(eager = false)
     for (i <- 1 to iters) {
-      val r = if (smallRanks) broadcast(ranks) else ranks
-      val msgs = ed.join(r, ed("src") === r("node"))
-        .select(ed("dst"), (r("rank") / ed("outdeg")).cast(M).as("contrib"))
+      val msgs = ed.join(ranks, ed("src") === ranks("node"))
+        .select(ed("dst"), (ranks("rank") / ed("outdeg")).cast(M).as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("msg"))
       val next =
         if (bidirectional)
@@ -67,5 +73,52 @@ object PageRank {
     }
     ed.unpersist()
     ranks
+  }
+
+  /** Dimension-bounded fast path: ONE distributed job derives the
+    * dim-sized (src, dst, outdeg) message graph from the fact data;
+    * the 10-iteration rank update then runs over that in-memory
+    * vector. Replicates the distributed path bit-for-bit: per-message
+    * quantization uses Spark's own [[org.apache.spark.sql.types.Decimal]]
+    * double→DECIMAL(28,12) cast (HALF_UP), message sums are exact
+    * java.math.BigDecimal additions (order-independent), and the rank
+    * update is the same IEEE double expression. */
+  private def runDimBounded(e: DataFrame, deg: DataFrame, iters: Int,
+                            bidirectional: Boolean): DataFrame = {
+    import org.apache.spark.sql.types.{Decimal, DoubleType, StructField, StructType}
+    import org.apache.spark.sql.Row
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val spark = e.sparkSession
+    val ed = e.join(deg, e("src") === deg("node"))
+      .select(e("src"), e("dst"), col("outdeg")).collect()
+    require(ed.length <= (1 << 20),
+      s"smallRanks is set but the edge set has ${ed.length} rows — " +
+        "not dimension-bounded; use the distributed path")
+    val nodes: Array[Any] = ed.map(_.get(0)).distinct
+    var rank: mutable.HashMap[Any, Double] =
+      mutable.HashMap(nodes.map(n => n -> 1.0).toIndexedSeq: _*)
+    for (_ <- 1 to iters) {
+      val msg = mutable.HashMap.empty[Any, java.math.BigDecimal]
+      ed.foreach { r =>
+        val contrib = Decimal(rank(r.get(0)) / r.getLong(2))
+        contrib.changePrecision(28, 12)
+        msg.update(r.get(1),
+          msg.getOrElse(r.get(1), java.math.BigDecimal.ZERO).add(contrib.toJavaBigDecimal))
+      }
+      val next = mutable.HashMap.empty[Any, Double]
+      if (bidirectional)
+        msg.foreach { case (n, m) => next.update(n, 0.15 + 0.85 * m.doubleValue) }
+      else
+        nodes.foreach { n =>
+          next.update(n, 0.15 + 0.85 * msg.get(n).map(_.doubleValue).getOrElse(0.0))
+        }
+      rank = next
+    }
+    val rows = rank.toSeq.sortBy(_._1.toString).map { case (n, r) => Row(n, r) }
+    val schema = StructType(Seq(
+      StructField("node", e.schema("src").dataType),
+      StructField("rank", DoubleType)))
+    spark.createDataFrame(rows.asJava, schema)
   }
 }
