@@ -90,14 +90,27 @@ object ConnectedComponents {
   }
 
   /** (id, component) for every vertex in `vertices` (col "id");
-    * `edges` has (src, dst), either or both orientations. */
+    * `edges` has (src, dst), either or both orientations.
+    *
+    * @param localFinishThreshold once the contracted pair set's count
+    *        (already known from the fingerprint gate — no extra job)
+    *        drops to this many rows, the remaining relation is
+    *        collected and closed with union-find on the driver instead
+    *        of running further distributed rounds. Star contraction
+    *        shrinks the pair set geometrically, so at any fact scale
+    *        the loop reaches the threshold after O(log n) rounds —
+    *        and the tail rounds it replaces are exactly the ones where
+    *        per-round scheduling overhead dwarfs the (tiny) data. The
+    *        same adaptive principle as AQE swapping in a broadcast
+    *        join when a runtime size drops under a bound. 0 disables.
+    */
   def run(s: SparkSession, vertices: DataFrame, edges: DataFrame,
-          maxRounds: Int = 50): DataFrame = {
+          maxRounds: Int = 50, localFinishThreshold: Int = 1 << 16): DataFrame = {
     var cur = canonical(edges).localCheckpoint(eager = false)
     var curFp = fingerprint(cur)
     var converged = curFp._1 == 0L
     var round = 0
-    while (!converged && round < maxRounds) {
+    while (!converged && round < maxRounds && curFp._1 > localFinishThreshold) {
       round += 1
       val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       // At the fixpoint both stars are identities, so next == cur
@@ -113,9 +126,39 @@ object ConnectedComponents {
       cur = next
       curFp = nextFp
     }
-    val labels = cur.select(col("hi").as("id"), col("lo").as("component"))
+    val labels =
+      if (!converged && curFp._1 > 0 && curFp._1 <= localFinishThreshold)
+        localFinishLabels(s, cur)
+      else cur.select(col("hi").as("id"), col("lo").as("component"))
     vertices.select(col("id").cast("long").as("id"))
       .join(labels, Seq("id"), "left")
       .select(col("id"), coalesce(col("component"), col("id")).as("component"))
+  }
+
+  /** Exact closure of a threshold-sized pair relation: union-find with
+    * path compression, roots kept at the minimum id (so labels match
+    * the distributed fixpoint's min-id contract bit for bit). */
+  private def localFinishLabels(s: SparkSession, e: DataFrame): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.jdk.CollectionConverters._
+    val pairs = e.select(col("hi"), col("lo")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.getOrDefault(r, r) != r) r = parent.getOrDefault(r, r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { p =>
+      val a = find(p.getLong(0)); val b = find(p.getLong(1))
+      if (a != b) { if (a < b) parent.put(b, a) else parent.put(a, b) }
+    }
+    val nodes = pairs.iterator.flatMap(p => Iterator(p.getLong(0), p.getLong(1)))
+      .toArray.distinct.sorted
+    val rows: Seq[Row] = nodes.toIndexedSeq.map(n => Row(n, find(n)))
+    s.createDataFrame(rows.asJava, StructType(Seq(
+      StructField("id", LongType), StructField("component", LongType))))
   }
 }

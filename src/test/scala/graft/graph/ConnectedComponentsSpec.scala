@@ -9,17 +9,18 @@ import scala.util.Random
   * plus the shapes Pregel is worst at: long chains and singletons. */
 class ConnectedComponentsSpec extends SparkSpec {
 
-  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)],
+                 localFinishThreshold: Int = 1 << 16): Map[Long, Long] = {
     import spark.implicits._
     val v = nodes.toDF("id")
     val e =
       if (edges.isEmpty) Seq.empty[(Long, Long)].toDF("src", "dst")
       else edges.toDF("src", "dst")
-    ConnectedComponents.run(spark, v, e)
+    ConnectedComponents.run(spark, v, e, localFinishThreshold = localFinishThreshold)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("matches GraphX min-id labeling on 20 seeded random graphs") {
+  test("matches GraphX min-id labeling on 20 seeded random graphs (both finish paths)") {
     import spark.implicits._
     val rng = new Random(4242)
     for (_ <- 1 to 20) {
@@ -29,11 +30,14 @@ class ConnectedComponentsSpec extends SparkSpec {
         .filter(_ => rng.nextInt(10) < 2)
         .map(p => (p(0), p(1))).toVector
       if (edges.nonEmpty) {
-        val got = cc(nodes, edges)
         val want = GraphXAlgos
           .connectedComponents(spark, nodes.toDF("id"), edges.toDF("src", "dst"))
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        assert(got === want, s"edges=$edges")
+        // Default threshold: the union-find local finish. Threshold 0:
+        // pure distributed star-contraction rounds. Same labels.
+        assert(cc(nodes, edges) === want, s"local-finish path, edges=$edges")
+        assert(cc(nodes, edges, localFinishThreshold = 0) === want,
+          s"distributed path, edges=$edges")
       }
     }
   }

@@ -18,11 +18,26 @@ class DeepGraphSpec extends SparkSpec {
     val edges = spark.range(n - 1)
       .select(col("id").as("src"), (col("id") + 1).as("dst"))
     val t0 = System.nanoTime()
-    val cc = ConnectedComponents.run(spark, vertices, edges)
+    // Threshold 0: the distributed star-contraction rounds are the
+    // thing under stress here, so the union-find local finish is off.
+    val cc = ConnectedComponents.run(spark, vertices, edges, localFinishThreshold = 0)
     val distinctComponents = cc.select("component").distinct().as[Long].collect().toSeq
     val dt = (System.nanoTime() - t0) / 1e9
     assert(distinctComponents === Seq(0L), "chain must collapse to component 0")
     assert(cc.count() === n)
     info(f"30k-chain CC in $dt%.1f s")
+  }
+
+  test("adaptive local finish labels the same chain identically") {
+    import spark.implicits._
+    val n = 30000L
+    val vertices = spark.range(n).select(col("id"))
+    val edges = spark.range(n - 1)
+      .select(col("id").as("src"), (col("id") + 1).as("dst"))
+    // 29999 canonical pairs < the default 65536 threshold, so this
+    // exercises round-0 collection + driver union-find end to end.
+    val cc = ConnectedComponents.run(spark, vertices, edges)
+    assert(cc.select("component").distinct().as[Long].collect().toSeq === Seq(0L))
+    assert(cc.count() === n)
   }
 }
