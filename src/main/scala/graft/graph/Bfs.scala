@@ -62,6 +62,52 @@ object Bfs {
     visited
   }
 
+  /** Dimension-bounded BFS fast path — same contract as [[bfs]], for
+    * graphs whose NODE set is a bounded dimension (e.g. the nation
+    * trade graph: deriving its edges scans the facts, but the graph
+    * itself is ≤ |dims|² rows). One distributed job materializes that
+    * dim-sized edge set; the traversal then runs on the driver like
+    * any other broadcast-dimension computation, instead of paying
+    * join+distinct+anti-join shuffles per wave to move a few hundred
+    * rows. Guarded: refuses fact-sized inputs. */
+  def bfsBounded(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    val spark = edges.sparkSession
+    // Node ids normalize to BIGINT — the same coercion the distributed
+    // path's seed∪frontier union applies, and the graph contract
+    // (SURVEY: all node id columns are emitted as BIGINT).
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
+    require(e.length <= (1 << 20),
+      s"bfsBounded on ${e.length} edges — not dimension-bounded; use bfs")
+    val seedRows = seeds.select(col("root").cast("long"), col("node").cast("long")).collect()
+    require(seedRows.length <= (1 << 20),
+      s"bfsBounded on ${seedRows.length} seeds — not dimension-bounded; use bfs")
+    val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    e.foreach(r => adj.getOrElseUpdate(r.getLong(0), mutable.ArrayBuffer.empty) += r.getLong(1))
+    val out = mutable.ArrayBuffer.empty[Row]
+    seedRows.groupBy(_.getLong(0)).foreach { case (root, rs) =>
+      val wave = mutable.HashMap.empty[Long, Long]
+      var frontier = rs.map(_.getLong(1)).distinct.toSeq
+      frontier.foreach(n => wave.update(n, 1L))
+      var w = 1L
+      while (w < maxWaves && frontier.nonEmpty) {
+        w += 1
+        frontier = frontier.flatMap(n => adj.getOrElse(n, Nil))
+          .distinct.filterNot(wave.contains)
+        frontier.foreach(n => wave.update(n, w))
+      }
+      wave.foreach { case (n, wv) => out += Row(root, n, wv) }
+    }
+    val schema = StructType(Seq(
+      StructField("root", LongType),
+      StructField("node", LongType),
+      StructField("wave", LongType)))
+    spark.createDataFrame(out.sortBy(r => (r.getLong(0), r.getLong(1))).asJava, schema)
+  }
+
   /** Depth-bounded wavefront expansion (add_relations,
     * main.py:212-242): seeds are wave 0, each wave reaches the
     * neighbors not already seen, up to `depth` waves. Returns

@@ -80,11 +80,15 @@ object GraphPack extends QueryPack {
     },
 
     // A4: BFS shortest path with the reference's wave semantics
-    // (main.py:272-305): source is wave 1, unreachable is -1.
+    // (main.py:272-305): source is wave 1, unreachable is -1. The
+    // trade graph's node set is the nation dimension, so the bounded
+    // fast path applies (the fact-scale work is deriving the edges);
+    // the distributed Bfs.bfs keeps its fact-scaled representative in
+    // g_expand and its own specs.
     "g_bfs" -> { (s, d) =>
       import s.implicits._
       val seeds = s.range(1).select(lit(0L).as("root"), lit(0L).as("node"))
-      val waves = Bfs.bfs(GraphBuilder.tradeEdges(s, d), seeds).select($"node", $"wave")
+      val waves = Bfs.bfsBounded(GraphBuilder.tradeEdges(s, d), seeds).select($"node", $"wave")
       Tables.nation(s, d).select($"n_nationkey".cast("long").as("node"))
         .join(waves, Seq("node"), "left")
         .select($"node", coalesce($"wave", lit(-1L)).as("wave"))
@@ -141,7 +145,7 @@ object GraphPack extends QueryPack {
       val edges = GraphBuilder.tradeEdges(s, d)
       val seeds = edges.select($"src".as("node")).distinct()
         .select($"node".as("root"), $"node")
-      Bfs.bfs(edges, seeds)
+      Bfs.bfsBounded(edges, seeds)
     },
 
     // A11: neighborhood feature aggregation — per-node degree, mean

@@ -42,6 +42,26 @@ class BfsSpec extends SparkSpec {
     assert(got === Set(1L, 2L))
   }
 
+  test("bfsBounded matches distributed bfs on seeded random multi-root graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(1717)
+    for (_ <- 1 to 10) {
+      val n = 3 + rng.nextInt(20)
+      val pairs = (0L until n.toLong).combinations(2)
+        .filter(_ => rng.nextInt(10) < 3).map(p => (p(0), p(1))).toSeq
+      if (pairs.nonEmpty) {
+        val e = edgesDf(pairs: _*)
+        val roots = (0L until n.toLong).filter(_ => rng.nextBoolean())
+        if (roots.nonEmpty) {
+          val seeds = roots.map(r => (r, r)).toDF("root", "node")
+          val want = Bfs.bfs(e, seeds).as[(Long, Long, Long)].collect().toSet
+          val got = Bfs.bfsBounded(e, seeds).as[(Long, Long, Long)].collect().toSet
+          assert(got === want, s"pairs=$pairs roots=$roots")
+        }
+      }
+    }
+  }
+
   test("expand is depth-bounded and first-seen wins") {
     import spark.implicits._
     val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
