@@ -206,6 +206,21 @@ object RelationalPack extends QueryPack {
           ($"ts_us" - $"click_us").as("gap_us"))
     },
 
+    // C13: semi-structured extraction — JSON path into the events
+    // `props` column, then a plain grouped aggregate over the
+    // extracted value. get_json_object is a codegen'd Catalyst
+    // expression, so extraction stays inside the scan's
+    // WholeStageCodegen span — no UDF, no driver parsing; at scale
+    // this is a map-side projection like any other column.
+    "q_json" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .withColumn("k", get_json_object($"props", "$.k").cast("long"))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+          min($"k").as("min_k"), max($"k").as("max_k"))
+    },
+
     // C12: range (point-in-interval) join — per order, how many
     // lineitems anywhere shipped during the week starting at its
     // order date. Prefix-sums over the day spine instead of non-equi
@@ -296,6 +311,12 @@ object RelationalPack extends QueryPack {
         |c AS (SELECT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click')
         |SELECT p.user_id, p.event_id, p.ts_us, c.click_us, p.ts_us - c.click_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.click_us""".stripMargin,
+    "q_json" ->
+      """SELECT event_type, COUNT(*) AS n,
+        | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,
+        | MIN(CAST(props->>'$.k' AS BIGINT)) AS min_k,
+        | MAX(CAST(props->>'$.k' AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_range_count" ->
       """SELECT o_orderkey, CAST(COUNT(l_orderkey) AS BIGINT) AS n_shipped
         |FROM orders LEFT JOIN lineitem

@@ -75,6 +75,13 @@ class PlanShapeSpec extends SparkSpec {
       s"q6 reads wrong column set $cols")
   }
 
+  test("q_asof shuffles exactly once (the as-of is a window pass, not a join)") {
+    val plan = df("q_asof").queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(exchanges === 1, s"q_asof should shuffle once, saw $exchanges:\n$plan")
+    assert(!plan.contains("Join"), s"q_asof must not contain a join:\n$plan")
+  }
+
   test("iterative graph queries keep lineage truncated (no unrolled join towers)") {
     // A 10-iteration PageRank plan that did NOT checkpoint would nest
     // ~10 joins; with per-iteration localCheckpoint the final plan has
