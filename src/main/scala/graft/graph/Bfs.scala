@@ -42,7 +42,11 @@ object Bfs {
     */
   def bfs(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100): DataFrame = {
     val e = edges.select("src", "dst").repartition(col("src")).persist()
-    var visited = seeds.select(col("root"), col("node"), lit(1L).as("wave"))
+    // distinct: one output row per (root, node) seed however many
+    // times a caller repeats it — the same set semantics every later
+    // wave already has (and the bounded path mirrors).
+    var visited = seeds.select(col("root"), col("node")).distinct()
+      .withColumn("wave", lit(1L))
       .localCheckpoint(eager = false)
     var frontier = visited
     var wave = 1L
@@ -76,15 +80,21 @@ object Bfs {
     import scala.collection.mutable
     import scala.jdk.CollectionConverters._
     val spark = edges.sparkSession
+    val limit = 1 << 20
     // Node ids normalize to BIGINT — the same coercion the distributed
     // path's seed∪frontier union applies, and the graph contract
-    // (SURVEY: all node id columns are emitted as BIGINT).
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long")).collect()
-    require(e.length <= (1 << 20),
-      s"bfsBounded on ${e.length} edges — not dimension-bounded; use bfs")
-    val seedRows = seeds.select(col("root").cast("long"), col("node").cast("long")).collect()
-    require(seedRows.length <= (1 << 20),
-      s"bfsBounded on ${seedRows.length} seeds — not dimension-bounded; use bfs")
+    // (SURVEY: all node id columns are emitted as BIGINT). The limit
+    // rides INSIDE the collect so a fact-sized input is refused after
+    // shipping at most limit+1 rows, not after an OOM-sized collect.
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(limit + 1).collect()
+    require(e.length <= limit,
+      s"bfsBounded edge set exceeds $limit rows — not dimension-bounded; use bfs")
+    val seedRows = seeds.select(col("root").cast("long"), col("node").cast("long"))
+      .distinct() // same multiplicity contract as bfs (which dedups seeds too)
+      .limit(limit + 1).collect()
+    require(seedRows.length <= limit,
+      s"bfsBounded seed set exceeds $limit rows — not dimension-bounded; use bfs")
     val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
     e.foreach(r => adj.getOrElseUpdate(r.getLong(0), mutable.ArrayBuffer.empty) += r.getLong(1))
     val out = mutable.ArrayBuffer.empty[Row]

@@ -90,10 +90,14 @@ object PageRank {
     import scala.collection.mutable
     import scala.jdk.CollectionConverters._
     val spark = e.sparkSession
+    val limit = 1 << 20
+    // The limit rides INSIDE the collect so a fact-sized edge set is
+    // refused after shipping at most limit+1 rows, not after an
+    // OOM-sized collect.
     val ed = e.join(deg, e("src") === deg("node"))
-      .select(e("src"), e("dst"), col("outdeg")).collect()
-    require(ed.length <= (1 << 20),
-      s"smallRanks is set but the edge set has ${ed.length} rows — " +
+      .select(e("src"), e("dst"), col("outdeg")).limit(limit + 1).collect()
+    require(ed.length <= limit,
+      s"smallRanks is set but the edge set exceeds $limit rows — " +
         "not dimension-bounded; use the distributed path")
     val nodes: Array[Any] = ed.map(_.get(0)).distinct
     var rank: mutable.HashMap[Any, Double] =
@@ -101,10 +105,16 @@ object PageRank {
     for (_ <- 1 to iters) {
       val msg = mutable.HashMap.empty[Any, java.math.BigDecimal]
       ed.foreach { r =>
-        val contrib = Decimal(rank(r.get(0)) / r.getLong(2))
-        contrib.changePrecision(28, 12)
-        msg.update(r.get(1),
-          msg.getOrElse(r.get(1), java.math.BigDecimal.ZERO).add(contrib.toJavaBigDecimal))
+        // rank.get mirrors the distributed path's inner join: a src
+        // that dropped out of the rank vector (only possible when the
+        // bidirectional assertion is violated) contributes nothing
+        // there, so it contributes nothing here either.
+        rank.get(r.get(0)).foreach { rk =>
+          val contrib = Decimal(rk / r.getLong(2))
+          contrib.changePrecision(28, 12)
+          msg.update(r.get(1),
+            msg.getOrElse(r.get(1), java.math.BigDecimal.ZERO).add(contrib.toJavaBigDecimal))
+        }
       }
       val next = mutable.HashMap.empty[Any, Double]
       if (bidirectional)

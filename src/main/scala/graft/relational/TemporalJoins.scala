@@ -104,28 +104,42 @@ object RangeJoin {
     */
   def intervalPointCounts(points: DataFrame, intervals: DataFrame,
                           idCols: Seq[String]): DataFrame = {
+    val ids = idCols.map(col)
     val byVal = points.groupBy(col("p").as("v")).agg(count(lit(1)).as("cnt"))
     // Spine bounds must cover every lookup value (lo-1 and hi-1) as
     // well as every point, so the two cum lookups below always hit.
-    val bounds = byVal.select(col("v"))
-      .unionByName(intervals.select((col("lo") - 1).as("v")))
-      .unionByName(intervals.select((col("hi") - 1).as("v")))
-      .agg(min(col("v")).as("mn"), max(col("v")).as("mx"))
-    val spine = bounds.select(explode(sequence(col("mn"), col("mx"))).as("v"))
+    // Null bounds contain nothing (SQL comparison semantics), so they
+    // don't stretch the spine.
+    val boundsRow = byVal.select(col("v"))
+      .unionByName(intervals.filter(col("lo").isNotNull).select((col("lo") - 1).as("v")))
+      .unionByName(intervals.filter(col("hi").isNotNull).select((col("hi") - 1).as("v")))
+      .agg(min(col("v")).as("mn"), max(col("v")).as("mx")).head()
+    if (boundsRow.isNullAt(0)) // no points AND no non-null intervals
+      return intervals.select(ids :+ lit(0L).as("n_points"): _*)
+    val (mn, mx) = (boundsRow.getLong(0), boundsRow.getLong(1))
+    // The spine is the CALLER'S dimension-bound assertion (calendar
+    // days, bucket ids). Check it before building — one outlier
+    // sentinel value (or epoch micros passed where days were meant)
+    // would otherwise densify a multi-billion-row domain.
+    require(mx - mn < (1L << 24),
+      s"value domain [$mn, $mx] spans ${mx - mn} values — not dimension-bounded; " +
+        "bucket the values first (e.g. days, not micros)")
+    // spark.range: distributed spine, no single sequence() array.
+    val spine = points.sparkSession.range(mn, mx + 1).select(col("id").as("v"))
     val cum = spine.join(byVal, Seq("v"), "left")
       .withColumn("cum", sum(coalesce(col("cnt"), lit(0L))).over(
         Window.orderBy(col("v").asc)
           .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .select(col("v"), col("cum"))
 
-    val ids = idCols.map(col)
     intervals
       .join(cum.select(col("v").as("__hi_v"), col("cum").as("__cum_hi")),
         col("hi") - 1 === col("__hi_v"), "left")
       .join(cum.select(col("v").as("__lo_v"), col("cum").as("__cum_lo")),
         col("lo") - 1 === col("__lo_v"), "left")
       .select(ids :+
-        (coalesce(col("__cum_hi"), lit(0L)) - coalesce(col("__cum_lo"), lit(0L)))
+        when(col("lo").isNull || col("hi").isNull, lit(0L)) // null bound contains nothing
+          .otherwise(coalesce(col("__cum_hi"), lit(0L)) - coalesce(col("__cum_lo"), lit(0L)))
           .as("n_points"): _*)
   }
 }

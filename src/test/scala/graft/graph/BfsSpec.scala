@@ -62,6 +62,17 @@ class BfsSpec extends SparkSpec {
     }
   }
 
+  test("duplicate seed rows yield one wave row in both bfs paths") {
+    import spark.implicits._
+    val e = edgesDf((1L, 2L))
+    val seeds = Seq((1L, 1L), (1L, 1L)).toDF("root", "node")
+    val want = Set((1L, 1L, 1L), (1L, 2L, 2L))
+    assert(Bfs.bfs(e, seeds).as[(Long, Long, Long)].collect().toSeq.sorted
+      === want.toSeq.sorted)
+    assert(Bfs.bfsBounded(e, seeds).as[(Long, Long, Long)].collect().toSeq.sorted
+      === want.toSeq.sorted)
+  }
+
   test("expand is depth-bounded and first-seen wins") {
     import spark.implicits._
     val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))

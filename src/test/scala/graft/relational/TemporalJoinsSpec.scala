@@ -86,6 +86,36 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got === Map("a" -> 4L, "b" -> 0L, "c" -> 1L, "d" -> 0L, "e" -> 0L))
   }
 
+  test("range count: null bounds contain nothing; all-null inputs yield zeros") {
+    import spark.implicits._
+    val points = Seq(10L, 11L).toDF("p")
+    val intervals = Seq(
+      ("a", Some(10L), Some(12L)),
+      ("b", None, Some(12L)),
+      ("c", Some(10L), None),
+      ("d", Option.empty[Long], Option.empty[Long]))
+      .toDF("id", "lo", "hi")
+    val got = RangeJoin.intervalPointCounts(points, intervals, Seq("id"))
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("a" -> 2L, "b" -> 0L, "c" -> 0L, "d" -> 0L))
+    // no points and only null intervals: every interval reports 0
+    val empty = RangeJoin.intervalPointCounts(
+      Seq.empty[Long].toDF("p"),
+      Seq(("x", Option.empty[Long], Option.empty[Long])).toDF("id", "lo", "hi"),
+      Seq("id")).as[(String, Long)].collect().toMap
+    assert(empty === Map("x" -> 0L))
+  }
+
+  test("range count refuses a non-dimension-bounded value domain") {
+    import spark.implicits._
+    val points = Seq(0L, 1L << 40).toDF("p") // micros-scale outlier
+    val intervals = Seq(("a", 0L, 10L)).toDF("id", "lo", "hi")
+    val ex = intercept[IllegalArgumentException] {
+      RangeJoin.intervalPointCounts(points, intervals, Seq("id"))
+    }
+    assert(ex.getMessage.contains("not dimension-bounded"))
+  }
+
   test("range count equals a brute-force containment count on random data") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
