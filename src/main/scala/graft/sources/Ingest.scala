@@ -25,6 +25,25 @@ object Ingest {
   def jsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).option("mode", "FAILFAST").json(path)
 
+  /** ORC — the other columnar warehouse format; schema-explicit like
+    * every reader here (ORC embeds a schema, but declaring the
+    * expected one makes drift fail at the edge instead of downstream). */
+  def orc(s: SparkSession, path: String, schema: StructType): DataFrame =
+    s.read.schema(schema).orc(path)
+
+  /** Raw media files as opaque binary columns — the multimodal
+    * ingest edge (G1): one row per file with uri, byte length,
+    * content checksum and the undecoded payload. The binaryFile
+    * source never decodes anything (decode is the batched
+    * per-partition plumbing in MultimodalPack), and `glob` prunes by
+    * file name at the directory LISTING, before any bytes are read —
+    * at 100 TB of media the listing filter is the difference between
+    * scanning a prefix and scanning a lake. */
+  def binaryFiles(s: SparkSession, path: String, glob: String = "*"): DataFrame =
+    s.read.format("binaryFile").option("pathGlobFilter", glob).load(path)
+      .select(col("path").as("uri"), col("length").as("n_bytes"),
+        md5(col("content")).as("checksum"), col("content").as("payload"))
+
   /** Raw text corpus: one document per line, skipping blank lines.
     * Emits (doc_id, text) with a CONTENT-ADDRESSED id (md5 of the
     * line): deterministic under re-runs, re-partitioning and file

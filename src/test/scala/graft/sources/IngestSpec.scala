@@ -41,6 +41,30 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("orc round-trips with an explicit schema") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").resolve("t.orc").toString
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .write.mode("overwrite").orc(dir)
+    assert(Ingest.orc(spark, dir, schema).as[(Long, String)].collect().toSet ===
+      Set((1L, "alpha"), (2L, "beta")))
+  }
+
+  test("binaryFiles reads undecoded payloads with listing-level glob pruning") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-bin")
+    Files.write(dir.resolve("a.img"), Array[Byte](1, 2, 3, 4))
+    Files.write(dir.resolve("b.img"), "media-bytes".getBytes("UTF-8"))
+    Files.write(dir.resolve("skip.txt"), "not media".getBytes("UTF-8"))
+    val rows = Ingest.binaryFiles(spark, dir.toString, glob = "*.img")
+      .select("uri", "n_bytes", "payload")
+      .as[(String, Long, Array[Byte])].collect().sortBy(_._1)
+    assert(rows.length === 2, "glob must prune skip.txt at the listing")
+    assert(rows.map(r => r._1.split('/').last).toSeq === Seq("a.img", "b.img"))
+    assert(rows(0)._3.toSeq === Seq[Byte](1, 2, 3, 4) && rows(0)._2 === 4L)
+    assert(new String(rows(1)._3, "UTF-8") === "media-bytes")
+  }
+
   test("textLines yields content-addressed ids, skips blanks, collides exact dups") {
     import spark.implicits._
     val p = tmpFile("corpus.txt", "hello world\n\nsecond doc\nhello world\n")
