@@ -60,6 +60,11 @@ object DedupPack extends QueryPack {
   private val EMBED_PLANES = 16
   private val EMBED_BANDS = 4
   private val EMBED_MIN_COSINE = 0.35
+  // D7 semantic dedup: deterministic seed centroids (the K lowest
+  // vec_ids) and the keep/drop cosine threshold (p95 of the
+  // cosine-to-assigned-centroid distribution on this corpus).
+  private val SEM_K = 8
+  private val SEM_TAU = 0.3
 
   /** All ordered (a < b) pairs of a bucket's doc ids — the
     * within-bucket candidate enumeration. Bucket size is capped by
@@ -202,6 +207,40 @@ object DedupPack extends QueryPack {
         .select($"da".as("doc_a"), $"db".as("doc_b"), $"jaccard")
     },
 
+    // D7: semantic dedup (SemDeDup-shaped) — cluster-partitioned
+    // screening at LINEAR cost, where D5 verifies pairs. Every vector
+    // is assigned to its nearest seed centroid (K fixed low-id
+    // vectors — deterministic, no RNG/k-means state), and within each
+    // (cluster, flagged) group only the lowest vec_id survives among
+    // vectors whose cosine-to-centroid clears the threshold.
+    // Scale shape: the K centroids broadcast (dim-sized, like a
+    // dimension table); assignment is one map-side pass producing K
+    // rows per vector, reduced by a partial-aggregable max(struct) —
+    // no vector-vector join anywhere, so cost is O(nK), not O(n²).
+    "d_semantic" -> { (s, d) =>
+      import s.implicits._
+      import graft.similarity.VectorOps
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      val cents = e.filter($"vec_id" < SEM_K)
+        .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+      val sims = e.select($"vec_id", $"embedding", $"nrm")
+        .crossJoin(broadcast(cents))
+        .withColumn("sim", VectorOps.dotDecFast($"embedding", $"ce") / ($"nrm" * $"cn"))
+      // argmax centroid: max sim, tie → min cid (struct ordering on
+      // (sim, -cid) — both engines compute bit-identical sims).
+      val assigned = sims.groupBy($"vec_id")
+        .agg(max(struct($"sim", (-$"cid").as("ncid"))).as("m"))
+        .select($"vec_id", (-$"m.ncid").as("cluster_id"), $"m.sim".as("centroid_sim"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"cluster_id", $"dup").orderBy($"vec_id".asc)
+      assigned
+        .withColumn("dup", $"centroid_sim" >= SEM_TAU)
+        .withColumn("rn", row_number().over(w))
+        .select($"vec_id", $"cluster_id", $"centroid_sim",
+          (!$"dup" || $"rn" === 1).as("is_kept"))
+    },
+
     // D5: embedding-cosine near-dup pairs via deterministic
     // random-hyperplane LSH banding.
     "d_embed_dup" -> { (s, d) =>
@@ -306,6 +345,26 @@ object DedupPack extends QueryPack {
          | CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
          |FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
          |WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= $NGRAM_MIN_JACCARD""".stripMargin,
+    "d_semantic" ->
+      s"""WITH dims AS (
+         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+         |nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS n FROM dims GROUP BY vec_id),
+         |sims AS (
+         | SELECT v.vec_id, c.vec_id AS cid,
+         |  CAST(SUM(CAST(floor(v.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / (nv.n * nc.n) AS sim
+         | FROM dims v JOIN dims c ON c.i = v.i AND c.vec_id < $SEM_K
+         |  JOIN nrm nv ON nv.vec_id = v.vec_id JOIN nrm nc ON nc.vec_id = c.vec_id
+         | GROUP BY v.vec_id, c.vec_id, nv.n, nc.n),
+         |asg AS (
+         | SELECT vec_id, cid AS cluster_id, sim AS centroid_sim FROM sims
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1),
+         |flagged AS (
+         | SELECT *, centroid_sim >= $SEM_TAU AS dup,
+         |  ROW_NUMBER() OVER (PARTITION BY cluster_id, centroid_sim >= $SEM_TAU ORDER BY vec_id ASC) AS rn
+         | FROM asg)
+         |SELECT vec_id, cluster_id, centroid_sim, (NOT dup) OR rn = 1 AS is_kept
+         |FROM flagged""".stripMargin,
     "d_embed_dup" ->
       s"""WITH dims AS (
          | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

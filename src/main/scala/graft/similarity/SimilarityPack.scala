@@ -29,6 +29,12 @@ object SimilarityPack extends QueryPack {
   private val BANDS = 8
   private val NLIST = 16 // IVF coarse cells
   private val NPROBE = 4 // cells probed per query
+  // E5 product quantization: M subspaces of SUBDIM dims, NCODES
+  // codewords per subspace (codebook = sub-vectors of the first
+  // NCODES vectors — deterministic, like the IVF centroid policy).
+  private val PQ_M = 8
+  private val PQ_SUBDIM = 8
+  private val PQ_NCODES = 4
 
   /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
     * aggregate: each map partition reduces to ≤ K entries per query
@@ -91,6 +97,55 @@ object SimilarityPack extends QueryPack {
     "s_knn_ivf" -> { (s, d) =>
       graft.functions.GraftFunctions.register(s)
       ivfTopK(Tables.embeddings(s, d), N_QUERIES, NLIST, NPROBE, K)
+    },
+
+    // E5: product-quantization ANN top-k (asymmetric distance
+    // computation). Each corpus vector is encoded as M sub-space
+    // codes against a broadcast codebook — after encoding, ranking
+    // NEVER touches corpus vectors again, which is PQ's point: at
+    // 100 TB the serving join carries (n_id, m, code) rows (M bytes
+    // of code per vector, 32× smaller than fp32) while the
+    // query-side lookup table (queries × M × NCODES sub-distances —
+    // bounded, like a dimension) broadcasts. Distances stay in exact
+    // integer picos end to end, so encode argmin, ADC sums and the
+    // final ranking are bit-deterministic in both engines.
+    "s_knn_pq" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val cb = e.filter($"vec_id" < PQ_NCODES)
+        .select($"vec_id".cast("int").as("code"), $"embedding".as("cbe"))
+      // (vec, m, code) → exact quantized sub-space L2² in picos
+      val subDists = e.crossJoin(broadcast(cb))
+        .select($"vec_id", $"code",
+          explode(sequence(lit(1), lit(PQ_M))).as("m"), $"embedding", $"cbe")
+        .withColumn("dst", expr(
+          s"""aggregate(
+             |  zip_with(slice(embedding, (m-1)*$PQ_SUBDIM + 1, $PQ_SUBDIM),
+             |           slice(cbe, (m-1)*$PQ_SUBDIM + 1, $PQ_SUBDIM),
+             |    (x, y) -> CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+             |      * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)),
+             |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+        .select($"vec_id", $"m", $"code", $"dst")
+      // encode: per (vector, sub-space) the nearest codeword
+      // (min dist, tie → min code; exact integer compare)
+      val codes = subDists
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"dst", $"code")).as("mn"))
+        .select($"vec_id".as("n_id"), $"m", $"mn.code".as("code"))
+      // ADC: query sub-distance lookup table, broadcast to the codes
+      val qd = subDists.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"m", $"code", $"dst")
+      val adc = codes.join(broadcast(qd), Seq("m", "code"))
+        .filter($"q_id" =!= $"n_id")
+        .groupBy($"q_id", $"n_id")
+        .agg(sum($"dst").as("dist"))
+      adc.groupBy($"q_id")
+        .agg(graft.functions.GraftFunctions.topK(
+          (-$"dist").cast("double"), $"n_id", K).as("tk"))
+        .select($"q_id", posexplode($"tk").as(Seq("pos", "t")))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"t.id".as("n_id"), (-$"t.score" / lit(1e12)).as("adc_dist"))
     },
 
     // E4: symmetric int8 quantization of the embedding column — the
@@ -224,6 +279,30 @@ object SimilarityPack extends QueryPack {
          |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
          |           FROM cosv)
          |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K""".stripMargin,
+    "s_knn_pq" ->
+      s"""WITH dims AS (
+         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+         |cb AS (SELECT vec_id AS code, i, x FROM dims WHERE vec_id < $PQ_NCODES),
+         |sd AS (
+         | SELECT v.vec_id, c.code, (v.i - 1) // $PQ_SUBDIM + 1 AS m,
+         |  SUM(CAST(floor((v.x - c.x) * (v.x - c.x) * 1e12 + 0.5) AS BIGINT)) AS dst
+         | FROM dims v JOIN cb c ON c.i = v.i
+         | GROUP BY v.vec_id, c.code, (v.i - 1) // $PQ_SUBDIM + 1),
+         |enc AS (
+         | SELECT vec_id AS n_id, m, code FROM sd
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dst ASC, code ASC) = 1),
+         |adc AS (
+         | SELECT q.vec_id AS q_id, e.n_id, SUM(q.dst) AS dist
+         | FROM enc e JOIN sd q ON q.m = e.m AND q.code = e.code
+         | WHERE q.vec_id < $N_QUERIES AND q.vec_id <> e.n_id
+         | GROUP BY q.vec_id, e.n_id),
+         |ranked AS (
+         | SELECT q_id, n_id, dist,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rank
+         | FROM adc)
+         |SELECT q_id, rank, n_id, CAST(dist AS DOUBLE) / 1e12 AS adc_dist
+         |FROM ranked WHERE rank <= $K""".stripMargin,
     "s_quantize" ->
       """WITH dims AS (
         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

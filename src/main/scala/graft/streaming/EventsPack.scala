@@ -76,6 +76,45 @@ object EventsPack extends QueryPack {
             .as("n_attributed"))
     },
 
+    // H6: cohort retention — users grouped by first-seen day, counted
+    // per day-offset from that cohort day (the standard product-
+    // analytics retention matrix). Two partial-aggregable groupBys on
+    // user_id plus one on the (cohort, offset) pair; the distinct
+    // (user, day) reduction happens map-side before any join.
+    "e_retention" -> { (s, d) =>
+      import s.implicits._
+      val days = Tables.events(s, d)
+        .select($"user_id", to_date($"ts").as("day")).distinct()
+      val cohorts = days.groupBy($"user_id").agg(min($"day").as("cohort_day"))
+      days.join(cohorts, "user_id")
+        .withColumn("day_offset", datediff($"day", $"cohort_day").cast("long"))
+        .groupBy($"cohort_day", $"day_offset")
+        .agg(count_distinct($"user_id").as("n_users"))
+        .select(date_format($"cohort_day", "yyyy-MM-dd").as("cohort_day"),
+          $"day_offset", $"n_users")
+    },
+
+    // H7 (C-surface on events): pivot — per-user event-type matrix as
+    // conditional aggregation. Catalyst compiles `pivot` into ONE
+    // hash aggregate with a CASE per (pivot value × agg), so the plan
+    // is a single partial-aggregable groupBy regardless of how many
+    // columns the matrix has — no per-type scans, no join.
+    "e_pivot" -> { (s, d) =>
+      import s.implicits._
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val pivoted = Tables.events(s, d)
+        .groupBy($"user_id")
+        .pivot("event_type", types)
+        .agg(count(lit(1)).as("n"),
+          round(sum($"value".cast(D)), 2).cast("double").as("sum_value"))
+      // count of an absent (user, type) combo is null under pivot but
+      // 0 under the oracle's FILTER aggregate — align on 0.
+      val cols = $"user_id" +: types.flatMap(t => Seq(
+        coalesce(col(s"${t}_n"), lit(0L)).as(s"${t}_n"),
+        col(s"${t}_sum_value")))
+      pivoted.select(cols: _*)
+    },
+
     // H3: top-k users by total value (total-order ranked). The top 20
     // are taken with orderBy+limit — TakeOrderedAndProject keeps a
     // bounded heap per partition and never globally sorts — and only
@@ -130,6 +169,24 @@ object EventsPack extends QueryPack {
          |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purchases,
          | CAST(SUM(CASE WHEN last_click_us IS NOT NULL AND ts_us - last_click_us <= $FUNNEL_WINDOW_US THEN 1 ELSE 0 END) AS BIGINT) AS n_attributed
          |FROM marked WHERE event_type = 'purchase' GROUP BY user_id""".stripMargin,
+    "e_retention" ->
+      """WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |cohorts AS (SELECT user_id, MIN(day) AS cohort_day FROM days GROUP BY 1)
+        |SELECT strftime(c.cohort_day, '%Y-%m-%d') AS cohort_day,
+        | CAST(d.day - c.cohort_day AS BIGINT) AS day_offset,
+        | CAST(COUNT(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM days d JOIN cohorts c USING (user_id)
+        |GROUP BY c.cohort_day, d.day - c.cohort_day""".stripMargin,
+    "e_pivot" -> {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val cols = types.flatMap(t => Seq(
+        s"CAST(COUNT(*) FILTER (event_type = '$t') AS BIGINT) AS ${t}_n",
+        s"CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))) FILTER (event_type = '$t'), 2) AS DOUBLE) AS ${t}_sum_value"))
+        .mkString(",\n ")
+      s"""SELECT user_id,
+         | $cols
+         |FROM events GROUP BY user_id""".stripMargin
+    },
     "e_topk" ->
       """SELECT rank, user_id, total_value, n_events FROM (
         | SELECT user_id,

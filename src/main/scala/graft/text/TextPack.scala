@@ -40,6 +40,13 @@ object TextPack extends QueryPack {
   /** Corpus balancing: per-language quota. */
   private val BALANCE_QUOTA = 50
 
+  /** Repetition flags (Gopher-style filter thresholds, set at the
+    * ~80-90th percentile of this corpus): a doc is repetitive when its
+    * most frequent word/bigram dominates or its vocabulary collapses. */
+  private val REP_TOP_WORD = 0.12
+  private val REP_TOP_BIGRAM = 0.05
+  private val REP_MIN_DISTINCT = 0.4
+
   /** Corpus-mixing weights by source: >1 upsamples (emit ⌊w⌋ or ⌈w⌉
     * copies), <1 downsamples (keep with probability w). Sources not
     * listed get [[MIX_DEFAULT]]. */
@@ -227,6 +234,41 @@ object TextPack extends QueryPack {
           explode(sequence(lit(1L), $"n_copies")).as("rep"))
     },
 
+    // F10: repetition signals — the Gopher-style repetition filters
+    // (duplicated-vocabulary ratio, most-frequent-word share,
+    // most-frequent-bigram share). Scale shape: one explode + two
+    // partial-aggregable groupBys per signal family; per-doc state is
+    // a handful of counters however long the document is — no
+    // collect_list of tokens, no per-doc sort.
+    "t_repetition" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"doc_id", split(TextOps.norm($"text"), " ").as("w"))
+      val wordStats = base
+        .select($"doc_id", explode($"w").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_toks"), count(lit(1)).as("n_distinct"),
+          max($"c").as("top_word_c"))
+      val bigramStats = base
+        .filter(size($"w") >= 2)
+        // w[i] is 0-based in Spark; the oracle's string_split list is
+        // 1-based — both enumerate (w1 w2), (w2 w3), ...
+        .select($"doc_id",
+          explode(expr("transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i]))")).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_bigrams"), max($"c").as("top_bigram_c"))
+      wordStats.join(bigramStats, Seq("doc_id"), "left")
+        .withColumn("distinct_ratio", $"n_distinct".cast("double") / $"n_toks".cast("double"))
+        .withColumn("top_word_frac", $"top_word_c".cast("double") / $"n_toks".cast("double"))
+        .withColumn("top_bigram_frac",
+          coalesce($"top_bigram_c".cast("double") / $"n_bigrams".cast("double"), lit(0.0)))
+        .select($"doc_id", $"n_toks", $"distinct_ratio", $"top_word_frac", $"top_bigram_frac",
+          ($"top_word_frac" > REP_TOP_WORD || $"top_bigram_frac" > REP_TOP_BIGRAM ||
+            $"distinct_ratio" < REP_MIN_DISTINCT).as("repetitive"))
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -359,6 +401,29 @@ object TextPack extends QueryPack {
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) AS contamination,
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) >= $CONTAM_THRESHOLD AS contaminated
            |FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+      "t_repetition" ->
+        s"""WITH base AS (SELECT doc_id, $nrmSql AS nrm FROM documents),
+           |toks AS (SELECT doc_id, UNNEST(string_split(nrm, ' ')) AS tok FROM base),
+           |wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+           |ws AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_toks,
+           |        CAST(COUNT(*) AS BIGINT) AS n_distinct, MAX(c) AS top_word_c
+           |       FROM wc GROUP BY 1),
+           |bgx AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           |        FROM (SELECT doc_id, string_split(nrm, ' ') AS w FROM base),
+           |         UNNEST(range(1, len(w))) t(i)
+           |        WHERE len(w) >= 2),
+           |bc AS (SELECT doc_id, bg, COUNT(*) AS c FROM bgx GROUP BY 1, 2),
+           |bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS top_bigram_c FROM bc GROUP BY 1),
+           |r AS (
+           | SELECT ws.doc_id, ws.n_toks,
+           |  CAST(n_distinct AS DOUBLE) / CAST(n_toks AS DOUBLE) AS distinct_ratio,
+           |  CAST(top_word_c AS DOUBLE) / CAST(n_toks AS DOUBLE) AS top_word_frac,
+           |  COALESCE(CAST(top_bigram_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE), 0.0) AS top_bigram_frac
+           | FROM ws LEFT JOIN bs ON bs.doc_id = ws.doc_id)
+           |SELECT doc_id, n_toks, distinct_ratio, top_word_frac, top_bigram_frac,
+           | (top_word_frac > $REP_TOP_WORD OR top_bigram_frac > $REP_TOP_BIGRAM
+           |  OR distinct_ratio < $REP_MIN_DISTINCT) AS repetitive
+           |FROM r""".stripMargin,
       "t_fingerprint" ->
         s"""WITH base AS (
            | SELECT doc_id, nrm FROM (SELECT doc_id, $nrmSql AS nrm FROM documents)

@@ -15,8 +15,11 @@ class PlanShapeSpec extends SparkSpec {
     * or non-equi join: BroadcastNestedLoopJoin is the intended
     * operator there (tiny query set × corpus for the kNN pair;
     * okey-bounded pairwise a.okey < b.okey self-join for GED — the
-    * reference's surface is all-pairs over a bounded set). */
-  private val deliberateCross = Set("s_knn_brute", "s_knn_ivf", "g_ged_pairs")
+    * reference's surface is all-pairs over a bounded set; bounded
+    * seed-centroid / codebook broadcasts for the semantic-dedup and
+    * PQ encodes). */
+  private val deliberateCross =
+    Set("s_knn_brute", "s_knn_ivf", "g_ged_pairs", "d_semantic", "s_knn_pq")
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
