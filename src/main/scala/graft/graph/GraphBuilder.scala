@@ -68,4 +68,22 @@ object GraphBuilder {
   /** Part edit-graph as a plain (src, dst) edge list. */
   def partEdges(s: SparkSession, d: String): DataFrame =
     partEdgeDeltas(s, d).select("src", "dst")
+
+  /** Widened part edit-graph: same brand, size differing by 1 OR 2
+    * (a two-rule edit neighborhood — the substitution analog next to
+    * partEdges' deletion analog). Interior parts of a brand's size
+    * range reach up to 4 neighbors, which gives the graph genuine
+    * core structure for [[KCore]]. Each size offset stays an
+    * EQUI-join on (brand, size + δ) — union of two equi-joins, no
+    * range join. */
+  def partEdgesWide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
+    val b = p.select($"p_partkey".as("dst"), $"p_brand".as("brand_b"), $"p_size".as("size_b"))
+    val up = Seq(1, 2).map { delta =>
+      p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + delta)
+        .select($"p_partkey".as("src"), $"dst")
+    }.reduce(_ union _)
+    up.union(up.select($"dst".as("src"), $"src".as("dst")))
+  }
 }

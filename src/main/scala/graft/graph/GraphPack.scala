@@ -148,6 +148,15 @@ object GraphPack extends QueryPack {
       Bfs.bfsBounded(edges, seeds)
     },
 
+    // A12: k-core decomposition by iterative peeling over the widened
+    // part edit-graph (the dense-neighborhood analytics companion to
+    // A7's components — "which entities sit in a cohesive cluster"
+    // vs "which entities are connected at all"). See KCore.scala for
+    // the round shape; k=5 cascades ~10 rounds at sf0.01.
+    "g_kcore" -> { (s, d) =>
+      KCore.run(s, GraphBuilder.partEdgesWide(s, d), KCORE_K)
+    },
+
     // A11: neighborhood feature aggregation — per-node degree, mean
     // 1-hop neighbor degree, and distinct 2-hop reach (GNN-style
     // feature generation). Each hop is ONE equi-join + groupBy on the
@@ -173,7 +182,39 @@ object GraphPack extends QueryPack {
     },
   )
 
+  /** Unrolled k-core peeling oracle: alive sets a1..aN with the
+    * HAVING-degree filter per round; extra rounds past the fixpoint
+    * are no-ops, so the unroll just needs margin over the measured
+    * peeling depth (10 rounds at sf0.01 for k=5; the Spark side
+    * iterates to the true fixpoint regardless). */
+  private def kcoreSql(k: Int, rounds: Int): String = {
+    // AS MATERIALIZED: each a{r} is referenced twice by a{r+1} and
+    // wedges by every round — inlining would re-scan the parquet per
+    // reference (exponentially).
+    val steps = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (
+         | SELECT e.src AS node FROM wedges e
+         |  JOIN a${r - 1} x ON x.node = e.src JOIN a${r - 1} y ON y.node = e.dst
+         | GROUP BY e.src HAVING COUNT(*) >= $k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH wup AS (
+       | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst
+       | FROM part a JOIN part b ON a.p_brand = b.p_brand
+       |  AND (b.p_size = a.p_size + 1 OR b.p_size = a.p_size + 2)),
+       |wedges AS MATERIALIZED (SELECT src, dst FROM wup UNION ALL SELECT dst, src FROM wup),
+       |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM wedges),
+       |$steps
+       |SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+       |FROM wedges e
+       | JOIN a$rounds x ON x.node = e.src JOIN a$rounds y ON y.node = e.dst
+       |GROUP BY e.src""".stripMargin
+  }
+
+  private val KCORE_K = 5
+  private val KCORE_UNROLL = 13
+
   override def oracles: Map[String, String] = Map(
+    "g_kcore" -> kcoreSql(KCORE_K, KCORE_UNROLL),
     "g_edges_build" ->
       s"""WITH $tradeEdgesSql
          |SELECT src, dst FROM edges""".stripMargin,

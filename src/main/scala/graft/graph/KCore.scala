@@ -1,0 +1,49 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by iterative peeling: repeatedly drop every
+  * vertex whose degree (within the surviving subgraph) is below k
+  * until the edge set is stable; return each core vertex with its
+  * in-core degree.
+  *
+  * Scale shape: each round is one partial-aggregable degree count
+  * plus two left-semi joins against the alive set (AQE broadcasts it
+  * once peeling has shrunk it) — the same join-per-round pattern as
+  * the frontier BFS. The edge set is localCheckpointed every round,
+  * so lineage stays one round deep however many rounds the cascade
+  * takes, and the convergence probe rides the same count that
+  * materializes the checkpoint. Rounds are bounded by the peeling
+  * depth of the graph (≤ the longest degeneracy cascade), not by the
+  * vertex count; every round strictly shrinks the edge set or
+  * terminates.
+  */
+object KCore {
+
+  def run(s: SparkSession, edges0: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
+    import s.implicits._
+    var edges = edges0
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .localCheckpoint()
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
+        .filter($"deg" >= k)
+        .select($"src".as("node"))
+      val pruned = edges
+        .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .select($"src", $"dst")
+        .localCheckpoint()
+      val n2 = pruned.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      edges = pruned
+      iter += 1
+    }
+    edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_degree"))
+  }
+}

@@ -25,6 +25,12 @@ final case class FeatureRow(doc_id: Long, n_bytes: Long, features: Seq[Float])
   */
 object MultimodalPack extends QueryPack {
 
+  /** G3 frame sampling: fixed-size frames, every STRIDE-th sampled. */
+  private val FRAME_BYTES = 32
+  private val FRAME_STRIDE = 4
+  /** G4 resize: pool the 16-bin feature map down to 4 coarse bins. */
+  private val POOL = 4
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1: opaque binary payload + typed metadata extraction, all
     // columnar (codegen'd) — length, magic prefix, checksum.
@@ -36,6 +42,50 @@ object MultimodalPack extends QueryPack {
           length($"payload").cast("long").as("n_bytes"),
           lower(hex(substring($"payload", 1, 4))).as("magic_hex"),
           md5($"payload").as("checksum"))
+    },
+
+    // G3: frame sampling — the video-column plumbing. The payload is
+    // treated as a stream of fixed-size frames; every STRIDE-th
+    // complete frame is sampled with its checksum. The explode is
+    // bounded by payload size / (FRAME_BYTES·STRIDE), all codegen'd
+    // byte slicing, no shuffle at any scale — exactly the shape a
+    // real frame-sampler (keyframe extraction, thumbnail pull) runs
+    // in, with the codec swapped in for the substring.
+    "m_frames" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("payload", $"text".cast("binary"))
+        .withColumn("n_frames",
+          expr(s"CAST(floor(length(payload) / $FRAME_BYTES) AS BIGINT)"))
+        .filter($"n_frames" >= 1)
+        .select($"doc_id", $"n_frames",
+          explode(expr(s"sequence(1L, n_frames, $FRAME_STRIDE)")).as("frame_idx"),
+          $"payload")
+        .select($"doc_id", $"n_frames", $"frame_idx",
+          md5(expr(
+            s"substring(payload, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)"))
+            .as("frame_checksum"))
+    },
+
+    // G4: resize — pool the 16-bin feature map to POOL coarse bins
+    // (the downscale step of an image pipeline, applied to the stub
+    // decoder's feature space). Pure row-local map work; pooled
+    // masses follow the quantization contract so both engines emit
+    // identical doubles.
+    "m_resize" -> { (s, d) =>
+      import s.implicits._
+      val width = Decode.DIM / POOL
+      val pooled = (0 until POOL).map { j =>
+        round(
+          aggregate(
+            slice($"features", j * width + 1, width), lit(0L),
+            (acc, x) => acc + floor(x.cast("double") * lit(1e12) + lit(0.5)))
+            .cast("double") / lit(1e12),
+          6).as(s"b$j")
+      }
+      featureVectors(s, d)
+        .filter($"n_bytes" >= 1)
+        .select(($"doc_id" +: lit(POOL).cast("long").as("dim") +: pooled): _*)
     },
 
     // G2: batched decode / feature-extraction plumbing with the
@@ -90,6 +140,35 @@ object MultimodalPack extends QueryPack {
         | lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
         | md5(text) AS checksum
         |FROM documents""".stripMargin,
+    // ASCII corpus (spec-checked) ⇒ substr over characters IS the
+    // byte slicing the Spark side does on the binary payload.
+    "m_frames" ->
+      s"""WITH base AS (
+         | SELECT doc_id, text,
+         |  CAST(floor(octet_length(encode(text)) / $FRAME_BYTES) AS BIGINT) AS n_frames
+         | FROM documents)
+         |SELECT doc_id, n_frames, CAST(i AS BIGINT) AS frame_idx,
+         | md5(substr(text, CAST((i - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)) AS frame_checksum
+         |FROM base, UNNEST(range(1, n_frames + 1, $FRAME_STRIDE)) t(i)
+         |WHERE n_frames >= 1""".stripMargin,
+    "m_resize" -> {
+      val width = Decode.DIM / POOL
+      val cols = (0 until POOL).map { j =>
+        s"round(CAST(COALESCE(SUM(CAST(floor(f * 1e12 + 0.5) AS BIGINT)) FILTER (bin // $width = $j), 0) AS DOUBLE) / 1e12, 6) AS b$j"
+      }.mkString(",\n ")
+      s"""WITH chars AS (
+         |  SELECT doc_id, length(text) AS n,
+         |         ascii(substr(text, CAST(i AS INT), 1)) % 16 AS bin
+         |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+         |), hist AS (
+         |  SELECT doc_id, n, bin,
+         |         CAST(CAST(count(*) AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS f
+         |  FROM chars GROUP BY 1, 2, 3
+         |)
+         |SELECT doc_id, CAST($POOL AS BIGINT) AS dim,
+         | $cols
+         |FROM hist GROUP BY doc_id""".stripMargin
+    },
     // The corpus is pure ASCII (spec-checked), so the byte histogram
     // is expressible over characters; ::FLOAT emulates the decoder's
     // IEEE-single division bit-exactly before the double round.

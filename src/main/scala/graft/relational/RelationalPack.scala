@@ -169,6 +169,17 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
     },
 
+    // C14: cube aggregation — all four grouping sets of the flag/status
+    // pair in ONE scan (Catalyst expands the cube into a single
+    // Expand + hash aggregate; the partial aggregate still combines
+    // map-side for every grouping set).
+    "q_cube" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .cube($"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+    },
+
     // C10: sketch aggregations — HLL++ approximate distinct counts and
     // Greenwald-Khanna approximate quantiles per nation. At warehouse
     // scale these replace exact DISTINCT / exact percentiles (whose
@@ -306,6 +317,10 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
     "q_asof" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click')

@@ -269,6 +269,32 @@ object TextPack extends QueryPack {
             $"distinct_ratio" < REP_MIN_DISTINCT).as("repetitive"))
     },
 
+    // F11: TF-IDF keyword extraction — top-3 terms per document by
+    // tf × (N / df), with a RATIONAL idf (tf·N exact in long, one
+    // IEEE double division) instead of a log so both engines emit
+    // bit-identical scores. Scale shape: tf and df are two
+    // partial-aggregable groupBys; the df join shuffles on the term
+    // key (vocabulary-scaled, not corpus-scaled); the corpus count is
+    // a one-row broadcast; per-doc ranking windows are bounded by
+    // document vocabulary.
+    "t_tfidf" -> { (s, d) =>
+      import s.implicits._
+      val toks = Tables.documents(s, d)
+        .select($"doc_id", explode(split(TextOps.norm($"text"), " ")).as("term"))
+      val tf = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val ndocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+      tf.join(dfreq, "term")
+        .crossJoin(broadcast(ndocs))
+        .withColumn("score",
+          ($"tf" * $"n_docs").cast("double") / $"df".cast("double"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= 3)
+        .select($"doc_id", $"rank", $"term", $"score")
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -401,6 +427,21 @@ object TextPack extends QueryPack {
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) AS contamination,
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) >= $CONTAM_THRESHOLD AS contaminated
            |FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+      "t_tfidf" ->
+        s"""WITH toks AS (
+           | SELECT doc_id, UNNEST(string_split($nrmSql, ' ')) AS term FROM documents),
+           |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+           |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+           |nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+           |scored AS (
+           | SELECT t.doc_id, t.term,
+           |  CAST(t.tf * nd.n_docs AS DOUBLE) / CAST(f.df AS DOUBLE) AS score
+           | FROM tf t JOIN dfreq f USING (term), nd),
+           |ranked AS (
+           | SELECT doc_id, term, score,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
+           | FROM scored)
+           |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3""".stripMargin,
       "t_repetition" ->
         s"""WITH base AS (SELECT doc_id, $nrmSql AS nrm FROM documents),
            |toks AS (SELECT doc_id, UNNEST(string_split(nrm, ' ')) AS tok FROM base),

@@ -19,7 +19,8 @@ class PlanShapeSpec extends SparkSpec {
     * seed-centroid / codebook broadcasts for the semantic-dedup and
     * PQ encodes). */
   private val deliberateCross =
-    Set("s_knn_brute", "s_knn_ivf", "g_ged_pairs", "d_semantic", "s_knn_pq")
+    Set("s_knn_brute", "s_knn_ivf", "g_ged_pairs", "d_semantic", "s_knn_pq",
+      "t_tfidf") // one-row corpus-count broadcast
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -1,0 +1,49 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** A12 k-core peeling: hand-computed examples + the sf0.001 cascade. */
+class KCoreSpec extends SparkSpec {
+
+  private def edgesOf(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    val up = pairs.toDF("src", "dst")
+    up.union(up.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  test("2-core of a triangle with a pendant chain keeps exactly the triangle") {
+    // 1-2-3 triangle; chain 3-4-5 hangs off it. Peeling k=2 removes 5
+    // (deg 1), then 4 (deg 1 after 5 left) — a 2-round cascade.
+    val e = edgesOf((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
+    val core = KCore.run(spark, e, k = 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+  }
+
+  test("2-core of a pure path is empty (full cascade)") {
+    val e = edgesOf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
+    assert(KCore.run(spark, e, k = 2).count() === 0)
+  }
+
+  test("k-core of a clique is the whole clique at k = n-1") {
+    val nodes = (1L to 5L)
+    val pairs = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val core = KCore.run(spark, edgesOf(pairs.toSeq: _*), k = 4)
+    assert(core.count() === 5)
+    assert(core.filter(col("core_degree") =!= 4L).count() === 0)
+  }
+
+  test("core degrees never fall below k and the core is an induced-subgraph fixpoint") {
+    val core = KCore.run(spark, GraphBuilder.partEdgesWide(spark, sfDir), k = 2).cache()
+    assert(core.filter(col("core_degree") < 2L).count() === 0)
+    // re-peeling the core's induced subgraph changes nothing
+    val coreNodes = core.select(col("node"))
+    val induced = GraphBuilder.partEdgesWide(spark, sfDir)
+      .join(coreNodes.select(col("node").as("src")), Seq("src"), "left_semi")
+      .join(coreNodes.select(col("node").as("dst")), Seq("dst"), "left_semi")
+    val again = KCore.run(spark, induced, k = 2)
+    assert(again.exceptAll(core).count() === 0)
+    assert(core.exceptAll(again).count() === 0)
+  }
+}
