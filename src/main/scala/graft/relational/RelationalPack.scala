@@ -180,6 +180,26 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
     },
 
+    // C15: heavy-hitters sketch — the mergeable Misra-Gries summary
+    // ([[graft.functions.HeavyHitters]]) over the lineitem part-key
+    // stream, top 10 by guaranteed-lower-bound count. The exact
+    // formulation shuffles one row per distinct key; the sketch
+    // shuffles `capacity` constant-size counters per partition at ANY
+    // key cardinality. Estimates depend on stream order (like every
+    // MG summary), so the oracle is rows-only; the frequency
+    // guarantee (est ≤ true ≤ est + max_err; no false negatives
+    // above n/capacity) is asserted in HeavyHittersSpec.
+    "q_heavy_hitters" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      Tables.lineitem(s, d)
+        .agg(graft.functions.GraftFunctions.heavyHitters($"l_partkey".cast("long"), 256).as("hh"))
+        .select(posexplode($"hh").as(Seq("pos", "h")))
+        .filter($"pos" < 10)
+        .select(($"pos" + 1).cast("long").as("rank"), $"h.item".as("l_partkey"),
+          $"h.est".as("est_count"), $"h.max_err".as("max_err"))
+    },
+
     // C10: sketch aggregations — HLL++ approximate distinct counts and
     // Greenwald-Khanna approximate quantiles per nation. At warehouse
     // scale these replace exact DISTINCT / exact percentiles (whose
