@@ -217,29 +217,7 @@ object DedupPack extends QueryPack {
     // dimension table); assignment is one map-side pass producing K
     // rows per vector, reduced by a partial-aggregable max(struct) —
     // no vector-vector join anywhere, so cost is O(nK), not O(n²).
-    "d_semantic" -> { (s, d) =>
-      import s.implicits._
-      import graft.similarity.VectorOps
-      graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
-      val cents = e.filter($"vec_id" < SEM_K)
-        .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
-      val sims = e.select($"vec_id", $"embedding", $"nrm")
-        .crossJoin(broadcast(cents))
-        .withColumn("sim", VectorOps.dotDecFast($"embedding", $"ce") / ($"nrm" * $"cn"))
-      // argmax centroid: max sim, tie → min cid (struct ordering on
-      // (sim, -cid) — both engines compute bit-identical sims).
-      val assigned = sims.groupBy($"vec_id")
-        .agg(max(struct($"sim", (-$"cid").as("ncid"))).as("m"))
-        .select($"vec_id", (-$"m.ncid").as("cluster_id"), $"m.sim".as("centroid_sim"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy($"cluster_id", $"dup").orderBy($"vec_id".asc)
-      assigned
-        .withColumn("dup", $"centroid_sim" >= SEM_TAU)
-        .withColumn("rn", row_number().over(w))
-        .select($"vec_id", $"cluster_id", $"centroid_sim",
-          (!$"dup" || $"rn" === 1).as("is_kept"))
-    },
+    "d_semantic" -> { (s, d) => semanticScreen(s, d) },
 
     // D5: embedding-cosine near-dup pairs via deterministic
     // random-hyperplane LSH banding.
@@ -264,6 +242,56 @@ object DedupPack extends QueryPack {
         .select($"a".as("vec_a"), $"b".as("vec_b"), $"cosine")
     },
   )
+
+  /** D7's implementation, shared with the composed embedding pipeline
+    * (`s_pipeline` in the similarity pack): per-vector nearest-seed-
+    * centroid assignment + per-cluster survivor window. Returns
+    * (vec_id, cluster_id, centroid_sim, is_kept). */
+  def semanticScreen(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    import graft.similarity.VectorOps
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+    val cents = e.filter($"vec_id" < SEM_K)
+      .select($"vec_id".as("cid"), $"embedding".as("ce"), $"nrm".as("cn"))
+    val sims = e.select($"vec_id", $"embedding", $"nrm")
+      .crossJoin(broadcast(cents))
+      .withColumn("sim", VectorOps.dotDecFast($"embedding", $"ce") / ($"nrm" * $"cn"))
+    // argmax centroid: max sim, tie → min cid (struct ordering on
+    // (sim, -cid) — both engines compute bit-identical sims).
+    val assigned = sims.groupBy($"vec_id")
+      .agg(max(struct($"sim", (-$"cid").as("ncid"))).as("m"))
+      .select($"vec_id", (-$"m.ncid").as("cluster_id"), $"m.sim".as("centroid_sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"cluster_id", $"dup").orderBy($"vec_id".asc)
+    assigned
+      .withColumn("dup", $"centroid_sim" >= SEM_TAU)
+      .withColumn("rn", row_number().over(w))
+      .select($"vec_id", $"cluster_id", $"centroid_sim",
+        (!$"dup" || $"rn" === 1).as("is_kept"))
+  }
+
+  /** D7's oracle CTE chain ending in
+    * `flagged(vec_id, cluster_id, centroid_sim, dup, rn)` — shared
+    * with the `s_pipeline` oracle. */
+  val semanticSqlCtes: String =
+    s"""sdims AS (
+       | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+       |snrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS n FROM sdims GROUP BY vec_id),
+       |ssims AS (
+       | SELECT v.vec_id, c.vec_id AS cid,
+       |  CAST(SUM(CAST(floor(v.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / (nv.n * nc.n) AS sim
+       | FROM sdims v JOIN sdims c ON c.i = v.i AND c.vec_id < $SEM_K
+       |  JOIN snrm nv ON nv.vec_id = v.vec_id JOIN snrm nc ON nc.vec_id = c.vec_id
+       | GROUP BY v.vec_id, c.vec_id, nv.n, nc.n),
+       |sasg AS (
+       | SELECT vec_id, cid AS cluster_id, sim AS centroid_sim FROM ssims
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1),
+       |flagged AS (
+       | SELECT *, centroid_sim >= $SEM_TAU AS dup,
+       |  ROW_NUMBER() OVER (PARTITION BY cluster_id, centroid_sim >= $SEM_TAU ORDER BY vec_id ASC) AS rn
+       | FROM sasg)""".stripMargin
 
   /** Shared oracle CTE: distinct 3-word shingles per doc (1-based,
     * mirroring [[TextOps.shingles3]]). */
@@ -346,23 +374,7 @@ object DedupPack extends QueryPack {
          |FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
          |WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= $NGRAM_MIN_JACCARD""".stripMargin,
     "d_semantic" ->
-      s"""WITH dims AS (
-         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-         | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
-         |nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS n FROM dims GROUP BY vec_id),
-         |sims AS (
-         | SELECT v.vec_id, c.vec_id AS cid,
-         |  CAST(SUM(CAST(floor(v.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 / (nv.n * nc.n) AS sim
-         | FROM dims v JOIN dims c ON c.i = v.i AND c.vec_id < $SEM_K
-         |  JOIN nrm nv ON nv.vec_id = v.vec_id JOIN nrm nc ON nc.vec_id = c.vec_id
-         | GROUP BY v.vec_id, c.vec_id, nv.n, nc.n),
-         |asg AS (
-         | SELECT vec_id, cid AS cluster_id, sim AS centroid_sim FROM sims
-         | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY sim DESC, cid ASC) = 1),
-         |flagged AS (
-         | SELECT *, centroid_sim >= $SEM_TAU AS dup,
-         |  ROW_NUMBER() OVER (PARTITION BY cluster_id, centroid_sim >= $SEM_TAU ORDER BY vec_id ASC) AS rn
-         | FROM asg)
+      s"""WITH $semanticSqlCtes
          |SELECT vec_id, cluster_id, centroid_sim, (NOT dup) OR rn = 1 AS is_kept
          |FROM flagged""".stripMargin,
     "d_embed_dup" ->

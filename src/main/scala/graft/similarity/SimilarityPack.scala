@@ -156,22 +156,39 @@ object SimilarityPack extends QueryPack {
     // oracle verifies the exact codes AND their fidelity. All math is
     // engine-portable IEEE (floor(x/scale + 0.5), no locale-dependent
     // rounding).
-    "s_quantize" -> { (s, d) =>
+    "s_quantize" -> { (s, d) => quantized(Tables.embeddings(s, d)) },
+
+    // E6: composed embedding pipeline — semantic-dedup survivors
+    // (D7's linear screen) flowing straight into int8 quantization as
+    // ONE DataFrame plan (the embedding-side twin of t_pipeline:
+    // dedup → transform → serving artifact). The join is an equi-join
+    // on vec_id; everything downstream is row-local map work, so the
+    // composition adds no shuffle beyond D7's own two.
+    "s_pipeline" -> { (s, d) =>
       import s.implicits._
-      Tables.embeddings(s, d)
-        .withColumn("m", expr(
-          "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"))
-        .withColumn("scale", when($"m" === 0.0, lit(1.0)).otherwise($"m" / 127.0))
-        .withColumn("q", expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT))"))
-        .select($"vec_id", $"scale",
-          md5(expr("array_join(q, ',')").cast("binary")).as("q_checksum"),
-          expr("""aggregate(
-                 |  zip_with(q, embedding, (qi, x) -> abs(qi * scale - CAST(x AS DOUBLE))),
-                 |  CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))""".stripMargin)
-            .as("max_abs_err"))
+      val kept = graft.dedup.DedupPack.semanticScreen(s, d)
+        .filter($"is_kept")
+        .select($"vec_id", $"cluster_id")
+      quantized(Tables.embeddings(s, d).join(kept, "vec_id"))
+        .join(kept, "vec_id")
+        .select($"vec_id", $"cluster_id", $"scale", $"q_checksum", $"max_abs_err")
     },
   )
+
+  /** E4's quantization as a reusable transform over any
+    * (vec_id, embedding) frame — row-local, engine-portable IEEE. */
+  private def quantized(e: DataFrame): DataFrame =
+    e.withColumn("m", expr(
+        "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"))
+      .withColumn("scale", when(col("m") === 0.0, lit(1.0)).otherwise(col("m") / 127.0))
+      .withColumn("q", expr(
+        "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT))"))
+      .select(col("vec_id"), col("scale"),
+        md5(expr("array_join(q, ',')").cast("binary")).as("q_checksum"),
+        expr("""aggregate(
+               |  zip_with(q, embedding, (qi, x) -> abs(qi * scale - CAST(x AS DOUBLE))),
+               |  CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))""".stripMargin)
+          .as("max_abs_err"))
 
   /** IVF top-k over an embeddings DF (`vec_id`, `embedding`):
     * queries are vec_id < nQueries, centroids the deterministic first
@@ -303,6 +320,23 @@ object SimilarityPack extends QueryPack {
          | FROM adc)
          |SELECT q_id, rank, n_id, CAST(dist AS DOUBLE) / 1e12 AS adc_dist
          |FROM ranked WHERE rank <= $K""".stripMargin,
+    "s_pipeline" ->
+      s"""WITH ${graft.dedup.DedupPack.semanticSqlCtes},
+         |kept AS (
+         | SELECT vec_id, cluster_id FROM flagged WHERE (NOT dup) OR rn = 1),
+         |dims AS (
+         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+         |sc AS (SELECT vec_id, CASE WHEN MAX(ABS(x)) = 0 THEN 1.0 ELSE MAX(ABS(x)) / 127.0 END AS scale
+         |       FROM dims GROUP BY vec_id),
+         |q AS (SELECT d.vec_id, d.i, s.scale,
+         |       CAST(floor(d.x / s.scale + 0.5) AS BIGINT) AS qi, d.x
+         |      FROM dims d JOIN sc s ON s.vec_id = d.vec_id)
+         |SELECT q.vec_id, ANY_VALUE(k.cluster_id) AS cluster_id, ANY_VALUE(q.scale) AS scale,
+         | md5(string_agg(CAST(qi AS VARCHAR), ',' ORDER BY i)) AS q_checksum,
+         | MAX(ABS(qi * scale - x)) AS max_abs_err
+         |FROM q JOIN kept k ON k.vec_id = q.vec_id
+         |GROUP BY q.vec_id""".stripMargin,
     "s_quantize" ->
       """WITH dims AS (
         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

@@ -20,6 +20,7 @@ class PlanShapeSpec extends SparkSpec {
     * PQ encodes). */
   private val deliberateCross =
     Set("s_knn_brute", "s_knn_ivf", "g_ged_pairs", "d_semantic", "s_knn_pq",
+      "s_pipeline", // embeds d_semantic's bounded centroid broadcast
       "t_tfidf") // one-row corpus-count broadcast
 
   private def df(name: String): DataFrame = {
