@@ -114,6 +114,27 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("total_value"))
 
+  /** Streaming heavy hitters: per tumbling window, the mergeable
+    * Misra-Gries summary ([[graft.functions.HeavyHitters]]) of the
+    * user-id stream — the sketch-over-stream shape: streaming state
+    * stores the serialized constant-size summary per window (not the
+    * per-key counts an exact top-k would keep), and the aggregate's
+    * associative merge is exactly what the incremental engine applies
+    * between micro-batches. Append mode emits a window's summary once
+    * the watermark closes it. */
+  def windowedHeavyHitters(events: DataFrame, capacity: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "300 seconds"))
+      .agg(graft.functions.GraftFunctions.heavyHitters(col("user_id"), capacity).as("hh"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        posexplode(col("hh")).as(Seq("pos", "h")))
+      .select(col("window_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("h.item").as("user_id"), col("h.est").as("est_count"),
+        col("h.max_err").as("max_err"))
+  }
+
   /** Stream-stream inner join: attribute each `purchase` to the
     * `click`s by the same user in the preceding `windowMinutes`.
     * Both sides carry watermarks and the join has a two-sided event-

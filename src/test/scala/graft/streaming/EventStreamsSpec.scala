@@ -125,6 +125,33 @@ class EventStreamsSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("windowedHeavyHitters merges the sketch across micro-batches per window") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedHeavyHitters(in.toDF(), capacity = 16)
+      .writeStream.format("memory").queryName("hh_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [00:00, 00:05): user 7 × 3 and user 8 × 1 in batch one...
+      in.addData(ev(1, 0, user = 7L), ev(2, 1, user = 7L), ev(3, 2, user = 8L),
+        ev(4, 3, user = 7L))
+      q.processAllAvailable()
+      // ...then user 8 × 2 more in a second batch of the SAME window —
+      // the final summary must reflect both batches' counts.
+      in.addData(ev(5, 4, user = 8L), ev(6, 4, user = 8L))
+      q.processAllAvailable()
+      in.addData(ev(9, 60, user = 1L)) // advance the watermark, close the window
+      q.processAllAvailable()
+      val rows = spark.table("hh_out")
+        .filter($"window_start" === "2024-01-01 00:00:00")
+        .select("rank", "user_id", "est_count", "max_err")
+        .as[(Long, Long, Long, Long)].collect().toSet
+      // capacity 16 > 2 distinct users -> exact counts, zero error
+      assert(rows === Set((1L, 7L, 3L, 0L), (2L, 8L, 3L, 0L)))
+    } finally q.stop()
+  }
+
   test("clickAttribution joins purchases to preceding clicks within the window") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
