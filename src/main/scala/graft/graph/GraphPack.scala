@@ -157,6 +157,30 @@ object GraphPack extends QueryPack {
       KCore.run(s, GraphBuilder.partEdgesWide(s, d), KCORE_K)
     },
 
+    // A13: node similarity — Jaccard over neighbor sets, computed by
+    // the WEDGE join (two co-partitioned equi-joins on the shared
+    // middle vertex) instead of comparing neighbor lists pairwise:
+    // only node pairs with ≥ 1 common neighbor ever materialize, and
+    // the common-neighbor count is a partial-aggregable groupBy. The
+    // graph-db "similar entities" primitive (link prediction,
+    // entity resolution), sharing its blocking idea with D4's
+    // rare-shingle join.
+    "g_jaccard_nodes" -> { (s, d) =>
+      import s.implicits._
+      val e = GraphBuilder.partEdgesWide(s, d)
+      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val wedges = e.select($"src".as("mid"), $"dst".as("a"))
+        .join(e.select($"src".as("mid"), $"dst".as("b")), "mid")
+        .filter($"a" < $"b")
+        .groupBy($"a", $"b").agg(count(lit(1)).as("n_common"))
+      wedges
+        .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
+        .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
+        .withColumn("jaccard",
+          $"n_common".cast("double") / ($"da" + $"db" - $"n_common").cast("double"))
+        .select($"a".as("node_a"), $"b".as("node_b"), $"n_common", $"jaccard")
+    },
+
     // A11: neighborhood feature aggregation — per-node degree, mean
     // 1-hop neighbor degree, and distinct 2-hop reach (GNN-style
     // feature generation). Each hop is ONE equi-join + groupBy on the
@@ -197,11 +221,7 @@ object GraphPack extends QueryPack {
          |  JOIN a${r - 1} x ON x.node = e.src JOIN a${r - 1} y ON y.node = e.dst
          | GROUP BY e.src HAVING COUNT(*) >= $k)""".stripMargin
     }.mkString(",\n")
-    s"""WITH wup AS (
-       | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst
-       | FROM part a JOIN part b ON a.p_brand = b.p_brand
-       |  AND (b.p_size = a.p_size + 1 OR b.p_size = a.p_size + 2)),
-       |wedges AS MATERIALIZED (SELECT src, dst FROM wup UNION ALL SELECT dst, src FROM wup),
+    s"""WITH $wideEdgesSql,
        |a0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM wedges),
        |$steps
        |SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
@@ -213,8 +233,26 @@ object GraphPack extends QueryPack {
   private val KCORE_K = 5
   private val KCORE_UNROLL = 13
 
+  /** Widened part edit-graph derivation shared by the k-core and
+    * node-similarity oracles. */
+  private val wideEdgesSql =
+    """wup AS (
+      | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst
+      | FROM part a JOIN part b ON a.p_brand = b.p_brand
+      |  AND (b.p_size = a.p_size + 1 OR b.p_size = a.p_size + 2)),
+      |wedges AS MATERIALIZED (SELECT src, dst FROM wup UNION ALL SELECT dst, src FROM wup)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "g_kcore" -> kcoreSql(KCORE_K, KCORE_UNROLL),
+    "g_jaccard_nodes" ->
+      s"""WITH $wideEdgesSql,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM wedges GROUP BY src),
+         |w AS (SELECT e1.dst AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+         |      FROM wedges e1 JOIN wedges e2 ON e1.src = e2.src AND e1.dst < e2.dst
+         |      GROUP BY e1.dst, e2.dst)
+         |SELECT w.a AS node_a, w.b AS node_b, w.n_common,
+         | CAST(w.n_common AS DOUBLE) / CAST(da.deg + db.deg - w.n_common AS DOUBLE) AS jaccard
+         |FROM w JOIN deg da ON da.node = w.a JOIN deg db ON db.node = w.b""".stripMargin,
     "g_edges_build" ->
       s"""WITH $tradeEdgesSql
          |SELECT src, dst FROM edges""".stripMargin,
