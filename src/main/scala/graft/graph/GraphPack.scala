@@ -167,7 +167,9 @@ object GraphPack extends QueryPack {
     // rare-shingle join.
     "g_jaccard_nodes" -> { (s, d) =>
       import s.implicits._
-      val e = GraphBuilder.partEdgesWide(s, d)
+      // referenced three times (both wedge sides + degrees): persist
+      // so the two-equi-join derivation runs once, not per reference
+      val e = GraphBuilder.partEdgesWide(s, d).persist()
       val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
       val wedges = e.select($"src".as("mid"), $"dst".as("a"))
         .join(e.select($"src".as("mid"), $"dst".as("b")), "mid")
