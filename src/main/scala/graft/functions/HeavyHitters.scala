@@ -58,29 +58,40 @@ case class HeavyHitters(
     val v = item.eval(input)
     if (v != null) {
       val x = v.asInstanceOf[Long]
-      val stored = st.counts.getOrNull(x)
-      if (stored != null) st.counts.update(x, stored.asInstanceOf[Long] + 1L)
-      else if (st.counts.size < capacity) st.counts.update(x, st.offset + 1L)
-      else {
-        // decrement-all: raise the offset, purge dead counters, and
-        // only then admit the new item if a slot opened.
-        st.offset += 1L
-        st.counts.filterInPlace((_, c) => c > st.offset)
-        if (st.counts.size < capacity) st.counts.update(x, st.offset + 1L)
+      // NOTE: counts is a primitive-valued LongMap — getOrNull would
+      // unbox a missing key to 0L, so membership must go through the
+      // Option API.
+      st.counts.get(x) match {
+        case Some(stored) => st.counts.update(x, stored + 1L)
+        case None if st.counts.size < capacity =>
+          st.counts.update(x, st.offset + 1L)
+        case None =>
+          // decrement-all: raise the offset, purge dead counters, and
+          // only then admit the new item if a slot opened.
+          st.offset += 1L
+          st.counts.filterInPlace((_, c) => c > st.offset)
+          if (st.counts.size < capacity) st.counts.update(x, st.offset + 1L)
       }
     }
     st
   }
 
   override def merge(a: HeavyHitters.State, b: HeavyHitters.State): HeavyHitters.State = {
-    // effective counts add; offsets (error bounds) add
+    // Merge in EFFECTIVE (offset-free) counts, then re-base on the
+    // summed offset: stored = (offA + offB) + effA + effB holds for
+    // items in either side (a missing side contributes eff 0), which
+    // keeps est ≤ true ≤ est + offset with the error bounds adding.
+    val offA = a.offset
+    val offB = b.offset
+    a.counts.transformValues(_ + offB) // rebase a's items to offA+offB
     b.counts.foreach { case (x, cb) =>
-      val effB = cb - b.offset
-      val stored = a.counts.getOrNull(x)
-      if (stored != null) a.counts.update(x, stored.asInstanceOf[Long] + effB)
-      else a.counts.update(x, a.offset + effB)
+      val effB = cb - offB
+      a.counts.get(x) match {
+        case Some(stored) => a.counts.update(x, stored + effB)
+        case None => a.counts.update(x, offA + cb)
+      }
     }
-    a.offset += b.offset
+    a.offset = offA + offB
     if (a.counts.size > capacity) {
       // trim to capacity: raise the offset to the (capacity+1)-th
       // largest effective count and purge what falls at or below it

@@ -229,7 +229,13 @@ object GraphPack extends QueryPack {
        |SELECT e.src AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
        |FROM wedges e
        | JOIN a$rounds x ON x.node = e.src JOIN a$rounds y ON y.node = e.dst
-       |GROUP BY e.src""".stripMargin
+       |GROUP BY e.src
+       |UNION ALL
+       |-- divergence sentinel: if the peeling cascade needs more than
+       |-- $rounds rounds at this scale, emit a poison row so the
+       |-- mismatch is attributable to the unroll margin, not the engine
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT COUNT(*) FROM a$rounds) <> (SELECT COUNT(*) FROM a${rounds - 1})""".stripMargin
   }
 
   private val KCORE_K = 5

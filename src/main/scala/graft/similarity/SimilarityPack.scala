@@ -169,26 +169,29 @@ object SimilarityPack extends QueryPack {
       val kept = graft.dedup.DedupPack.semanticScreen(s, d)
         .filter($"is_kept")
         .select($"vec_id", $"cluster_id")
-      quantized(Tables.embeddings(s, d).join(kept, "vec_id"))
-        .join(kept, "vec_id")
+      // ONE join; cluster_id rides through the quantization projection
+      // (a second join back to `kept` would re-evaluate the whole
+      // screening subtree — Spark does not share unpersisted subplans).
+      quantized(Tables.embeddings(s, d).join(kept, "vec_id"), passThrough = Seq("cluster_id"))
         .select($"vec_id", $"cluster_id", $"scale", $"q_checksum", $"max_abs_err")
     },
   )
 
   /** E4's quantization as a reusable transform over any
-    * (vec_id, embedding) frame — row-local, engine-portable IEEE. */
-  private def quantized(e: DataFrame): DataFrame =
+    * (vec_id, embedding) frame — row-local, engine-portable IEEE.
+    * `passThrough` columns are carried into the projection. */
+  private def quantized(e: DataFrame, passThrough: Seq[String] = Nil): DataFrame =
     e.withColumn("m", expr(
         "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"))
       .withColumn("scale", when(col("m") === 0.0, lit(1.0)).otherwise(col("m") / 127.0))
       .withColumn("q", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT))"))
-      .select(col("vec_id"), col("scale"),
-        md5(expr("array_join(q, ',')").cast("binary")).as("q_checksum"),
+      .select(col("vec_id") +: passThrough.map(col) :+ col("scale") :+
+        md5(expr("array_join(q, ',')").cast("binary")).as("q_checksum") :+
         expr("""aggregate(
                |  zip_with(q, embedding, (qi, x) -> abs(qi * scale - CAST(x AS DOUBLE))),
                |  CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))""".stripMargin)
-          .as("max_abs_err"))
+          .as("max_abs_err"): _*)
 
   /** IVF top-k over an embeddings DF (`vec_id`, `embedding`):
     * queries are vec_id < nQueries, centroids the deterministic first

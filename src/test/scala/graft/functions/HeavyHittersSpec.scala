@@ -36,6 +36,11 @@ class HeavyHittersSpec extends SparkSpec {
   test("frequency guarantee: est <= true <= est + max_err for every reported item") {
     for (parts <- Seq(1, 4, 13)) {
       val s = summary(weights, cap = 64, parts = parts)
+      // the summary is genuinely bounded and lossy: eviction must have
+      // fired (403 distinct keys > 64 counters), so the error bound is
+      // positive and the counter set never exceeds capacity
+      assert(s.size <= 64, s"summary exceeds capacity: ${s.size} (parts=$parts)")
+      assert(s.values.head._2 > 0L, s"no eviction happened at cap=64 (parts=$parts)")
       s.foreach { case (item, (est, err)) =>
         val truth = weights.getOrElse(item, 0L)
         assert(est <= truth, s"item $item over-estimated: est=$est true=$truth (parts=$parts)")
