@@ -47,6 +47,14 @@ object TextPack extends QueryPack {
   private val REP_TOP_BIGRAM = 0.05
   private val REP_MIN_DISTINCT = 0.4
 
+  /** Context-window chunking: window length and stride in tokens. */
+  private val CHUNK_LEN = 32
+  private val CHUNK_STRIDE = 24
+
+  /** Sequence packing: tokens per bin, shards for parallel packing. */
+  private val PACK_BUDGET = 256
+  private val PACK_SHARDS = 16
+
   /** Corpus-mixing weights by source: >1 upsamples (emit ⌊w⌋ or ⌈w⌉
     * copies), <1 downsamples (keep with probability w). Sources not
     * listed get [[MIX_DEFAULT]]. */
@@ -295,6 +303,45 @@ object TextPack extends QueryPack {
         .select($"doc_id", $"rank", $"term", $"score")
     },
 
+    // F12: context-window chunking — each document's token sequence
+    // split into overlapping windows (len 32, stride 24): the step
+    // that turns variable-length documents into model-sized training
+    // examples. Bounded explode (⌈n/stride⌉ chunks per doc) + codegen
+    // slicing, no shuffle at any scale.
+    "t_chunks" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("w", split(TextOps.norm($"text"), " "))
+        .withColumn("n_toks", size($"w").cast("long"))
+        .filter($"n_toks" >= 1)
+        .select($"doc_id", $"n_toks", $"w",
+          explode(expr(s"sequence(1L, n_toks, $CHUNK_STRIDE)")).as("start"))
+        .select($"doc_id", $"start",
+          least(lit(CHUNK_LEN.toLong), $"n_toks" - $"start" + 1L).as("n_chunk_toks"),
+          TextOps.md5s(expr(s"array_join(slice(w, CAST(start AS INT), $CHUNK_LEN), ' ')"))
+            .as("chunk_hash"))
+    },
+
+    // F13: sequence packing — concatenate documents in doc_id order
+    // and cut every PACK_BUDGET tokens (each doc starts in the bin
+    // where its offset lands; spillover continues into the next bin).
+    // Packing is SHARDED (doc_id % shards) so the running offset is a
+    // per-shard window, not a single global partition — shards pack
+    // in parallel at any scale and bins are (shard, bin) unique.
+    "t_pack" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"shard").orderBy($"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_toks", size(split(TextOps.norm($"text"), " ")).cast("long"))
+        .withColumn("shard", ($"doc_id" % PACK_SHARDS).cast("long"))
+        .withColumn("cum_before", sum($"n_toks").over(w) - $"n_toks")
+        .select($"doc_id", $"shard", $"n_toks",
+          ($"cum_before" / PACK_BUDGET).cast("long").as("bin_id"),
+          ($"cum_before" % PACK_BUDGET).as("start_offset"))
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -442,6 +489,29 @@ object TextPack extends QueryPack {
            |  CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS BIGINT) AS rank
            | FROM scored)
            |SELECT doc_id, rank, term, score FROM ranked WHERE rank <= 3""".stripMargin,
+      "t_chunks" ->
+        s"""WITH base AS (
+           | SELECT doc_id, string_split($nrmSql, ' ') AS w,
+           |  CAST(len(string_split($nrmSql, ' ')) AS BIGINT) AS n_toks
+           | FROM documents)
+           |SELECT doc_id, CAST(i AS BIGINT) AS start,
+           | CAST(least($CHUNK_LEN, n_toks - i + 1) AS BIGINT) AS n_chunk_toks,
+           | md5(array_to_string(w[i:i+${CHUNK_LEN - 1}], ' ')) AS chunk_hash
+           |FROM base, UNNEST(range(1, n_toks + 1, $CHUNK_STRIDE)) t(i)
+           |WHERE n_toks >= 1""".stripMargin,
+      "t_pack" ->
+        s"""WITH base AS (
+           | SELECT doc_id, doc_id % $PACK_SHARDS AS shard,
+           |  CAST(len(string_split($nrmSql, ' ')) AS BIGINT) AS n_toks
+           | FROM documents),
+           |cum AS (
+           | SELECT *, SUM(n_toks) OVER (PARTITION BY shard ORDER BY doc_id ASC
+           |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_toks AS cum_before
+           | FROM base)
+           |SELECT doc_id, CAST(shard AS BIGINT) AS shard, n_toks,
+           | CAST(cum_before // $PACK_BUDGET AS BIGINT) AS bin_id,
+           | CAST(cum_before % $PACK_BUDGET AS BIGINT) AS start_offset
+           |FROM cum""".stripMargin,
       "t_repetition" ->
         s"""WITH base AS (SELECT doc_id, $nrmSql AS nrm FROM documents),
            |toks AS (SELECT doc_id, UNNEST(string_split(nrm, ' ')) AS tok FROM base),
