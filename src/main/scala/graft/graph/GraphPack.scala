@@ -157,6 +157,20 @@ object GraphPack extends QueryPack {
       KCore.run(s, GraphBuilder.partEdgesWide(s, d), KCORE_K)
     },
 
+    // A14: bounded weighted shortest paths — Bellman-Ford relaxation
+    // over the part edit-graph with |price delta| edge weights (A2's
+    // edge attributes feeding path search: "cheapest chain of edits",
+    // the weighted analog of A3's expansion). Four relaxation rounds
+    // from the same seed set as g_expand; exact DECIMAL path sums.
+    "g_sssp" -> { (s, d) =>
+      import s.implicits._
+      val edges = GraphBuilder.partEdgeDeltas(s, d)
+        .select($"src", $"dst", abs($"diff_price").as("w"))
+      val seeds = Tables.part(s, d).filter($"p_partkey" % 100 === 0)
+        .select($"p_partkey".cast("long").as("node"))
+      Sssp.run(s, edges, seeds, maxHops = 4)
+    },
+
     // A13: node similarity — Jaccard over neighbor sets, computed by
     // the WEDGE join (two co-partitioned equi-joins on the shared
     // middle vertex) instead of comparing neighbor lists pairwise:
@@ -250,8 +264,34 @@ object GraphPack extends QueryPack {
       |  AND (b.p_size = a.p_size + 1 OR b.p_size = a.p_size + 2)),
       |wedges AS MATERIALIZED (SELECT src, dst FROM wup UNION ALL SELECT dst, src FROM wup)""".stripMargin
 
+  /** Unrolled bounded Bellman-Ford oracle: d0..dN distance tables,
+    * each round = min over (carry ∪ relax) — the identical relaxation
+    * [[Sssp.run]] performs, in exact DECIMAL(28,2). */
+  private def ssspSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS MATERIALIZED (
+         | SELECT node, MIN(dist) AS dist FROM (
+         |  SELECT node, dist FROM d${r - 1}
+         |  UNION ALL
+         |  SELECT e.dst, CAST(d.dist + e.w AS DECIMAL(28,2))
+         |  FROM d${r - 1} d JOIN swedges e ON e.src = d.node) t
+         | GROUP BY node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH sup AS (
+       | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst,
+       |  CAST(ABS(CAST(CAST(b.p_retailprice AS DECIMAL(18,2)) - CAST(a.p_retailprice AS DECIMAL(18,2)) AS DOUBLE)) AS DECIMAL(28,2)) AS w
+       | FROM part a JOIN part b ON a.p_brand = b.p_brand AND b.p_size = a.p_size + 1),
+       |swedges AS MATERIALIZED (SELECT src, dst, w FROM sup UNION ALL SELECT dst, src, w FROM sup),
+       |d0 AS MATERIALIZED (
+       | SELECT CAST(p_partkey AS BIGINT) AS node, CAST(0 AS DECIMAL(28,2)) AS dist
+       | FROM part WHERE p_partkey % 100 = 0),
+       |$steps
+       |SELECT node, CAST(dist AS DOUBLE) AS dist FROM d$rounds""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
     "g_kcore" -> kcoreSql(KCORE_K, KCORE_UNROLL),
+    "g_sssp" -> ssspSql(4),
     "g_jaccard_nodes" ->
       s"""WITH $wideEdgesSql,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM wedges GROUP BY src),
