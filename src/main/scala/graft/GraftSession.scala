@@ -18,10 +18,10 @@ import org.apache.spark.sql.SparkSession
   *  - `spark.sql.session.timeZone=UTC` is part of the oracle-parity
   *    determinism contract (timestamp literals must not depend on
   *    host timezone).
-  *  - Native functions (graft_dot_quant, graft_hamming, graft_top_k)
-  *    are injected via [[graft.functions.GraftExtensions]]; packs
-  *    also register them imperatively so driver-provided sessions
-  *    work too.
+  *  - Native functions (graft_dot_quant, graft_hamming, graft_top_k,
+  *    graft_heavy_hitters) are injected via
+  *    [[graft.functions.GraftExtensions]]; packs also register them
+  *    imperatively so driver-provided sessions work too.
   */
 object GraftSession {
 

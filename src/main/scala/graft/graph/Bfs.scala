@@ -30,7 +30,7 @@ object Bfs {
     * depth-bounded expand, which has no in-loop action) the caller's
     * first action after the loop. An eager checkpoint per wave was
     * ~3 scheduler round-trips per wave of pure overhead. */
-  private def settle(df: DataFrame, wave: Long): DataFrame =
+  private def settle(df: DataFrame): DataFrame =
     df.localCheckpoint(eager = false)
 
   /** Multi-root BFS. `seeds` has columns (root, node); returns
@@ -57,9 +57,8 @@ object Bfs {
           .select(frontier("root"), e("dst").as("node"))
           .distinct()
           .join(visited.select("root", "node"), Seq("root", "node"), "left_anti")
-          .withColumn("wave", lit(wave)),
-        wave)
-      visited = settle(visited.union(next), wave)
+          .withColumn("wave", lit(wave)))
+      visited = settle(visited.union(next))
       frontier = next
     }
     e.unpersist()
@@ -86,11 +85,15 @@ object Bfs {
     // (SURVEY: all node id columns are emitted as BIGINT). The limit
     // rides INSIDE the collect so a fact-sized input is refused after
     // shipping at most limit+1 rows, not after an OOM-sized collect.
+    // Null ids never join in the distributed path — drop them here so
+    // the fast path matches instead of NPE-ing in getLong.
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
       .limit(limit + 1).collect()
     require(e.length <= limit,
       s"bfsBounded edge set exceeds $limit rows — not dimension-bounded; use bfs")
     val seedRows = seeds.select(col("root").cast("long"), col("node").cast("long"))
+      .filter(col("root").isNotNull && col("node").isNotNull)
       .distinct() // same multiplicity contract as bfs (which dedups seeds too)
       .limit(limit + 1).collect()
     require(seedRows.length <= limit,
@@ -125,7 +128,10 @@ object Bfs {
     */
   def expand(edges: DataFrame, seedNodes: DataFrame, depth: Int): DataFrame = {
     val e = edges.select("src", "dst").repartition(col("src")).persist()
-    var visited = seedNodes.select(col("node"), lit(0L).as("first_wave"))
+    // distinct: one output row per seed node however many times a
+    // caller repeats it — the set semantics bfs() applies to seeds.
+    var visited = seedNodes.select(col("node")).distinct()
+      .select(col("node"), lit(0L).as("first_wave"))
       .localCheckpoint(eager = false)
     var frontier = visited
     var wave = 0L
@@ -140,12 +146,16 @@ object Bfs {
           .select(e("dst").as("node"))
           .distinct()
           .join(visited.select("node"), Seq("node"), "left_anti")
-          .withColumn("first_wave", lit(wave)),
-        wave)
-      visited = settle(visited.union(next), wave)
+          .withColumn("first_wave", lit(wave)))
+      visited = settle(visited.union(next))
       frontier = next
     }
+    // The loop runs no actions (that's the point — no per-wave jobs),
+    // so materialize the result ONCE while the edge cache is still
+    // alive; unpersisting first would make the caller's first action
+    // recompute e for every wave.
+    val out = visited.localCheckpoint()
     e.unpersist()
-    visited
+    out
   }
 }

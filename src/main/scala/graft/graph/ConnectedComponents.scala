@@ -126,6 +126,14 @@ object ConnectedComponents {
       cur = next
       curFp = nextFp
     }
+    // Ran out of rounds with the relation still both moving and too
+    // large to close locally: the mid-contraction pairs are NOT labels
+    // and returning them would silently mislabel components.
+    if (!converged && curFp._1 > localFinishThreshold)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxRounds rounds " +
+          s"(${curFp._1} pairs remain > localFinishThreshold=$localFinishThreshold); " +
+          "raise maxRounds or the threshold")
     val labels =
       if (!converged && curFp._1 > 0 && curFp._1 <= localFinishThreshold)
         localFinishLabels(s, cur)

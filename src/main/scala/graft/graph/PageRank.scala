@@ -71,8 +71,13 @@ object PageRank {
       // of paying one dedicated job per iteration.
       ranks = next.localCheckpoint(eager = false)
     }
+    // No action ran inside the loop, so materialize the final ranks
+    // ONCE while the message-graph cache is alive — unpersisting
+    // first would recompute ed for every iteration at the caller's
+    // first action.
+    val out = ranks.localCheckpoint()
     ed.unpersist()
-    ranks
+    out
   }
 
   /** Dimension-bounded fast path: ONE distributed job derives the

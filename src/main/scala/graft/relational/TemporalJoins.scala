@@ -52,9 +52,19 @@ object AsofJoin {
     val lPrep = left.select(
       col(key).as("__k"), col(leftTs).as("__ts"), lit(1).as("__side"),
       struct(left.columns.map(col).toSeq: _*).as("__l"))
-    val rPrep = right.select(
-      col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
-      struct(carryCols.map(col): _*).as("__r"))
+    // Join semantics for nulls: a right row with a null key or null
+    // timestamp can match nothing (NULL compares false in both the
+    // equi and the <= predicate), but the window formulation would
+    // happily group null keys together and sort a null ts first —
+    // silently carrying payloads no join would produce. Drop them.
+    // (A null-key/ts LEFT row is safe without filtering: null-key
+    // partitions then hold no right rows, and a null left ts sorts
+    // before every surviving right row.)
+    val rPrep = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(
+        col(key).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(carryCols.map(col): _*).as("__r"))
     val unioned = lPrep
       .withColumn("__r", lit(null).cast(rPrep.schema("__r").dataType))
       .unionByName(rPrep.withColumn("__l", lit(null).cast(lPrep.schema("__l").dataType)))
