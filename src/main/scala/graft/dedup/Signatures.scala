@@ -1,7 +1,6 @@
 package graft.dedup
 
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.expressions.UserDefinedFunction
 import org.apache.spark.sql.functions.udf
@@ -25,21 +24,6 @@ import org.apache.spark.sql.functions.udf
   */
 object Signatures {
 
-  private val HEX = "0123456789abcdef".toCharArray
-
-  private def md5hex(md: MessageDigest, s: String): String = {
-    md.reset()
-    val dig = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HEX((dig(i) >> 4) & 0xf)
-      out(2 * i + 1) = HEX(dig(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
-
   /** Unsigned lexicographic digest compare — identical ordering to
     * comparing the lowercase-hex encodings. */
   private def ltUnsigned(a: Array[Byte], b: Array[Byte]): Boolean = {
@@ -51,17 +35,6 @@ object Signatures {
       i += 1
     }
     false
-  }
-
-  private def toHex(dig: Array[Byte]): String = {
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HEX((dig(i) >> 4) & 0xf)
-      out(2 * i + 1) = HEX(dig(i) & 0xf)
-      i += 1
-    }
-    new String(out)
   }
 
   /** 1-based sliding 3-word shingles (the [[graft.text.TextOps]]
@@ -83,12 +56,14 @@ object Signatures {
     * Digests are compared as raw bytes (same order as lowercase hex)
     * and each shingle is UTF-8-encoded once for all k permutations —
     * the hex strings are materialized only for the k winners. */
-  def minhashSig(k: Int): UserDefinedFunction = udf { words: Seq[String] =>
+  def minhashSig(k: Int): UserDefinedFunction = {
+    // row-invariant: built once at UDF construction, not per document
+    val prefixes = Array.tabulate(k)(h => s"${h + 1}_".getBytes(StandardCharsets.UTF_8))
+    udf { words: Seq[String] =>
     val it = shingles3(words)
     if (!it.hasNext) null
     else {
-      val md = MessageDigest.getInstance("MD5")
-      val prefixes = Array.tabulate(k)(h => s"${h + 1}_".getBytes(StandardCharsets.UTF_8))
+      val md = graft.util.Md5.digest()
       val mins = new Array[Array[Byte]](k)
       while (it.hasNext) {
         val sb = it.next().getBytes(StandardCharsets.UTF_8)
@@ -102,8 +77,9 @@ object Signatures {
           h += 1
         }
       }
-      mins.toSeq.map(toHex)
+      mins.toSeq.map(graft.util.Md5.toHex)
     }
+  }
   }
 
   /** Term-frequency-weighted Charikar SimHash over a token sequence,
@@ -112,10 +88,12 @@ object Signatures {
     * (b-1)/4 of md5(token) — the same derivation the oracle spells
     * out with substr/position arithmetic. All accumulation is exact
     * integer math. */
-  def simhashSig(bits: Int): UserDefinedFunction = udf { toks: Seq[String] =>
+  def simhashSig(bits: Int): UserDefinedFunction = {
+    require(bits >= 1 && bits <= 128,
+      s"simhash bits must be in 1..128 (md5 has 128 bits), got $bits")
+    udf { toks: Seq[String] =>
     if (toks == null) null
     else {
-      val md = MessageDigest.getInstance("MD5")
       // tf map preserving exact token identity
       val tf = new java.util.HashMap[String, Long]()
       toks.foreach(t => tf.merge(t, 1L, (a, b) => a + b))
@@ -123,7 +101,7 @@ object Signatures {
       val it = tf.entrySet().iterator()
       while (it.hasNext) {
         val e = it.next()
-        val hx = md5hex(md, e.getKey)
+        val hx = graft.util.Md5.hex(e.getKey)
         val w = e.getValue
         var b = 0
         while (b < bits) {
@@ -141,6 +119,7 @@ object Signatures {
       }
       new String(out)
     }
+  }
   }
 
   /** Sorted distinct 3-shingle set of a document's words (the
@@ -160,10 +139,9 @@ object Signatures {
 
   private def planeMatrix(planes: Int, dim: Int): Array[Array[Double]] =
     planeCache.computeIfAbsent((planes, dim), { _ =>
-      val md = MessageDigest.getInstance("MD5")
       Array.tabulate(dim) { i0 =>
         Array.tabulate(planes) { j0 =>
-          if (md5hex(md, s"${j0 + 1}_${i0 + 1}").charAt(0) < '8') 1.0 else -1.0
+          if (graft.util.Md5.hex(s"${j0 + 1}_${i0 + 1}").charAt(0) < '8') 1.0 else -1.0
         }
       }
     })

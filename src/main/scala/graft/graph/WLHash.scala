@@ -1,8 +1,5 @@
 package graft.graph
 
-import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
-
 /** Deterministic Weisfeiler-Lehman canonical graph hash (pure Scala,
   * no Spark dependency — used inside per-entity mapGroups).
   *
@@ -21,24 +18,7 @@ import java.security.MessageDigest
   */
 object WLHash {
 
-  private val digest: ThreadLocal[MessageDigest] = new ThreadLocal[MessageDigest] {
-    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
-  }
-  private val HEX = "0123456789abcdef".toCharArray
-
-  def md5hex(s: String): String = {
-    val md = digest.get()
-    md.reset()
-    val dig = md.digest(s.getBytes(StandardCharsets.UTF_8))
-    val out = new Array[Char](32)
-    var i = 0
-    while (i < 16) {
-      out(2 * i) = HEX((dig(i) >> 4) & 0xf)
-      out(2 * i + 1) = HEX(dig(i) & 0xf)
-      i += 1
-    }
-    new String(out)
-  }
+  def md5hex(s: String): String = graft.util.Md5.hex(s)
 
   /** @param nodes node ids (any ints, need not be dense)
     * @param edges undirected edges as unordered pairs over `nodes`

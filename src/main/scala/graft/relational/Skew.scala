@@ -17,10 +17,11 @@ import org.apache.spark.sql.functions._
   * over `salt` tasks at the cost of replicating the compact side
   * (bounded: `salt × |compact|` rows).
   *
-  * The salt assignment is content-hash based (pmod of hash over the
-  * skewed side's columns), so plans stay deterministic and re-runs
-  * partition identically — no RNG, per the engine's reproducibility
-  * contract.
+  * The salt assignment spreads each row by a hash of its content
+  * plus its row position (so duplicate rows of a hot key still fan
+  * out instead of collapsing onto one salt). The salt only chooses
+  * WHERE a row is processed — the join RESULT is identical for any
+  * salt assignment, so reproducibility of results is unaffected.
   */
 object Skew {
 
@@ -36,17 +37,22 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, compact: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    val saltCol = pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salt))
-    val bigS = big.withColumn("__salt", saltCol)
+    // honor a pre-materialized __salt (saltExpr workflow); otherwise
+    // derive one here
+    val bigS = (if (big.columns.contains("__salt")) big
+                else big.withColumn("__salt", saltExpr(big, salt))).alias("__big")
     val compactS = compact.withColumn("__salt",
-      explode(sequence(lit(0), lit(salt - 1))))
-    bigS.join(compactS, keys :+ "__salt")
-      .drop("__salt")
-      // restore plain-join column order: keys first (join output), then
-      // big's non-key columns, then compact's non-key columns — same
-      // as big.join(compact, keys)
-      .select((keys ++ big.columns.filterNot(keys.contains)
-        ++ compact.columns.filterNot(keys.contains)).map(col).toIndexedSeq: _*)
+      explode(sequence(lit(0), lit(salt - 1)))).alias("__cmp")
+    val cond = (keys :+ "__salt")
+      .map(k => col(s"__big.$k") === col(s"__cmp.$k")).reduce(_ && _)
+    // restore plain-join column order: keys first (join output), then
+    // big's non-key columns, then compact's non-key columns — same as
+    // big.join(compact, keys). Side-qualified selects keep shared
+    // non-key column names unambiguous (plain join allows them too).
+    val out = keys.map(k => col(s"__big.$k").as(k)) ++
+      big.columns.filterNot(keys.contains).map(c => col(s"__big.$c").as(c)) ++
+      compact.columns.filterNot(keys.contains).map(c => col(s"__cmp.$c").as(c))
+    bigS.join(compactS, cond).select(out.toIndexedSeq: _*)
   }
 
   /** Two-phase aggregation over a skewed group key for
@@ -69,9 +75,13 @@ object Skew {
       .agg(sum(size(col("__vs"))).as(outCol))
   }
 
-  /** Convenience: the salt expression used for the big side — exposed
-    * so callers can pre-materialize it when reusing a salted layout
-    * across several joins. */
+  /** The salt expression for the big side — exposed so callers can
+    * pre-materialize it (as a column named `__salt`) when reusing a
+    * salted layout across several joins; [[saltedJoin]] detects and
+    * reuses it. The row id term spreads duplicate rows of a hot key
+    * across salts (a pure content hash would collapse them onto one
+    * task — the exact hotspot salting exists to break). The salt
+    * choice only affects placement, never results. */
   def saltExpr(df: DataFrame, salt: Int): Column =
-    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt))
+    pmod(hash((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*), lit(salt))
 }

@@ -29,26 +29,53 @@ object GraphStore {
   private def fs(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Latest snapshot version under `root`, 0 if none. */
+  /** Latest COMMITTED snapshot version under `root`, 0 if none.
+    * Only `v=<digits>` directories carrying the writer's `_SUCCESS`
+    * marker count: in-flight staging directories (different name
+    * shape), failed writes (no marker) and foreign entries (v=old,
+    * v=2.bak) are all ignored instead of poisoning every reader. */
   def latestVersion(s: SparkSession, root: String): Int = {
     val p = new Path(root)
     val f = fs(s, root)
     if (!f.exists(p)) 0
-    else f.listStatus(p).map(_.getPath.getName)
-      .filter(_.startsWith("v=")).map(_.drop(2).toInt)
+    else f.listStatus(p).map(_.getPath)
+      .filter(q => q.getName.matches("v=\\d+") && f.exists(new Path(q, "_SUCCESS")))
+      .map(_.getName.drop(2).toInt)
       .foldLeft(0)(math.max)
   }
 
   private def snapshotPath(root: String, v: Int) = s"$root/v=$v"
 
+  /** Snapshot publish protocol: write to a staging directory invisible
+    * to [[latestVersion]], then a single atomic rename exposes the
+    * fully-written snapshot. A crash leaves only an ignored staging
+    * dir; a concurrent committer loses the rename race and fails
+    * loudly instead of silently overwriting. */
+  private def commit(df: DataFrame, root: String, v: Int): Int = {
+    val session = df.sparkSession
+    val f = fs(session, root)
+    val staging = new Path(s"$root/.staging-v$v-${java.util.UUID.randomUUID()}")
+    df.write.mode("overwrite").parquet(staging.toString)
+    val target = new Path(snapshotPath(root, v))
+    if (f.exists(target) || !f.rename(staging, target)) {
+      f.delete(staging, true)
+      throw new IllegalStateException(
+        s"concurrent GraphStore commit: v=$v already exists under $root")
+    }
+    v
+  }
+
   /** First-seen-wins dedup on (src, dst) — attribute columns of the
     * surviving row come from the lowest `rank` source (0 = existing
-    * store, 1 = delta), mirroring INSERT OR IGNORE. */
+    * store, 1 = delta), mirroring INSERT OR IGNORE. Ties within a
+    * rank (duplicate key in one input) order by every attribute
+    * column, so the survivor is deterministic across runs and
+    * partitionings, not shuffle-order luck. */
   private def dedup(edges: DataFrame): DataFrame = {
     val attrs = edges.columns.filterNot(c => EDGE_COLS.contains(c) || c == "__rank")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("src"), col("dst"))
-      .orderBy(col("__rank").asc)
+      .orderBy(col("__rank").asc +: attrs.map(col(_).asc): _*)
     edges
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
@@ -60,10 +87,7 @@ object GraphStore {
     * first row. Returns the snapshot version written. */
   def write(edges: DataFrame, root: String): Int = {
     val v = latestVersion(edges.sparkSession, root) + 1
-    dedup(edges.withColumn("__rank", lit(0)))
-      .repartition(col("src"))
-      .write.mode("overwrite").parquet(snapshotPath(root, v))
-    v
+    commit(dedup(edges.withColumn("__rank", lit(0))).repartition(col("src")), root, v)
   }
 
   /** INSERT-OR-IGNORE upsert: existing edges keep their attributes,
@@ -75,10 +99,7 @@ object GraphStore {
     val existing = read(s, root).withColumn("__rank", lit(0))
     val incoming = delta.select(existing.columns.filter(_ != "__rank").map(col): _*)
       .withColumn("__rank", lit(1))
-    dedup(existing.unionByName(incoming))
-      .repartition(col("src"))
-      .write.mode("overwrite").parquet(snapshotPath(root, v + 1))
-    v + 1
+    commit(dedup(existing.unionByName(incoming)).repartition(col("src")), root, v + 1)
   }
 
   /** Read the latest snapshot. */

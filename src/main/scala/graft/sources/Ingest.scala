@@ -25,11 +25,22 @@ object Ingest {
   def jsonl(s: SparkSession, path: String, schema: StructType): DataFrame =
     s.read.schema(schema).option("mode", "FAILFAST").json(path)
 
-  /** ORC — the other columnar warehouse format; schema-explicit like
-    * every reader here (ORC embeds a schema, but declaring the
-    * expected one makes drift fail at the edge instead of downstream). */
-  def orc(s: SparkSession, path: String, schema: StructType): DataFrame =
+  /** ORC — the other columnar warehouse format. Spark's native ORC
+    * reader resolves a user schema BY NAME with schema evolution —
+    * a dropped or renamed column comes back as all-nulls, and no
+    * FAILFAST mode exists for ORC — so the drift check the module
+    * contract promises is done explicitly here: the file footer
+    * schema must carry every expected column with the expected type,
+    * or the read fails at the edge (one metadata-only footer read). */
+  def orc(s: SparkSession, path: String, schema: StructType): DataFrame = {
+    val fileSchema = s.read.orc(path).schema
+    val missing = schema.filterNot(f =>
+      fileSchema.exists(g => g.name == f.name && g.dataType == f.dataType))
+    require(missing.isEmpty,
+      s"ORC schema drift at $path: missing or type-changed columns " +
+        missing.map(f => s"${f.name}:${f.dataType.simpleString}").mkString(", "))
     s.read.schema(schema).orc(path)
+  }
 
   /** Raw media files as opaque binary columns — the multimodal
     * ingest edge (G1): one row per file with uri, byte length,

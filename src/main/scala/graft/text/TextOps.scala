@@ -49,23 +49,9 @@ object TextOps {
     udf { nrm: String =>
       if (nrm == null || nrm.length < k + w - 1) Seq.empty[String]
       else {
-        // One digest reused across all grams of the row — allocating
-        // a MessageDigest per gram dominates the runtime otherwise.
-        val md = java.security.MessageDigest.getInstance("MD5")
-        val hexd = "0123456789abcdef".toCharArray
-        def md5hex(s: String): String = {
-          md.reset()
-          val dig = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          val out = new Array[Char](32)
-          var i = 0
-          while (i < 16) {
-            out(2 * i) = hexd((dig(i) >> 4) & 0xf)
-            out(2 * i + 1) = hexd(dig(i) & 0xf)
-            i += 1
-          }
-          new String(out)
-        }
-        val grams = Array.tabulate(nrm.length - k + 1)(i => md5hex(nrm.substring(i, i + k)))
+        // graft.util.Md5: ThreadLocal digest — no per-row (let alone
+        // per-gram) MessageDigest allocation.
+        val grams = Array.tabulate(nrm.length - k + 1)(i => graft.util.Md5.hex(nrm.substring(i, i + k)))
         val out = scala.collection.mutable.LinkedHashSet.empty[String]
         var p = 0
         while (p + w <= grams.length) {
