@@ -31,6 +31,9 @@ object GraftSession {
       .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
+      // the events table stores TIMESTAMP(NANOS) (see Tables.events);
+      // declared up front rather than flipped mid-session
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
 

@@ -23,7 +23,16 @@ object Tables {
     * by default; read the raw nanos as long and floor to microseconds
     * — the same conversion DuckDB applies (verified: epoch_us
     * truncates), so oracle parity holds. Epochs are positive, so
-    * `div 1000` (truncate toward zero) equals floor. */
+    * `div 1000` (truncate toward zero) equals floor.
+    *
+    * The legacy flag is a SESSION-WIDE setting and it must stay set
+    * for as long as plans reading this table may execute (the parquet
+    * reader consults it at execution, not just at schema inference),
+    * so it cannot be set-and-restored here. GraftSession declares it
+    * up front for engine-built sessions; this set covers
+    * driver-provided sessions and is deliberately idempotent. The
+    * visible effect on OTHER tables: a TIMESTAMP(NANOS) column reads
+    * as raw long instead of failing. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(s, d, "events")

@@ -54,8 +54,15 @@ class GraphDB(s: SparkSession, root: String) {
     var wave = 0
     while (wave < depth && !frontier.isEmpty) {
       wave += 1
-      val newEdges = rule(frontier)
-      version = addRelations(newEdges)
+      // Materialize the rule's derivation ONCE: it has two consumers
+      // (the upsert write and the next frontier), and an uncached
+      // re-evaluation would run the rule twice per wave — with
+      // different rows, if the rule is nondeterministic, expanding a
+      // frontier that differs from the edges actually persisted.
+      val newEdges = rule(frontier).localCheckpoint()
+      // an empty wave has nothing to persist — don't rewrite the
+      // whole store into a byte-identical snapshot
+      if (!newEdges.isEmpty) version = addRelations(newEdges)
       frontier = newEdges.select(col("dst").as("node")).distinct()
         .join(seen, Seq("node"), "left_anti")
         .localCheckpoint(eager = false)

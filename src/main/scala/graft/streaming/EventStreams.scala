@@ -15,6 +15,15 @@ final case class StreamEvent(event_id: Long, ts: Timestamp, user_id: Long,
 final case class SessionOut(user_id: Long, n_events: Long,
                             start_us: Long, end_us: Long, sum_value: Double)
 
+/** One open session held in state: exact integer cents for the value
+  * sum (the money-determinism contract — a raw double accumulator
+  * would make the emitted sum depend on arrival order). */
+final case class OpenSession(startUs: Long, endUs: Long, n: Long, sumCents: Long)
+
+/** Per-user sessionizer state: every session the watermark has not
+  * yet sealed, sorted by start. */
+final case class SessionsState(open: List[OpenSession])
+
 /** Structured Streaming surface (SURVEY §2 H4): the streaming
   * counterparts of the batch events pack, spec-verified with
   * MemoryStream sources (no oracle — the driver's DuckDB gate has no
@@ -32,7 +41,10 @@ final case class SessionOut(user_id: Long, n_events: Long,
   */
 object EventStreams {
 
+  /** Shared batch/stream constants — the batch pack (EventsPack)
+    * references THESE so the twins cannot silently drift. */
   val SESSION_GAP_US: Long = 1800L * 1000000L
+  val WINDOW_SEC: Long = 300L
 
   /** Tumbling 5-minute windowed counts/sums with a 10-minute
     * watermark (append-mode-safe).
@@ -43,54 +55,66 @@ object EventStreams {
     *        one — see the chained dedup→window spec). */
   def windowedCounts(events: DataFrame, declareWatermark: Boolean = true): DataFrame =
     (if (declareWatermark) events.withWatermark("ts", "10 minutes") else events)
-      .groupBy(window(col("ts"), "300 seconds"), col("event_type"))
+      .groupBy(window(col("ts"), s"$WINDOW_SEC seconds"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
         round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
-  /** Per-user 30-min-gap sessionization. Sessions close (and are
-    * emitted) when the event-time watermark passes start-of-gap. */
+  /** Per-user 30-min-gap sessionization with EVENT-TIME-correct
+    * emission: a session is emitted only once the watermark passes
+    * `end + gap` — before that, a late event inside the horizon can
+    * still extend it or BRIDGE two provisional sessions into one, so
+    * state holds the full list of unsealed sessions per user (bounded:
+    * only sessions inside the watermark horizon can stay open).
+    * Emitting at the first in-batch gap — the obvious shortcut —
+    * would split what event-time semantics (and the batch twin
+    * e_sessions) call one session, and append mode could never
+    * repair it.
+    *
+    * Value sums accumulate as exact integer cents (HALF_UP per event,
+    * matching the batch DECIMAL(18,2) cast) so the emitted double is
+    * identical to e_sessions' whatever the arrival order. */
   def sessionize(events: Dataset[StreamEvent]): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
     events
       .withWatermark("ts", "30 minutes")
       .groupByKey(_.user_id)
-      .flatMapGroupsWithState[SessionState, SessionOut](
+      .flatMapGroupsWithState[SessionsState, SessionOut](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
-        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionState]) =>
-          if (state.hasTimedOut) {
-            val s = state.get
-            state.remove()
-            Iterator.single(SessionOut(userId, s.n, s.startUs, s.endUs, s.sum))
-          } else {
-            val evs = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-            var cur = state.getOption
-            val closed = Seq.newBuilder[SessionOut]
-            for (e <- evs) {
-              val us = e.ts.getTime * 1000L
-              cur match {
-                case Some(s) if us - s.endUs <= SESSION_GAP_US =>
-                  cur = Some(s.copy(endUs = math.max(s.endUs, us), n = s.n + 1,
-                    sum = s.sum + e.value))
-                case Some(s) =>
-                  closed += SessionOut(userId, s.n, s.startUs, s.endUs, s.sum)
-                  cur = Some(SessionState(us, us, 1L, e.value))
-                case None =>
-                  cur = Some(SessionState(us, us, 1L, e.value))
-              }
-            }
-            cur.foreach { s =>
-              state.update(s)
-              // Time out once no event can extend the session.
-              state.setTimeoutTimestamp(s.endUs / 1000L + SESSION_GAP_US / 1000L)
-            }
-            closed.result().iterator
+        (userId: Long, batch: Iterator[StreamEvent], state: GroupState[SessionsState]) =>
+          val prior = state.getOption.map(_.open).getOrElse(Nil)
+          val incoming = batch.map { e =>
+            val cents = java.math.BigDecimal.valueOf(e.value)
+              .setScale(2, java.math.RoundingMode.HALF_UP)
+              .movePointRight(2).longValueExact()
+            OpenSession(e.ts.getTime * 1000L, e.ts.getTime * 1000L, 1L, cents)
+          }.toList
+          // Coalesce pass: prior sessions and singleton events sorted
+          // by start; anything within the gap of its predecessor
+          // merges (a late bridging event pulls its two neighbors
+          // together here).
+          val merged = (prior ++ incoming).sortBy(s => (s.startUs, s.endUs))
+            .foldLeft(List.empty[OpenSession]) {
+              case (cur :: done, nxt) if nxt.startUs - cur.endUs <= SESSION_GAP_US =>
+                OpenSession(cur.startUs, math.max(cur.endUs, nxt.endUs),
+                  cur.n + nxt.n, cur.sumCents + nxt.sumCents) :: done
+              case (acc, nxt) => nxt :: acc
+            }.reverse
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (closed, open) = merged.partition(_.endUs + SESSION_GAP_US <= wmUs)
+          if (open.isEmpty) state.remove()
+          else {
+            state.update(SessionsState(open))
+            state.setTimeoutTimestamp(open.map(_.endUs + SESSION_GAP_US).min / 1000L)
+          }
+          closed.iterator.map { s =>
+            SessionOut(userId, s.n, s.startUs, s.endUs,
+              new java.math.BigDecimal(java.math.BigInteger.valueOf(s.sumCents), 2)
+                .doubleValue())
           }
       }
   }
-
-  final case class SessionState(startUs: Long, endUs: Long, n: Long, sum: Double)
 
   /** Streaming exact dedup on a key column (the D1 operator as an
     * incremental plan): first occurrence wins, duplicates within the

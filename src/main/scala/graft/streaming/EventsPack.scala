@@ -19,8 +19,9 @@ import graft.{QueryPack, Tables}
 object EventsPack extends QueryPack {
 
   private val D = DecimalType(18, 2)
-  private val SESSION_GAP_US = 1800L * 1000000L // 30 min
-  private val WINDOW_SEC = 300L // 5-min tumbling windows
+  // shared with the streaming twins so batch/stream parity can't drift
+  private val SESSION_GAP_US = EventStreams.SESSION_GAP_US // 30 min
+  private val WINDOW_SEC = EventStreams.WINDOW_SEC // 5-min tumbling windows
   private val FUNNEL_WINDOW_US = 600L * 1000000L // click→purchase within 10 min
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -46,8 +47,7 @@ object EventsPack extends QueryPack {
         .withColumn("new_session",
           when($"prev_us".isNull || $"ts_us" - $"prev_us" > SESSION_GAP_US, 1L).otherwise(0L))
         .withColumn("session_id", sum($"new_session").over(
-          Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
         .groupBy($"user_id", $"session_id")
         .agg(count(lit(1)).as("n_events"),
           min($"ts_us").as("start_us"), max($"ts_us").as("end_us"),

@@ -60,6 +60,30 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize holds provisional sessions so a late bridging event merges them") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("bridge_out").outputMode(OutputMode.Append()).start()
+    try {
+      // two events 40 min apart: provisionally TWO sessions, but the
+      // watermark hasn't sealed the first, so nothing may be emitted yet
+      in.addData(ev(1, 0), ev(2, 40))
+      q.processAllAvailable()
+      assert(spark.table("bridge_out").count() === 0)
+      // a late event at 20 min (inside the 30-min watermark horizon)
+      // bridges them: 20-0 and 40-20 are both within the gap
+      in.addData(ev(3, 20))
+      q.processAllAvailable()
+      in.addData(ev(9, 300)) // advance the watermark, seal everything old
+      q.processAllAvailable()
+      val sessions = spark.table("bridge_out").as[SessionOut].collect().toSet
+      def us(minute: Int): Long = ts(minute).getTime * 1000L
+      assert(sessions === Set(SessionOut(1L, 3L, us(0), us(40), 3.0)))
+    } finally q.stop()
+  }
+
   test("dedup chains into windowed aggregation as one incremental query") {
     // The streaming twin of the batch t_pipeline composition claim:
     // stage outputs are ordinary streaming DataFrames, so watermarked
