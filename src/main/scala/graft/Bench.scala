@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import scala.util.control.NonFatal
 
 /** Per-round benchmark: every SparkEntry query timed at the driver's
   * scale factor, one JSON line on stdout.
@@ -14,12 +15,25 @@ import org.apache.spark.sql.SparkSession
   *   - each query is timed TWICE and the faster run reported:
   *     steady-state measurement, standard practice for JVM benchmarks
   *     — a single shot on a shared box occasionally absorbs a GC or
-  *     scheduler hiccup worth several seconds (observed 2-4× spikes on
-  *     this container) and would misreport the engine, not the noise.
+  *     scheduler hiccup worth several seconds (observed 2-4x spikes on
+  *     this container) and would misreport the engine, not the noise;
+  *   - a FAILING query is reported as -1 and excluded from the total
+  *     (time-to-failure is not a measurement), with the error on
+  *     stderr. Only NonFatal errors are caught — an OOM should kill
+  *     the bench, not corrupt the next measurement.
   */
 object Bench {
   private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()
+
+  /** Minimal JSON string escape (same classes Verify escapes). */
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -29,10 +43,11 @@ object Bench {
       val small = new java.io.File("/root/testdata/sf0.001")
       if (small.isDirectory) small.getPath else sfDir
     }
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    val queries = SparkEntry.queries
+    val names = queries.keys.toSeq.sorted
     names.foreach { name =>
-      try materialize(SparkEntry.queries(name)(spark, warmDir))
-      catch { case _: Throwable => () }
+      try materialize(queries(name)(spark, warmDir))
+      catch { case NonFatal(_) => () }
       // Queries are independent; drop persisted blocks so one query's
       // cache never skews (or starves) a later measurement, and nudge
       // the ContextCleaner so localCheckpoint blocks from iterative
@@ -42,21 +57,26 @@ object Bench {
     }
 
     val results = names.map { name =>
-      val dt = (1 to 2).map { _ =>
+      val runs = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
-        try materialize(SparkEntry.queries(name)(spark, sfDir))
-        catch { case _: Throwable => () }
+        val ok =
+          try { materialize(queries(name)(spark, sfDir)); true }
+          catch { case NonFatal(e) =>
+            System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+            false
+          }
         val t = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
         System.gc()
-        t
-      }.min
-      name -> dt
+        if (ok) Some(t) else None
+      }
+      val good = runs.flatten
+      name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)}}""")
     spark.stop()
   }
 }

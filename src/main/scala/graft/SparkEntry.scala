@@ -18,8 +18,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q1_pricing")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+  /** One entry per implemented operator from SURVEY.md §2.
+    * (lazy val: callers index into this repeatedly — Bench three
+    * times per query — so the merge + duplicate-key check run once.) */
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = {
     val flat = packs.flatMap(_.queries)
     val merged = flat.toMap
     require(flat.size == merged.size,
@@ -29,7 +31,7 @@ object SparkEntry {
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = {
+  lazy val oracleSql: Map[String, String] = {
     val flat = packs.flatMap(_.oracles)
     val merged = flat.toMap
     require(flat.size == merged.size,

@@ -41,14 +41,28 @@ case class TopKByScore(
 
   override def children: Seq[Expression] = Seq(score, id)
   override def nullable: Boolean = false
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (score.dataType == DoubleType && id.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (double score, bigint id), got " +
+        s"(${score.dataType.catalogString}, ${id.dataType.catalogString})")
+  }
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", DoubleType, nullable = false),
     StructField("id", LongType, nullable = false))))
   override def prettyName: String = "graft_top_k"
 
-  /** true iff a is WORSE than b under (score DESC, id ASC). */
-  private def worse(a: (Double, Long), b: (Double, Long)): Boolean =
-    a._1 < b._1 || (a._1 == b._1 && a._2 > b._2)
+  /** true iff a is WORSE than b under (score DESC, id ASC).
+    * java.lang.Double.compare gives a TOTAL order (NaN greater than
+    * everything — the same placement DuckDB's ORDER BY DESC gives
+    * NaN, so oracle parity holds even on degenerate scores; raw
+    * `<`/`==` on a NaN would stall heap eviction and break the sort
+    * comparator's contract). */
+  private def worse(a: (Double, Long), b: (Double, Long)): Boolean = {
+    val c = java.lang.Double.compare(a._1, b._1)
+    c < 0 || (c == 0 && a._2 > b._2)
+  }
 
   /** Worst element at the head, so the bound check is O(1). */
   private val worstFirst: Ordering[(Double, Long)] =

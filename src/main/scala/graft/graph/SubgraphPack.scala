@@ -67,6 +67,16 @@ object SubgraphPack extends QueryPack {
     Subgraphs.validate(nodes, (suppEdges ++ adjEdges).toSeq).toOption
   }
 
+  /** The B3 index aggregation, shared with B4's query-by-size.
+    * first(size) is safe: the WL hash digests the node count, so a
+    * hash functionally determines its size. */
+  private def indexDf(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    censusDs(s, d).toDF()
+      .groupBy($"subgraph_hash")
+      .agg(first($"size").cast("long").as("size"), count(lit(1)).as("frequency"))
+  }
+
   private def censusDs(s: SparkSession, d: String) = {
     import s.implicits._
     items(s, d).as[OrderItem]
@@ -88,19 +98,12 @@ object SubgraphPack extends QueryPack {
 
     // B3: global subgraph index — hash → size + parent frequency
     // (SubgraphDatabase.add_subgraph's merge-on-conflict, mcs.py:101-144).
-    "g_subgraph_index" -> { (s, d) =>
-      import s.implicits._
-      censusDs(s, d).toDF()
-        .groupBy($"subgraph_hash")
-        .agg(first($"size").cast("long").as("size"), count(lit(1)).as("frequency"))
-    },
+    "g_subgraph_index" -> { (s, d) => indexDf(s, d) },
 
     // B4: query-by-size over the index (mcs.py:146-164).
     "g_subgraph_by_size" -> { (s, d) =>
       import s.implicits._
-      censusDs(s, d).toDF()
-        .groupBy($"subgraph_hash")
-        .agg(first($"size").cast("long").as("size"), count(lit(1)).as("frequency"))
+      indexDf(s, d)
         .filter($"size" === 3)
         .select($"subgraph_hash", $"frequency")
     },
@@ -109,13 +112,17 @@ object SubgraphPack extends QueryPack {
     // order range (mcs.py:285-346).
     "g_ged_pairs" -> { (s, d) =>
       import s.implicits._
+      // flatMapGroups: validation-rejected orders (B6, > MAX_NODES
+      // items) are EXCLUDED — the same rule the census queries apply
+      // (mcs.py drops over-limit molecules); a degenerate empty-graph
+      // row would contradict that contract.
       val graphs = items(s, d).filter($"okey" < GED_KEY_BOUND).as[OrderItem]
         .groupByKey(_.okey)
-        .mapGroups { (okey, it) =>
-          val g = buildGraph(it.toSeq)
-            .getOrElse(Subgraphs.LocalGraph(Vector.empty, Set.empty))
-          val hashes = Subgraphs.census(g, CENSUS_MAX_SIZE).map(_._1)
-          OrderGraph(okey, g.nodes, g.edges.toSeq.map(e => Seq(e._1, e._2)), hashes)
+        .flatMapGroups { (okey, it) =>
+          buildGraph(it.toSeq).iterator.map { g =>
+            val hashes = Subgraphs.census(g, CENSUS_MAX_SIZE).map(_._1)
+            OrderGraph(okey, g.nodes, g.edges.toSeq.map(e => Seq(e._1, e._2)), hashes)
+          }
         }
       graphs.as("a").joinWith(graphs.as("b"), col("a.okey") < col("b.okey"), "inner")
         .map { case (a, b) =>
