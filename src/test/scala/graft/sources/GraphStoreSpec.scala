@@ -60,4 +60,33 @@ class GraphStoreSpec extends SparkSpec {
       .as[(Long, Long, String)].collect().toSet
     assert(d23 === Set((9L, 9L, "added"), (2L, 3L, "removed"), (3L, 4L, "removed")))
   }
+
+  test("readers only see committed snapshots: uncommitted and foreign dirs are ignored") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "a")).toDF("src", "dst", "tag"), root)
+    // simulate a failed/in-flight write (no _SUCCESS) and foreign junk
+    val fs = new java.io.File(root)
+    new java.io.File(fs, "v=2").mkdirs() // partial write, never committed
+    new java.io.File(fs, "v=old").mkdirs() // manual backup junk
+    new java.io.File(fs, ".staging-v9-zzz").mkdirs() // abandoned staging
+    assert(GraphStore.latestVersion(spark, root) === 1)
+    assert(GraphStore.read(spark, root).count() === 1)
+    // and the next commit skips past the poisoned v=2 name loudly
+    intercept[IllegalStateException] {
+      GraphStore.upsert(spark, root, Seq((5L, 6L, "b")).toDF("src", "dst", "tag"))
+    }
+  }
+
+  test("dedup survivor within one input is deterministic across reruns") {
+    import spark.implicits._
+    val dup = Seq((1L, 2L, "zz"), (1L, 2L, "aa"), (3L, 4L, "c")).toDF("src", "dst", "tag")
+    val r1 = tmpRoot(); val r2 = tmpRoot()
+    GraphStore.write(dup, r1)
+    GraphStore.write(dup.repartition(7), r2) // different physical order
+    val a = GraphStore.read(spark, r1).as[(Long, Long, String)].collect().toSet
+    val b = GraphStore.read(spark, r2).as[(Long, Long, String)].collect().toSet
+    assert(a === b)
+    assert(a.contains((1L, 2L, "aa"))) // total order picks the same attrs
+  }
 }
