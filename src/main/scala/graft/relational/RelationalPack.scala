@@ -166,7 +166,7 @@ object RelationalPack extends QueryPack {
       import s.implicits._
       Tables.lineitem(s, d)
         .rollup($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), dsum(dec($"l_quantity")).as("sum_qty"))
     },
 
     // C14: cube aggregation — all four grouping sets of the flag/status
@@ -177,7 +177,7 @@ object RelationalPack extends QueryPack {
       import s.implicits._
       Tables.lineitem(s, d)
         .cube($"l_returnflag", $"l_linestatus")
-        .agg(count(lit(1)).as("n_rows"), dsum($"l_quantity").as("sum_qty"))
+        .agg(count(lit(1)).as("n_rows"), dsum(dec($"l_quantity")).as("sum_qty"))
     },
 
     // C15: heavy-hitters sketch — the mergeable Misra-Gries summary

@@ -187,7 +187,7 @@ object SimilarityPack extends QueryPack {
       .withColumn("q", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT))"))
       .select(col("vec_id") +: passThrough.map(col) :+ col("scale") :+
-        md5(expr("array_join(q, ',')").cast("binary")).as("q_checksum") :+
+        graft.text.TextOps.md5s(expr("array_join(q, ',')")).as("q_checksum") :+
         expr("""aggregate(
                |  zip_with(q, embedding, (qi, x) -> abs(qi * scale - CAST(x AS DOUBLE))),
                |  CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))""".stripMargin)

@@ -69,6 +69,44 @@ object TextPack extends QueryPack {
   private def mixThr(w: Double): String =
     f"${math.floor((w - math.floor(w)) * 256).toInt}%02x"
 
+  /** Per-source weighted expression over the `source` column — the
+    * ONE definition t_mix and t_pipeline both build on. */
+  private def perSource(f: Double => Column): Column =
+    MIX_WEIGHTS.foldLeft(f(MIX_DEFAULT)) { case (acc, (src, w)) =>
+      when(col("source") === src, f(w)).otherwise(acc)
+    }
+
+  /** ⌊w⌋ + Bernoulli(frac(w)) copy count, with the Bernoulli draw an
+    * md5-prefix threshold on the given 2-hex-char column. */
+  private def nCopiesCol(h2: Column): Column =
+    perSource(w => lit(math.floor(w).toLong)) +
+      when(h2 < perSource(w => lit(mixThr(w))), 1L).otherwise(0L)
+
+  /** Deterministic split bucket from the first hex char of an id
+    * hash: 0..c → train (13/16), d → val (1/16), e..f → test (2/16). */
+  private def splitCol(h: Column): Column =
+    when(substring(h, 1, 1) < "d", lit("train"))
+      .when(substring(h, 1, 1) === "d", lit("val"))
+      .otherwise(lit("test"))
+
+  /** Oracle-side twins of [[nCopiesCol]] / [[splitCol]] — single-
+    * sourced so the composed pipeline cannot drift from the
+    * standalone operators. */
+  private def nCopiesSql: String = {
+    val baseCase = MIX_WEIGHTS
+      .map { case (src, w) => s"WHEN '$src' THEN ${math.floor(w).toInt}" }.mkString(" ")
+    val thrCase = MIX_WEIGHTS
+      .map { case (src, w) => s"WHEN '$src' THEN '${mixThr(w)}'" }.mkString(" ")
+    s"""CAST(CASE source $baseCase ELSE ${math.floor(MIX_DEFAULT).toInt} END
+       |   + CASE WHEN substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 2) <
+       |      (CASE source $thrCase ELSE '${mixThr(MIX_DEFAULT)}' END)
+       |     THEN 1 ELSE 0 END AS BIGINT)""".stripMargin
+  }
+  private val splitSql: String =
+    """CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
+      |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
+      |  ELSE 'test' END""".stripMargin
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1: token counting — whitespace tokens and a BPE-ish regex
     // tokenizer (alpha runs / digit runs as separate tokens).
@@ -132,10 +170,7 @@ object TextPack extends QueryPack {
       import s.implicits._
       Tables.documents(s, d)
         .withColumn("h", TextOps.md5s($"doc_id".cast("string")))
-        .select($"doc_id",
-          when(substring($"h", 1, 1) < "d", lit("train"))
-            .when(substring($"h", 1, 1) === "d", lit("val"))
-            .otherwise(lit("test")).as("split"))
+        .select($"doc_id", splitCol($"h").as("split"))
     },
 
     // F6: benchmark decontamination — per training doc, the share of
@@ -148,10 +183,13 @@ object TextPack extends QueryPack {
     // symmetric near-dup ops in pack D).
     "t_contam" -> { (s, d) =>
       import s.implicits._
+      // referenced three times (benchmark set, sizes, hits): persist so
+      // the CPU-bound shingling pass runs once, not per reference
       val sets = Tables.fanOut(s, Tables.documents(s, d))
         .select($"doc_id",
           graft.dedup.Signatures.shingleSet(TextOps.words($"text")).as("set"))
         .filter(size($"set") > 0)
+        .persist()
       val bench = sets.filter($"doc_id" < CONTAM_BENCH_BOUND)
         .select(explode($"set").as("shingle")).distinct()
       val train = sets.filter($"doc_id" >= CONTAM_BENCH_BOUND)
@@ -194,16 +232,10 @@ object TextPack extends QueryPack {
     // no shuffle at any scale (filter + bounded explode).
     "t_mix" -> { (s, d) =>
       import s.implicits._
-      def perSource(f: Double => Column): Column =
-        MIX_WEIGHTS.foldLeft(f(MIX_DEFAULT)) { case (acc, (src, w)) =>
-          when($"source" === src, f(w)).otherwise(acc)
-        }
       Tables.documents(s, d)
         .withColumn("h2", substring(
           TextOps.md5s(concat(lit("mix_"), $"doc_id".cast("string"))), 1, 2))
-        .withColumn("n_copies",
-          perSource(w => lit(math.floor(w).toLong)) +
-            when($"h2" < perSource(w => lit(mixThr(w))), 1L).otherwise(0L))
+        .withColumn("n_copies", nCopiesCol($"h2"))
         .filter($"n_copies" >= 1)
         .select($"doc_id", $"source",
           explode(sequence(lit(1L), $"n_copies")).as("rep"))
@@ -218,25 +250,16 @@ object TextPack extends QueryPack {
     // corpus" query a user of the engine actually runs.
     "t_pipeline" -> { (s, d) =>
       import s.implicits._
-      def perSource(f: Double => Column): Column =
-        MIX_WEIGHTS.foldLeft(f(MIX_DEFAULT)) { case (acc, (src, w)) =>
-          when($"source" === src, f(w)).otherwise(acc)
-        }
       val w = org.apache.spark.sql.expressions.Window.partitionBy($"norm_hash")
       Tables.documents(s, d)
         .withColumn("norm_hash", TextOps.md5s(TextOps.norm($"text")))
         .withColumn("survivor_id", min($"doc_id").over(w))
         .filter($"doc_id" === $"survivor_id")
         .withColumn("h", TextOps.md5s($"doc_id".cast("string")))
-        .withColumn("split",
-          when(substring($"h", 1, 1) < "d", lit("train"))
-            .when(substring($"h", 1, 1) === "d", lit("val"))
-            .otherwise(lit("test")))
+        .withColumn("split", splitCol($"h"))
         .withColumn("h2", substring(
           TextOps.md5s(concat(lit("mix_"), $"doc_id".cast("string"))), 1, 2))
-        .withColumn("n_copies",
-          perSource(w => lit(math.floor(w).toLong)) +
-            when($"h2" < perSource(w => lit(mixThr(w))), 1L).otherwise(0L))
+        .withColumn("n_copies", nCopiesCol($"h2"))
         .filter($"n_copies" >= 1 && $"split" === "train")
         .select($"doc_id", $"source", $"lang", $"split",
           explode(sequence(lit(1L), $"n_copies")).as("rep"))
@@ -400,31 +423,14 @@ object TextPack extends QueryPack {
            |  WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END) = lang AS correct
            |FROM sc""".stripMargin
       },
-      "t_mix" -> {
-        val baseCase = MIX_WEIGHTS
-          .map { case (s, w) => s"WHEN '$s' THEN ${math.floor(w).toInt}" }
-          .mkString(" ")
-        val thrCase = MIX_WEIGHTS
-          .map { case (s, w) => s"WHEN '$s' THEN '${mixThr(w)}'" }
-          .mkString(" ")
+      "t_mix" ->
         s"""WITH w AS (
-           | SELECT doc_id, source,
-           |  CAST(CASE source $baseCase ELSE ${math.floor(MIX_DEFAULT).toInt} END
-           |   + CASE WHEN substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 2) <
-           |      (CASE source $thrCase ELSE '${mixThr(MIX_DEFAULT)}' END)
-           |     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           | SELECT doc_id, source, $nCopiesSql AS n_copies
            | FROM documents)
            |SELECT doc_id, source, CAST(i AS BIGINT) AS rep
            |FROM w, UNNEST(range(1, n_copies + 1)) t(i)
-           |WHERE n_copies >= 1""".stripMargin
-      },
-      "t_pipeline" -> {
-        val baseCase = MIX_WEIGHTS
-          .map { case (s, w) => s"WHEN '$s' THEN ${math.floor(w).toInt}" }
-          .mkString(" ")
-        val thrCase = MIX_WEIGHTS
-          .map { case (s, w) => s"WHEN '$s' THEN '${mixThr(w)}'" }
-          .mkString(" ")
+           |WHERE n_copies >= 1""".stripMargin,
+      "t_pipeline" ->
         s"""WITH surv AS (
            | SELECT doc_id, source, lang
            | FROM (SELECT doc_id, source, lang,
@@ -432,27 +438,17 @@ object TextPack extends QueryPack {
            |       FROM documents) t
            | WHERE doc_id = survivor_id),
            |split AS (
-           | SELECT *, CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
-           |   WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
-           |   ELSE 'test' END AS split
+           | SELECT *, $splitSql AS split
            | FROM surv),
            |mixed AS (
-           | SELECT doc_id, source, lang, split,
-           |  CAST(CASE source $baseCase ELSE ${math.floor(MIX_DEFAULT).toInt} END
-           |   + CASE WHEN substr(md5('mix_' || CAST(doc_id AS VARCHAR)), 1, 2) <
-           |      (CASE source $thrCase ELSE '${mixThr(MIX_DEFAULT)}' END)
-           |     THEN 1 ELSE 0 END AS BIGINT) AS n_copies
+           | SELECT doc_id, source, lang, split, $nCopiesSql AS n_copies
            | FROM split WHERE split = 'train')
            |SELECT doc_id, source, lang, split, CAST(i AS BIGINT) AS rep
            |FROM mixed, UNNEST(range(1, n_copies + 1)) t(i)
-           |WHERE n_copies >= 1""".stripMargin
-      },
+           |WHERE n_copies >= 1""".stripMargin,
       "t_split" ->
-        """SELECT doc_id,
-          | CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) < 'd' THEN 'train'
-          |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
-          |  ELSE 'test' END AS split
-          |FROM documents""".stripMargin,
+        s"""SELECT doc_id, $splitSql AS split
+           |FROM documents""".stripMargin,
       "t_balance" ->
         s"""SELECT doc_id, lang, pick_rank FROM (
            | SELECT doc_id, lang,
