@@ -52,4 +52,37 @@ class SkewSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(salted === plain)
   }
+
+  test("saltedJoin handles shared non-key column names like the plain join") {
+    import spark.implicits._
+    val big = Seq((1L, 10L), (1L, 20L), (2L, 30L)).toDF("k", "v")
+    val compact = Seq((1L, 100L), (2L, 200L)).toDF("k", "v") // same non-key name
+    val plain = big.join(compact, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val salted = Skew.saltedJoin(big, compact, Seq("k"), salt = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(salted.sorted === plain.sorted)
+  }
+
+  test("saltedJoin honors a pre-materialized __salt column (saltExpr workflow)") {
+    import spark.implicits._
+    val big0 = skewedData(500, 9).toDF("k", "v")
+    val big = big0.withColumn("__salt", Skew.saltExpr(big0, 8))
+    val compact = (1L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big.join(compact, Seq("k")).drop("__salt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val salted = Skew.saltedJoin(big, compact, Seq("k"), salt = 8).drop("__salt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(salted.sorted === plain.sorted)
+  }
+
+  test("duplicate rows of the hot key spread across salts (no degenerate single bucket)") {
+    import spark.implicits._
+    // every row identical: a pure content-hash salt would collapse
+    // them all onto ONE salt value
+    val big = Seq.fill(400)((1L, 5L)).toDF("k", "v")
+    val salts = big.withColumn("__salt", Skew.saltExpr(big, 8))
+      .select("__salt").distinct().count()
+    assert(salts > 1, s"all duplicate rows landed on one salt")
+  }
 }

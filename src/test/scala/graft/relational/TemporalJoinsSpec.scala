@@ -45,6 +45,21 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(outer.length === 2 && outer.forall(_.isNullAt(outer.head.fieldIndex("asof_payload"))))
   }
 
+  test("asof ignores null-key and null-ts right rows (join semantics for nulls)") {
+    import spark.implicits._
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "nullkey"))
+      .toDF("k", "ts", "tag")
+    // a null-key right row and a null-ts right row can match NOTHING
+    // in a real join; the window formulation must not carry their
+    // payloads forward either
+    val r = Seq((None, Some(5L), 111.0), (Some(1L), None, 222.0), (Some(1L), Some(4L), 1.0))
+      .toDF("k", "rts", "payload")
+    val out = AsofJoin.lastPrior(l, r, "k", "ts", "rts").collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[String]("tag") === "a")
+    assert(out.head.getAs[Double]("asof_payload") === 1.0)
+  }
+
   test("asof keys never cross-match") {
     val l = left((1L, 100L, "a"))
     val r = right((2L, 5L, 7.0))
