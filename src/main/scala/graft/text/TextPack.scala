@@ -273,8 +273,11 @@ object TextPack extends QueryPack {
     // collect_list of tokens, no per-doc sort.
     "t_repetition" -> { (s, d) =>
       import s.implicits._
+      // two consumers (word stats + bigram stats): persist so the
+      // scan + normalize + split runs once, not per branch
       val base = Tables.documents(s, d)
         .select($"doc_id", split(TextOps.norm($"text"), " ").as("w"))
+        .persist()
       val wordStats = base
         .select($"doc_id", explode($"w").as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
