@@ -171,6 +171,28 @@ object GraphPack extends QueryPack {
       Sssp.run(s, edges, seeds, maxHops = 4)
     },
 
+    // A15: local clustering coefficient — 2·triangles / (deg·(deg−1))
+    // per vertex ("how clique-like is this node's neighborhood", the
+    // standard cohesion score next to A8's raw triangle counts). Both
+    // inputs are results this pack already computes; the ratio is
+    // exact-integer-derived, so the doubles match the oracle bit for
+    // bit.
+    "g_clustering" -> { (s, d) =>
+      import s.implicits._
+      val vertices = Tables.nation(s, d).select($"n_nationkey".cast("long").as("id"))
+      val tri = GraphXAlgos.triangleCounts(s, vertices, GraphBuilder.tradeEdges(s, d))
+        .select($"id", $"n_triangles".cast("long").as("n_triangles"))
+      val deg = GraphBuilder.tradeEdges(s, d)
+        .groupBy($"src".as("id")).agg(count(lit(1)).as("degree"))
+      tri.join(deg, Seq("id"), "left")
+        .withColumn("degree", coalesce($"degree", lit(0L)))
+        .select($"id", $"degree", $"n_triangles",
+          when($"degree" < 2, lit(0.0))
+            .otherwise(($"n_triangles" * 2).cast("double") /
+              ($"degree" * ($"degree" - 1)).cast("double"))
+            .as("clustering_coeff"))
+    },
+
     // A13: node similarity — Jaccard over neighbor sets, computed by
     // the WEDGE join (two co-partitioned equi-joins on the shared
     // middle vertex) instead of comparing neighbor lists pairwise:
@@ -358,6 +380,24 @@ object GraphPack extends QueryPack {
          |SELECT CAST(n.n_nationkey AS BIGINT) AS id, COALESCE(t.n, CAST(0 AS BIGINT)) AS n_triangles
          |FROM nation n LEFT JOIN tri t ON t.id = n.n_nationkey""".stripMargin,
     "g_pagerank" -> pagerankSql(PR_ITERS),
+    "g_clustering" ->
+      s"""WITH $tradeEdgesSql,
+         |canon AS (SELECT src AS x, dst AS y FROM edges WHERE src < dst),
+         |tri AS (
+         | SELECT a.src AS id, CAST(COUNT(*) AS BIGINT) AS n
+         | FROM edges a JOIN edges b ON a.src = b.src AND a.dst < b.dst
+         |  JOIN canon c ON c.x = a.dst AND c.y = b.dst
+         | GROUP BY a.src),
+         |deg AS (SELECT src AS id, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src)
+         |SELECT CAST(n.n_nationkey AS BIGINT) AS id,
+         | COALESCE(d.degree, CAST(0 AS BIGINT)) AS degree,
+         | COALESCE(t.n, CAST(0 AS BIGINT)) AS n_triangles,
+         | CASE WHEN COALESCE(d.degree, 0) < 2 THEN 0.0
+         |  ELSE CAST(COALESCE(t.n, 0) * 2 AS DOUBLE) / CAST(d.degree * (d.degree - 1) AS DOUBLE)
+         | END AS clustering_coeff
+         |FROM nation n
+         | LEFT JOIN tri t ON t.id = n.n_nationkey
+         | LEFT JOIN deg d ON d.id = n.n_nationkey""".stripMargin,
     "g_neighbor_feats" ->
       s"""WITH $tradeEdgesSql,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS degree FROM edges GROUP BY src),
