@@ -43,8 +43,12 @@ object Bench {
       val small = new java.io.File("/root/testdata/sf0.001")
       if (small.isDirectory) small.getPath else sfDir
     }
+    // optional args: restrict to these query names (dev loop; the
+    // driver invokes with no args = full suite)
+    val only = args.toSet
     val queries = SparkEntry.queries
     val names = queries.keys.toSeq.sorted
+      .filter(n => only.isEmpty || only(n))
     names.foreach { name =>
       try materialize(queries(name)(spark, warmDir))
       catch { case NonFatal(_) => () }

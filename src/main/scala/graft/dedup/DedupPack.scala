@@ -176,6 +176,7 @@ object DedupPack extends QueryPack {
     // pair × shingle × shingle three-way join.
     "d_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
+      graft.functions.GraftFunctions.register(s)
       // Per-doc sorted distinct shingle set in one map-side pass —
       // replaces a corpus-wide DISTINCT shuffle plus a collect_set
       // aggregation; the exploded view below is already distinct.
@@ -185,11 +186,17 @@ object DedupPack extends QueryPack {
         .filter(size($"set") > 0)
         .persist()
       val sh = sets.select($"doc_id", explode($"set").as("shingle"))
-      // One shuffle groups each shingle's posting list; rare buckets
-      // (2 ≤ df ≤ bound) explode into their within-bucket pairs
+      // One shuffle groups each shingle's posting list — through the
+      // BOUNDED CappedCollectLong aggregate, so a stop-shingle's
+      // posting list never accumulates past the df cap in any buffer
+      // (map-side partial or final): hot shingles collapse to a NULL
+      // marker instead of an unbounded single-key list. Rare buckets
+      // (2 ≤ df ≤ bound) then explode into their within-bucket pairs
       // map-side — no df-join-back, no shingle self-join.
-      val cand = sh.groupBy($"shingle").agg(collect_list($"doc_id").as("ds"))
-        .filter(size($"ds").between(2, NGRAM_MAX_DF))
+      val cand = sh.groupBy($"shingle")
+        .agg(graft.functions.GraftFunctions
+          .collectCapped($"doc_id", NGRAM_MAX_DF).as("ds"))
+        .filter($"ds".isNotNull && size($"ds") >= 2)
         .select(explode(bucketPairs($"ds")).as("p"))
         .groupBy($"p._1".as("da"), $"p._2".as("db"))
         .agg(count(lit(1)).as("n_common"))

@@ -155,6 +155,16 @@ object GraftFunctions {
         }
         TopKByScore(es(0), es(1), k).toAggregateExpression()
       }),
+    (FunctionIdentifier("graft_collect_capped"),
+      new ExpressionInfo(classOf[CappedCollectLong].getName, "graft_collect_capped"),
+      (es: Seq[Expression]) => {
+        val cap = es(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"graft_collect_capped(value, cap): cap must be an integer literal, got $other")
+        }
+        CappedCollectLong(es(0), cap).toAggregateExpression()
+      }),
     (FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
       (es: Seq[Expression]) => {
@@ -185,6 +195,9 @@ object GraftFunctions {
   def topK(score: Column, id: Column, k: Int): Column =
     org.apache.spark.sql.functions.call_udf("graft_top_k", score, id,
       org.apache.spark.sql.functions.lit(k))
+  def collectCapped(value: Column, cap: Int): Column =
+    org.apache.spark.sql.functions.call_udf("graft_collect_capped", value,
+      org.apache.spark.sql.functions.lit(cap))
   def heavyHitters(item: Column, capacity: Int): Column =
     org.apache.spark.sql.functions.call_udf("graft_heavy_hitters", item,
       org.apache.spark.sql.functions.lit(capacity))

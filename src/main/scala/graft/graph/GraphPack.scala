@@ -193,30 +193,17 @@ object GraphPack extends QueryPack {
             .as("clustering_coeff"))
     },
 
-    // A13: node similarity — Jaccard over neighbor sets, computed by
-    // the WEDGE join (two co-partitioned equi-joins on the shared
-    // middle vertex) instead of comparing neighbor lists pairwise:
-    // only node pairs with ≥ 1 common neighbor ever materialize, and
-    // the common-neighbor count is a partial-aggregable groupBy. The
-    // graph-db "similar entities" primitive (link prediction,
-    // entity resolution), sharing its blocking idea with D4's
+    // A13: node similarity — Jaccard over neighbor sets via
+    // degree-capped map-side wedge enumeration (one adjacency shuffle,
+    // codegen'd pair explosion, bounded block split for hot middles —
+    // see NodeSimilarity for the scale argument). Only node pairs with
+    // ≥ 1 common neighbor ever materialize, and the common-neighbor
+    // count collapses map-side before its shuffle. The graph-db
+    // "similar entities" primitive (link prediction, entity
+    // resolution), sharing its blocking idea with D4's
     // rare-shingle join.
     "g_jaccard_nodes" -> { (s, d) =>
-      import s.implicits._
-      // referenced three times (both wedge sides + degrees): persist
-      // so the two-equi-join derivation runs once, not per reference
-      val e = GraphBuilder.partEdgesWide(s, d).persist()
-      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
-      val wedges = e.select($"src".as("mid"), $"dst".as("a"))
-        .join(e.select($"src".as("mid"), $"dst".as("b")), "mid")
-        .filter($"a" < $"b")
-        .groupBy($"a", $"b").agg(count(lit(1)).as("n_common"))
-      wedges
-        .join(deg.select($"node".as("a"), $"deg".as("da")), "a")
-        .join(deg.select($"node".as("b"), $"deg".as("db")), "b")
-        .withColumn("jaccard",
-          $"n_common".cast("double") / ($"da" + $"db" - $"n_common").cast("double"))
-        .select($"a".as("node_a"), $"b".as("node_b"), $"n_common", $"jaccard")
+      NodeSimilarity.jaccard(s, GraphBuilder.partEdgesWide(s, d))
     },
 
     // A11: neighborhood feature aggregation — per-node degree, mean
