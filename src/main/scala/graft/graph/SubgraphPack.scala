@@ -8,8 +8,12 @@ import graft.{QueryPack, Tables}
   * "molecules", their lineitems are atoms). */
 final case class OrderItem(okey: Long, node: Int, supp: Long)
 
-/** Census row: one distinct canonical subgraph of one order. */
-final case class CensusRow(o_orderkey: Long, subgraph_hash: String, size: Int)
+/** Census row: one distinct canonical subgraph of one order.
+  * canon_key = "size:m:sortedDegSeq" — complete for connected ≤4-node
+  * classes (see [[Subgraphs.censusDetailed]]), and the handle the SQL
+  * oracle classifies by. */
+final case class CensusRow(o_orderkey: Long, subgraph_hash: String, size: Int,
+                           canon_key: String)
 
 /** Per-order graph with its census hash set (for pairwise GED). */
 final case class OrderGraph(okey: Long, nodes: Seq[Int],
@@ -40,10 +44,13 @@ final case class GedRow(order_a: Long, order_b: Long,
   * validation rule (B6), mirroring the reference's max_atoms=10
   * constraint (mcs.py:27-54).
   *
-  * These queries have no SQL oracle (WL hashing is not expressible in
-  * DuckDB SQL) — the driver records rows-only checks and the real
-  * verification lives in the ScalaTest specs (hand-computed census /
-  * hash / GED examples).
+  * Census/index/by-size carry a HARD cross-engine oracle: the DuckDB
+  * side brute-force enumerates every ≤4-node subset and classifies it
+  * by the (size, m, sorted degree sequence) canon key — complete for
+  * connected ≤4-node graphs — then renames classes to WL hashes via a
+  * 9-entry dictionary pinned by spec (see [[censusSql]]). Only
+  * g_ged_pairs stays spec-verified (exact GED is not expressible in
+  * SQL).
   */
 object SubgraphPack extends QueryPack {
 
@@ -68,13 +75,14 @@ object SubgraphPack extends QueryPack {
   }
 
   /** The B3 index aggregation, shared with B4's query-by-size.
-    * first(size) is safe: the WL hash digests the node count, so a
-    * hash functionally determines its size. */
+    * first(size)/first(canon_key) are safe: the WL hash digests the
+    * node count and structure, so a hash functionally determines both. */
   private def indexDf(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     censusDs(s, d).toDF()
       .groupBy($"subgraph_hash")
-      .agg(first($"size").cast("long").as("size"), count(lit(1)).as("frequency"))
+      .agg(first($"size").cast("long").as("size"), count(lit(1)).as("frequency"),
+        first($"canon_key").as("canon_key"))
   }
 
   private def censusDs(s: SparkSession, d: String) = {
@@ -83,17 +91,22 @@ object SubgraphPack extends QueryPack {
       .groupByKey(_.okey)
       .flatMapGroups { (okey, it) =>
         buildGraph(it.toSeq).iterator.flatMap { g =>
-          Subgraphs.census(g, CENSUS_MAX_SIZE).map { case (h, sz) => CensusRow(okey, h, sz) }
+          Subgraphs.censusDetailed(g, CENSUS_MAX_SIZE).map { case (h, sz, ck) =>
+            CensusRow(okey, h, sz, ck)
+          }
         }
       }
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // B1/B2: connected-subgraph census, deduped by WL canonical hash.
+    // canon_key rides along so the DuckDB oracle can classify the same
+    // subgraphs by brute-force enumeration (complete ≤ 4 nodes).
     "g_subgraph_census" -> { (s, d) =>
       import s.implicits._
       censusDs(s, d).toDF()
-        .select($"o_orderkey", $"subgraph_hash", $"size".cast("long").as("size"))
+        .select($"o_orderkey", $"subgraph_hash", $"size".cast("long").as("size"),
+          $"canon_key")
     },
 
     // B3: global subgraph index — hash → size + parent frequency
@@ -105,7 +118,7 @@ object SubgraphPack extends QueryPack {
       import s.implicits._
       indexDf(s, d)
         .filter($"size" === 3)
-        .select($"subgraph_hash", $"frequency")
+        .select($"subgraph_hash", $"frequency", $"canon_key")
     },
 
     // B5: pairwise Tanimoto + approx GED + exact GED over a bounded
@@ -146,5 +159,112 @@ object SubgraphPack extends QueryPack {
     },
   )
 
-  override def oracles: Map[String, String] = Map.empty
+  /** Brute-force census oracle CTE chain ending in
+    * `cls(okey, ck)` — one row per (order, connected-iso-class) — and
+    * `map(ck, h, sz)`, the canon-key → WL-hash dictionary.
+    *
+    * The oracle independently re-derives the per-order item graphs
+    * (same supplier-share + adjacent-linenumber bonds), enumerates
+    * EVERY node subset of size 2/3/4 by ordered self-joins, tests
+    * connectivity arithmetically (size 3: m ≥ 2; size 4: m ≥ 4 or
+    * m = 3 with no isolated vertex — the only 4-node 3-edge
+    * disconnected shape is triangle+isolate), and classifies by
+    * (size, m, sorted degree sequence), which is complete for
+    * connected ≤ 4-node graphs. The 9 WL-hash literals in `map` are
+    * the engine's hashes for the 9 classes, pinned by
+    * SubgraphsSpec("canon-key → WL-hash dictionary"); everything the
+    * census COMPUTES (enumeration, connectivity, dedup, counting) is
+    * verified cross-engine, the dictionary is a fixed rename. */
+  private val censusSql =
+    """items AS (
+      | SELECT CAST(l_orderkey AS BIGINT) AS okey, CAST(l_linenumber AS INT) AS node, l_suppkey AS supp
+      | FROM lineitem),
+      |valid AS (
+      | -- mirrors Subgraphs.validate via buildGraph: size cap on
+      | -- DISTINCT nodes, and rejection of any order where two items
+      | -- share (node, supp) — that pair becomes a self-loop edge on
+      | -- the Spark side and voids the whole order (B6)
+      | SELECT okey FROM items GROUP BY okey
+      | HAVING COUNT(DISTINCT node) <= 10
+      |    AND COUNT(*) = COUNT(DISTINCT (node, supp))),
+      |vitems AS (SELECT DISTINCT i.okey, i.node FROM items i JOIN valid v ON v.okey = i.okey),
+      |e0 AS (
+      | SELECT t.okey, t.a, t.b FROM (
+      |  SELECT DISTINCT i1.okey, i1.node AS a, i2.node AS b
+      |  FROM items i1 JOIN items i2
+      |   ON i1.okey = i2.okey AND i1.supp = i2.supp AND i1.node < i2.node
+      |  UNION
+      |  SELECT DISTINCT i1.okey, i1.node, i2.node
+      |  FROM items i1 JOIN items i2 ON i1.okey = i2.okey AND i2.node = i1.node + 1
+      | ) t JOIN valid v ON v.okey = t.okey),
+      |eo AS (SELECT okey, list([a, b]) AS es FROM e0 GROUP BY okey),
+      |s2 AS (SELECT DISTINCT okey, '2:1:11' AS ck FROM e0),
+      |t3 AS (
+      | SELECT a.okey,
+      |  (CASE WHEN list_contains(eo.es, [a.node, b.node]) THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(eo.es, [a.node, c.node]) THEN 1 ELSE 0 END
+      |   + CASE WHEN list_contains(eo.es, [b.node, c.node]) THEN 1 ELSE 0 END) AS m
+      | FROM vitems a
+      |  JOIN vitems b ON b.okey = a.okey AND b.node > a.node
+      |  JOIN vitems c ON c.okey = a.okey AND c.node > b.node
+      |  JOIN eo ON eo.okey = a.okey),
+      |s3 AS (
+      | SELECT DISTINCT okey, CASE WHEN m = 3 THEN '3:3:222' ELSE '3:2:112' END AS ck
+      | FROM t3 WHERE m >= 2),
+      |t4 AS (
+      | SELECT okey, e12+e13+e14+e23+e24+e34 AS m,
+      |  e12+e13+e14 AS d1, e12+e23+e24 AS d2, e13+e23+e34 AS d3, e14+e24+e34 AS d4
+      | FROM (
+      |  SELECT a.okey,
+      |   CASE WHEN list_contains(eo.es, [a.node, b.node]) THEN 1 ELSE 0 END AS e12,
+      |   CASE WHEN list_contains(eo.es, [a.node, c.node]) THEN 1 ELSE 0 END AS e13,
+      |   CASE WHEN list_contains(eo.es, [a.node, d.node]) THEN 1 ELSE 0 END AS e14,
+      |   CASE WHEN list_contains(eo.es, [b.node, c.node]) THEN 1 ELSE 0 END AS e23,
+      |   CASE WHEN list_contains(eo.es, [b.node, d.node]) THEN 1 ELSE 0 END AS e24,
+      |   CASE WHEN list_contains(eo.es, [c.node, d.node]) THEN 1 ELSE 0 END AS e34
+      |  FROM vitems a
+      |   JOIN vitems b ON b.okey = a.okey AND b.node > a.node
+      |   JOIN vitems c ON c.okey = a.okey AND c.node > b.node
+      |   JOIN vitems d ON d.okey = a.okey AND d.node > c.node
+      |   JOIN eo ON eo.okey = a.okey) q),
+      |s4 AS (
+      | SELECT DISTINCT okey,
+      |  '4:' || m || ':' || array_to_string(list_sort([d1, d2, d3, d4]), '') AS ck
+      | FROM t4
+      | WHERE m >= 4 OR (m = 3 AND least(d1, d2, d3, d4) >= 1)),
+      |cls AS (SELECT okey, ck FROM s2
+      |        UNION ALL SELECT okey, ck FROM s3
+      |        UNION ALL SELECT okey, ck FROM s4),
+      |map AS (
+      | SELECT * FROM (VALUES
+      |  ('2:1:11',   'de4694dddcb9035ab2f53f563f9699bf', 2),
+      |  ('3:2:112',  '51139270af9321b89635acca676c2177', 3),
+      |  ('3:3:222',  'dee09eecea3a7f2063ef6a3a103855e3', 3),
+      |  ('4:3:1122', '6d090fe3937b01e38819a7b5d4237ab1', 4),
+      |  ('4:3:1113', '59bf232e1a78412f9c9b77315246ab6c', 4),
+      |  ('4:4:1223', 'a32f0c85e825a65627d8df8f2d9a6003', 4),
+      |  ('4:4:2222', '3e9feae938259890d2a4253469240227', 4),
+      |  ('4:5:2233', 'eca5e60d4f0a1fe8cec33d62c710d1fb', 4),
+      |  ('4:6:3333', '5688ca8e2136fda0029dee1dd3074496', 4)) m(ck, h, sz))""".stripMargin
+
+  override def oracles: Map[String, String] = Map(
+    "g_subgraph_census" ->
+      s"""WITH $censusSql
+         |SELECT c.okey AS o_orderkey, m.h AS subgraph_hash,
+         | CAST(m.sz AS BIGINT) AS size, c.ck AS canon_key
+         |FROM cls c JOIN map m ON m.ck = c.ck""".stripMargin,
+    "g_subgraph_index" ->
+      s"""WITH $censusSql
+         |SELECT m.h AS subgraph_hash, CAST(m.sz AS BIGINT) AS size,
+         | CAST(COUNT(*) AS BIGINT) AS frequency, c.ck AS canon_key
+         |FROM cls c JOIN map m ON m.ck = c.ck
+         |GROUP BY m.h, m.sz, c.ck""".stripMargin,
+    "g_subgraph_by_size" ->
+      s"""WITH $censusSql
+         |SELECT m.h AS subgraph_hash, CAST(COUNT(*) AS BIGINT) AS frequency,
+         | c.ck AS canon_key
+         |FROM cls c JOIN map m ON m.ck = c.ck
+         |WHERE m.sz = 3
+         |GROUP BY m.h, c.ck""".stripMargin,
+  )
 }

@@ -52,7 +52,18 @@ object Subgraphs {
   private val wlMemo = new java.util.concurrent.ConcurrentHashMap[Long, String]()
 
   /** Distinct (canonical hash, size) of all connected induced
-    * subgraphs of size 2..maxSize with ≥ 1 edge.
+    * subgraphs of size 2..maxSize with ≥ 1 edge. */
+  def census(g: LocalGraph, maxSize: Int = 4): Seq[(String, Int)] =
+    censusDetailed(g, maxSize).map(t => (t._1, t._2))
+
+  /** Census rows as (canonical WL hash, size, canon key), where the
+    * canon key is `"size:m:sortedDegreeSequence"` — a cheap structural
+    * invariant that is COMPLETE for connected graphs of ≤ 4 nodes (the
+    * six 4-node, two 3-node and one 2-node connected classes have
+    * pairwise-distinct keys — the same fact the WL memo below relies
+    * on), and merely a sound-but-incomplete invariant above 4 nodes.
+    * The key is what lets a plain-SQL engine (the DuckDB oracle)
+    * classify subgraphs without implementing WL hashing.
     *
     * Enumeration is Wernicke's ESU over ≤[[MAX_NODES]]-node bitmasks:
     * each connected vertex set is generated exactly once (rooted at
@@ -63,13 +74,15 @@ object Subgraphs {
     * hashes come from the iso-class memo, larger ones from
     * [[WLHash.hash]] on the induced subgraph.
     */
-  def census(g: LocalGraph, maxSize: Int = 4): Seq[(String, Int)] = {
+  def censusDetailed(g: LocalGraph, maxSize: Int = 4): Seq[(String, Int, String)] = {
     val n = g.n
     // Int bitmasks alias silently above bit 31 — fail loudly instead.
     // (validate() caps graphs at MAX_NODES=10 long before this.)
     require(n < 32, s"census supports < 32 nodes, got $n")
-    val out = scala.collection.mutable.LinkedHashMap.empty[String, Int]
-    if (n < 2 || g.edges.isEmpty) return out.toSeq
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, (Int, String)]
+    def result(): Seq[(String, Int, String)] =
+      out.iterator.map { case (h, (sz, ck)) => (h, sz, ck) }.toSeq
+    if (n < 2 || g.edges.isEmpty) return result()
     val ids = g.nodes.toArray
     java.util.Arrays.sort(ids)
     val adj = new Array[Int](n)
@@ -82,7 +95,7 @@ object Subgraphs {
 
     // WL hash of the induced subgraph `mask`, via the iso-class memo
     // for ≤ 4 nodes (where (n, m, degseq) is complete).
-    def hashOf(mask: Int): String = {
+    def hashOf(mask: Int): (String, Int, String) = {
       var m = 0
       var size = 0
       val degs = new Array[Int](Integer.bitCount(mask))
@@ -97,6 +110,7 @@ object Subgraphs {
         i += 1
       }
       m /= 2
+      java.util.Arrays.sort(degs)
       def wlDirect(): String = {
         val subNodes = Vector.newBuilder[Int]
         val subEdges = Seq.newBuilder[(Int, Int)]
@@ -115,24 +129,26 @@ object Subgraphs {
         }
         WLHash.hash(subNodes.result(), subEdges.result())
       }
-      if (size <= 4) {
-        java.util.Arrays.sort(degs)
-        var key = size.toLong << 40 | m.toLong << 32
-        var k = 0
-        while (k < size) { key = key << 4 | degs(k); k += 1 }
-        val cached = wlMemo.get(key)
-        if (cached != null) cached
-        else {
-          val h = wlDirect()
-          wlMemo.putIfAbsent(key, h)
-          h
-        }
-      } else wlDirect()
+      val canon = s"$size:$m:${degs.mkString("")}"
+      val hash =
+        if (size <= 4) {
+          var key = size.toLong << 40 | m.toLong << 32
+          var k = 0
+          while (k < size) { key = key << 4 | degs(k); k += 1 }
+          val cached = wlMemo.get(key)
+          if (cached != null) cached
+          else {
+            val h = wlDirect()
+            wlMemo.putIfAbsent(key, h)
+            h
+          }
+        } else wlDirect()
+      (hash, size, canon)
     }
 
     def emit(mask: Int): Unit = {
-      val h = hashOf(mask)
-      if (!out.contains(h)) out(h) = Integer.bitCount(mask)
+      val (h, size, canon) = hashOf(mask)
+      if (!out.contains(h)) out(h) = (size, canon)
     }
 
     // ESU: sub ∪ N(sub) is tracked in subNbr; ext ⊆ N(sub) holds only
@@ -157,7 +173,7 @@ object Subgraphs {
         v += 1
       }
     }
-    out.toSeq
+    result()
   }
 
   /** Exact unit-cost GED between two small graphs (≤ MAX_NODES). */
