@@ -186,36 +186,61 @@ object RelationalPack extends QueryPack {
     // formulation shuffles one row per distinct key; the sketch
     // shuffles `capacity` constant-size counters per partition at ANY
     // key cardinality. Estimates depend on stream order (like every
-    // MG summary), so the oracle is rows-only; the frequency
-    // guarantee (est ≤ true ≤ est + max_err; no false negatives
-    // above n/capacity) is asserted in HeavyHittersSpec.
+    // MG summary), so raw values have no cross-engine oracle; instead
+    // the query PROVES the MG sandwich guarantee per emitted key —
+    // est ≤ true ≤ est + max_err against the exact counts — and emits
+    // the booleans, which the oracle reproduces as literal TRUE. Any
+    // guarantee violation (or a change in emitted row count) flips
+    // the driver's hash compare red. The raw-value surface stays
+    // available via GraftFunctions.heavyHitters + HeavyHittersSpec.
     "q_heavy_hitters" -> { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      Tables.lineitem(s, d)
-        .agg(graft.functions.GraftFunctions.heavyHitters($"l_partkey".cast("long"), 256).as("hh"))
+      val keys = Tables.lineitem(s, d).select($"l_partkey".cast("long").as("pk"))
+      val top = keys
+        .agg(graft.functions.GraftFunctions.heavyHitters($"pk", 256).as("hh"))
         .select(posexplode($"hh").as(Seq("pos", "h")))
         .filter($"pos" < 10)
-        .select(($"pos" + 1).cast("long").as("rank"), $"h.item".as("l_partkey"),
-          $"h.est".as("est_count"), $"h.max_err".as("max_err"))
+        .select(($"pos" + 1).cast("long").as("rank"), $"h.item".as("pk"),
+          $"h.est".as("est"), $"h.max_err".as("max_err"))
+      val exact = keys.groupBy($"pk").agg(count(lit(1)).as("true_cnt"))
+      top.join(exact, Seq("pk"), "left")
+        .select($"rank",
+          ($"true_cnt".isNotNull && $"est" <= $"true_cnt" &&
+            $"true_cnt" <= $"est" + $"max_err").as("sandwich_ok"))
     },
 
     // C10: sketch aggregations — HLL++ approximate distinct counts and
-    // Greenwald-Khanna approximate quantiles per nation. At warehouse
-    // scale these replace exact DISTINCT / exact percentiles (whose
-    // shuffles carry every distinct value / sort every group) with
-    // constant-size mergeable state per group. Approximate results
-    // have no SQL oracle (DuckDB's sketches differ); the error bound
-    // vs the exact answers is asserted in SketchAccuracySpec.
+    // approximate quantiles per nation. At warehouse scale these
+    // replace exact DISTINCT / exact percentiles (whose shuffles carry
+    // every distinct value / sort every group) with constant-size
+    // mergeable state per group. Approximate values differ across
+    // engines, so the query emits GUARANTEE booleans instead: the HLL
+    // estimate within 10% of the exact distinct count (5× the 2% rsd),
+    // and each approx percentile inside a generous exact quantile
+    // bracket (±0.03 — the sketch's rank error at accuracy 10000 is
+    // ≤ 0.0001). Exact n_cust rides along as a fully cross-engine
+    // column; the oracle reproduces the booleans as literal TRUE.
+    // Raw sketch values remain covered by SketchAccuracySpec.
     "q_approx_stats" -> { (s, d) =>
       import s.implicits._
       Tables.orders(s, d)
         .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
         .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
         .agg(
-          approx_count_distinct($"o_custkey", rsd = 0.02).as("n_cust_approx"),
-          percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("p50_total"),
-          percentile_approx($"o_totalprice", lit(0.95), lit(10000)).as("p95_total"))
+          approx_count_distinct($"o_custkey", rsd = 0.02).as("n_approx"),
+          percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx($"o_totalprice", lit(0.95), lit(10000)).as("p95a"),
+          countDistinct($"o_custkey").as("n_cust"),
+          percentile($"o_totalprice", lit(0.47)).as("p50lo"),
+          percentile($"o_totalprice", lit(0.53)).as("p50hi"),
+          percentile($"o_totalprice", lit(0.92)).as("p95lo"),
+          percentile($"o_totalprice", lit(0.98)).as("p95hi"))
+        .select($"c_nationkey", $"n_cust",
+          (abs($"n_approx" - $"n_cust").cast("double") <=
+            $"n_cust".cast("double") * 0.1).as("cnt_ok"),
+          ($"p50a" >= $"p50lo" && $"p50a" <= $"p50hi").as("p50_ok"),
+          ($"p95a" >= $"p95lo" && $"p95a" <= $"p95hi").as("p95_ok"))
     },
 
     // C11: AS-OF join — each purchase attributed to the latest prior
@@ -337,6 +362,19 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // guarantee-boolean oracles (C10/C15): the Spark side proves each
+    // sketch's published bound against exact values it computes
+    // itself; the oracle contributes the cross-engine-checkable part
+    // (grouping keys, exact counts, row counts) plus TRUE literals.
+    "q_approx_stats" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_cust,
+        | TRUE AS cnt_ok, TRUE AS p50_ok, TRUE AS p95_ok
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_heavy_hitters" ->
+      """SELECT CAST(r AS BIGINT) AS rank, TRUE AS sandwich_ok
+        |FROM range(1, 11) t(r)""".stripMargin,
     "q_cube" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
