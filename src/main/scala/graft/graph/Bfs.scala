@@ -121,6 +121,43 @@ object Bfs {
     spark.createDataFrame(out.sortBy(r => (r.getLong(0), r.getLong(1))).asJava, schema)
   }
 
+  /** Single-pair early-exit BFS — the reference's `query(from, to)`
+    * (main.py:272-305): source counts as wave 1, each hop adds one,
+    * -1 if unreachable; src == dst short-circuits to 1 without
+    * touching the graph. Distributed frontier loop like [[bfs]], but
+    * it STOPS the moment the target enters the frontier — on a
+    * 100 TB graph with a 3-hop answer, that is 3 co-partitioned joins
+    * total, not a full reachability closure. Each wave's loop control
+    * (frontier size + target hit) is a single aggregation job.
+    * [[GraphDB.query]] delegates here; g_query_pair puts the same
+    * code path on the driver's oracle signal. */
+  def wavePair(edges: DataFrame, src: Long, dst: Long, maxWaves: Int = 100): Long = {
+    if (src == dst) return 1L
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
+    try {
+      var frontier = settle(Seq(src).toDF("node"))
+      var visited = frontier
+      var wave = 1L
+      while (wave <= maxWaves) {
+        // one job decides both loop conditions
+        val (n, hit) = frontier
+          .agg(count(lit(1)), max(when(col("node") === dst, 1L)))
+          .as[(Long, Option[Long])].head()
+        if (hit.contains(1L)) return wave
+        if (n == 0) return -1L
+        wave += 1
+        frontier = settle(
+          frontier.join(e, frontier("node") === e("src"))
+            .select(e("dst").as("node")).distinct()
+            .join(visited, Seq("node"), "left_anti"))
+        visited = settle(visited.union(frontier))
+      }
+      -1L
+    } finally e.unpersist()
+  }
+
   /** Depth-bounded wavefront expansion (add_relations,
     * main.py:212-242): seeds are wave 0, each wave reaches the
     * neighbors not already seen, up to `depth` waves. Returns

@@ -77,31 +77,8 @@ class GraphDB(s: SparkSession, root: String) {
     * Early-exits the moment the target enters the frontier; each wave
     * is one co-partitioned frontier join, and the per-wave loop
     * control (frontier size + target hit) is a single aggregation. */
-  def query(src: Long, dst: Long, maxWaves: Int = 100): Long = {
-    import s.implicits._
-    if (src == dst) return 1L
-    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
-    try {
-      var frontier = Seq(src).toDF("node").localCheckpoint(eager = false)
-      var visited = frontier
-      var wave = 1L
-      while (wave <= maxWaves) {
-        // one job decides both loop conditions
-        val (n, hit) = frontier
-          .agg(count(lit(1)), max(when(col("node") === dst, 1L)))
-          .as[(Long, Option[Long])].head()
-        if (hit.contains(1L)) return wave
-        if (n == 0) return -1L
-        wave += 1
-        frontier = frontier.join(e, frontier("node") === e("src"))
-          .select(e("dst").as("node")).distinct()
-          .join(visited, Seq("node"), "left_anti")
-          .localCheckpoint(eager = false)
-        visited = visited.union(frontier).localCheckpoint(eager = false)
-      }
-      -1L
-    } finally e.unpersist()
-  }
+  def query(src: Long, dst: Long, maxWaves: Int = 100): Long =
+    Bfs.wavePair(edges, src, dst, maxWaves)
 
   /** Graph stats (get_stats, main.py:307-332): distinct source nodes,
     * edge count, average degree rounded to 2 dp. */

@@ -61,6 +61,12 @@ object GraphPack extends QueryPack {
 
   private val PR_ITERS = 10
 
+  /** g_query_pair probes: fast path on-graph (0,0) and off-graph
+    * (9999,9999), ordinary reachable pairs, and an unreachable
+    * target (0→9999). */
+  private val QUERY_PAIRS: Seq[(Long, Long)] =
+    Seq((0L, 0L), (9999L, 9999L), (0L, 5L), (3L, 17L), (24L, 1L), (7L, 23L), (0L, 9999L))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A1: property-graph construction — bidirectional, UNIQUE-dedup'd
     // edge set (main.py:143-153's UNIQUE(smiles, target_smiles)).
@@ -146,6 +152,20 @@ object GraphPack extends QueryPack {
       val seeds = edges.select($"src".as("node")).distinct()
         .select($"node".as("root"), $"node")
       Bfs.bfsBounded(edges, seeds)
+    },
+
+    // A4b: the single-pair early-exit query API (GraphDB.query →
+    // Bfs.wavePair, main.py:272-305 parity) on the hard signal: a
+    // handful of (src, dst) probes including the src==dst wave-1
+    // fast path (on- and off-graph) and an unreachable target.
+    // The per-pair BFS loop is intrinsically driver-controlled (it
+    // IS the early-exit point lookup); the edge table is shared and
+    // each probe stops at its answer wave.
+    "g_query_pair" -> { (s, d) =>
+      import s.implicits._
+      val e = GraphBuilder.tradeEdges(s, d).localCheckpoint(false)
+      QUERY_PAIRS.map { case (a, b) => (a, b, Bfs.wavePair(e, a, b)) }
+        .toDF("src", "dst", "wave")
     },
 
     // A12: k-core decomposition by iterative peeling over the widened
@@ -398,6 +418,20 @@ object GraphPack extends QueryPack {
          |         WHERE src <> far) u GROUP BY src)
          |SELECT d.node, d.degree, n.nbr_avg_degree, t.n_reach2
          |FROM deg d JOIN nbr n ON n.node = d.node JOIN two t ON t.node = d.node""".stripMargin,
+    "g_query_pair" -> {
+      val vals = QUERY_PAIRS.map { case (a, b) => s"($a, $b)" }.mkString(", ")
+      s"""WITH RECURSIVE $tradeEdgesSql,
+         |qp(qsrc, qdst) AS (SELECT * FROM (VALUES $vals) v(qsrc, qdst)),
+         |walk(root, node, wave) AS (
+         | SELECT DISTINCT CAST(qsrc AS BIGINT), CAST(qsrc AS BIGINT), CAST(1 AS BIGINT) FROM qp
+         | UNION
+         | SELECT w.root, e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
+         | WHERE w.wave < 30)
+         |SELECT CAST(p.qsrc AS BIGINT) AS src, CAST(p.qdst AS BIGINT) AS dst,
+         | COALESCE(m.wave, CAST(-1 AS BIGINT)) AS wave
+         |FROM qp p LEFT JOIN (SELECT root, node, MIN(wave) AS wave FROM walk GROUP BY root, node) m
+         | ON m.root = p.qsrc AND m.node = p.qdst""".stripMargin
+    },
     "g_bfs_allpairs" ->
       s"""WITH RECURSIVE $tradeEdgesSql,
          |roots AS (SELECT DISTINCT src AS node FROM edges),
