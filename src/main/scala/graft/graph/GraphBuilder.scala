@@ -69,6 +69,44 @@ object GraphBuilder {
   def partEdges(s: SparkSession, d: String): DataFrame =
     partEdgeDeltas(s, d).select("src", "dst")
 
+  /** Multi-rule TYPED part edit-graph — the analog of the reference's
+    * three edit generators with per-edge rule identity: every edge
+    * records WHICH rule produced it, like the reference's
+    * (diff_atom, diff_bond, subs) columns where `subs` tags the
+    * substitution rule (main.py:60-114, schema main.py:148-153).
+    *
+    *   - `size_up`   — same brand, size + 1 (atom addition analog)
+    *   - `size_down` — same brand, size − 1 (atom deletion analog;
+    *     derived by flipping size_up, not by a second join)
+    *   - `type_sub` — same brand, SAME size, different type
+    *     (substitution analog: one attribute swapped, size unchanged)
+    *
+    * Each rule is an EQUI-join on (brand, size ± δ) — the
+    * substitution rule on (brand, size) with a cheap residual filter —
+    * so the union is three shuffle-free-composable equi-joins, no
+    * range join, no cartesian. Columns:
+    * (src, dst, rule, diff_size, diff_price). */
+  def partEdgesTyped(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val D = DecimalType(18, 2)
+    val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size",
+      $"p_type", $"p_retailprice".cast(D).as("price"))
+    val b = p.select($"p_partkey".as("dst"), $"p_brand".as("brand_b"),
+      $"p_size".as("size_b"), $"p_type".as("type_b"), $"price".as("price_b"))
+    val up = p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + 1)
+      .select($"p_partkey".as("src"), $"dst", lit("size_up").as("rule"),
+        ($"size_b" - $"p_size").cast("long").as("diff_size"),
+        ($"price_b" - $"price").cast("double").as("diff_price"))
+    val down = up.select($"dst".as("src"), $"src".as("dst"),
+      lit("size_down").as("rule"),
+      (-$"diff_size").as("diff_size"), (-$"diff_price").as("diff_price"))
+    val sub = p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" &&
+        $"p_type" =!= $"type_b" && $"p_partkey" =!= $"dst")
+      .select($"p_partkey".as("src"), $"dst", lit("type_sub").as("rule"),
+        lit(0L).as("diff_size"), ($"price_b" - $"price").cast("double").as("diff_price"))
+    up.union(down).union(sub)
+  }
+
   /** Widened part edit-graph: same brand, size differing by 1 OR 2
     * (a two-rule edit neighborhood — the substitution analog next to
     * partEdges' deletion analog). Interior parts of a brand's size

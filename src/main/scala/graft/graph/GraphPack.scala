@@ -33,6 +33,28 @@ object GraphPack extends QueryPack {
       | WHERE c.c_nationkey <> s.s_nationkey),
       |edges AS (SELECT a AS src, b AS dst FROM pairs UNION SELECT b, a FROM pairs)""".stripMargin
 
+  /** Multi-rule typed edge derivation — matches
+    * [[GraphBuilder.partEdgesTyped]] (size_up / size_down /
+    * type_sub, each edge tagged with its rule). */
+  private val typedEdgesSql =
+    """tup AS (
+      | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst,
+      |  'size_up' AS rule, CAST(b.p_size - a.p_size AS BIGINT) AS diff_size,
+      |  CAST(CAST(b.p_retailprice AS DECIMAL(18,2)) - CAST(a.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS diff_price
+      | FROM part a JOIN part b ON a.p_brand = b.p_brand AND b.p_size = a.p_size + 1),
+      |tsub AS (
+      | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst,
+      |  'type_sub' AS rule, CAST(0 AS BIGINT) AS diff_size,
+      |  CAST(CAST(b.p_retailprice AS DECIMAL(18,2)) - CAST(a.p_retailprice AS DECIMAL(18,2)) AS DOUBLE) AS diff_price
+      | FROM part a JOIN part b ON a.p_brand = b.p_brand AND b.p_size = a.p_size
+      |  AND a.p_type <> b.p_type AND a.p_partkey <> b.p_partkey),
+      |tedges AS (
+      | SELECT src, dst, rule, diff_size, diff_price FROM tup
+      | UNION ALL
+      | SELECT dst, src, 'size_down', -diff_size, -diff_price FROM tup
+      | UNION ALL
+      | SELECT src, dst, rule, diff_size, diff_price FROM tsub)""".stripMargin
+
   /** Directed part edit-graph edge derivation. Matches
     * [[GraphBuilder.partEdges]]. */
   private val partEdgesSql =
@@ -75,6 +97,22 @@ object GraphPack extends QueryPack {
     // A2: edge attributes as deltas between endpoint attributes
     // (main.py:109-114's (diff_atom, diff_bond) columns).
     "g_edge_deltas" -> { (s, d) => GraphBuilder.partEdgeDeltas(s, d) },
+
+    // A2b: multi-rule TYPED edges — three distinct edit rules, each
+    // edge tagged with the rule that fired (the reference's
+    // (diff_atom, diff_bond, subs) schema, main.py:113-153).
+    "g_edges_typed" -> { (s, d) => GraphBuilder.partEdgesTyped(s, d) },
+
+    // A3b: depth-3 wavefront expansion over the UNION of the three
+    // typed rules (the reference expands by all generators at once,
+    // main.py:212-242) — same seeds and wave semantics as g_expand.
+    "g_expand_multi" -> { (s, d) =>
+      import s.implicits._
+      val seeds = Tables.part(s, d).filter($"p_partkey" % 100 === 0)
+        .select($"p_partkey".as("node"))
+      Bfs.expand(GraphBuilder.partEdgesTyped(s, d).select($"src", $"dst"),
+        seeds, depth = 3)
+    },
 
     // A3: depth-bounded wavefront expansion (add_relations,
     // main.py:212-242): seeds at wave 0, 3 waves out, first-seen wins.
@@ -342,6 +380,17 @@ object GraphPack extends QueryPack {
         |SELECT src, dst, diff_size, diff_price FROM up
         |UNION ALL
         |SELECT dst AS src, src AS dst, -diff_size AS diff_size, -diff_price AS diff_price FROM up""".stripMargin,
+    "g_edges_typed" ->
+      s"""WITH $typedEdgesSql
+         |SELECT src, dst, rule, diff_size, diff_price FROM tedges""".stripMargin,
+    "g_expand_multi" ->
+      s"""WITH RECURSIVE $typedEdgesSql,
+         |walk(node, first_wave) AS (
+         | SELECT CAST(p_partkey AS BIGINT), CAST(0 AS BIGINT) FROM part WHERE p_partkey % 100 = 0
+         | UNION
+         | SELECT e.dst, w.first_wave + 1 FROM walk w JOIN tedges e ON e.src = w.node
+         | WHERE w.first_wave < 3)
+         |SELECT node, MIN(first_wave) AS first_wave FROM walk GROUP BY node""".stripMargin,
     "g_expand" ->
       s"""WITH RECURSIVE $partEdgesSql,
          |walk(node, first_wave) AS (

@@ -63,6 +63,32 @@ class GraphDBSpec extends SparkSpec {
     assert(db.query(0L, 4L) === 5L)
   }
 
+  test("addExpansion with MULTIPLE typed rules: edges carry rule identity") {
+    import spark.implicits._
+    // the reference's multi-generator expansion (bond deletion / atom
+    // deletion / substitution, main.py:60-114): each rule tags its
+    // edges, expansion runs over the UNION of all rules
+    val db = freshDb()
+    db.init(Seq((0L, 1L, "seed")).toDF("src", "dst", "rule"))
+    val grow: DataFrame => DataFrame = f =>
+      f.filter(col("node") < 6).select(col("node").as("src"),
+        (col("node") + 1).as("dst"), lit("grow").as("rule"))
+    val jump: DataFrame => DataFrame = f =>
+      f.filter(col("node") < 6).select(col("node").as("src"),
+        (col("node") + 10).as("dst"), lit("jump").as("rule"))
+    val both: DataFrame => DataFrame = f => grow(f).union(jump(f))
+    db.addExpansion(Seq(1L).toDF("node"), both, depth = 2)
+    val edges = db.edges.as[(Long, Long, String)].collect().toSet
+    // wave 1 from {1}: grow 1->2, jump 1->11; wave 2 from {2, 11}:
+    // grow 2->3, jump 2->12 (11 > 6 generates nothing)
+    assert(edges === Set(
+      (0L, 1L, "seed"),
+      (1L, 2L, "grow"), (1L, 11L, "jump"),
+      (2L, 3L, "grow"), (2L, 12L, "jump")))
+    // rule identity is queryable per edge type
+    assert(db.edges.filter(col("rule") === "jump").count() === 2L)
+  }
+
   test("stats and degrees reflect the persisted edge table") {
     val db = freshDb()
     db.init(chain(2)) // edges: 4 directed, 3 distinct src nodes
