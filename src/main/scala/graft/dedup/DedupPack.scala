@@ -180,11 +180,14 @@ object DedupPack extends QueryPack {
       // Per-doc sorted distinct shingle set in one map-side pass —
       // replaces a corpus-wide DISTINCT shuffle plus a collect_set
       // aggregation; the exploded view below is already distinct.
+      // shared by the candidate join and both verify sides: a lazy
+      // localCheckpoint materializes the shingling once, with blocks
+      // reclaimed by the ContextCleaner (persist() leaked them)
       val sets = Tables.fanOut(s, Tables.documents(s, d))
         .select($"doc_id",
           Signatures.shingleSet(TextOps.words($"text")).as("set"))
         .filter(size($"set") > 0)
-        .persist()
+        .localCheckpoint(false)
       val sh = sets.select($"doc_id", explode($"set").as("shingle"))
       // One shuffle groups each shingle's posting list — through the
       // BOUNDED CappedCollectLong aggregate, so a stop-shingle's

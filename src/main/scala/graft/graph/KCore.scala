@@ -44,6 +44,11 @@ object KCore {
       edges = pruned
       iter += 1
     }
+    // a mid-peel edge set is NOT the k-core — refuse to return it
+    // (mirrors ConnectedComponents' non-convergence guard; the SQL
+    // oracle's unroll margin emits a poison sentinel for the same case)
+    if (!converged) throw new IllegalStateException(
+      s"k-core peeling did not converge within $maxIter rounds ($nEdges edges still changing)")
     edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_degree"))
   }
 }

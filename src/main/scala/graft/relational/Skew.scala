@@ -37,9 +37,13 @@ object Skew {
     */
   def saltedJoin(big: DataFrame, compact: DataFrame, keys: Seq[String], salt: Int): DataFrame = {
     require(salt > 0, "salt must be positive")
-    // honor a pre-materialized __salt (saltExpr workflow); otherwise
-    // derive one here
-    val bigS = (if (big.columns.contains("__salt")) big
+    // honor a pre-materialized __salt (saltExpr workflow) — but
+    // NORMALIZED into this join's modulus: a column materialized with
+    // a different salt count (or by unrelated code) would otherwise
+    // silently drop every big row whose __salt >= salt, since no
+    // compact replica carries that value
+    val bigS = (if (big.columns.contains("__salt"))
+                  big.withColumn("__salt", pmod(col("__salt"), lit(salt)))
                 else big.withColumn("__salt", saltExpr(big, salt))).alias("__big")
     val compactS = compact.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1)))).alias("__cmp")
@@ -78,10 +82,19 @@ object Skew {
   /** The salt expression for the big side — exposed so callers can
     * pre-materialize it (as a column named `__salt`) when reusing a
     * salted layout across several joins; [[saltedJoin]] detects and
-    * reuses it. The row id term spreads duplicate rows of a hot key
-    * across salts (a pure content hash would collapse them onto one
-    * task — the exact hotspot salting exists to break). The salt
-    * choice only affects placement, never results. */
+    * reuses it (normalized by pmod into the join's modulus).
+    *
+    * The salt is a pure CONTENT hash, so a row's shuffle destination
+    * is a function of its values alone — stable under partial
+    * map-stage retries after executor loss (a positional term like
+    * monotonically_increasing_id would re-deal rows to different
+    * reduce partitions on recompute, the SPARK-23207 round-robin
+    * failure class, losing or duplicating join rows). The trade-off:
+    * byte-identical duplicate rows of a hot key collapse onto one
+    * salt, so salting balances DISTINCT row content; a pathological
+    * input of one row repeated a billion times stays on one task —
+    * callers facing that shape should add a disambiguating column
+    * upstream. The salt choice only affects placement, never results. */
   def saltExpr(df: DataFrame, salt: Int): Column =
-    pmod(hash((df.columns.map(col) :+ monotonically_increasing_id()).toIndexedSeq: _*), lit(salt))
+    pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salt))
 }

@@ -46,6 +46,28 @@ object GraphStore {
 
   private def snapshotPath(root: String, v: Int) = s"$root/v=$v"
 
+  /** True iff `v=<v>` exists AND carries the `_SUCCESS` marker. */
+  private def committed(s: SparkSession, root: String, v: Int): Boolean =
+    fs(s, root).exists(new Path(new Path(snapshotPath(root, v)), "_SUCCESS"))
+
+  /** Next writable version: one past the highest OCCUPIED `v=N` slot,
+    * committed or not. A leftover uncommitted directory (crash before
+    * _SUCCESS, manual junk like an aborted copy) is invisible to
+    * readers but still occupies its name — advancing past it keeps the
+    * store writable instead of every subsequent commit colliding with
+    * the same dead slot forever. */
+  private def nextVersion(s: SparkSession, root: String): Int = {
+    val p = new Path(root)
+    val f = fs(s, root)
+    val occupied =
+      if (!f.exists(p)) 0
+      else f.listStatus(p).map(_.getPath)
+        .filter(_.getName.matches("v=\\d+"))
+        .map(_.getName.drop(2).toInt)
+        .foldLeft(0)(math.max)
+    occupied + 1
+  }
+
   /** Snapshot publish protocol: write to a staging directory invisible
     * to [[latestVersion]], then a single atomic rename exposes the
     * fully-written snapshot. A crash leaves only an ignored staging
@@ -60,7 +82,8 @@ object GraphStore {
     if (f.exists(target) || !f.rename(staging, target)) {
       f.delete(staging, true)
       throw new IllegalStateException(
-        s"concurrent GraphStore commit: v=$v already exists under $root")
+        s"concurrent GraphStore commit: v=$v already exists under $root " +
+          "(another writer won the rename race; retry to target the next version)")
     }
     v
   }
@@ -86,7 +109,7 @@ object GraphStore {
     * (src, dst) within the input keep an arbitrary-but-deterministic
     * first row. Returns the snapshot version written. */
   def write(edges: DataFrame, root: String): Int = {
-    val v = latestVersion(edges.sparkSession, root) + 1
+    val v = nextVersion(edges.sparkSession, root)
     commit(dedup(edges.withColumn("__rank", lit(0))).repartition(col("src")), root, v)
   }
 
@@ -94,12 +117,12 @@ object GraphStore {
     * genuinely new (src, dst) pairs are appended. Returns the new
     * snapshot version. */
   def upsert(s: SparkSession, root: String, delta: DataFrame): Int = {
-    val v = latestVersion(s, root)
-    require(v > 0, s"GraphStore at $root is empty - call write() first")
+    require(latestVersion(s, root) > 0, s"GraphStore at $root is empty - call write() first")
     val existing = read(s, root).withColumn("__rank", lit(0))
     val incoming = delta.select(existing.columns.filter(_ != "__rank").map(col): _*)
       .withColumn("__rank", lit(1))
-    commit(dedup(existing.unionByName(incoming)).repartition(col("src")), root, v + 1)
+    commit(dedup(existing.unionByName(incoming)).repartition(col("src")), root,
+      nextVersion(s, root))
   }
 
   /** Read the latest snapshot. */
@@ -110,9 +133,11 @@ object GraphStore {
   }
 
   /** Read a specific snapshot version (snapshots are immutable, so
-    * every historical version stays queryable — time travel). */
+    * every historical version stays queryable — time travel).
+    * Version numbers may have gaps where a dead uncommitted slot was
+    * skipped; only committed snapshots are readable. */
   def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
-    require(v > 0 && v <= latestVersion(s, root), s"no snapshot v=$v at $root")
+    require(v > 0 && committed(s, root, v), s"no committed snapshot v=$v at $root")
     s.read.parquet(snapshotPath(root, v))
   }
 

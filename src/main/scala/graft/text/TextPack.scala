@@ -183,13 +183,16 @@ object TextPack extends QueryPack {
     // symmetric near-dup ops in pack D).
     "t_contam" -> { (s, d) =>
       import s.implicits._
-      // referenced three times (benchmark set, sizes, hits): persist so
-      // the CPU-bound shingling pass runs once, not per reference
+      // referenced three times (benchmark set, sizes, hits): a lazy
+      // localCheckpoint shares the CPU-bound shingling pass across the
+      // consumers WITHOUT a never-unpersisted cache entry — the blocks
+      // are reclaimed by the ContextCleaner once the plan is GC'd
+      // (persist() here leaked storage for the session's lifetime)
       val sets = Tables.fanOut(s, Tables.documents(s, d))
         .select($"doc_id",
           graft.dedup.Signatures.shingleSet(TextOps.words($"text")).as("set"))
         .filter(size($"set") > 0)
-        .persist()
+        .localCheckpoint(false)
       val bench = sets.filter($"doc_id" < CONTAM_BENCH_BOUND)
         .select(explode($"set").as("shingle")).distinct()
       val train = sets.filter($"doc_id" >= CONTAM_BENCH_BOUND)
@@ -273,11 +276,13 @@ object TextPack extends QueryPack {
     // collect_list of tokens, no per-doc sort.
     "t_repetition" -> { (s, d) =>
       import s.implicits._
-      // two consumers (word stats + bigram stats): persist so the
-      // scan + normalize + split runs once, not per branch
+      // two consumers (word stats + bigram stats): a lazy
+      // localCheckpoint runs the scan + normalize + split once and
+      // lets the ContextCleaner reclaim the blocks (vs persist(),
+      // which leaked them for the session's lifetime)
       val base = Tables.documents(s, d)
         .select($"doc_id", split(TextOps.norm($"text"), " ").as("w"))
-        .persist()
+        .localCheckpoint(false)
       val wordStats = base
         .select($"doc_id", explode($"w").as("tok"))
         .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))

@@ -76,13 +76,33 @@ class SkewSpec extends SparkSpec {
     assert(salted.sorted === plain.sorted)
   }
 
-  test("duplicate rows of the hot key spread across salts (no degenerate single bucket)") {
+  test("saltExpr is a pure content hash: stable across partitionings (retry-safe)") {
     import spark.implicits._
-    // every row identical: a pure content-hash salt would collapse
-    // them all onto ONE salt value
-    val big = Seq.fill(400)((1L, 5L)).toDF("k", "v")
-    val salts = big.withColumn("__salt", Skew.saltExpr(big, 8))
-      .select("__salt").distinct().count()
-    assert(salts > 1, s"all duplicate rows landed on one salt")
+    // a row's salt must be a function of its values alone — a
+    // positional term would re-deal rows to different reduce
+    // partitions when a lost map task recomputes (SPARK-23207 class)
+    val rows = skewedData(300, 7).toDF("k", "v")
+    val a = rows.withColumn("__salt", Skew.saltExpr(rows, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val rp = rows.repartition(13)
+    val b = rp.withColumn("__salt", Skew.saltExpr(rp, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(a === b)
+    // distinct hot-key rows still fan out over several salts
+    assert(a.filter(_._1._1 == 1L).values.toSet.size > 1)
+  }
+
+  test("saltedJoin normalizes a __salt materialized with a DIFFERENT modulus (no row loss)") {
+    import spark.implicits._
+    val big0 = skewedData(500, 9).toDF("k", "v")
+    // materialized 8 ways, joined 4 ways: rows with __salt >= 4 used
+    // to silently vanish from the inner join
+    val big = big0.withColumn("__salt", Skew.saltExpr(big0, 8))
+    val compact = (1L to 50L).map(k => (k, s"dim_$k")).toDF("k", "name")
+    val plain = big0.join(compact, Seq("k")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    val salted = Skew.saltedJoin(big, compact, Seq("k"), salt = 4).drop("__salt").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSeq
+    assert(salted.sorted === plain.sorted)
   }
 }

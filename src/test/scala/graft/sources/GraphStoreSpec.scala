@@ -72,9 +72,15 @@ class GraphStoreSpec extends SparkSpec {
     new java.io.File(fs, ".staging-v9-zzz").mkdirs() // abandoned staging
     assert(GraphStore.latestVersion(spark, root) === 1)
     assert(GraphStore.read(spark, root).count() === 1)
-    // and the next commit skips past the poisoned v=2 name loudly
-    intercept[IllegalStateException] {
-      GraphStore.upsert(spark, root, Seq((5L, 6L, "b")).toDF("src", "dst", "tag"))
+    // the next commit SKIPS the dead v=2 slot instead of colliding
+    // with it forever: the store stays writable after a crashed write
+    val v = GraphStore.upsert(spark, root, Seq((5L, 6L, "b")).toDF("src", "dst", "tag"))
+    assert(v === 3)
+    assert(GraphStore.latestVersion(spark, root) === 3)
+    assert(GraphStore.read(spark, root).count() === 2)
+    // the dead slot is not readable as a snapshot
+    intercept[IllegalArgumentException] {
+      GraphStore.readVersion(spark, root, 2)
     }
   }
 
