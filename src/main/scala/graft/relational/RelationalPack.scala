@@ -224,18 +224,28 @@ object RelationalPack extends QueryPack {
     // Raw sketch values remain covered by SketchAccuracySpec.
     "q_approx_stats" -> { (s, d) =>
       import s.implicits._
-      Tables.orders(s, d)
+      val joined = Tables.orders(s, d)
         .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
-        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .select($"c_nationkey".cast("long").as("c_nationkey"),
+          $"o_custkey", $"o_totalprice")
+      // sketches + exact percentile brackets share one aggregation;
+      // the exact distinct count runs as its own two-level
+      // partial-aggregable plan (dedup then count) instead of a
+      // countDistinct in the same agg, which would Expand-double the
+      // input for every other aggregate in the list
+      val stats = joined
+        .groupBy($"c_nationkey")
         .agg(
           approx_count_distinct($"o_custkey", rsd = 0.02).as("n_approx"),
           percentile_approx($"o_totalprice", lit(0.5), lit(10000)).as("p50a"),
           percentile_approx($"o_totalprice", lit(0.95), lit(10000)).as("p95a"),
-          countDistinct($"o_custkey").as("n_cust"),
           percentile($"o_totalprice", lit(0.47)).as("p50lo"),
           percentile($"o_totalprice", lit(0.53)).as("p50hi"),
           percentile($"o_totalprice", lit(0.92)).as("p95lo"),
           percentile($"o_totalprice", lit(0.98)).as("p95hi"))
+      val exact = joined.select($"c_nationkey", $"o_custkey").distinct()
+        .groupBy($"c_nationkey").agg(count(lit(1)).as("n_cust"))
+      stats.join(exact, "c_nationkey")
         .select($"c_nationkey", $"n_cust",
           (abs($"n_approx" - $"n_cust").cast("double") <=
             $"n_cust".cast("double") * 0.1).as("cnt_ok"),
