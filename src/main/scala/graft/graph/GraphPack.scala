@@ -83,6 +83,30 @@ object GraphPack extends QueryPack {
 
   private val PR_ITERS = 10
 
+  private val LP_ITERS = 4
+
+  /** Unrolled synchronous label-propagation oracle — per round:
+    * (dst, label) counts from the previous labeling, per-dst mode
+    * with min-label tie-break, keep-old for vertices with no
+    * in-neighbors. Same update [[LabelPropagation.run]] performs. */
+  private def labelpropSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""m$i AS MATERIALIZED (
+         | SELECT e.dst AS id, l.label, COUNT(*) AS c
+         | FROM wedges e JOIN l${i - 1} l ON l.id = e.src GROUP BY e.dst, l.label),
+         |u$i AS (SELECT id, label FROM m$i
+         |        QUALIFY ROW_NUMBER() OVER (PARTITION BY id ORDER BY c DESC, label ASC) = 1),
+         |l$i AS MATERIALIZED (
+         | SELECT l.id, COALESCE(u.label, l.label) AS label
+         | FROM l${i - 1} l LEFT JOIN u$i u ON u.id = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wideEdgesSql,
+       |l0 AS MATERIALIZED (
+       | SELECT CAST(p_partkey AS BIGINT) AS id, CAST(p_partkey AS BIGINT) AS label FROM part),
+       |$steps
+       |SELECT id, label FROM l$iters""".stripMargin
+  }
+
   /** g_query_pair probes: fast path on-graph (0,0) and off-graph
     * (9999,9999), ordinary reachable pairs, and an unreachable
     * target (0→9999). */
@@ -251,6 +275,15 @@ object GraphPack extends QueryPack {
             .as("clustering_coeff"))
     },
 
+    // A19: community detection — synchronous label propagation over
+    // the widened part edit-graph, 4 fixed rounds, deterministic
+    // min-label tie-break (see LabelPropagation for the contract).
+    "g_labelprop" -> { (s, d) =>
+      import s.implicits._
+      val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
+      LabelPropagation.run(s, vertices, GraphBuilder.partEdgesWide(s, d), LP_ITERS)
+    },
+
     // A13: node similarity — Jaccard over neighbor sets via
     // degree-capped map-side wedge enumeration (one adjacency shuffle,
     // codegen'd pair explosion, bounded block split for hot middles —
@@ -358,6 +391,7 @@ object GraphPack extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "g_kcore" -> kcoreSql(KCORE_K, KCORE_UNROLL),
+    "g_labelprop" -> labelpropSql(LP_ITERS),
     "g_sssp" -> ssspSql(4),
     "g_jaccard_nodes" ->
       s"""WITH $wideEdgesSql,

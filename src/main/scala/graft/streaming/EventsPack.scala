@@ -115,6 +115,28 @@ object EventsPack extends QueryPack {
       pivoted.select(cols: _*)
     },
 
+    // H8: volume-spike detection — per (event_type, hour) counts
+    // flagged when a bucket runs at more than 2× its type's mean
+    // hourly rate. The comparison is EXACT integer cross-multiplication
+    // (n · n_buckets > 2 · total), not a float mean ± stddev, so both
+    // engines flag identically and the operator composes into alert
+    // pipelines without tolerance knobs. Scale shape: one
+    // partial-aggregable (type, hour) count, a per-type rollup over
+    // the bucket table (bucket-scaled, not event-scaled), one
+    // broadcastable join back.
+    "e_spike" -> { (s, d) =>
+      import s.implicits._
+      val hours = Tables.events(s, d)
+        .groupBy($"event_type", date_trunc("hour", $"ts").as("h"))
+        .agg(count(lit(1)).as("n"))
+      val typ = hours.groupBy($"event_type")
+        .agg(sum($"n").as("total"), count(lit(1)).as("n_buckets"))
+      hours.join(typ, "event_type")
+        .select($"event_type",
+          date_format($"h", "yyyy-MM-dd HH:mm:ss").as("hour"),
+          $"n", ($"n" * $"n_buckets" > $"total" * 2).as("spike"))
+    },
+
     // H3: top-k users by total value (total-order ranked). The top 20
     // are taken with orderBy+limit — TakeOrderedAndProject keeps a
     // bounded heap per partition and never globally sorts — and only
@@ -136,6 +158,17 @@ object EventsPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "e_spike" ->
+      """WITH hours AS (
+        | SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |typ AS (
+        | SELECT event_type, CAST(SUM(n) AS BIGINT) AS total,
+        |  CAST(COUNT(*) AS BIGINT) AS n_buckets
+        | FROM hours GROUP BY 1)
+        |SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour, h.n,
+        | h.n * t.n_buckets > t.total * 2 AS spike
+        |FROM hours h JOIN typ t ON t.event_type = h.event_type""".stripMargin,
     "e_window" ->
       s"""SELECT
          | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,

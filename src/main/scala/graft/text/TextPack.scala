@@ -316,6 +316,35 @@ object TextPack extends QueryPack {
     // key (vocabulary-scaled, not corpus-scaled); the corpus count is
     // a one-row broadcast; per-doc ranking windows are bounded by
     // document vocabulary.
+    // F14: bigram-LM frequency scoring — a statistical language-model
+    // quality proxy (the cheap cousin of perplexity filtering): score
+    // each document by the mean CORPUS frequency of its bigrams, so
+    // documents made of never-seen-elsewhere word sequences score low
+    // and formulaic/common text scores high. Kept log-free on purpose:
+    // integer corpus counts + ONE IEEE division are bit-identical
+    // cross-engine (a log-prob would differ in final ulps between
+    // engines). Scale shape: the bigram frequency table is
+    // vocabulary²-bounded (not corpus-scaled); both aggregations are
+    // partial-aggregable; the frequency join shuffles on the bigram
+    // key.
+    "t_bigram_lm" -> { (s, d) =>
+      import s.implicits._
+      val bg = Tables.documents(s, d)
+        .select($"doc_id", split(TextOps.norm($"text"), " ").as("w"))
+        .filter(size($"w") >= 2)
+        // w[i] is 0-based in Spark; the oracle's string_split list is
+        // 1-based — both enumerate (w1 w2), (w2 w3), ...
+        .select($"doc_id",
+          explode(expr("transform(sequence(1, size(w)-1), i -> concat(w[i-1], ' ', w[i]))")).as("bg"))
+        .localCheckpoint(false) // two consumers: corpus freqs + per-doc join
+      val freq = bg.groupBy($"bg").agg(count(lit(1)).as("f"))
+      bg.join(freq, "bg")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum($"f").as("sum_freq"))
+        .select($"doc_id", $"n_bigrams", $"sum_freq",
+          ($"sum_freq".cast("double") / $"n_bigrams".cast("double")).as("avg_bigram_freq"))
+    },
+
     "t_tfidf" -> { (s, d) =>
       import s.implicits._
       val toks = Tables.documents(s, d)
@@ -478,6 +507,17 @@ object TextPack extends QueryPack {
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) AS contamination,
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) >= $CONTAM_THRESHOLD AS contaminated
            |FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+      "t_bigram_lm" ->
+        s"""WITH base AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
+           |bgx AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS bg
+           |        FROM base, UNNEST(range(1, len(w))) t(i)
+           |        WHERE len(w) >= 2),
+           |freq AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS f FROM bgx GROUP BY 1)
+           |SELECT x.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           | CAST(SUM(f.f) AS BIGINT) AS sum_freq,
+           | CAST(SUM(f.f) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_bigram_freq
+           |FROM bgx x JOIN freq f ON f.bg = x.bg
+           |GROUP BY x.doc_id""".stripMargin,
       "t_tfidf" ->
         s"""WITH toks AS (
            | SELECT doc_id, UNNEST(string_split($nrmSql, ' ')) AS term FROM documents),
