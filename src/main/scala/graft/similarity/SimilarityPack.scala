@@ -35,6 +35,8 @@ object SimilarityPack extends QueryPack {
   private val PQ_M = 8
   private val PQ_SUBDIM = 8
   private val PQ_NCODES = 4
+  // E7 radius search: emit every corpus vector at least this similar
+  private val RANGE_MIN_COSINE = 0.3
 
   /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
     * aggregate: each map partition reduces to ≤ K entries per query
@@ -60,6 +62,28 @@ object SimilarityPack extends QueryPack {
       topK(c.crossJoin(broadcast(q))
         .filter($"q_id" =!= $"n_id")
         .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
+    },
+
+    // E7: radius (range) similarity search — ALL corpus vectors above
+    // a cosine threshold per query, the recall-complete sibling of
+    // top-k (near-duplicate audits, policy screens: "everything at
+    // least this similar", not "the best k"). Same broadcast-queries
+    // × corpus-scan shape as E1 — the threshold filter runs MAP-SIDE
+    // inside the scan's codegen stage, so at 100 TB the only shuffled
+    // rows are actual matches; result size is bounded by the data,
+    // not by the corpus.
+    "s_range_search" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      val q = e.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      val c = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+      c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"n_id")
+        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn"))
+        .filter($"cosine" >= RANGE_MIN_COSINE)
+        .select($"q_id", $"n_id", $"cosine")
     },
 
     // E2: LSH-bucketed ANN top-k — score only same-band candidates.
@@ -235,6 +259,16 @@ object SimilarityPack extends QueryPack {
       |        FROM dims GROUP BY vec_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "s_range_search" ->
+      s"""WITH $dimsSql,
+         |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < $N_QUERIES
+         |        GROUP BY q.vec_id, c.vec_id)
+         |SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
+         |FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id
+         |WHERE d.dp / (nq.n * nc.n) >= $RANGE_MIN_COSINE""".stripMargin,
     "s_knn_brute" ->
       s"""WITH $dimsSql,
          |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

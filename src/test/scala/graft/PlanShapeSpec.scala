@@ -19,7 +19,7 @@ class PlanShapeSpec extends SparkSpec {
     * seed-centroid / codebook broadcasts for the semantic-dedup and
     * PQ encodes). */
   private val deliberateCross =
-    Set("s_knn_brute", "s_knn_ivf", "g_ged_pairs", "d_semantic", "s_knn_pq",
+    Set("s_knn_brute", "s_knn_ivf", "s_range_search", "g_ged_pairs", "d_semantic", "s_knn_pq",
       "s_pipeline", // embeds d_semantic's bounded centroid broadcast
       "t_tfidf") // one-row corpus-count broadcast
 
