@@ -84,6 +84,34 @@ object GraphPack extends QueryPack {
   private val PR_ITERS = 10
 
   private val LP_ITERS = 4
+  private val PPR_ITERS = 6
+
+  /** Unrolled personalized-PageRank oracle — same per-message
+    * DECIMAL(28,12) quantization and float-op order as
+    * [[PersonalizedPageRank.run]]; teleport = 0.15/|seeds| to seed
+    * nodes only, ranks over nodes appearing as an edge source. */
+  private def pprSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""r$i AS MATERIALIZED (
+         | SELECT d.node,
+         |  (CASE WHEN s.node IS NOT NULL THEN 0.15 / (SELECT CAST(n AS DOUBLE) FROM ns) ELSE 0.0 END)
+         |   + 0.85 * COALESCE(m.msg, CAST(0 AS DOUBLE)) AS rank
+         | FROM deg d LEFT JOIN sd s ON s.node = d.node LEFT JOIN (
+         |  SELECT ed.dst AS node, CAST(SUM(CAST(r.rank / ed.outdeg AS DECIMAL(28,12))) AS DOUBLE) AS msg
+         |  FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst) m ON d.node = m.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $partEdgesSql,
+       |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
+       |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.node),
+       |sd AS (SELECT CAST(p_partkey AS BIGINT) AS node FROM part WHERE p_partkey % 100 = 0),
+       |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sd),
+       |r0 AS MATERIALIZED (
+       | SELECT d.node,
+       |  CASE WHEN s.node IS NOT NULL THEN 0.15 / (SELECT CAST(n AS DOUBLE) FROM ns) ELSE 0.0 END AS rank
+       | FROM deg d LEFT JOIN sd s ON s.node = d.node),
+       |$steps
+       |SELECT node, rank FROM r$iters""".stripMargin
+  }
 
   /** Unrolled synchronous label-propagation oracle — per round:
     * (dst, label) counts from the previous labeling, per-dst mode
@@ -275,6 +303,18 @@ object GraphPack extends QueryPack {
             .as("clustering_coeff"))
     },
 
+    // A20: personalized PageRank — random walk with restart to the
+    // g_expand seed set over the part edit-graph (distributed rank
+    // vector; see PersonalizedPageRank). "Rank every part by edit
+    // proximity to these parts" — the relevance twin of A9's global
+    // PageRank.
+    "g_ppr" -> { (s, d) =>
+      import s.implicits._
+      val seeds = Tables.part(s, d).filter($"p_partkey" % 100 === 0)
+        .select($"p_partkey".as("node"))
+      PersonalizedPageRank.run(s, GraphBuilder.partEdges(s, d), seeds, PPR_ITERS)
+    },
+
     // A19: community detection — synchronous label propagation over
     // the widened part edit-graph, 4 fixed rounds, deterministic
     // min-label tie-break (see LabelPropagation for the contract).
@@ -392,6 +432,7 @@ object GraphPack extends QueryPack {
   override def oracles: Map[String, String] = Map(
     "g_kcore" -> kcoreSql(KCORE_K, KCORE_UNROLL),
     "g_labelprop" -> labelpropSql(LP_ITERS),
+    "g_ppr" -> pprSql(PPR_ITERS),
     "g_sssp" -> ssspSql(4),
     "g_jaccard_nodes" ->
       s"""WITH $wideEdgesSql,

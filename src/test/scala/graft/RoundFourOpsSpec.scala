@@ -40,6 +40,26 @@ class RoundFourOpsSpec extends SparkSpec {
     assert(lp.select("label").distinct().count() < lp.count())
   }
 
+  test("PersonalizedPageRank: mass flows from seeds only; unreachable component stays 0") {
+    // two disjoint triangles; seed in the first only
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (10L, 12L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val seeds = Seq(1L).toDF("node")
+    val out = graft.graph.PersonalizedPageRank.run(spark, edges, seeds, iters = 5)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(out.size === 6)
+    // unreachable-from-seed component gets exactly zero
+    assert(out(10L) === 0.0 && out(11L) === 0.0 && out(12L) === 0.0)
+    // the seed dominates its own neighborhood
+    assert(out(1L) > out(2L) && out(1L) > out(3L))
+    assert(out(2L) > 0.0 && out(3L) > 0.0)
+    // mass conservation on a bidirectional graph with total teleport
+    // 0.15: sum_i = 0.15 + 0.85 * sum_{i-1}, from sum_0 = 0.15
+    val expected = (1 to 5).foldLeft(0.15)((s, _) => 0.15 + 0.85 * s)
+    assert(math.abs(out.values.sum - expected) < 1e-9)
+  }
+
   test("e_spike: per-type counts sum to event totals; flag matches the cross-multiplication") {
     val sp = graft.streaming.EventsPack.queries("e_spike")(spark, sfDir).cache()
     val evTotals = Tables.events(spark, sfDir)
