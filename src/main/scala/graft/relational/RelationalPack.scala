@@ -161,6 +161,23 @@ object RelationalPack extends QueryPack {
         .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
     },
 
+    // C16: salted skew-join on the hard signal — the manual hot-key
+    // mitigation (Skew.saltedJoin: big side scattered over salt
+    // sub-keys by content hash, compact side replicated, join on
+    // (key, salt)) must be RESULT-identical to the plain join; this
+    // query proves it cross-engine against a plain-join oracle on the
+    // events⋈customer fact-dim join, aggregated per nation.
+    "q_salted_join" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).select($"user_id", $"value")
+      val dim = Tables.customer(s, d)
+        .select($"c_custkey".as("user_id"), $"c_nationkey")
+      Skew.saltedJoin(ev, dim, Seq("user_id"), salt = 8)
+        .groupBy($"c_nationkey".cast("long").as("c_nationkey"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum($"value".cast(D)), 2).cast("double").as("sum_value"))
+    },
+
     // C9: rollup aggregation
     "q_rollup" -> { (s, d) =>
       import s.implicits._
@@ -372,6 +389,12 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_salted_join" ->
+      """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1""".stripMargin,
     // guarantee-boolean oracles (C10/C15): the Spark side proves each
     // sketch's published bound against exact values it computes
     // itself; the oracle contributes the cross-engine-checkable part
