@@ -86,25 +86,33 @@ object GraphPack extends QueryPack {
   private val LP_ITERS = 4
   private val PPR_ITERS = 6
 
-  /** Unrolled personalized-PageRank oracle — same per-message
-    * DECIMAL(28,12) quantization and float-op order as
-    * [[PersonalizedPageRank.run]]; teleport = 0.15/|seeds| to seed
-    * nodes only, ranks over nodes appearing as an edge source. */
+  /** Unrolled personalized-PageRank oracle — same contract as
+    * [[PersonalizedPageRank.run]]: per round, rank = 0.85 ·
+    * decimal-sum(edge contributions ∪ static teleport row p(v)/0.85),
+    * every contribution quantized to DECIMAL(28,12); teleport =
+    * 0.15/|seeds| to seed nodes only, ranks over nodes appearing as
+    * an edge source. */
   private def pprSql(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""r$i AS MATERIALIZED (
-         | SELECT d.node,
-         |  (CASE WHEN s.node IS NOT NULL THEN 0.15 / (SELECT CAST(n AS DOUBLE) FROM ns) ELSE 0.0 END)
-         |   + 0.85 * COALESCE(m.msg, CAST(0 AS DOUBLE)) AS rank
-         | FROM deg d LEFT JOIN sd s ON s.node = d.node LEFT JOIN (
-         |  SELECT ed.dst AS node, CAST(SUM(CAST(r.rank / ed.outdeg AS DECIMAL(28,12))) AS DOUBLE) AS msg
-         |  FROM ed JOIN r${i - 1} r ON ed.src = r.node GROUP BY ed.dst) m ON d.node = m.node)""".stripMargin
+         | SELECT u.dst AS node, 0.85 * CAST(SUM(u.contrib) AS DOUBLE) AS rank
+         | FROM (
+         |  SELECT ed.dst, CAST(r.rank / ed.outdeg AS DECIMAL(28,12)) AS contrib
+         |  FROM ed JOIN r${i - 1} r ON ed.src = r.node
+         |  UNION ALL SELECT dst, contrib FROM tp) u
+         | GROUP BY u.dst)""".stripMargin
     }.mkString(",\n")
     s"""WITH $partEdgesSql,
        |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS outdeg FROM edges GROUP BY src),
        |ed AS (SELECT e.src, e.dst, d.outdeg FROM edges e JOIN deg d ON e.src = d.node),
        |sd AS (SELECT CAST(p_partkey AS BIGINT) AS node FROM part WHERE p_partkey % 100 = 0),
        |ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM sd),
+       |tp AS MATERIALIZED (
+       | SELECT d.node AS dst,
+       |  CAST(CASE WHEN s.node IS NOT NULL
+       |   THEN (0.15 / (SELECT CAST(n AS DOUBLE) FROM ns)) / 0.85 ELSE 0.0 END
+       |   AS DECIMAL(28,12)) AS contrib
+       | FROM deg d LEFT JOIN sd s ON s.node = d.node),
        |r0 AS MATERIALIZED (
        | SELECT d.node,
        |  CASE WHEN s.node IS NOT NULL THEN 0.15 / (SELECT CAST(n AS DOUBLE) FROM ns) ELSE 0.0 END AS rank

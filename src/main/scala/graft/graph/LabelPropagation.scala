@@ -28,19 +28,25 @@ object LabelPropagation {
   def run(s: SparkSession, vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
     import s.implicits._
     require(iters >= 1, s"iters must be >= 1, got $iters")
+    // Derived once, hash-partitioned on the join key: localCheckpoint
+    // preserves outputPartitioning, and the per-round join builds the
+    // vertex-sized label vector (shuffle_hash hint) while STREAMING
+    // the edges — no exchange and no per-round sort of the edge side.
     val e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .localCheckpoint(false) // joined every round — derive once
+      .repartition(col("src"))
+      .localCheckpoint(false)
     var labels = vertices.select(col("id").cast("long").as("id"))
       .withColumn("label", $"id")
+      .repartition(col("id"))
       .localCheckpoint(false)
     for (_ <- 1 to iters) {
-      val counts = e.join(labels.select($"id".as("src"), $"label"), "src")
+      val counts = e.join(labels.select($"id".as("src"), $"label").hint("shuffle_hash"), "src")
         .groupBy($"dst".as("id"), $"label").agg(count(lit(1)).as("c"))
       // mode with min-label tie-break: max over (count, -label)
       val upd = counts.groupBy($"id")
         .agg(max(struct($"c", (-$"label").as("nl"))).as("m"))
         .select($"id", (-$"m.nl").as("new_label"))
-      labels = labels.join(upd, Seq("id"), "left")
+      labels = labels.join(upd.hint("shuffle_hash"), Seq("id"), "left")
         .select($"id", coalesce($"new_label", $"label").as("label"))
         .localCheckpoint(false)
     }
