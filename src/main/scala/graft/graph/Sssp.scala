@@ -35,17 +35,22 @@ object Sssp {
       .persist()
     var dist = seeds
       .select(col("node"), lit(0).cast(D).as("dist"))
-      .localCheckpoint()
+      .localCheckpoint(false)
     var hop = 0
     while (hop < maxHops) {
+      // Lazy checkpoints: the loop runs no actions, so all rounds
+      // execute inside the caller's first job with lineage still
+      // severed per round (the small distance table side is left for
+      // AQE to broadcast at runtime).
       val relaxed = dist.join(e, dist("node") === e("src"))
         .select(e("dst").as("node"), (dist("dist") + e("w")).cast(D).as("dist"))
       dist = dist.union(relaxed)
         .groupBy($"node").agg(min($"dist").as("dist"))
-        .localCheckpoint()
+        .localCheckpoint(false)
       hop += 1
     }
+    val out = dist.select($"node", $"dist".cast("double").as("dist")).localCheckpoint()
     e.unpersist()
-    dist.select($"node", $"dist".cast("double").as("dist"))
+    out
   }
 }
