@@ -57,6 +57,8 @@ object DedupPack extends QueryPack {
   // share dozens.
   private val NGRAM_MIN_COMMON = 2
   private val NGRAM_MIN_JACCARD = 0.5
+  // D8: emit pairs whose smaller shingle set is ≥ 80% inside the other
+  private val CONTAIN_MIN = 0.8
   private val EMBED_PLANES = 16
   private val EMBED_BANDS = 4
   private val EMBED_MIN_COSINE = 0.35
@@ -86,6 +88,39 @@ object DedupPack extends QueryPack {
       out.result()
     }
 
+
+  /** D4/D8's shared candidate machinery: per-doc sorted distinct
+    * shingle set in one map-side pass (the exploded view is already
+    * distinct), then one shuffle groups each shingle's posting list
+    * through the BOUNDED CappedCollectLong aggregate — a
+    * stop-shingle's list never accumulates past the df cap in any
+    * buffer (map-side partial or final); hot shingles collapse to a
+    * NULL marker instead of an unbounded single-key list. Rare
+    * buckets (2 ≤ df ≤ bound) explode into their within-bucket pairs
+    * map-side — no df-join-back, no shingle self-join. The shingle
+    * sets are shared by the candidate join and both verify sides via
+    * a lazy localCheckpoint (blocks reclaimed by the ContextCleaner).
+    * Returns (per-doc shingle sets, candidate pairs da < db). */
+  private def ngramCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val sets = Tables.fanOut(s, Tables.documents(s, d))
+      .select($"doc_id",
+        Signatures.shingleSet(TextOps.words($"text")).as("set"))
+      .filter(size($"set") > 0)
+      .localCheckpoint(false)
+    val cand = sets.select($"doc_id", explode($"set").as("shingle"))
+      .groupBy($"shingle")
+      .agg(graft.functions.GraftFunctions
+        .collectCapped($"doc_id", NGRAM_MAX_DF).as("ds"))
+      .filter($"ds".isNotNull && size($"ds") >= 2)
+      .select(explode(bucketPairs($"ds")).as("p"))
+      .groupBy($"p._1".as("da"), $"p._2".as("db"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter($"n_common" >= NGRAM_MIN_COMMON)
+      .select($"da", $"db")
+    (sets, cand)
+  }
 
   /** D2's candidate generation, shared with D6: per-doc k-min
     * signature (map-side), LSH band keys, band equi-join → distinct
@@ -176,35 +211,7 @@ object DedupPack extends QueryPack {
     // pair × shingle × shingle three-way join.
     "d_ngram_jaccard" -> { (s, d) =>
       import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      // Per-doc sorted distinct shingle set in one map-side pass —
-      // replaces a corpus-wide DISTINCT shuffle plus a collect_set
-      // aggregation; the exploded view below is already distinct.
-      // shared by the candidate join and both verify sides: a lazy
-      // localCheckpoint materializes the shingling once, with blocks
-      // reclaimed by the ContextCleaner (persist() leaked them)
-      val sets = Tables.fanOut(s, Tables.documents(s, d))
-        .select($"doc_id",
-          Signatures.shingleSet(TextOps.words($"text")).as("set"))
-        .filter(size($"set") > 0)
-        .localCheckpoint(false)
-      val sh = sets.select($"doc_id", explode($"set").as("shingle"))
-      // One shuffle groups each shingle's posting list — through the
-      // BOUNDED CappedCollectLong aggregate, so a stop-shingle's
-      // posting list never accumulates past the df cap in any buffer
-      // (map-side partial or final): hot shingles collapse to a NULL
-      // marker instead of an unbounded single-key list. Rare buckets
-      // (2 ≤ df ≤ bound) then explode into their within-bucket pairs
-      // map-side — no df-join-back, no shingle self-join.
-      val cand = sh.groupBy($"shingle")
-        .agg(graft.functions.GraftFunctions
-          .collectCapped($"doc_id", NGRAM_MAX_DF).as("ds"))
-        .filter($"ds".isNotNull && size($"ds") >= 2)
-        .select(explode(bucketPairs($"ds")).as("p"))
-        .groupBy($"p._1".as("da"), $"p._2".as("db"))
-        .agg(count(lit(1)).as("n_common"))
-        .filter($"n_common" >= NGRAM_MIN_COMMON)
-        .select($"da", $"db")
+      val (sets, cand) = ngramCandidates(s, d)
       cand
         .join(sets.select($"doc_id".as("da"), $"set".as("seta")), "da")
         .join(sets.select($"doc_id".as("db"), $"set".as("setb")), "db")
@@ -215,6 +222,26 @@ object DedupPack extends QueryPack {
           $"i".cast("double") / (size($"seta") + size($"setb") - $"i").cast("double"))
         .filter($"jaccard" >= NGRAM_MIN_JACCARD)
         .select($"da".as("doc_a"), $"db".as("doc_b"), $"jaccard")
+    },
+
+    // D8: CONTAINMENT dedup — the asymmetric companion of D4: score
+    // |A∩B| / min(|A|,|B|), which stays near 1 when a small document
+    // is (mostly) included in a large one (boilerplate wrapping,
+    // quote inclusion) even though symmetric Jaccard collapses toward
+    // |A|/|B| and misses the pair. Same rare-shingle candidate
+    // generation and bounded posting lists as D4; only the verify
+    // ratio differs.
+    "d_containment" -> { (s, d) =>
+      import s.implicits._
+      val (sets, cand) = ngramCandidates(s, d)
+      cand
+        .join(sets.select($"doc_id".as("da"), $"set".as("seta")), "da")
+        .join(sets.select($"doc_id".as("db"), $"set".as("setb")), "db")
+        .withColumn("i", size(array_intersect($"seta", $"setb")).cast("long"))
+        .withColumn("containment",
+          $"i".cast("double") / least(size($"seta"), size($"setb")).cast("double"))
+        .filter($"containment" >= CONTAIN_MIN)
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"containment")
     },
 
     // D7: semantic dedup (SemDeDup-shaped) — cluster-partitioned
@@ -383,6 +410,22 @@ object DedupPack extends QueryPack {
          | CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
          |FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
          |WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= $NGRAM_MIN_JACCARD""".stripMargin,
+    "d_containment" ->
+      s"""WITH $shSql,
+         |df AS (SELECT shingle, COUNT(*) AS c FROM sh GROUP BY 1),
+         |rare AS (SELECT s.doc_id, s.shingle FROM sh s JOIN df USING (shingle) WHERE df.c <= $NGRAM_MAX_DF),
+         |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
+         |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
+         |         GROUP BY 1, 2 HAVING COUNT(*) >= $NGRAM_MIN_COMMON),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+         |          FROM cand c JOIN sh s1 ON s1.doc_id = c.da
+         |           JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+         |          GROUP BY c.da, c.db)
+         |SELECT da AS doc_a, db AS doc_b,
+         | CAST(i AS DOUBLE) / CAST(LEAST(za.n, zb.n) AS DOUBLE) AS containment
+         |FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / CAST(LEAST(za.n, zb.n) AS DOUBLE) >= $CONTAIN_MIN""".stripMargin,
     "d_semantic" ->
       s"""WITH $semanticSqlCtes
          |SELECT vec_id, cluster_id, centroid_sim, (NOT dup) OR rn = 1 AS is_kept

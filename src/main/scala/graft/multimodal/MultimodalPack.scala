@@ -88,6 +88,26 @@ object MultimodalPack extends QueryPack {
         .select(($"doc_id" +: lit(POOL).cast("long").as("dim") +: pooled): _*)
     },
 
+    // G5: perceptual-hash dedup — the multimodal twin of D1: a
+    // dHash-style bit signature over the decoded feature map (bit j =
+    // [f_j > f_{j+1}], 15 bits over the 16 bins), grouped to find
+    // perceptually-identical media regardless of byte-level payload
+    // differences. Signature is gradient-based, so it is invariant to
+    // uniform scaling — exactly why real pipelines phash rather than
+    // checksum. Map-side signature + one partial-aggregable groupBy;
+    // the 15-element HOF is bounded, off the hot path.
+    "m_phash_dedup" -> { (s, d) =>
+      import s.implicits._
+      featureVectors(s, d)
+        .filter($"n_bytes" >= 1)
+        .withColumn("phash", expr(
+          """array_join(transform(sequence(1, 15), j ->
+            |  CASE WHEN element_at(features, j) > element_at(features, j + 1)
+            |   THEN '1' ELSE '0' END), '')""".stripMargin))
+        .groupBy($"phash")
+        .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_id"))
+    },
+
     // G2: batched decode / feature-extraction plumbing with the
     // decoder stubbed deterministically (rows-only + spec). The
     // harness-facing projection is SCALAR columns derived from the
@@ -169,6 +189,29 @@ object MultimodalPack extends QueryPack {
          | $cols
          |FROM hist GROUP BY doc_id""".stripMargin
     },
+    "m_phash_dedup" ->
+      """WITH chars AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         ascii(substr(text, CAST(i AS INT), 1)) % 16 AS bin
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+        |), hist AS (
+        |  SELECT doc_id, n, bin,
+        |         CAST(CAST(count(*) AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS f
+        |  FROM chars GROUP BY 1, 2, 3
+        |), bins AS (
+        |  SELECT d.doc_id, t.j FROM (SELECT DISTINCT doc_id FROM hist) d,
+        |   unnest(range(0, 16)) t(j)
+        |), grid AS (
+        |  SELECT b.doc_id, b.j, COALESCE(h.f, 0.0) AS f
+        |  FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.j
+        |), bits AS (
+        |  SELECT a.doc_id, a.j, CASE WHEN a.f > b.f THEN '1' ELSE '0' END AS bit
+        |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        |), ph AS (
+        |  SELECT doc_id, string_agg(bit, '' ORDER BY j) AS phash FROM bits GROUP BY doc_id
+        |)
+        |SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_docs, MIN(doc_id) AS canonical_id
+        |FROM ph GROUP BY 1""".stripMargin,
     // The corpus is pure ASCII (spec-checked), so the byte histogram
     // is expressible over characters; ::FLOAT emulates the decoder's
     // IEEE-single division bit-exactly before the double round.

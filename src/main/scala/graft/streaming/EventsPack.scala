@@ -137,6 +137,28 @@ object EventsPack extends QueryPack {
           $"n", ($"n" * $"n_buckets" > $"total" * 2).as("spike"))
     },
 
+    // H9: engagement stickiness — per active day, DAU, trailing-7-day
+    // WAU, and DAU/WAU (one IEEE division of exact counts). The WAU
+    // window is computed WITHOUT a range join: each (day, user)
+    // activity row fans out to the ≤7 window-days it counts toward (a
+    // bounded explode), then dedups — shuffles scale with activity ×
+    // 7, never with pair counts. Product-analytics staple over the
+    // event stream.
+    "e_stickiness" -> { (s, d) =>
+      import s.implicits._
+      val ud = Tables.events(s, d)
+        .select(to_date($"ts").as("day"), $"user_id").distinct()
+        .localCheckpoint(false) // two consumers: DAU + window fan-out
+      val dau = ud.groupBy($"day").agg(count(lit(1)).as("dau"))
+      val wau = ud
+        .select(explode(sequence($"day", date_add($"day", 6))).as("day"), $"user_id")
+        .distinct()
+        .groupBy($"day").agg(count(lit(1)).as("wau"))
+      dau.join(wau, "day")
+        .select(date_format($"day", "yyyy-MM-dd").as("day"), $"dau", $"wau",
+          ($"dau".cast("double") / $"wau".cast("double")).as("stickiness"))
+    },
+
     // H3: top-k users by total value (total-order ranked). The top 20
     // are taken with orderBy+limit — TakeOrderedAndProject keeps a
     // bounded heap per partition and never globally sorts — and only
@@ -158,6 +180,15 @@ object EventsPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "e_stickiness" ->
+      """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
+        |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),
+        |wx AS (SELECT DISTINCT day + CAST(t.i AS INTEGER) AS day, user_id
+        |       FROM ud, UNNEST(range(0, 7)) t(i)),
+        |wau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS wau FROM wx GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
+        | CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
+        |FROM dau d JOIN wau w ON w.day = d.day""".stripMargin,
     "e_spike" ->
       """WITH hours AS (
         | SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n

@@ -69,6 +69,23 @@ class NodeSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("random graphs: capped enumeration equals the naive join (tau forces mixed tiers)") {
+    val rng = new scala.util.Random(47)
+    for (i <- 1 to 10) {
+      val n = 6 + rng.nextInt(10)
+      val pairs = (for {
+        a <- 0L until n; b <- (a + 1) until n
+        if rng.nextInt(100) < 40
+      } yield (a, b)).toSeq
+      if (pairs.nonEmpty) {
+        val edges = undirected(pairs)
+        // tau = 3 puts most vertices on the hot block path
+        assert(sortedRows(NodeSimilarity.jaccard(spark, edges, tau = 3)) ==
+          sortedRows(naive(edges)), s"graph $i: $pairs")
+      }
+    }
+  }
+
   test("matches the sf0.001 part-graph result of the naive join") {
     val edges = GraphBuilder.partEdgesWide(spark, sfDir)
     val got = sortedRows(NodeSimilarity.jaccard(spark, edges, tau = 4)) // force hot path on real data
