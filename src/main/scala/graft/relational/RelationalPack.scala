@@ -197,6 +197,22 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n_rows"), dsum(dec($"l_quantity")).as("sum_qty"))
     },
 
+    // C16: explicit GROUPING SETS — the user-chosen subset of cube's
+    // lattice (here the two single-column marginals plus the full
+    // pair, but NOT the grand total). Same single-scan Expand + hash
+    // aggregate shape as rollup/cube, with the Expand factor exactly
+    // the number of requested sets — the surface for "give me these
+    // three summary tables in one pass" without paying for the sets
+    // you did not ask for.
+    "q_grouping_sets" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq($"l_returnflag", $"l_linestatus"), Seq($"l_returnflag"), Seq($"l_linestatus")),
+          $"l_returnflag", $"l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), dsum(dec($"l_quantity")).as("sum_qty"))
+    },
+
     // C15: heavy-hitters sketch — the mergeable Misra-Gries summary
     // ([[graft.functions.HeavyHitters]]) over the lineitem part-key
     // stream, top 10 by guaranteed-lower-bound count. The exact
@@ -389,6 +405,11 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus))""".stripMargin,
     "q_salted_join" ->
       """SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
         | CAST(COUNT(*) AS BIGINT) AS n_events,

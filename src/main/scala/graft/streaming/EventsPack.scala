@@ -137,6 +137,36 @@ object EventsPack extends QueryPack {
           $"n", ($"n" * $"n_buckets" > $"total" * 2).as("spike"))
     },
 
+    // H10: robust anomaly detection — per (event_type, day) counts
+    // scored by the median/MAD robust z-score (the outlier detector
+    // that, unlike mean/stddev, is not dragged by the outliers it is
+    // trying to find). Two percentile aggregations, but both run on
+    // the DAY-BUCKET table (|types| × |days| rows — bucket-scaled,
+    // never event-scaled), so the per-type sort inside `percentile`
+    // touches a dimension-sized input at any corpus size; the event
+    // scan itself reduces map-side into the bucket counts. z is pure
+    // IEEE double arithmetic over exactly-representable inputs
+    // (integer counts; interpolated medians are multiples of 0.5), so
+    // both engines produce bit-identical scores.
+    "e_anomaly" -> { (s, d) =>
+      import s.implicits._
+      val days = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+        .localCheckpoint(false) // consumed by med, dev and the final join
+      val med = days.groupBy($"event_type")
+        .agg(percentile($"n", lit(0.5)).as("med"))
+      val dev = days.join(med, "event_type")
+        .groupBy($"event_type")
+        .agg(percentile(abs($"n" - $"med"), lit(0.5)).as("mad"))
+      days.join(med, "event_type").join(dev, "event_type")
+        .withColumn("robust_z",
+          when($"mad" > 0.0, round(($"n" - $"med") / (lit(1.4826) * $"mad"), 6)))
+        .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"), $"n",
+          $"med", $"mad", $"robust_z",
+          ($"mad" > 0.0 && abs($"robust_z") > 3.0).as("anomaly"))
+    },
+
     // H9: engagement stickiness — per active day, DAU, trailing-7-day
     // WAU, and DAU/WAU (one IEEE division of exact counts). The WAU
     // window is computed WITHOUT a range join: each (day, user)
@@ -189,6 +219,17 @@ object EventsPack extends QueryPack {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.wau,
         | CAST(d.dau AS DOUBLE) / CAST(w.wau AS DOUBLE) AS stickiness
         |FROM dau d JOIN wau w ON w.day = d.day""".stripMargin,
+    "e_anomaly" ->
+      """WITH days AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM events GROUP BY 1, 2),
+        |med AS (SELECT event_type, quantile_cont(n, 0.5) AS med FROM days GROUP BY 1),
+        |dev AS (SELECT d.event_type, quantile_cont(abs(d.n - m.med), 0.5) AS mad
+        |        FROM days d JOIN med m USING (event_type) GROUP BY 1)
+        |SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day, d.n, m.med, v.mad,
+        | CASE WHEN v.mad > 0.0 THEN round((d.n - m.med) / (1.4826 * v.mad), 6) END AS robust_z,
+        | v.mad > 0.0 AND abs(CASE WHEN v.mad > 0.0 THEN round((d.n - m.med) / (1.4826 * v.mad), 6) END) > 3.0 AS anomaly
+        |FROM days d JOIN med m USING (event_type) JOIN dev v USING (event_type)""".stripMargin,
     "e_spike" ->
       """WITH hours AS (
         | SELECT event_type, date_trunc('hour', ts) AS h, CAST(COUNT(*) AS BIGINT) AS n
