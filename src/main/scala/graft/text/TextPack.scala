@@ -40,6 +40,12 @@ object TextPack extends QueryPack {
   /** Corpus balancing: per-language quota. */
   private val BALANCE_QUOTA = 50
 
+  /** Bloom decontamination: filter bits (power of two) and hash
+    * count. n ≈ 1k bench shingles at sf0.01 → kn/m ≈ 0.08 →
+    * FP ≈ (1−e^−0.08)^5 ≈ 3·10⁻⁶. */
+  private val BLOOM_M = 1 << 16
+  private val BLOOM_K = 5
+
   /** Repetition flags (Gopher-style filter thresholds, set at the
     * ~80-90th percentile of this corpus): a doc is repetitive when its
     * most frequent word/bigram dominates or its vocabulary collapses. */
@@ -206,6 +212,46 @@ object TextPack extends QueryPack {
           $"n_hits".cast("double") / $"n_shingles".cast("double"))
         .select($"doc_id", $"n_shingles", $"n_hits", $"contamination",
           ($"contamination" >= CONTAM_THRESHOLD).as("contaminated"))
+    },
+
+    // F6b: Bloom-filter decontamination — the flag-only variant of
+    // t_contam for the 100 TB corpus sweep. The benchmark shingle set
+    // is folded into an m-bit Bloom filter ([[graft.functions
+    // .BloomBits]]): the corpus-side membership test becomes k
+    // codegen'd hash+mask ops per shingle — NO join against the bench
+    // set, and the "broadcast" is m bits (8 KiB here) no matter how
+    // many benchmarks accumulate. Zero false negatives by
+    // construction (a contaminated doc can never slip through), FPs
+    // bounded by (1−e^(−kn/m))^k. The emitted guarantees — bloom hit
+    // count ≥ exact hit count per doc, bloom flag a superset of the
+    // exact flag — are proved against the exact broadcast-join path
+    // and hash-checked cross-engine; exact n_hits rides along as the
+    // fully cross-checkable column.
+    "t_bloom_contam" -> { (s, d) =>
+      import s.implicits._
+      val sets = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id",
+          graft.dedup.Signatures.shingleSet(TextOps.words($"text")).as("set"))
+        .filter(size($"set") > 0)
+        .localCheckpoint(false) // consumed by the bench build + train probe
+      val bench = sets.filter($"doc_id" < CONTAM_BENCH_BOUND)
+        .select(explode($"set").as("shingle")).distinct()
+      val bits = graft.functions.BloomBits.build(bench, $"shingle", BLOOM_M, BLOOM_K)
+      val probe = sets.filter($"doc_id" >= CONTAM_BENCH_BOUND)
+        .select($"doc_id", size($"set").cast("long").as("n_shingles"),
+          explode($"set").as("shingle"))
+        .join(broadcast(bench.withColumn("exact", lit(true))), Seq("shingle"), "left")
+        .groupBy($"doc_id", $"n_shingles")
+        .agg(
+          sum(when($"exact", 1L).otherwise(0L)).as("n_hits"),
+          sum(when(graft.functions.BloomBits
+            .mightContain(bits, $"shingle", BLOOM_M, BLOOM_K), 1L).otherwise(0L))
+            .as("n_bloom"))
+      probe.select($"doc_id", $"n_shingles", $"n_hits",
+        ($"n_bloom" >= $"n_hits").as("no_false_neg"),
+        (($"n_bloom".cast("double") / $"n_shingles".cast("double") >= CONTAM_THRESHOLD) ||
+          !($"n_hits".cast("double") / $"n_shingles".cast("double") >= CONTAM_THRESHOLD))
+          .as("flag_superset"))
     },
 
     // F7: deterministic stratified balancing — cap each language at a
@@ -506,6 +552,19 @@ object TextPack extends QueryPack {
            |SELECT z.doc_id, z.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) AS contamination,
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) >= $CONTAM_THRESHOLD AS contaminated
+           |FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+      "t_bloom_contam" ->
+        s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           |       FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+           |bench AS (SELECT DISTINCT shingle FROM sh WHERE doc_id < $CONTAM_BENCH_BOUND),
+           |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh
+           |       WHERE doc_id >= $CONTAM_BENCH_BOUND GROUP BY 1),
+           |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+           |         FROM sh s JOIN bench b USING (shingle)
+           |         WHERE s.doc_id >= $CONTAM_BENCH_BOUND GROUP BY 1)
+           |SELECT z.doc_id, z.n_shingles, COALESCE(h.n_hits, 0) AS n_hits,
+           | TRUE AS no_false_neg, TRUE AS flag_superset
            |FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
       "t_bigram_lm" ->
         s"""WITH base AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
