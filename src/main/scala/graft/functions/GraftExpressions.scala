@@ -165,6 +165,15 @@ object GraftFunctions {
         }
         CappedCollectLong(es(0), cap).toAggregateExpression()
       }),
+    (FunctionIdentifier("graft_hll_unit"),
+      new ExpressionInfo(classOf[HllUnit].getName, "graft_hll_unit"),
+      (es: Seq[Expression]) => HllUnit(es(0))),
+    (FunctionIdentifier("graft_hll_card"),
+      new ExpressionInfo(classOf[HllCard].getName, "graft_hll_card"),
+      (es: Seq[Expression]) => HllCard(es(0))),
+    (FunctionIdentifier("graft_hll_merge"),
+      new ExpressionInfo(classOf[HllMergeAgg].getName, "graft_hll_merge"),
+      (es: Seq[Expression]) => HllMergeAgg(es(0)).toAggregateExpression()),
     (FunctionIdentifier("graft_heavy_hitters"),
       new ExpressionInfo(classOf[HeavyHitters].getName, "graft_heavy_hitters"),
       (es: Seq[Expression]) => {
@@ -201,6 +210,12 @@ object GraftFunctions {
   def heavyHitters(item: Column, capacity: Int): Column =
     org.apache.spark.sql.functions.call_udf("graft_heavy_hitters", item,
       org.apache.spark.sql.functions.lit(capacity))
+  def hllUnit(hash: Column): Column =
+    org.apache.spark.sql.functions.call_udf("graft_hll_unit", hash)
+  def hllCard(regs: Column): Column =
+    org.apache.spark.sql.functions.call_udf("graft_hll_card", regs)
+  def hllMerge(regs: Column): Column =
+    org.apache.spark.sql.functions.call_udf("graft_hll_merge", regs)
 }
 
 /** `SparkSessionExtensions` injection point (SURVEY §3's extension

@@ -83,6 +83,13 @@ object GraphPack extends QueryPack {
 
   private val PR_ITERS = 10
 
+  /** ANF: propagation rounds and the per-node relative-error bound
+    * the guarantee proves. m = 256 registers → rsd ≈ 6.5%; the bound is
+    * ~6 sigma with linear-counting small-range headroom (measured
+    * worst node at sf0.01/sf0.1 is well inside — see AnfSpec). */
+  private val ANF_ROUNDS = 2
+  private val ANF_TOL = 0.4
+
   private val LP_ITERS = 4
   private val PPR_ITERS = 6
 
@@ -332,6 +339,31 @@ object GraphPack extends QueryPack {
       LabelPropagation.run(s, vertices, GraphBuilder.partEdgesWide(s, d), LP_ITERS)
     },
 
+    // A16: approximate neighborhood function (HyperANF) — per node,
+    // the HLL-estimated |ball(v, 2)| on the part edit-graph (see
+    // [[Anf]] for the register-propagation design: O(V × 256 B)
+    // per-round state where exact neighbor sets grow quadratically).
+    // The guarantee surface: exact ball sizes ride along as the
+    // cross-engine column (the test-scale exact path shares the
+    // 2-hop join the oracle runs), and anf_ok proves every node's
+    // estimate inside the published relative-error bound.
+    "g_anf" -> { (s, d) =>
+      import s.implicits._
+      val e = GraphBuilder.partEdges(s, d).localCheckpoint(false) // ANF rounds + exact path
+      val est = Anf.run(s, e, ANF_ROUNDS)
+      val ball = e.select($"src", $"dst".as("member"))
+        .union(e.select($"src", $"dst".as("mid"))
+          .join(e.select($"src".as("mid"), $"dst".as("far")), "mid")
+          .select($"src", $"far".as("member")))
+        .union(e.select($"src", $"src".as("member")))
+        .distinct()
+        .groupBy($"src".as("node")).agg(count(lit(1)).as("ball2"))
+      est.join(ball, "node")
+        .select($"node", $"ball2",
+          (abs($"est" - $"ball2".cast("double")) <= lit(ANF_TOL) * $"ball2".cast("double"))
+            .as("anf_ok"))
+    },
+
     // A13: node similarity — Jaccard over neighbor sets via
     // degree-capped map-side wedge enumeration (one adjacency shuffle,
     // codegen'd pair explosion, bounded block split for hot middles —
@@ -439,6 +471,17 @@ object GraphPack extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "g_kcore" -> kcoreSql(KCORE_K, KCORE_UNROLL),
+    "g_anf" ->
+      s"""WITH $partEdgesSql,
+         |reach AS (
+         | SELECT DISTINCT src, member FROM (
+         |  SELECT src, dst AS member FROM edges
+         |  UNION ALL
+         |  SELECT a.src, b.dst AS member FROM edges a JOIN edges b ON a.dst = b.src
+         |  UNION ALL
+         |  SELECT DISTINCT src, src AS member FROM edges) t)
+         |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS ball2, TRUE AS anf_ok
+         |FROM reach GROUP BY src""".stripMargin,
     "g_labelprop" -> labelpropSql(LP_ITERS),
     "g_ppr" -> pprSql(PPR_ITERS),
     "g_sssp" -> ssspSql(4),
