@@ -159,6 +159,27 @@ object EventStreams {
         col("h.max_err").as("max_err"))
   }
 
+  /** Streaming distinct users per tumbling window via the HLL
+    * register column ([[graft.functions.Hll]]) — the other
+    * sketch-over-stream shape next to [[windowedHeavyHitters]]:
+    * per-window streaming state is ONE 256-byte register array
+    * however many users the window sees (exact distinct state grows
+    * with the user set), and the register-max merge the incremental
+    * engine applies between micro-batches is idempotent, so
+    * replayed/duplicated input rows cannot inflate the estimate —
+    * the property that makes the sketch safe under at-least-once
+    * upstream delivery. */
+  def windowedDistinctUsers(events: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(events.sparkSession)
+    import graft.functions.GraftFunctions.{hllCard, hllMerge, hllUnit}
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "300 seconds"))
+      .agg(hllMerge(hllUnit(xxhash64(col("user_id")))).as("regs"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        round(hllCard(col("regs")), 3).as("est_users"))
+  }
+
   /** Stream-stream inner join: attribute each `purchase` to the
     * `click`s by the same user in the preceding `windowMinutes`.
     * Both sides carry watermarks and the join has a two-sided event-

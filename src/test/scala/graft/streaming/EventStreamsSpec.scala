@@ -176,6 +176,32 @@ class EventStreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("windowedDistinctUsers merges HLL state across batches; duplicates don't inflate") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.windowedDistinctUsers(in.toDF())
+      .writeStream.format("memory").queryName("du_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // window [00:00, 00:05): users {7, 8} in batch one...
+      in.addData(ev(1, 0, user = 7L), ev(2, 1, user = 8L), ev(3, 2, user = 7L))
+      q.processAllAvailable()
+      // ...user 9 plus REPLAYED user-7/8 rows in batch two: the
+      // idempotent register merge must land on ~3 distinct, not ~5
+      in.addData(ev(4, 3, user = 9L), ev(5, 3, user = 7L), ev(6, 4, user = 8L))
+      q.processAllAvailable()
+      in.addData(ev(9, 60, user = 1L)) // advance the watermark, close the window
+      q.processAllAvailable()
+      val est = spark.table("du_out")
+        .filter($"window_start" === "2024-01-01 00:00:00")
+        .select("est_users").as[Double].collect()
+      assert(est.length === 1)
+      // n=3 with m=256 sits in the linear-counting regime: tight
+      assert(math.abs(est(0) - 3.0) < 0.2, s"estimate ${est(0)}")
+    } finally q.stop()
+  }
+
   test("clickAttribution joins purchases to preceding clicks within the window") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
