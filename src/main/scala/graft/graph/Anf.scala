@@ -32,12 +32,21 @@ object Anf {
     import s.implicits._
     require(rounds >= 0, s"rounds must be >= 0, got $rounds")
     GraftFunctions.register(s)
+    // the slim 2-column edge list, checkpointed once hash-partitioned
+    // on the join key (the other iterative vertex programs' contract)
     val e = edges.select($"src", $"dst")
+      .repartition($"src").localCheckpoint(false)
     var counters = e.select($"src".as("node")).distinct()
       .select($"node", GraftFunctions.hllUnit(xxhash64($"node")).as("regs"))
+      .localCheckpoint(false)
     for (_ <- 1 to rounds) {
-      val msgs = e.join(counters, $"src" === $"node")
-        .select($"dst".as("node"), $"regs")
+      // shuffle_hash: build the vertex-sized counter table, STREAM
+      // the edges — no per-round sort of the edge list, no exchange
+      // on the already-partitioned edge side; the one shuffle per
+      // round is the register-max aggregation, whose map-side combine
+      // caps it at O(V × 256 B) per partition
+      val msgs = e.join(counters.hint("shuffle_hash"), e("src") === counters("node"))
+        .select(e("dst").as("node"), $"regs")
       counters = msgs.union(counters)
         .groupBy($"node")
         .agg(GraftFunctions.hllMerge($"regs").as("regs"))

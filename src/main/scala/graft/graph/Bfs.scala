@@ -158,6 +158,63 @@ object Bfs {
     } finally e.unpersist()
   }
 
+  /** Batched early-exit pair queries — [[wavePair]]'s semantics for a
+    * SET of (src, dst) probes in ONE traversal. Sequential wavePair
+    * calls pay the per-wave scheduler jobs once per pair; here the
+    * frontier is root-tagged, so every wave's expansion join AND its
+    * single loop-control job are shared by all still-open probes
+    * (pairs sharing a source also share the traversal outright). Per
+    * probe the semantics are identical: src == dst answers 1 without
+    * touching the graph, a probe stops contributing the moment its
+    * target is reached, a root whose frontier empties answers −1 for
+    * its remaining probes.
+    * Returns (src, dst, wave) in the input's (src, dst) order. */
+  def wavePairs(edges: DataFrame, pairs: Seq[(Long, Long)], maxWaves: Int = 100)
+    : Seq[(Long, Long, Long)] = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val answered = scala.collection.mutable.Map.empty[(Long, Long), Long]
+    pairs.distinct.foreach { case (a, b) => if (a == b) answered((a, b)) = 1L }
+    var open: Seq[(Long, Long)] = pairs.distinct.filterNot(answered.contains)
+    if (open.isEmpty) return pairs.map(p => (p._1, p._2, answered(p)))
+    val e = edges.select(col("src"), col("dst")).repartition(col("src")).persist()
+    try {
+      var frontier = settle(open.map(_._1).distinct.toDF("root")
+        .select($"root", $"root".as("node")))
+      var visited = frontier
+      var wave = 1L
+      while (wave <= maxWaves && open.nonEmpty) {
+        // ONE job per wave decides loop control for every open probe:
+        // per-root frontier size + which targets this wave reached.
+        // open is dimension-bounded (a probe list), so the broadcast
+        // and the collected per-root rows are both tiny.
+        val targets = broadcast(open.toDF("troot", "tdst"))
+        val perRoot = frontier
+          .join(targets, $"root" === $"troot" && $"node" === $"tdst", "left")
+          .groupBy($"root")
+          .agg(collect_set($"tdst").as("hit_dsts"))
+          .as[(Long, Seq[Long])].collect().toMap
+        open.foreach { case (a, b) =>
+          if (perRoot.get(a).exists(_.contains(b))) answered((a, b)) = wave
+          else if (!perRoot.contains(a)) answered((a, b)) = -1L // frontier died
+        }
+        open = open.filterNot(answered.contains)
+        wave += 1
+        if (open.nonEmpty) {
+          val liveRoots = open.map(_._1).distinct
+          frontier = settle(
+            frontier.filter($"root".isin(liveRoots: _*))
+              .join(e, frontier("node") === e("src"))
+              .select($"root", e("dst").as("node")).distinct()
+              .join(visited, Seq("root", "node"), "left_anti"))
+          visited = settle(visited.union(frontier))
+        }
+      }
+      open.foreach(p => answered(p) = -1L) // maxWaves exhausted
+      pairs.map(p => (p._1, p._2, answered(p)))
+    } finally e.unpersist()
+  }
+
   /** Depth-bounded wavefront expansion (add_relations,
     * main.py:212-242): seeds are wave 0, each wave reaches the
     * neighbors not already seen, up to `depth` waves. Returns

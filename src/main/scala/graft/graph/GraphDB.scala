@@ -80,6 +80,12 @@ class GraphDB(s: SparkSession, root: String) {
   def query(src: Long, dst: Long, maxWaves: Int = 100): Long =
     Bfs.wavePair(edges, src, dst, maxWaves)
 
+  /** Batched [[query]]: answers a probe list in ONE root-tagged
+    * traversal (shared per-wave expansion join + loop-control job
+    * across all probes) with identical per-pair semantics. */
+  def queryBatch(pairs: Seq[(Long, Long)], maxWaves: Int = 100): Seq[(Long, Long, Long)] =
+    Bfs.wavePairs(edges, pairs, maxWaves)
+
   /** Graph stats (get_stats, main.py:307-332): distinct source nodes,
     * edge count, average degree rounded to 2 dp. */
   def stats(): DataFrame =

@@ -90,6 +90,10 @@ object GraphPack extends QueryPack {
   private val ANF_ROUNDS = 2
   private val ANF_TOL = 0.4
 
+  /** 1-in-N root sample for g_anf's EXACT verification anchor (the
+    * sketch itself runs over every node). */
+  private val ANF_SAMPLE = 16
+
   private val LP_ITERS = 4
   private val PPR_ITERS = 6
 
@@ -269,8 +273,9 @@ object GraphPack extends QueryPack {
     "g_query_pair" -> { (s, d) =>
       import s.implicits._
       val e = GraphBuilder.tradeEdges(s, d).localCheckpoint(false)
-      QUERY_PAIRS.map { case (a, b) => (a, b, Bfs.wavePair(e, a, b)) }
-        .toDF("src", "dst", "wave")
+      // batched root-tagged traversal: one shared frontier loop for
+      // all probes (wavePair semantics per probe — see Bfs.wavePairs)
+      Bfs.wavePairs(e, QUERY_PAIRS).toDF("src", "dst", "wave")
     },
 
     // A12: k-core decomposition by iterative peeling over the widened
@@ -350,12 +355,22 @@ object GraphPack extends QueryPack {
     "g_anf" -> { (s, d) =>
       import s.implicits._
       val e = GraphBuilder.partEdges(s, d).localCheckpoint(false) // ANF rounds + exact path
-      val est = Anf.run(s, e, ANF_ROUNDS)
-      val ball = e.select($"src", $"dst".as("member"))
-        .union(e.select($"src", $"dst".as("mid"))
-          .join(e.select($"src".as("mid"), $"dst".as("far")), "mid")
-          .select($"src", $"far".as("member")))
-        .union(e.select($"src", $"src".as("member")))
+      // the SKETCH runs over the whole graph (a sampled node's
+      // counter absorbs all its neighbors' counters regardless); only
+      // the exact verification anchor is sampled — a full exact
+      // 2-ball enumerates every wedge (|E|·deg rows), which is
+      // precisely the cost the sketch exists to avoid, and 1-in-16
+      // roots is still thousands of independently-checked nodes at
+      // bench scale
+      val est = Anf.run(s, e, ANF_ROUNDS).filter($"node" % ANF_SAMPLE === 0)
+      val seeds = e.select($"src").distinct()
+        .filter($"src" % ANF_SAMPLE === 0)
+      val hop1 = seeds.join(e, "src").select($"src", $"dst".as("member"))
+      val hop2 = hop1.join(e.select($"src".as("member"), $"dst".as("far")), "member")
+        .select($"src", $"far".as("member"))
+      val ball = hop1
+        .union(hop2)
+        .union(seeds.select($"src", $"src".as("member")))
         .distinct()
         .groupBy($"src".as("node")).agg(count(lit(1)).as("ball2"))
       est.join(ball, "node")
@@ -473,13 +488,15 @@ object GraphPack extends QueryPack {
     "g_kcore" -> kcoreSql(KCORE_K, KCORE_UNROLL),
     "g_anf" ->
       s"""WITH $partEdgesSql,
+         |roots AS (SELECT DISTINCT src FROM edges WHERE src % $ANF_SAMPLE = 0),
+         |h1 AS (SELECT r.src, e.dst AS member FROM roots r JOIN edges e ON e.src = r.src),
          |reach AS (
          | SELECT DISTINCT src, member FROM (
-         |  SELECT src, dst AS member FROM edges
+         |  SELECT src, member FROM h1
          |  UNION ALL
-         |  SELECT a.src, b.dst AS member FROM edges a JOIN edges b ON a.dst = b.src
+         |  SELECT h.src, e.dst AS member FROM h1 h JOIN edges e ON e.src = h.member
          |  UNION ALL
-         |  SELECT DISTINCT src, src AS member FROM edges) t)
+         |  SELECT src, src AS member FROM roots) t)
          |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS ball2, TRUE AS anf_ok
          |FROM reach GROUP BY src""".stripMargin,
     "g_labelprop" -> labelpropSql(LP_ITERS),

@@ -20,6 +20,7 @@ object TimeQuery {
       q(spark, sfDir).write.format("noop").mode("overwrite").save()
       println(f"TIME $name%-20s ${(System.nanoTime() - t0) / 1e9}%.2f s")
       spark.catalog.clearCache()
+      System.gc() // Bench parity: let the ContextCleaner reclaim checkpoint blocks
     }
     spark.stop()
   }

@@ -73,6 +73,26 @@ class BfsSpec extends SparkSpec {
       === want.toSeq.sorted)
   }
 
+  test("wavePairs matches sequential wavePair on every probe class") {
+    // two components: 1-2-3-4-5 and 10-11; probes cover src==dst,
+    // adjacent, multi-hop, cross-component unreachable, off-graph,
+    // and two probes sharing one root
+    val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+    val probes = Seq((1L, 1L), (1L, 2L), (1L, 5L), (1L, 10L), (99L, 1L),
+      (3L, 5L), (3L, 10L))
+    val batched = Bfs.wavePairs(e, probes)
+    probes.zip(batched).foreach { case ((a, b), (ga, gb, wave)) =>
+      assert((ga, gb) === ((a, b)))
+      assert(wave === Bfs.wavePair(e, a, b), s"probe ($a, $b)")
+    }
+  }
+
+  test("wavePairs preserves input order including duplicate probes") {
+    val e = edgesDf((1L, 2L))
+    val probes = Seq((1L, 2L), (1L, 2L), (2L, 1L))
+    assert(Bfs.wavePairs(e, probes) === Seq((1L, 2L, 2L), (1L, 2L, 2L), (2L, 1L, 2L)))
+  }
+
   test("expand is depth-bounded and first-seen wins") {
     import spark.implicits._
     val e = edgesDf((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L))
