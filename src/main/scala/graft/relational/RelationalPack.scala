@@ -105,6 +105,23 @@ object RelationalPack extends QueryPack {
       Tables.orders(s, d).select($"o_orderstatus", $"o_orderpriority").distinct()
     },
 
+    // C18: set operations — INTERSECT / EXCEPT with SQL bag-to-set
+    // semantics (the remaining piece of the reference's SQLite set
+    // surface next to C5's DISTINCT): customers active in both 1995
+    // and 1996, minus anyone with a cancelled ('F'-status) order.
+    // Catalyst plans both as semi/anti joins over map-side-deduped
+    // inputs — the shuffle carries distinct customer keys, never
+    // order rows, and all three year/status filters reach the scan.
+    "q_setops" -> { (s, d) =>
+      import s.implicits._
+      def active(yr: Int) = Tables.orders(s, d)
+        .filter(year($"o_orderdate") === yr).select($"o_custkey")
+      val cancelled = Tables.orders(s, d)
+        .filter($"o_orderstatus" === "F").select($"o_custkey")
+      active(1995).intersect(active(1996)).except(cancelled)
+        .select($"o_custkey".as("custkey"))
+    },
+
     // C6: semi-join — customers with >=1 urgent open order (EXISTS)
     "q_semi" -> { (s, d) =>
       import s.implicits._
@@ -405,6 +422,12 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_setops" ->
+      """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+        |INTERSECT
+        |SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
     "q_grouping_sets" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
