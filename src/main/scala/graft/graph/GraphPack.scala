@@ -263,6 +263,28 @@ object GraphPack extends QueryPack {
       Bfs.bfsBounded(edges, seeds)
     },
 
+    // A22: eccentricity / diameter / radius — per-node max BFS
+    // distance (wave − 1) within the reachable set, plus the graph
+    // diameter (max ecc) and radius (min ecc) and the derived
+    // peripheral/central flags. Rides the same dim-bounded all-pairs
+    // BFS as A10 (guarded: refuses fact-sized edge sets); the global
+    // extrema are a one-row aggregate broadcast back over the
+    // vertex-sized result — no extra pass over the edges.
+    "g_eccentricity" -> { (s, d) =>
+      import s.implicits._
+      val edges = GraphBuilder.tradeEdges(s, d)
+      val seeds = edges.select($"src".as("node")).distinct()
+        .select($"node".as("root"), $"node")
+      val per = Bfs.bfsBounded(edges, seeds)
+        .groupBy($"root".as("node"))
+        .agg((max($"wave") - 1L).as("ecc"), count(lit(1)).as("n_reachable"))
+      val glob = per.agg(max($"ecc").as("diameter"), min($"ecc").as("radius"))
+      per.crossJoin(broadcast(glob))
+        .select($"node", $"ecc", $"n_reachable", $"diameter", $"radius",
+          ($"ecc" === $"diameter").as("is_peripheral"),
+          ($"ecc" === $"radius").as("is_central"))
+    },
+
     // A4b: the single-pair early-exit query API (GraphDB.query →
     // Bfs.wavePair, main.py:272-305 parity) on the hard signal: a
     // handful of (src, dst) probes including the src==dst wave-1
@@ -633,5 +655,20 @@ object GraphPack extends QueryPack {
          | SELECT w.root, e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
          | WHERE w.wave < 30)
          |SELECT root, node, MIN(wave) AS wave FROM walk GROUP BY root, node""".stripMargin,
+    "g_eccentricity" ->
+      s"""WITH RECURSIVE $tradeEdgesSql,
+         |roots AS (SELECT DISTINCT src AS node FROM edges),
+         |walk(root, node, wave) AS (
+         | SELECT node, node, CAST(1 AS BIGINT) FROM roots
+         | UNION
+         | SELECT w.root, e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
+         | WHERE w.wave < 30),
+         |dist AS (SELECT root, node, MIN(wave) AS wave FROM walk GROUP BY root, node),
+         |per AS (SELECT root AS node, CAST(MAX(wave) - 1 AS BIGINT) AS ecc,
+         |        CAST(COUNT(*) AS BIGINT) AS n_reachable FROM dist GROUP BY root),
+         |g AS (SELECT MAX(ecc) AS diameter, MIN(ecc) AS radius FROM per)
+         |SELECT p.node, p.ecc, p.n_reachable, g.diameter, g.radius,
+         | p.ecc = g.diameter AS is_peripheral, p.ecc = g.radius AS is_central
+         |FROM per p, g""".stripMargin,
   )
 }

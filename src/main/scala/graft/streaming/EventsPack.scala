@@ -76,6 +76,48 @@ object EventsPack extends QueryPack {
             .as("n_attributed"))
     },
 
+    // H11: inter-arrival gap statistics — per-user time between
+    // consecutive events (lag over the (ts, event_id) total order).
+    // One shuffle on user_id; the aggregate is fully partial (min/
+    // max/sum/count over exact epoch-microsecond integers) and the
+    // mean is a SINGLE IEEE division over those integers, so both
+    // engines produce bit-identical doubles.
+    "e_gaps" -> { (s, d) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("gap_us", $"ts_us" - lag($"ts_us", 1).over(byUser))
+        .filter($"gap_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_gaps"),
+          min($"gap_us").as("min_gap_us"),
+          max($"gap_us").as("max_gap_us"),
+          sum($"gap_us").as("sum_gap_us"))
+        .withColumn("avg_gap_us", $"sum_gap_us".cast("double") / $"n_gaps".cast("double"))
+    },
+
+    // H12: behavioral path mining — the 10 most common 3-step
+    // event-type sequences (per-user order by (ts, event_id), two
+    // lead()s in ONE window pass — no self-joins). The trigram
+    // key space is bounded by |event_type|^3, so the count groupBy
+    // shuffles a bounded key set however large the event log is.
+    "e_paths" -> { (s, d) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("t2", lead($"event_type", 1).over(byUser))
+        .withColumn("t3", lead($"event_type", 2).over(byUser))
+        .filter($"t3".isNotNull)
+        .select(concat_ws(">", $"event_type", $"t2", $"t3").as("path"))
+        .groupBy($"path").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"path".asc).limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy($"n".desc, $"path".asc)).cast("long"))
+        .select($"rank", $"path", $"n")
+    },
+
     // H6: cohort retention — users grouped by first-seen day, counted
     // per day-offset from that cohort day (the standard product-
     // analytics retention matrix). Two partial-aggregable groupBys on
@@ -210,6 +252,32 @@ object EventsPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "e_gaps" ->
+      """WITH base AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+        |g AS (
+        | SELECT user_id, ts_us - lag(ts_us) OVER (
+        |   PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) AS gap_us
+        | FROM base)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+        | MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        | CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us,
+        | CAST(SUM(gap_us) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_gap_us
+        |FROM g WHERE gap_us IS NOT NULL GROUP BY user_id""".stripMargin,
+    "e_paths" ->
+      """WITH base AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |tri AS (
+        | SELECT event_type || '>' ||
+        |  lead(event_type, 1) OVER w || '>' ||
+        |  lead(event_type, 2) OVER w AS path,
+        |  lead(event_type, 2) OVER w AS t3
+        | FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC))
+        |SELECT rank, path, n FROM (
+        | SELECT path, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, path ASC) AS BIGINT) AS rank
+        | FROM tri WHERE t3 IS NOT NULL GROUP BY path) t
+        |WHERE rank <= 10""".stripMargin,
     "e_stickiness" ->
       """WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events),
         |dau AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS dau FROM ud GROUP BY 1),

@@ -57,6 +57,14 @@ object TextPack extends QueryPack {
   private val CHUNK_LEN = 32
   private val CHUNK_STRIDE = 24
 
+  /** Repeated-passage removal: non-overlapping segment length in
+    * words, and the absolute document-frequency at which a segment
+    * counts as boilerplate (CCNet-style line dedup uses the same
+    * absolute-count contract — a passage repeated across ≥ N
+    * documents is template text at any corpus size). */
+  private val PASSAGE_LEN = 3
+  private val PASSAGE_DF = 4
+
   /** Sequence packing: tokens per bin, shards for parallel packing. */
   private val PACK_BUDGET = 256
   private val PACK_SHARDS = 16
@@ -448,6 +456,49 @@ object TextPack extends QueryPack {
           ($"cum_before" % PACK_BUDGET).as("start_offset"))
     },
 
+    // F16: repeated-passage (boilerplate) removal — the corpus-level
+    // twin of line-dedup in CCNet-style pipelines. Each document is
+    // cut into non-overlapping PASSAGE_LEN-word segments; a segment
+    // appearing in ≥ PASSAGE_DF distinct documents is boilerplate and
+    // is dropped; the document is reassembled in order from the
+    // surviving segments (plus the sub-segment word remainder).
+    // Plan shape: bounded explode (≤ n_words/PASSAGE_LEN rows/doc) →
+    // one distinct+count shuffle on the segment key (map-side
+    // partial; per-segment state is ONE counter, never a posting
+    // list) → anti join against the df-filtered boilerplate set
+    // (AQE-broadcast when small) → one doc_id shuffle to reassemble.
+    "t_passages" -> { (s, d) =>
+      import s.implicits._
+      val base = Tables.documents(s, d)
+        .select($"doc_id", split(TextOps.norm($"text"), " ").as("ws"))
+        .withColumn("n_words", size($"ws").cast("long"))
+        .withColumn("n_segs", ($"n_words" / PASSAGE_LEN).cast("long"))
+        .withColumn("rem", array_join(
+          slice($"ws", ($"n_segs" * PASSAGE_LEN + 1).cast("int"),
+            ($"n_words" - $"n_segs" * PASSAGE_LEN).cast("int")), " "))
+      val segs = base
+        .select($"doc_id", $"ws", $"n_segs",
+          explode(when($"n_segs" >= 1, sequence(lit(0L), $"n_segs" - 1))
+            .otherwise(array().cast("array<long>"))).as("idx"))
+        .select($"doc_id", $"idx",
+          array_join(slice($"ws", ($"idx" * PASSAGE_LEN + 1).cast("int"), lit(PASSAGE_LEN)), " ")
+            .as("seg"))
+      val boiler = segs.select($"seg", $"doc_id").distinct()
+        .groupBy($"seg").agg(count(lit(1)).as("df"))
+        .filter($"df" >= PASSAGE_DF)
+        .select($"seg")
+      val kept = segs.join(boiler, Seq("seg"), "left_anti")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_kept"),
+          array_join(transform(sort_array(collect_list(struct($"idx", $"seg"))),
+            x => x.getField("seg")), " ").as("kept_segs"))
+      base.join(kept, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_words", $"n_segs",
+          ($"n_segs" - coalesce($"n_kept", lit(0L))).as("n_boiler"),
+          TextOps.md5s(concat_ws(" ",
+            nullif($"kept_segs", lit("")), nullif($"rem", lit("")))).as("kept_hash"))
+    },
+
     // F4: document fingerprinting — rolling 8-char-gram md5 hashes,
     // winnowed with a 4-window minimum (standard winnowing scheme).
     "t_fingerprint" -> { (s, d) =>
@@ -638,6 +689,29 @@ object TextPack extends QueryPack {
            | (top_word_frac > $REP_TOP_WORD OR top_bigram_frac > $REP_TOP_BIGRAM
            |  OR distinct_ratio < $REP_MIN_DISTINCT) AS repetitive
            |FROM r""".stripMargin,
+      "t_passages" ->
+        s"""WITH base AS (
+           | SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS n_words,
+           |  CAST(len(ws) // $PASSAGE_LEN AS BIGINT) AS n_segs
+           | FROM (SELECT doc_id, string_split($nrmSql, ' ') AS ws FROM documents)),
+           |segs AS (
+           | SELECT doc_id, CAST(i AS BIGINT) AS idx,
+           |  array_to_string(ws[CAST(i * $PASSAGE_LEN + 1 AS BIGINT):CAST((i + 1) * $PASSAGE_LEN AS BIGINT)], ' ') AS seg
+           | FROM base, UNNEST(range(0, n_segs)) t(i)),
+           |boiler AS (
+           | SELECT seg FROM (
+           |  SELECT seg, COUNT(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+           | WHERE df >= $PASSAGE_DF),
+           |kept AS (
+           | SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_kept,
+           |  string_agg(s.seg, ' ' ORDER BY s.idx ASC) AS kept_segs
+           | FROM segs s ANTI JOIN boiler b ON b.seg = s.seg
+           | GROUP BY s.doc_id)
+           |SELECT b.doc_id, b.n_words, b.n_segs,
+           | b.n_segs - COALESCE(k.n_kept, 0) AS n_boiler,
+           | md5(concat_ws(' ', NULLIF(k.kept_segs, ''),
+           |   NULLIF(array_to_string(b.ws[CAST(b.n_segs * $PASSAGE_LEN + 1 AS BIGINT):CAST(b.n_words AS BIGINT)], ' '), ''))) AS kept_hash
+           |FROM base b LEFT JOIN kept k ON k.doc_id = b.doc_id""".stripMargin,
       "t_fingerprint" ->
         s"""WITH base AS (
            | SELECT doc_id, nrm FROM (SELECT doc_id, $nrmSql AS nrm FROM documents)

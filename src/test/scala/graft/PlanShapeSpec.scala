@@ -21,7 +21,8 @@ class PlanShapeSpec extends SparkSpec {
   private val deliberateCross =
     Set("s_knn_brute", "s_knn_ivf", "s_range_search", "g_ged_pairs", "d_semantic", "s_knn_pq",
       "s_pipeline", // embeds d_semantic's bounded centroid broadcast
-      "t_tfidf") // one-row corpus-count broadcast
+      "t_tfidf", // one-row corpus-count broadcast
+      "g_eccentricity") // one-row diameter/radius extrema broadcast
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
