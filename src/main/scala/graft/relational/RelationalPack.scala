@@ -203,6 +203,27 @@ object RelationalPack extends QueryPack {
         .agg(count(lit(1)).as("n_rows"), dsum(dec($"l_quantity")).as("sum_qty"))
     },
 
+    // C19: exact grouped percentiles (percentile_disc semantics via
+    // explicit rank arithmetic — the value at row ceil(p·n) of the
+    // per-group ascending sort, so both engines share ONE definition
+    // instead of trusting two quantile implementations to agree).
+    // The per-group sort is the intrinsic cost of EXACT percentiles;
+    // it partitions by group (parallel across groups, AQE-splittable)
+    // and the approximate path for fact-wide groups is C10's sketch.
+    "q_percentiles" -> { (s, d) =>
+      import s.implicits._
+      val byFlag = Window.partitionBy($"l_returnflag")
+      val ranked = Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_extendedprice".cast(D).as("v"))
+        .withColumn("rn", row_number().over(byFlag.orderBy($"v".asc)))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      def p(q: Double) =
+        round(max(when($"rn" === ceil(lit(q) * $"n"), $"v")), 2).cast("double")
+      ranked.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          p(0.5).as("p50"), p(0.9).as("p90"), p(0.99).as("p99"))
+    },
+
     // C14: cube aggregation — all four grouping sets of the flag/status
     // pair in ONE scan (Catalyst expands the cube into a single
     // Expand + hash aggregate; the partial aggregate still combines
@@ -422,6 +443,19 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_percentiles" ->
+      """WITH base AS (
+        | SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem),
+        |r AS (
+        | SELECT l_returnflag, v,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY v ASC) AS BIGINT) AS rn,
+        |  CAST(COUNT(*) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n
+        | FROM base)
+        |SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(ROUND(MAX(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN v END), 2) AS DOUBLE) AS p50,
+        | CAST(ROUND(MAX(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN v END), 2) AS DOUBLE) AS p90,
+        | CAST(ROUND(MAX(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT) THEN v END), 2) AS DOUBLE) AS p99
+        |FROM r GROUP BY l_returnflag""".stripMargin,
     "q_setops" ->
       """SELECT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
         |INTERSECT

@@ -1,6 +1,6 @@
 package graft.similarity
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 
@@ -37,6 +37,11 @@ object SimilarityPack extends QueryPack {
   private val PQ_NCODES = 4
   // E7 radius search: emit every corpus vector at least this similar
   private val RANGE_MIN_COSINE = 0.3
+  // E8 k-means: clusters, full assign/update cycles before the final
+  // assignment. Init = the K lowest-vec_id embeddings (the same
+  // deterministic seed policy as IVF/PQ/SemDeDup).
+  private val KM_K = 8
+  private val KM_ITERS = 2
 
   /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
     * aggregate: each map partition reduces to ≤ K entries per query
@@ -181,6 +186,59 @@ object SimilarityPack extends QueryPack {
     // engine-portable IEEE (floor(x/scale + 0.5), no locale-dependent
     // rounding).
     "s_quantize" -> { (s, d) => quantized(Tables.embeddings(s, d)) },
+
+    // E8: k-means (Lloyd's) over the embedding corpus — the standard
+    // embedding-curation primitive (cluster-then-sample / SemDeDup's
+    // real centroid step). Scale shape is MLlib's: the K×dim centroid
+    // table is driver-bounded BY DEFINITION (that is what K-means
+    // compresses to), so each iteration broadcasts the centroids as
+    // codegen'd literals, the assignment is map-side (no join, no
+    // shuffle), and the update is ONE partial-aggregable
+    // (cluster, dim) shuffle. Determinism: squared-L2 terms quantize
+    // to DECIMAL(28,12) before the order-free exact sum (the engine's
+    // vector contract), means are one IEEE division of exact values,
+    // ties break to the lowest centroid id — bit-identical to the
+    // oracle's unrolled iterations.
+    "s_kmeans" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      def assign(cents: Seq[(Int, Array[Double])]): Column = {
+        val structs = cents.map { case (cid, c) =>
+          val carr = array(c.map(lit(_)): _*)
+          val d2 = aggregate(
+            zip_with($"embedding", carr, (x, cc) =>
+              ((x.cast("double") - cc) * (x.cast("double") - cc)).cast("decimal(28,12)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+            (acc, v) => (acc + v).cast("decimal(28,12)")).cast("double")
+          struct(d2.as("d2"), lit(cid).as("cid"))
+        }
+        array_min(array(structs: _*))
+      }
+      var cents: Seq[(Int, Array[Double])] = e.filter($"vec_id" < KM_K)
+        .select($"vec_id", $"embedding".cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+      for (_ <- 1 to KM_ITERS) {
+        val asg = e.withColumn("best", assign(cents))
+          .select($"vec_id", $"best.cid".as("cluster_id"))
+        cents = e.join(asg, "vec_id")
+          .select($"cluster_id", posexplode($"embedding").as(Seq("pos", "xf")))
+          .groupBy($"cluster_id", $"pos")
+          .agg(sum($"xf".cast("double").cast("decimal(28,12)")).as("sx"),
+            count(lit(1)).as("n"))
+          .select($"cluster_id", $"pos",
+            ($"sx".cast("double") / $"n".cast("double")).as("c"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+          .toSeq.sortBy(_._1)
+      }
+      e.withColumn("best", assign(cents))
+        .select($"vec_id", $"best.cid".cast("long").as("cluster_id"),
+          round($"best.d2", 6).as("dist2"))
+    },
 
     // E6: composed embedding pipeline — semantic-dedup survivors
     // (D7's linear screen) flowing straight into int8 quantization as
@@ -374,6 +432,34 @@ object SimilarityPack extends QueryPack {
          | MAX(ABS(qi * scale - x)) AS max_abs_err
          |FROM q JOIN kept k ON k.vec_id = q.vec_id
          |GROUP BY q.vec_id""".stripMargin,
+    "s_kmeans" -> {
+      // unrolled Lloyd's: c0 = seed centroids; KM_ITERS × (assign
+      // aN/aNb + update cN); final assignment against c{KM_ITERS}.
+      val steps = (1 to KM_ITERS).map { it =>
+        s"""a$it AS (
+           | SELECT d.vec_id, c.cid,
+           |  CAST(SUM(CAST((d.x - c.c)*(d.x - c.c) AS DECIMAL(28,12))) AS DOUBLE) AS d2
+           | FROM kdims d JOIN c${it - 1} c ON c.i = d.i GROUP BY d.vec_id, c.cid),
+           |a${it}b AS (
+           | SELECT vec_id, cid FROM a$it
+           | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+           |c$it AS (
+           | SELECT a.cid, d.i, CAST(SUM(CAST(d.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+           | FROM kdims d JOIN a${it}b a ON a.vec_id = d.vec_id GROUP BY a.cid, d.i)"""
+      }.mkString(",\n")
+      s"""WITH kdims AS (
+         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+         | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM kdims WHERE vec_id < $KM_K),
+         |$steps,
+         |fin AS (
+         | SELECT d.vec_id, c.cid,
+         |  CAST(SUM(CAST((d.x - c.c)*(d.x - c.c) AS DECIMAL(28,12))) AS DOUBLE) AS d2
+         | FROM kdims d JOIN c$KM_ITERS c ON c.i = d.i GROUP BY d.vec_id, c.cid)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, round(d2, 6) AS dist2
+         |FROM fin
+         |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1""".stripMargin
+    },
     "s_quantize" ->
       """WITH dims AS (
         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
