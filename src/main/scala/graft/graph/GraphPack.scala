@@ -263,6 +263,15 @@ object GraphPack extends QueryPack {
       Bfs.bfsBounded(edges, seeds)
     },
 
+    // A23: exact betweenness centrality — Brandes-style shortest-path
+    // counting over the dim-bounded trade graph (σ on the driver
+    // under bfsBounded's collect guard; the (s, t, v) pair-dependency
+    // sum in Spark SQL under the DECIMAL(28,12) quantize-then-exact-
+    // sum contract). See graph/Betweenness.scala.
+    "g_betweenness" -> { (s, d) =>
+      Betweenness.run(s, GraphBuilder.tradeEdges(s, d))
+    },
+
     // A22: eccentricity / diameter / radius — per-node max BFS
     // distance (wave − 1) within the reachable set, plus the graph
     // diameter (max ecc) and radius (min ecc) and the derived
@@ -655,6 +664,42 @@ object GraphPack extends QueryPack {
          | SELECT w.root, e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
          | WHERE w.wave < 30)
          |SELECT root, node, MIN(wave) AS wave FROM walk GROUP BY root, node""".stripMargin,
+    "g_betweenness" -> {
+      // σ by unrolled wave levels: s1 = roots; level w sums the σ of
+      // every wave-(w-1) predecessor. 8 levels covers any diameter
+      // the bounded trade graph can reach (empty levels are no-ops).
+      val maxLevel = 8
+      val levels = (2 to maxLevel).map { w =>
+        s"""s$w AS MATERIALIZED (
+           | SELECT d.root, d.node, CAST($w AS BIGINT) AS wave,
+           |  CAST(SUM(sp.sigma) AS BIGINT) AS sigma
+           | FROM dist d JOIN edges e ON e.dst = d.node
+           |  JOIN s${w - 1} sp ON sp.root = d.root AND sp.node = e.src
+           | WHERE d.wave = $w GROUP BY d.root, d.node)"""
+      }.mkString(",\n")
+      val unionAll = (1 to maxLevel).map(w => s"SELECT * FROM s$w").mkString(" UNION ALL ")
+      s"""WITH RECURSIVE $tradeEdgesSql,
+         |roots AS (SELECT DISTINCT src AS node FROM edges),
+         |walk(root, node, wave) AS (
+         | SELECT node, node, CAST(1 AS BIGINT) FROM roots
+         | UNION
+         | SELECT w.root, e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
+         | WHERE w.wave < 30),
+         |dist AS MATERIALIZED (SELECT root, node, MIN(wave) AS wave FROM walk GROUP BY root, node),
+         |s1 AS (SELECT node AS root, node, CAST(1 AS BIGINT) AS wave, CAST(1 AS BIGINT) AS sigma FROM roots),
+         |$levels,
+         |sigma AS MATERIALIZED ($unionAll),
+         |tri AS (
+         | SELECT sv.node AS v,
+         |  CAST(CAST(sv.sigma * vt.sigma AS DOUBLE) / CAST(st.sigma AS DOUBLE) AS DECIMAL(28,12)) AS contrib
+         | FROM sigma sv
+         |  JOIN sigma vt ON vt.node = sv.node AND vt.root <> sv.root
+         |  JOIN sigma st ON st.root = sv.root AND st.node = vt.root
+         | WHERE sv.node <> sv.root AND sv.node <> vt.root
+         |  AND (sv.wave - 1) + (vt.wave - 1) = st.wave - 1)
+         |SELECT n.node, CAST(ROUND(CAST(COALESCE(SUM(t.contrib), 0) AS DOUBLE) / 2.0, 6) AS DOUBLE) AS btw
+         |FROM roots n LEFT JOIN tri t ON t.v = n.node GROUP BY n.node""".stripMargin
+    },
     "g_eccentricity" ->
       s"""WITH RECURSIVE $tradeEdgesSql,
          |roots AS (SELECT DISTINCT src AS node FROM edges),

@@ -165,6 +165,22 @@ object RelationalPack extends QueryPack {
 
     // C8: upsert / INSERT-OR-IGNORE — first row wins per unique key
     // (main.py:203's INSERT OR IGNORE on (smiles, target_smiles))
+    // C20: RANGE-frame window — trailing 30-day spend per customer.
+    // The frame is VALUE-based (peers at the same day aggregate
+    // together; gaps in the calendar shrink the frame), which a ROWS
+    // frame cannot express. One shuffle on the partition key; exact
+    // DECIMAL sums inside the frame; per-customer partitions keep the
+    // sort parallel at any fact scale.
+    "q_window_range" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"o_custkey").orderBy($"day".asc)
+        .rangeBetween(-29, 0)
+      Tables.orders(s, d)
+        .withColumn("day", datediff($"o_orderdate", lit("1992-01-01")).cast("long"))
+        .withColumn("trail30", round(sum($"o_totalprice".cast(D)).over(w), 2).cast("double"))
+        .select($"o_orderkey", $"o_custkey", $"day", $"trail30")
+    },
+
     "q_upsert_dedup" -> { (s, d) =>
       import s.implicits._
       // ORDER BY must be a TOTAL order: the data contains duplicate
@@ -443,6 +459,17 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_window_range" ->
+      """WITH base AS (
+        | SELECT o_orderkey, o_custkey,
+        |  date_diff('day', DATE '1992-01-01', o_orderdate) AS day,
+        |  CAST(o_totalprice AS DECIMAL(18,2)) AS v
+        | FROM orders)
+        |SELECT o_orderkey, o_custkey, day,
+        | CAST(ROUND(SUM(v) OVER (
+        |   PARTITION BY o_custkey ORDER BY day ASC
+        |   RANGE BETWEEN 29 PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS trail30
+        |FROM base""".stripMargin,
     "q_percentiles" ->
       """WITH base AS (
         | SELECT l_returnflag, CAST(l_extendedprice AS DECIMAL(18,2)) AS v FROM lineitem),
