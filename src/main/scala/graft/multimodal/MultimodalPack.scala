@@ -3,6 +3,7 @@ package graft.multimodal
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
+import graft.text.TextOps
 
 /** One decoded multimodal record: id, payload size, extracted
   * feature vector. */
@@ -108,6 +109,44 @@ object MultimodalPack extends QueryPack {
         .agg(count(lit(1)).as("n_docs"), min($"doc_id").as("canonical_id"))
     },
 
+    // G5b: perceptual-hash NEAR-duplicate detection — hamming radius
+    // 1 over the 15-bit dHash (scaling- and small-edit-invariant
+    // where G5's exact grouping is not). Same pigeonhole blocking as
+    // D3 SimHash: radius 1 over 2 chunks guarantees one chunk
+    // matches, so candidates come from a chunk equi-join (never an
+    // all-pairs product) and the codegen'd HammingDist verifies.
+    // Output is the per-doc near-dup degree — bounded at one row per
+    // media item however dense the collision clusters are.
+    "m_phash_near" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val ph = featureVectors(s, d)
+        .filter($"n_bytes" >= 1)
+        .withColumn("phash", expr(
+          """array_join(transform(sequence(1, 15), j ->
+            |  CASE WHEN element_at(features, j) > element_at(features, j + 1)
+            |   THEN '1' ELSE '0' END), '')""".stripMargin))
+        .select($"doc_id", $"phash")
+      val chunks = ph.select($"doc_id", $"phash",
+          explode(sequence(lit(1), lit(2))).as("c"))
+        .withColumn("cv", expr("substring(phash, (c-1)*8 + 1, 8)"))
+      val near = chunks.as("x").join(chunks.as("y"),
+          col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("x.phash").as("pa"),
+          col("y.doc_id").as("doc_b"), col("y.phash").as("pb"))
+        .distinct()
+        .withColumn("hamming", TextOps.hamming($"pa", $"pb"))
+        .filter($"hamming" <= 1)
+      val deg = near.select($"doc_a".as("doc_id"))
+        .union(near.select($"doc_b".as("doc_id")))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_near"))
+      ph.join(deg, Seq("doc_id"), "left")
+        .select($"doc_id", $"phash",
+          coalesce($"n_near", lit(0L)).as("n_near"),
+          (coalesce($"n_near", lit(0L)) >= 1L).as("has_near_dup"))
+    },
+
     // G2: batched decode / feature-extraction plumbing with the
     // decoder stubbed deterministically (rows-only + spec). The
     // harness-facing projection is SCALAR columns derived from the
@@ -189,6 +228,38 @@ object MultimodalPack extends QueryPack {
          | $cols
          |FROM hist GROUP BY doc_id""".stripMargin
     },
+    "m_phash_near" ->
+      """WITH chars AS (
+        |  SELECT doc_id, length(text) AS n,
+        |         ascii(substr(text, CAST(i AS INT), 1)) % 16 AS bin
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+        |), hist AS (
+        |  SELECT doc_id, n, bin,
+        |         CAST(CAST(count(*) AS FLOAT) / CAST(n AS FLOAT) AS DOUBLE) AS f
+        |  FROM chars GROUP BY 1, 2, 3
+        |), bins AS (
+        |  SELECT d.doc_id, t.j FROM (SELECT DISTINCT doc_id FROM hist) d,
+        |   unnest(range(0, 16)) t(j)
+        |), grid AS (
+        |  SELECT b.doc_id, b.j, COALESCE(h.f, 0.0) AS f
+        |  FROM bins b LEFT JOIN hist h ON h.doc_id = b.doc_id AND h.bin = b.j
+        |), bits AS (
+        |  SELECT a.doc_id, a.j, CASE WHEN a.f > b.f THEN '1' ELSE '0' END AS bit
+        |  FROM grid a JOIN grid b ON b.doc_id = a.doc_id AND b.j = a.j + 1
+        |), ph AS (
+        |  SELECT doc_id, string_agg(bit, '' ORDER BY j) AS phash FROM bits GROUP BY doc_id
+        |), np AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM ph a JOIN ph b ON b.doc_id > a.doc_id
+        |  WHERE len(list_filter(range(1, 16),
+        |        i -> substr(a.phash, CAST(i AS INT), 1) <> substr(b.phash, CAST(i AS INT), 1))) <= 1
+        |), deg AS (
+        |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_near FROM (
+        |    SELECT doc_a AS doc_id FROM np UNION ALL SELECT doc_b FROM np) GROUP BY 1
+        |)
+        |SELECT p.doc_id, p.phash, COALESCE(d.n_near, 0) AS n_near,
+        | COALESCE(d.n_near, 0) >= 1 AS has_near_dup
+        |FROM ph p LEFT JOIN deg d ON d.doc_id = p.doc_id""".stripMargin,
     "m_phash_dedup" ->
       """WITH chars AS (
         |  SELECT doc_id, length(text) AS n,
