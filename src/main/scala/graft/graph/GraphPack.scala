@@ -263,6 +263,27 @@ object GraphPack extends QueryPack {
       Bfs.bfsBounded(edges, seeds)
     },
 
+    // A24: minimum spanning forest — distributed Borůvka over the
+    // weighted trade graph (edge weight = cheapest lineitem price
+    // ever traded between the nation pair, an exact DECIMAL). See
+    // graph/Mst.scala for the round structure; the oracle verifies
+    // through the independent cycle-property characterization.
+    "g_mst" -> { (s, d) =>
+      import s.implicits._
+      val wedges = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), $"l_orderkey" === $"o_orderkey")
+        .join(Tables.customer(s, d), $"o_custkey" === $"c_custkey")
+        .join(Tables.supplier(s, d), $"l_suppkey" === $"s_suppkey")
+        .filter($"c_nationkey" =!= $"s_nationkey")
+        .select(
+          least($"c_nationkey", $"s_nationkey").cast("long").as("a"),
+          greatest($"c_nationkey", $"s_nationkey").cast("long").as("b"),
+          $"l_extendedprice".cast(org.apache.spark.sql.types.DecimalType(18, 2)).as("p"))
+        .groupBy($"a", $"b").agg(min($"p").as("w"))
+      Mst.run(s, wedges)
+        .select($"a", $"b", round($"w", 2).cast("double").as("w"))
+    },
+
     // A23: exact betweenness centrality — Brandes-style shortest-path
     // counting over the dim-bounded trade graph (σ on the driver
     // under bfsBounded's collect guard; the (s, t, v) pair-dependency
@@ -664,6 +685,34 @@ object GraphPack extends QueryPack {
          | SELECT w.root, e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
          | WHERE w.wave < 30)
          |SELECT root, node, MIN(wave) AS wave FROM walk GROUP BY root, node""".stripMargin,
+    "g_mst" ->
+      // Independent characterization (cut/cycle property with the
+      // (w, a, b) total order making weights distinct): an edge is in
+      // the unique MSF iff its endpoints are NOT connected using only
+      // strictly-lighter edges. `walk` floods, per candidate edge,
+      // everything reachable from `a` through lighter edges.
+      """WITH RECURSIVE wpairs AS (
+        | SELECT LEAST(CAST(c.c_nationkey AS BIGINT), CAST(s.s_nationkey AS BIGINT)) AS a,
+        |        GREATEST(CAST(c.c_nationkey AS BIGINT), CAST(s.s_nationkey AS BIGINT)) AS b,
+        |        MIN(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS w
+        | FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        | WHERE c.c_nationkey <> s.s_nationkey
+        | GROUP BY 1, 2),
+        |e AS (SELECT a, b, w,
+        |      CAST(ROW_NUMBER() OVER (ORDER BY w ASC, a ASC, b ASC) AS BIGINT) AS rk
+        |      FROM wpairs),
+        |dir AS (SELECT a AS u, b AS v, rk FROM e UNION ALL SELECT b, a, rk FROM e),
+        |walk(rk, node) AS (
+        | SELECT rk, a FROM e
+        | UNION
+        | SELECT wk.rk, d.v FROM walk wk JOIN dir d ON d.u = wk.node AND d.rk < wk.rk),
+        |mst AS (
+        | SELECT a, b, w FROM e
+        | WHERE NOT EXISTS (SELECT 1 FROM walk x WHERE x.rk = e.rk AND x.node = e.b))
+        |SELECT a, b, CAST(ROUND(w, 2) AS DOUBLE) AS w FROM mst""".stripMargin,
     "g_betweenness" -> {
       // σ by unrolled wave levels: s1 = roots; level w sums the σ of
       // every wave-(w-1) predecessor. 8 levels covers any diameter
