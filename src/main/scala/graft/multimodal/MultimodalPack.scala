@@ -111,12 +111,16 @@ object MultimodalPack extends QueryPack {
 
     // G5b: perceptual-hash NEAR-duplicate detection — hamming radius
     // 1 over the 15-bit dHash (scaling- and small-edit-invariant
-    // where G5's exact grouping is not). Same pigeonhole blocking as
-    // D3 SimHash: radius 1 over 2 chunks guarantees one chunk
-    // matches, so candidates come from a chunk equi-join (never an
-    // all-pairs product) and the codegen'd HammingDist verifies.
-    // Output is the per-doc near-dup degree — bounded at one row per
-    // media item however dense the collision clusters are.
+    // where G5's exact grouping is not). The pair work runs in the
+    // HASH-VALUE space, never the corpus: docs collapse to
+    // (phash, count) — bounded by 2¹⁵ rows at ANY corpus size — the
+    // D3-style pigeonhole chunk join finds hamming-1 phash
+    // neighbors among those, and each doc's near-dup degree is pure
+    // multiplicity arithmetic: (own-hash count − 1 exact twins) +
+    // Σ counts of hamming-1 hashes. A first formulation joined doc
+    // chunk rows directly and spent 5.3 s at sf0.1 shuffling the
+    // dense doc-pair set; this one is corpus-size-free after the
+    // one groupBy.
     "m_phash_near" -> { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
@@ -127,24 +131,24 @@ object MultimodalPack extends QueryPack {
             |  CASE WHEN element_at(features, j) > element_at(features, j + 1)
             |   THEN '1' ELSE '0' END), '')""".stripMargin))
         .select($"doc_id", $"phash")
-      val chunks = ph.select($"doc_id", $"phash",
+      val grp = ph.groupBy($"phash").agg(count(lit(1)).as("cnt"))
+      val chunks = grp.select($"phash", $"cnt",
           explode(sequence(lit(1), lit(2))).as("c"))
         .withColumn("cv", expr("substring(phash, (c-1)*8 + 1, 8)"))
-      val near = chunks.as("x").join(chunks.as("y"),
+      // distinct phashes at hamming exactly 1 (distinct ⇒ ≥ 1), with
+      // the neighbor's multiplicity attached
+      val nbr = chunks.as("x").join(chunks.as("y"),
           col("x.c") === col("y.c") && col("x.cv") === col("y.cv") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("doc_a"), col("x.phash").as("pa"),
-          col("y.doc_id").as("doc_b"), col("y.phash").as("pb"))
+            col("x.phash") =!= col("y.phash"))
+        .select(col("x.phash").as("phash"), col("y.phash").as("p2"), col("y.cnt").as("c2"))
         .distinct()
-        .withColumn("hamming", TextOps.hamming($"pa", $"pb"))
-        .filter($"hamming" <= 1)
-      val deg = near.select($"doc_a".as("doc_id"))
-        .union(near.select($"doc_b".as("doc_id")))
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_near"))
-      ph.join(deg, Seq("doc_id"), "left")
-        .select($"doc_id", $"phash",
-          coalesce($"n_near", lit(0L)).as("n_near"),
-          (coalesce($"n_near", lit(0L)) >= 1L).as("has_near_dup"))
+        .filter(TextOps.hamming($"phash", $"p2") === 1)
+        .groupBy($"phash").agg(sum($"c2").as("near_cnt"))
+      val deg = grp.join(nbr, Seq("phash"), "left")
+        .select($"phash",
+          ($"cnt" - 1L + coalesce($"near_cnt", lit(0L))).as("n_near"))
+      ph.join(deg, Seq("phash"))
+        .select($"doc_id", $"phash", $"n_near", ($"n_near" >= 1L).as("has_near_dup"))
     },
 
     // G2: batched decode / feature-extraction plumbing with the

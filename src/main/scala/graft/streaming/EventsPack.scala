@@ -76,6 +76,37 @@ object EventsPack extends QueryPack {
             .as("n_attributed"))
     },
 
+    // H13: windowed distinct users — the batch-parity twin of the
+    // streaming HLL sketch (EventStreams.windowedDistinctUsers),
+    // putting the graft_hll_* register family on the hard signal:
+    // exact per-window uniques ride along with a guarantee boolean
+    // (|HLL est − exact| within max(40% ≈ 6σ at m=256, an absolute
+    // floor of 3): tiny windows sit in the linear-counting regime
+    // where a single register collision among n≈2 users shifts the
+    // estimate by ~1 — a purely relative bound is statistically
+    // wrong there), which the oracle reproduces as TRUE — a
+    // violated bound flips the hash red.
+    // Exact count comes from dedup-then-count (not countDistinct in
+    // a shared agg — that Expand-doubles input for the other
+    // aggregate); HLL registers are computed from the SAME deduped
+    // relation (register max is idempotent, so raw vs deduped input
+    // is provably identical) — one distinct shuffle, one groupBy.
+    "e_window_uniques" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      import graft.functions.GraftFunctions.{hllCard, hllMerge, hllUnit}
+      Tables.events(s, d)
+        .select(window($"ts", s"$WINDOW_SEC seconds").as("win"), $"user_id")
+        .distinct()
+        .groupBy($"win")
+        .agg(count(lit(1)).as("n_users"),
+          hllMerge(hllUnit(xxhash64($"user_id"))).as("regs"))
+        .select(date_format($"win.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"n_users",
+          (abs(hllCard($"regs") - $"n_users".cast("double")) <=
+            greatest(lit(0.4) * $"n_users".cast("double"), lit(3.0))).as("hll_ok"))
+    },
+
     // H11: inter-arrival gap statistics — per-user time between
     // consecutive events (lag over the (ts, event_id) total order).
     // One shuffle on user_id; the aggregate is fully partial (min/
@@ -252,6 +283,12 @@ object EventsPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    "e_window_uniques" ->
+      s"""SELECT
+         | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+         | TRUE AS hll_ok
+         |FROM events GROUP BY 1""".stripMargin,
     "e_gaps" ->
       """WITH base AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
