@@ -240,6 +240,41 @@ object RelationalPack extends QueryPack {
           p(0.5).as("p50"), p(0.9).as("p90"), p(0.99).as("p99"))
     },
 
+    // C21: interval coalescing (gaps-and-islands) — merge each
+    // customer's overlapping order-activity intervals
+    // [orderday, orderday + 30) into maximal islands, the classic
+    // data-eng primitive behind sessionized billing periods, coverage
+    // gaps and SCD collapse. ONE shuffle on the partition key feeds
+    // both window passes AND the island aggregation (islands nest
+    // inside customers, so Catalyst reuses the same hash partitioning
+    // for the groupBy); the running-max/running-sum frames are
+    // streaming (no buffering beyond the frame head). Day arithmetic
+    // runs on integer day offsets — no engine-specific date algebra
+    // in the compared values.
+    "q_intervals" -> { (s, d) =>
+      import s.implicits._
+      val byCust = Window.partitionBy($"o_custkey")
+        .orderBy($"start_day".asc, $"o_orderkey".asc)
+      val iv = Tables.orders(s, d)
+        .select($"o_custkey", $"o_orderkey",
+          datediff($"o_orderdate", lit("1992-01-01")).cast("long").as("start_day"))
+        .withColumn("end_day", $"start_day" + 30)
+      iv
+        // an order opens a new island iff it starts after every
+        // earlier interval of the same customer has closed
+        .withColumn("prev_max_end",
+          max($"end_day").over(byCust.rowsBetween(Window.unboundedPreceding, -1)))
+        .withColumn("new_island",
+          when($"prev_max_end".isNull || $"start_day" > $"prev_max_end", 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"new_island").over(byCust))
+        .groupBy($"o_custkey", $"island")
+        .agg(min($"start_day").as("island_start"),
+          max($"end_day").as("island_end"),
+          count(lit(1)).as("n_orders"))
+        .select($"o_custkey", $"island_start", $"island_end", $"n_orders")
+    },
+
     // C14: cube aggregation — all four grouping sets of the flag/status
     // pair in ONE scan (Catalyst expands the cube into a single
     // Expand + hash aggregate; the partial aggregate still combines
@@ -459,6 +494,26 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_intervals" ->
+      """WITH iv AS (
+        | SELECT o_custkey, o_orderkey,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) AS start_day,
+        |  date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) + 30 AS end_day
+        | FROM orders),
+        |f AS (
+        | SELECT *, MAX(end_day) OVER (
+        |   PARTITION BY o_custkey ORDER BY start_day, o_orderkey
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_end
+        | FROM iv),
+        |g AS (
+        | SELECT *, SUM(CASE WHEN prev_max_end IS NULL OR start_day > prev_max_end
+        |                    THEN 1 ELSE 0 END) OVER (
+        |   PARTITION BY o_custkey ORDER BY start_day, o_orderkey
+        |   ROWS UNBOUNDED PRECEDING) AS island
+        | FROM f)
+        |SELECT o_custkey, MIN(start_day) AS island_start, MAX(end_day) AS island_end,
+        | CAST(COUNT(*) AS BIGINT) AS n_orders
+        |FROM g GROUP BY o_custkey, island""".stripMargin,
     "q_window_range" ->
       """WITH base AS (
         | SELECT o_orderkey, o_custkey,

@@ -76,6 +76,40 @@ object EventsPack extends QueryPack {
             .as("n_attributed"))
     },
 
+    // H14: EWMA trend smoothing — per-type daily event counts smoothed
+    // by an exponentially-weighted moving average over the trailing 8
+    // observations (alpha = 1/2). The weights 2^-i are exact dyadic
+    // rationals, counts are integers, and the numerator/denominator
+    // accumulate in ONE fixed left-to-right expression tree — so every
+    // double op is reproduced bit-for-bit by the oracle (same IEEE
+    // contract as e_anomaly) with a single division at the end.
+    // Scale shape: the window runs on the (type, day) BUCKET table
+    // (|types| × |days| rows at any event volume), never the raw
+    // stream; the day rollup is one partial-aggregable groupBy.
+    // A bounded lag-chain instead of unbounded recursion keeps the
+    // frame streaming and the state O(8) per partition.
+    "e_ewma" -> { (s, d) =>
+      import s.implicits._
+      val byType = Window.partitionBy($"event_type").orderBy($"day".asc)
+      val days = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val lags = (1 to 7).foldLeft(days) { (df, i) =>
+        df.withColumn(s"l$i", lag($"n", i).over(byType))
+      }
+      // numerator and denominator built as one explicit left-to-right
+      // chain: ((n*1 + l1*0.5) + l2*0.25) + ... — identical tree in SQL
+      val num = (1 to 7).foldLeft($"n".cast("double")) { (acc, i) =>
+        acc + coalesce(col(s"l$i").cast("double") * lit(math.pow(0.5, i)), lit(0.0))
+      }
+      val den = (1 to 7).foldLeft(lit(1.0)) { (acc, i) =>
+        acc + when(col(s"l$i").isNotNull, lit(math.pow(0.5, i))).otherwise(lit(0.0))
+      }
+      lags.withColumn("ewma", num / den)
+        .select($"event_type", date_format($"day", "yyyy-MM-dd").as("day"),
+          $"n", $"ewma")
+    },
+
     // H13: windowed distinct users — the batch-parity twin of the
     // streaming HLL sketch (EventStreams.windowedDistinctUsers),
     // putting the graft_hll_* register family on the hard signal:
@@ -282,7 +316,28 @@ object EventsPack extends QueryPack {
     },
   )
 
+  /** The e_ewma smoothing expression, shared-shape with the Spark
+    * plan: one left-to-right chain so IEEE addition order matches. */
+  private val ewmaSql: String = {
+    val num = (1 to 7).foldLeft("CAST(n AS DOUBLE)") { (acc, i) =>
+      s"($acc + COALESCE(CAST(l$i AS DOUBLE) * ${math.pow(0.5, i)}, 0.0))"
+    }
+    val den = (1 to 7).foldLeft("1.0") { (acc, i) =>
+      s"($acc + CASE WHEN l$i IS NOT NULL THEN ${math.pow(0.5, i)} ELSE 0.0 END)"
+    }
+    val lagCols = (1 to 7).map(i =>
+      s"lag(n, $i) OVER (PARTITION BY event_type ORDER BY day) AS l$i").mkString(", ")
+    s"""WITH days AS (
+       | SELECT event_type, CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+       | FROM events GROUP BY 1, 2),
+       |lags AS (SELECT event_type, day, n, $lagCols FROM days)
+       |SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+       | $num / $den AS ewma
+       |FROM lags""".stripMargin
+  }
+
   override def oracles: Map[String, String] = Map(
+    "e_ewma" -> ewmaSql,
     "e_window_uniques" ->
       s"""SELECT
          | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -417,6 +417,32 @@ object TextPack extends QueryPack {
         .select($"doc_id", $"rank", $"term", $"score")
     },
 
+    // F17: corpus vocabulary statistics — per-language token count,
+    // vocabulary size, type-token ratio, hapax-legomenon share and
+    // top-word mass: the Zipf-shape profile a corpus audit reads
+    // before training (a collapsing TTR or exploding hapax share
+    // flags boilerplate or OCR noise respectively). Two shuffles,
+    // both fully partial-aggregable: tokens combine map-side into
+    // (lang, term) partial counts, then term rows collapse to one
+    // bounded row per language — at 100 TB the second stage input is
+    // |vocab|, not corpus size. Ratios are single IEEE divisions of
+    // exact integers (cross-engine bit-equal).
+    "t_vocab" -> { (s, d) =>
+      import s.implicits._
+      val freq = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"lang", explode(split(TextOps.norm($"text"), " ")).as("term"))
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("f"))
+      freq.groupBy($"lang")
+        .agg(sum($"f").as("n_tokens"),
+          count(lit(1)).as("vocab"),
+          sum(when($"f" === 1L, 1L).otherwise(0L)).as("hapax"),
+          max($"f").as("top_f"))
+        .select($"lang", $"n_tokens", $"vocab", $"hapax", $"top_f",
+          ($"vocab".cast("double") / $"n_tokens".cast("double")).as("type_token_ratio"),
+          ($"hapax".cast("double") / $"vocab".cast("double")).as("hapax_share"),
+          ($"top_f".cast("double") / $"n_tokens".cast("double")).as("top_share"))
+    },
+
     // F12: context-window chunking — each document's token sequence
     // split into overlapping windows (len 32, stride 24): the step
     // that turns variable-length documents into model-sized training
@@ -516,6 +542,22 @@ object TextPack extends QueryPack {
   override def oracles: Map[String, String] = {
     val nrmSql = """regexp_replace(lower(trim(text)),'\s+',' ','g')"""
     Map(
+      "t_vocab" ->
+        s"""WITH freq AS (
+           | SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS f
+           | FROM (SELECT lang, UNNEST(string_split($nrmSql, ' ')) AS term FROM documents)
+           | GROUP BY 1, 2),
+           |agg AS (
+           | SELECT lang, CAST(SUM(f) AS BIGINT) AS n_tokens,
+           |  CAST(COUNT(*) AS BIGINT) AS vocab,
+           |  CAST(SUM(CASE WHEN f = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax,
+           |  MAX(f) AS top_f
+           | FROM freq GROUP BY 1)
+           |SELECT lang, n_tokens, vocab, hapax, top_f,
+           | CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS type_token_ratio,
+           | CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share,
+           | CAST(top_f AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share
+           |FROM agg""".stripMargin,
       "t_tokens" ->
         s"""SELECT doc_id,
            | CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tokens_ws,

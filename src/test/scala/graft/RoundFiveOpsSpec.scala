@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Invariant specs for the round-5 operators (C21 interval
+  * coalescing, F17 vocabulary statistics, H14 EWMA smoothing). Exact
+  * values are verified by the DuckDB oracles; these assert the
+  * semantic invariants a refactor could silently break. */
+class RoundFiveOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("q_intervals: islands partition the orders and are maximal (non-touching)") {
+    val out = relational.RelationalPack.queries("q_intervals")(spark, sfDir).cache()
+    val orders = Tables.orders(spark, sfDir)
+    // every order lands in exactly one island
+    assert(out.agg(sum($"n_orders")).as[Long].head === orders.count())
+    // islands cover at least one interval: end - start >= 30
+    assert(out.filter($"island_end" - $"island_start" < 30).count() === 0)
+    // maximality: consecutive islands of one customer do not touch —
+    // the next start is strictly after the previous end
+    val w = Window.partitionBy($"o_custkey").orderBy($"island_start".asc)
+    val overlapping = out
+      .withColumn("prev_end", lag($"island_end", 1).over(w))
+      .filter($"prev_end".isNotNull && $"island_start" <= $"prev_end")
+    assert(overlapping.count() === 0)
+  }
+
+  test("q_intervals: a customer with one order is a single 30-day island") {
+    val out = relational.RelationalPack.queries("q_intervals")(spark, sfDir)
+    val single = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey").agg(count(lit(1)).as("n")).filter($"n" === 1)
+    val islands = out.join(single, "o_custkey")
+    assert(islands.filter($"island_end" =!= $"island_start" + 30).count() === 0)
+    assert(islands.filter($"n_orders" =!= 1).count() === 0)
+  }
+
+  test("t_vocab: counting identities and ratio ranges") {
+    val out = text.TextPack.queries("t_vocab")(spark, sfDir).cache()
+    // hapax <= vocab <= n_tokens, top_f <= n_tokens
+    assert(out.filter($"hapax" > $"vocab" || $"vocab" > $"n_tokens" ||
+      $"top_f" > $"n_tokens").count() === 0)
+    // ratios in (0, 1]
+    assert(out.filter($"type_token_ratio" <= 0.0 || $"type_token_ratio" > 1.0 ||
+      $"hapax_share" < 0.0 || $"hapax_share" > 1.0 ||
+      $"top_share" <= 0.0 || $"top_share" > 1.0).count() === 0)
+    // n_tokens reconciles with a direct token count per language
+    val direct = Tables.documents(spark, sfDir)
+      .select($"lang", size(split(text.TextOps.norm($"text"), " ")).cast("long").as("n"))
+      .groupBy($"lang").agg(sum($"n").as("n_direct"))
+    assert(out.join(direct, "lang").filter($"n_tokens" =!= $"n_direct").count() === 0)
+  }
+
+  test("e_ewma: first observation equals its count; smoothing stays in the trailing range") {
+    val out = streaming.EventsPack.queries("e_ewma")(spark, sfDir).cache()
+    val w = Window.partitionBy($"event_type").orderBy($"day".asc)
+    val first = out.withColumn("rn", row_number().over(w)).filter($"rn" === 1)
+    assert(first.filter($"ewma" =!= $"n".cast("double")).count() === 0)
+    // EWMA is a convex combination of the trailing 8 counts: it lies
+    // within [min, max] of that window
+    val bounded = out
+      .withColumn("lo", min($"n").over(w.rowsBetween(-7, 0)))
+      .withColumn("hi", max($"n").over(w.rowsBetween(-7, 0)))
+      .filter($"ewma" < $"lo".cast("double") || $"ewma" > $"hi".cast("double"))
+    assert(bounded.count() === 0)
+  }
+}
