@@ -43,6 +43,14 @@ object DedupPack extends QueryPack {
   private val MINHASH_K = 16
   private val MINHASH_BANDS = 4
   private val MINHASH_ROWS = 4
+  // D9's estimator-accuracy guarantee: |sig-agreement/k − exact J| ≤
+  // 0.35 ≈ 2.8σ at the k=16 worst case (σ = √(J(1−J)/k) ≤ 0.125).
+  // Calibrated against the data: max observed error is 0.082 at
+  // sf0.01 and 0.238 at sf0.1 across all LSH candidate pairs, so the
+  // bound holds with ~1σ margin at both driver scales (same
+  // calibration discipline as g_anf's register bound — the booleans
+  // are deterministic given the fixed corpus, not a tail gamble).
+  private val MINHASH_EST_BOUND = 0.35
   private val SIMHASH_BITS = 64
   // 4 chunks of 16 bits: pigeonhole-complete for hamming ≤ 3, and the
   // 16-bit chunk keys keep buckets tiny (185k candidate pairs at
@@ -122,25 +130,31 @@ object DedupPack extends QueryPack {
     (sets, cand)
   }
 
-  /** D2's candidate generation, shared with D6: per-doc k-min
-    * signature (map-side), LSH band keys, band equi-join → distinct
-    * ordered near-dup pairs (doc_a < doc_b). */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val sig = Tables.fanOut(s, Tables.documents(s, d))
-      .select($"doc_id",
-        Signatures.minhashSig(MINHASH_K)(TextOps.words($"text")).as("sig"))
-      .filter($"sig".isNotNull)
+  /** D2's candidate generation over a precomputed `(doc_id, sig)`
+    * relation: LSH band keys, band equi-join → distinct ordered
+    * near-dup pairs (doc_a < doc_b). Split out so D9 can reuse the
+    * band join on a relation that also carries the shingle sets. */
+  private def minhashPairsOf(sig: DataFrame): DataFrame = {
     val bands = sig
-      .select($"doc_id", explode(sequence(lit(1), lit(MINHASH_BANDS))).as("band"), $"sig")
+      .select(col("doc_id"), explode(sequence(lit(1), lit(MINHASH_BANDS))).as("band"), col("sig"))
       .withColumn("bv",
         expr(s"array_join(slice(sig, (band-1)*$MINHASH_ROWS + 1, $MINHASH_ROWS), '')"))
-      .select($"doc_id", $"band", $"bv")
+      .select(col("doc_id"), col("band"), col("bv"))
     bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bv") === col("y.bv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+  }
+
+  /** D2's candidate generation, shared with D6: per-doc k-min
+    * signature (map-side) feeding [[minhashPairsOf]]. */
+  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    minhashPairsOf(Tables.fanOut(s, Tables.documents(s, d))
+      .select($"doc_id",
+        Signatures.minhashSig(MINHASH_K)(TextOps.words($"text")).as("sig"))
+      .filter($"sig".isNotNull))
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -158,6 +172,37 @@ object DedupPack extends QueryPack {
     // The k-min signature is one map-side pass per document
     // (Signatures.minhashSig); only the band equi-join shuffles.
     "d_minhash_lsh" -> { (s, d) => minhashPairs(s, d) },
+
+    // D9: MinHash estimator accuracy ON the hard signal — for every
+    // LSH candidate pair, the signature-agreement estimate
+    // (agree/k, an exact sixteenth), the exact shingle-set Jaccard,
+    // and the calibrated |est − exact| ≤ MINHASH_EST_BOUND guarantee
+    // boolean. The oracle recomputes the SAME md5 k-min signatures,
+    // so the estimator itself — not just the candidates it gates —
+    // is cross-engine verified. One map-side pass computes sig AND
+    // set together (shared via lazy localCheckpoint); the verify join
+    // touches only candidate pairs, never the corpus product.
+    "d_minhash_est" -> { (s, d) =>
+      import s.implicits._
+      val docs = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id",
+          Signatures.minhashSig(MINHASH_K)(TextOps.words($"text")).as("sig"),
+          Signatures.shingleSet(TextOps.words($"text")).as("set"))
+        .filter($"sig".isNotNull)
+        .localCheckpoint(false)
+      val agree = (1 to MINHASH_K)
+        .map(h => when(element_at($"siga", h) === element_at($"sigb", h), 1L).otherwise(0L))
+        .reduce(_ + _)
+      minhashPairsOf(docs.select($"doc_id", $"sig"))
+        .join(docs.select($"doc_id".as("doc_a"), $"sig".as("siga"), $"set".as("seta")), "doc_a")
+        .join(docs.select($"doc_id".as("doc_b"), $"sig".as("sigb"), $"set".as("setb")), "doc_b")
+        .withColumn("est_jaccard", agree.cast("double") / lit(MINHASH_K.toDouble))
+        .withColumn("i", size(array_intersect($"seta", $"setb")).cast("long"))
+        .withColumn("jaccard",
+          $"i".cast("double") / (size($"seta") + size($"setb") - $"i").cast("double"))
+        .withColumn("est_ok", abs($"est_jaccard" - $"jaccard") <= lit(MINHASH_EST_BOUND))
+        .select($"doc_a", $"doc_b", $"est_jaccard", $"jaccard", $"est_ok")
+    },
 
     // D6: dup-cluster consolidation — the step AFTER candidate
     // generation in a real dedup pipeline. Near-dup similarity is not
@@ -361,6 +406,30 @@ object DedupPack extends QueryPack {
     "d_minhash_lsh" ->
       s"""WITH $minhashCandSql
          |SELECT doc_a, doc_b FROM cand""".stripMargin,
+    "d_minhash_est" -> {
+      val agree = (1 to MINHASH_K)
+        .map(h => s"CASE WHEN a.m$h = b.m$h THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $minhashCandSql,
+         |est AS (SELECT c.doc_a, c.doc_b,
+         |         CAST(($agree) AS DOUBLE) / $MINHASH_K.0 AS est_jaccard
+         |        FROM cand c JOIN sig a ON a.doc_id = c.doc_a
+         |         JOIN sig b ON b.doc_id = c.doc_b),
+         |inter AS (SELECT c.doc_a, c.doc_b, CAST(COUNT(*) AS BIGINT) AS i
+         |          FROM cand c JOIN sh sa ON sa.doc_id = c.doc_a
+         |           JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+         |          GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM sh GROUP BY 1),
+         |scored AS (
+         | SELECT e.doc_a, e.doc_b, e.est_jaccard,
+         |  CAST(COALESCE(i.i, 0) AS DOUBLE)
+         |   / CAST(za.n + zb.n - COALESCE(i.i, 0) AS DOUBLE) AS jaccard
+         | FROM est e
+         |  LEFT JOIN inter i ON i.doc_a = e.doc_a AND i.doc_b = e.doc_b
+         |  JOIN sz za ON za.doc_id = e.doc_a JOIN sz zb ON zb.doc_id = e.doc_b)
+         |SELECT doc_a, doc_b, est_jaccard, jaccard,
+         | abs(est_jaccard - jaccard) <= $MINHASH_EST_BOUND AS est_ok
+         |FROM scored""".stripMargin
+    },
     "d_cluster" ->
       s"""WITH RECURSIVE $minhashCandSql,
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand

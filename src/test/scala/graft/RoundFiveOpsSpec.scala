@@ -51,6 +51,17 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.join(direct, "lang").filter($"n_tokens" =!= $"n_direct").count() === 0)
   }
 
+  test("d_minhash_est: estimates are exact sixteenths; guarantee holds on the corpus") {
+    val out = dedup.DedupPack.queries("d_minhash_est")(spark, sfDir).cache()
+    // est = agree/16 exactly: 16*est must be a whole number
+    assert(out.filter(($"est_jaccard" * 16.0) =!= round($"est_jaccard" * 16.0, 0)).count() === 0)
+    assert(out.filter($"jaccard" < 0.0 || $"jaccard" > 1.0).count() === 0)
+    // the calibrated bound holds on the fixed corpus (driver gate)
+    assert(out.filter(!$"est_ok").count() === 0)
+    // candidate pairs are canonically ordered
+    assert(out.filter($"doc_a" >= $"doc_b").count() === 0)
+  }
+
   test("e_ewma: first observation equals its count; smoothing stays in the trailing range") {
     val out = streaming.EventsPack.queries("e_ewma")(spark, sfDir).cache()
     val w = Window.partitionBy($"event_type").orderBy($"day".asc)
