@@ -185,6 +185,17 @@ object GraphPack extends QueryPack {
         seeds, depth = 3)
     },
 
+    // A27: deterministic random-walk sampling over the widened part
+    // edit-graph — DeepWalk-style embedding-corpus generation with an
+    // explicit LCG hop index so the walk is a pure function of the
+    // graph (see [[RandomWalks]]). Seeds every 100th part, 3 hops.
+    "g_walks" -> { (s, d) =>
+      import s.implicits._
+      val seeds = Tables.part(s, d).filter($"p_partkey" % 100 === 0)
+        .select($"p_partkey".as("seed"))
+      RandomWalks.run(s, GraphBuilder.partEdgesWide(s, d), seeds, steps = 3)
+    },
+
     // A3: depth-bounded wavefront expansion (add_relations,
     // main.py:212-242): seeds at wave 0, 3 waves out, first-seen wins.
     "g_expand" -> { (s, d) =>
@@ -554,6 +565,24 @@ object GraphPack extends QueryPack {
     "g_labelprop" -> labelpropSql(LP_ITERS),
     "g_ppr" -> pprSql(PPR_ITERS),
     "g_sssp" -> ssspSql(4),
+    "g_walks" -> {
+      val steps = (1 to 3).map { t =>
+        s"""w$t AS (SELECT w.seed,
+           | a.nbrs[CAST((w.node * 1103515245 + $t * 12345) % 2147483647 % len(a.nbrs) AS INT) + 1] AS node,
+           | CAST($t AS BIGINT) AS step
+           |FROM w${t - 1} w JOIN adj a ON a.src = w.node)""".stripMargin
+      }.mkString(",\n")
+      val out = (0 to 3).map(t => s"SELECT seed, step, node FROM w$t")
+        .mkString("\nUNION ALL ")
+      s"""WITH $wideEdgesSql,
+         |adj AS MATERIALIZED (SELECT src, list(dst ORDER BY dst) AS nbrs
+         |       FROM (SELECT DISTINCT src, dst FROM wedges) GROUP BY src),
+         |w0 AS (SELECT CAST(p_partkey AS BIGINT) AS seed,
+         |        CAST(p_partkey AS BIGINT) AS node, CAST(0 AS BIGINT) AS step
+         |       FROM part WHERE p_partkey % 100 = 0),
+         |$steps
+         |$out""".stripMargin
+    },
     "g_jaccard_nodes" ->
       s"""WITH $wideEdgesSql,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM wedges GROUP BY src),

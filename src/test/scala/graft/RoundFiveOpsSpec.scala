@@ -51,6 +51,26 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.join(direct, "lang").filter($"n_tokens" =!= $"n_direct").count() === 0)
   }
 
+  test("g_walks: hops follow edges, start at seeds, and are run-to-run deterministic") {
+    val edges = graph.GraphBuilder.partEdgesWide(spark, sfDir)
+    val out = graph.GraphPack.queries("g_walks")(spark, sfDir).cache()
+    // step 0 is exactly the seed set
+    val seeds = Tables.part(spark, sfDir)
+      .filter($"p_partkey" % 100 === 0).select($"p_partkey".cast("long").as("seed"))
+    val step0 = out.filter($"step" === 0L).select($"seed", $"node")
+    assert(step0.filter($"seed" =!= $"node").count() === 0)
+    assert(step0.select($"seed").except(seeds).count() === 0)
+    // every consecutive (t-1 → t) hop is a real edge
+    val hops = out.as("a").join(out.as("b"),
+        col("a.seed") === col("b.seed") && col("b.step") === col("a.step") + 1)
+      .select(col("a.node").cast("long").as("src"), col("b.node").cast("long").as("dst"))
+    assert(hops.except(edges.select(col("src").cast("long"), col("dst").cast("long")))
+      .count() === 0)
+    // pure function of the graph: a second evaluation is identical
+    val again = graph.GraphPack.queries("g_walks")(spark, sfDir)
+    assert(out.except(again).count() === 0 && again.except(out).count() === 0)
+  }
+
   test("d_minhash_est: estimates are exact sixteenths; guarantee holds on the corpus") {
     val out = dedup.DedupPack.queries("d_minhash_est")(spark, sfDir).cache()
     // est = agree/16 exactly: 16*est must be a whole number
