@@ -185,6 +185,15 @@ object GraphPack extends QueryPack {
         seeds, depth = 3)
     },
 
+    // A26: k-truss decomposition over the widened part edit-graph —
+    // edge-level cohesion peeling (see [[KTruss]]: degree-ordered
+    // triangle orientation, support peel to fixpoint, throw on
+    // non-convergence). k = 4: every surviving edge closes ≥ 2
+    // triangles within the truss.
+    "g_ktruss" -> { (s, d) =>
+      KTruss.run(s, GraphBuilder.partEdgesWide(s, d), k = KTRUSS_K)
+    },
+
     // A27: deterministic random-walk sampling over the widened part
     // edit-graph — DeepWalk-style embedding-corpus generation with an
     // explicit LCG hop index so the walk is a pure function of the
@@ -513,6 +522,50 @@ object GraphPack extends QueryPack {
   private val KCORE_K = 5
   private val KCORE_UNROLL = 13
 
+  private val KTRUSS_K = 4
+  // measured peel depth: 4 rounds at sf0.01, 1 at sf0.1 (the denser
+  // graph is already a 4-truss); 6 leaves margin, and the sentinel
+  // row below makes an exhausted unroll attributable
+  private val KTRUSS_UNROLL = 6
+
+  /** Unrolled k-truss peeling oracle: id-ordered triangle listing
+    * (e1=(a,b), e2=(b,c), e3=(a,c) with a<b<c — a DIFFERENT but
+    * equally triangle-unique DAG orientation than the Spark side's
+    * degree order, so support values cross-check the algorithm, not
+    * the implementation), support count per canonical edge, HAVING
+    * peel per round. Extra rounds past the fixpoint are no-ops. */
+  private def ktrussSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""t$r AS MATERIALIZED (
+         | SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+         | FROM e${r - 1} e1 JOIN e${r - 1} e2 ON e2.a = e1.b
+         |  JOIN e${r - 1} e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |s$r AS (SELECT a, b, COUNT(*) AS s FROM (
+         |   SELECT t1 AS a, t2 AS b FROM t$r
+         |   UNION ALL SELECT t2, t3 FROM t$r
+         |   UNION ALL SELECT t1, t3 FROM t$r) GROUP BY a, b),
+         |e$r AS MATERIALIZED (
+         | SELECT e.a, e.b FROM e${r - 1} e
+         |  JOIN s$r s ON s.a = e.a AND s.b = e.b AND s.s >= ${k - 2})""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wideEdgesSql,
+       |e0 AS MATERIALIZED (
+       | SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+       | FROM wedges WHERE src <> dst),
+       |$steps,
+       |tf AS (SELECT e1.a AS t1, e1.b AS t2, e2.b AS t3
+       |       FROM e$rounds e1 JOIN e$rounds e2 ON e2.a = e1.b
+       |        JOIN e$rounds e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT a, b, CAST(COUNT(*) AS BIGINT) AS support FROM (
+       | SELECT t1 AS a, t2 AS b FROM tf
+       | UNION ALL SELECT t2, t3 FROM tf
+       | UNION ALL SELECT t1, t3 FROM tf) GROUP BY a, b
+       |UNION ALL
+       |-- divergence sentinel: unroll margin exhausted, not an engine bug
+       |SELECT CAST(-1 AS BIGINT), CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+       |WHERE (SELECT COUNT(*) FROM e$rounds) <> (SELECT COUNT(*) FROM e${rounds - 1})""".stripMargin
+  }
+
   /** Widened part edit-graph derivation shared by the k-core and
     * node-similarity oracles. */
   private val wideEdgesSql =
@@ -565,6 +618,7 @@ object GraphPack extends QueryPack {
     "g_labelprop" -> labelpropSql(LP_ITERS),
     "g_ppr" -> pprSql(PPR_ITERS),
     "g_sssp" -> ssspSql(4),
+    "g_ktruss" -> ktrussSql(KTRUSS_K, KTRUSS_UNROLL),
     "g_walks" -> {
       val steps = (1 to 3).map { t =>
         s"""w$t AS (SELECT w.seed,

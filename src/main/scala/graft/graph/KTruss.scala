@@ -1,0 +1,105 @@
+package graft.graph
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** k-truss decomposition by iterative edge peeling: repeatedly drop
+  * every edge whose support (number of triangles it closes within the
+  * surviving subgraph) is below k−2 until the edge set is stable;
+  * return each surviving canonical edge with its in-truss support.
+  * The truss is the edge-analog of the k-core (cohesive-subgraph
+  * mining; KCore peels vertices by degree, this peels edges by
+  * triangle membership) — a strictly stronger cohesion filter, since
+  * every k-truss edge lies in a (k−1)-core but not vice versa.
+  *
+  * Scale shape per round, all partial-aggregable / equi-join work:
+  *   1. Triangle enumeration uses the degree-ordering orientation —
+  *      each canonical edge is directed from its lower-(deg, id)
+  *      endpoint, making the graph a DAG where every triangle has
+  *      exactly ONE out-degree-2 apex (counted once, no /3 fixups)
+  *      and wedge fan-out at any node is bounded by its OUT-degree
+  *      ≤ O(√m) — the celebrity-node d² blowup the plain wedge join
+  *      suffers cannot happen (same orientation trick as the
+  *      GraphX/Cohen triangle-count literature).
+  *   2. The wedge self-join and the closing-edge semi-join are plain
+  *      equi-joins on (u) and (min,max) keys — shuffle-partitioned,
+  *      AQE-splittable, no driver state.
+  *   3. The edge set is localCheckpointed every round (lineage stays
+  *      one round deep), and the convergence probe rides the same
+  *      count that materializes the checkpoint — the KCore contract.
+  *
+  * Like KCore, a mid-peel edge set is NOT the k-truss: non-converged
+  * loops throw rather than return quietly-wrong rows (the SQL
+  * oracle's bounded unroll emits a poison sentinel for the same
+  * case).
+  */
+object KTruss {
+
+  /** Per-canonical-edge triangle support within `e(a, b), a < b`. */
+  private def supports(s: SparkSession, e: DataFrame): DataFrame = {
+    import s.implicits._
+    val deg = e.select($"a".as("n")).union(e.select($"b".as("n")))
+      .groupBy($"n").agg(count(lit(1)).as("deg"))
+    // orient each edge from the smaller (deg, id) endpoint: total
+    // order => DAG => one apex per triangle
+    val o = e
+      .join(deg.select($"n".as("a"), $"deg".as("da")), "a")
+      .join(deg.select($"n".as("b"), $"deg".as("db")), "b")
+      .select(
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"a").otherwise($"b").as("u"),
+        when($"da" < $"db" || ($"da" === $"db" && $"a" < $"b"), $"b").otherwise($"a").as("v"))
+    val tri = o.as("x").join(o.as("y"),
+        col("x.u") === col("y.u") && col("x.v") < col("y.v"))
+      .select(col("x.u").as("t1"), col("x.v").as("t2"), col("y.v").as("t3"))
+      .join(e, least($"t2", $"t3") === $"a" && greatest($"t2", $"t3") === $"b",
+        "left_semi")
+    // one bounded explode per triangle (3 edge contributions) — NOT a
+    // 3-way union of `tri`, which would re-execute the wedge join and
+    // closing-edge probe three times (measured 4× slower at sf0.1)
+    tri.select(explode(array(
+        struct(least($"t1", $"t2").as("a"), greatest($"t1", $"t2").as("b")),
+        struct(least($"t1", $"t3").as("a"), greatest($"t1", $"t3").as("b")),
+        struct(least($"t2", $"t3").as("a"), greatest($"t2", $"t3").as("b")))).as("e"))
+      .groupBy($"e.a".as("a"), $"e.b".as("b")).agg(count(lit(1)).as("support"))
+  }
+
+  /** `edges0(src, dst)` in any orientation (parallel/bidirectional
+    * duplicates collapse); returns canonical `(a, b, support)` rows
+    * of the k-truss, a < b. */
+  def run(s: SparkSession, edges0: DataFrame, k: Int, maxIter: Int = 30): DataFrame = {
+    import s.implicits._
+    require(k >= 3, s"k-truss needs k >= 3, got $k")
+    var edges = edges0
+      .select(least(col("src"), col("dst")).cast("long").as("a"),
+        greatest(col("src"), col("dst")).cast("long").as("b"))
+      .filter($"a" =!= $"b")
+      .distinct()
+      .localCheckpoint()
+    var nEdges = edges.count()
+    var converged = nEdges == 0L
+    var iter = 0
+    // supports of the round that proved convergence: at the fixpoint
+    // the pre-prune and post-prune edge sets coincide, so this IS the
+    // truss support — no final re-enumeration (halves the total
+    // triangle work; the lazy localCheckpoint shares the round's
+    // materialization with the output join)
+    var lastSup: DataFrame = edges.limit(0)
+      .select($"a", $"b", lit(0L).as("support"))
+    while (!converged && iter < maxIter) {
+      val sup = supports(s, edges).localCheckpoint(false)
+      val pruned = edges
+        .join(sup.filter($"support" >= k - 2), Seq("a", "b"), "left_semi")
+        .localCheckpoint()
+      val n2 = pruned.count()
+      converged = n2 == nEdges
+      nEdges = n2
+      edges = pruned
+      lastSup = sup
+      iter += 1
+    }
+    if (!converged) throw new IllegalStateException(
+      s"k-truss peeling did not converge within $maxIter rounds ($nEdges edges still changing)")
+    edges.join(lastSup, Seq("a", "b"))
+      .select($"a", $"b", $"support")
+  }
+}

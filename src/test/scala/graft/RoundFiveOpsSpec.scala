@@ -51,6 +51,29 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.join(direct, "lang").filter($"n_tokens" =!= $"n_direct").count() === 0)
   }
 
+  test("KTruss: K4 survives at k=4, a pendant triangle is peeled") {
+    // K4 on {1,2,3,4} (each edge closes 2 triangles) plus a pendant
+    // triangle (1,2,5): edges (1,5),(2,5) close only 1 triangle and
+    // peel off; the cascade then leaves exactly K4 with support 2
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    val pairs = k4 ++ Seq((1L,5L),(2L,5L))
+    val edges = (pairs ++ pairs.map(p => (p._2, p._1))).toDF("src", "dst")
+    val out = graph.KTruss.run(spark, edges, k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out.keySet === k4.toSet)
+    assert(out.values.forall(_ === 2L))
+  }
+
+  test("g_ktruss: every surviving edge meets the support bound and is a real edge") {
+    val out = graph.GraphPack.queries("g_ktruss")(spark, sfDir).cache()
+    assert(out.filter($"support" < 2).count() === 0)
+    assert(out.filter($"a" >= $"b").count() === 0)
+    val canonical = graph.GraphBuilder.partEdgesWide(spark, sfDir)
+      .select(least($"src", $"dst").cast("long").as("a"),
+        greatest($"src", $"dst").cast("long").as("b")).distinct()
+    assert(out.select($"a", $"b").except(canonical).count() === 0)
+  }
+
   test("g_walks: hops follow edges, start at seeds, and are run-to-run deterministic") {
     val edges = graph.GraphBuilder.partEdgesWide(spark, sfDir)
     val out = graph.GraphPack.queries("g_walks")(spark, sfDir).cache()
