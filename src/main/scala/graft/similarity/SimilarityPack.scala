@@ -37,6 +37,12 @@ object SimilarityPack extends QueryPack {
   private val PQ_NCODES = 4
   // E7 radius search: emit every corpus vector at least this similar
   private val RANGE_MIN_COSINE = 0.3
+  // E9 late-interaction MaxSim: the corpus regroups into multi-vector
+  // "documents" of DOC_W consecutive vectors; the query is the first
+  // QVECS vectors as ONE multi-vector query; top TOPK docs win.
+  private val MAXSIM_DOC_W = 8
+  private val MAXSIM_QVECS = 8
+  private val MAXSIM_TOPK = 10
   // E8 k-means: clusters, full assign/update cycles before the final
   // assignment. Init = the K lowest-vec_id embeddings (the same
   // deterministic seed policy as IVF/PQ/SemDeDup).
@@ -67,6 +73,40 @@ object SimilarityPack extends QueryPack {
       topK(c.crossJoin(broadcast(q))
         .filter($"q_id" =!= $"n_id")
         .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
+    },
+
+    // E9: multi-vector late-interaction retrieval (ColBERT MaxSim) —
+    // score(doc) = Σ_q max_{v∈doc} cos(q, v) over a multi-vector
+    // query: per-token max-similarity summed, the retrieval scorer
+    // that beats single-vector cosine when queries and documents are
+    // token-decomposed. Scale shape: the query's QVECS vectors
+    // broadcast; cosines are map-side inside the corpus scan's
+    // codegen stage; max-per-(doc, qvec) and sum-per-doc are both
+    // partial-aggregable (shuffle carries O(docs × QVECS), never
+    // corpus rows); the global top-k is a map-side bounded TopK
+    // aggregate — O(k) per partition, no full sort. Determinism: the
+    // per-(doc, qvec) max cosine is quantized to an exact BIGINT
+    // (floor(c·1e9 + 0.5)) BEFORE the cross-doc sum, so the score
+    // addition is order-free and cross-engine exact.
+    "s_maxsim" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      val q = e.filter($"vec_id" < MAXSIM_QVECS)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      val c = e.select(expr(s"vec_id DIV $MAXSIM_DOC_W").as("doc_id"),
+        $"embedding".as("ne"), $"nrm".as("nn"))
+      val scored = c.crossJoin(broadcast(q))
+        .withColumn("cosine", VectorOps.dotDecFast($"qe", $"ne") / ($"qn" * $"nn"))
+        .groupBy($"doc_id", $"q_id")
+        .agg(max(floor($"cosine" * lit(1e9) + lit(0.5)).cast("long")).as("qmax"))
+        .groupBy($"doc_id")
+        .agg((sum($"qmax").cast("double") / lit(1e9)).as("score"))
+      scored.groupBy()
+        .agg(graft.functions.GraftFunctions.topK($"score", $"doc_id", MAXSIM_TOPK).as("tk"))
+        .select(posexplode($"tk").as(Seq("pos", "t")))
+        .select((col("pos") + 1).cast("long").as("rank"),
+          col("t.id").as("doc_id"), col("t.score").as("score"))
     },
 
     // E7: radius (range) similarity search — ALL corpus vectors above
@@ -317,6 +357,25 @@ object SimilarityPack extends QueryPack {
       |        FROM dims GROUP BY vec_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "s_maxsim" ->
+      s"""WITH $dimsSql,
+         |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM dims q JOIN dims c ON q.i = c.i
+         |        WHERE q.vec_id < $MAXSIM_QVECS
+         |        GROUP BY q.vec_id, c.vec_id),
+         |cosv AS (SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
+         |         FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id
+         |          JOIN nrm nc ON nc.vec_id = d.n_id),
+         |qm AS (SELECT n_id // $MAXSIM_DOC_W AS doc_id, q_id,
+         |        MAX(CAST(floor(cosine * 1e9 + 0.5) AS BIGINT)) AS qmax
+         |       FROM cosv GROUP BY 1, 2),
+         |sc AS (SELECT doc_id, CAST(CAST(SUM(qmax) AS BIGINT) AS DOUBLE) / 1e9 AS score
+         |       FROM qm GROUP BY 1),
+         |ranked AS (SELECT doc_id, score,
+         |            CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC) AS BIGINT) AS rank
+         |           FROM sc)
+         |SELECT rank, doc_id, score FROM ranked WHERE rank <= $MAXSIM_TOPK""".stripMargin,
     "s_range_search" ->
       s"""WITH $dimsSql,
          |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

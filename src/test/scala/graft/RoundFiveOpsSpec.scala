@@ -105,6 +105,21 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.filter($"doc_a" >= $"doc_b").count() === 0)
   }
 
+  test("s_maxsim: self-containing doc ranks first; scores are bounded and sorted") {
+    val out = similarity.SimilarityPack.queries("s_maxsim")(spark, sfDir)
+      .orderBy($"rank".asc).collect()
+    assert(out.length === 10)
+    // doc 0 contains the query vectors themselves: per-qvec max ≈ 1,
+    // so it must take rank 1 with score ≈ QVECS
+    assert(out.head.getLong(1) === 0L)
+    assert(math.abs(out.head.getDouble(2) - 8.0) < 1e-6)
+    // MaxSim scores are sums of 8 cosines: |score| <= 8 (+quantization)
+    assert(out.forall(r => math.abs(r.getDouble(2)) <= 8.0 + 1e-6))
+    // ranks sorted by (score desc, doc_id asc)
+    val sorted = out.map(r => (-r.getDouble(2), r.getLong(1))).toSeq
+    assert(sorted === sorted.sorted)
+  }
+
   test("e_ewma: first observation equals its count; smoothing stays in the trailing range") {
     val out = streaming.EventsPack.queries("e_ewma")(spark, sfDir).cache()
     val w = Window.partitionBy($"event_type").orderBy($"day".asc)
