@@ -185,6 +185,27 @@ object GraphPack extends QueryPack {
         seeds, depth = 3)
     },
 
+    // A28: harmonic centrality — H(u) = Σ_{v≠u reachable} 1/d(u,v),
+    // the disconnected-robust closeness variant (isolated pairs
+    // contribute 0 instead of poisoning the mean). Rides the same
+    // dim-bounded all-pairs BFS spine as A10/A22; determinism comes
+    // from summing EXACT integers: per-(root, distance) counts times
+    // the integer reciprocal 1e12 DIV d, one double division at the
+    // end — no order-dependent float accumulation anywhere.
+    "g_harmonic" -> { (s, d) =>
+      import s.implicits._
+      val edges = GraphBuilder.tradeEdges(s, d)
+      val seeds = edges.select($"src".as("node")).distinct()
+        .select($"node".as("root"), $"node")
+      Bfs.bfsBounded(edges, seeds)
+        .withColumn("dist", $"wave" - 1L)
+        .filter($"dist" > 0L)
+        .groupBy($"root", $"dist").agg(count(lit(1)).as("c"))
+        .groupBy($"root".as("node"))
+        .agg((sum($"c" * expr("1000000000000 DIV dist")).cast("double") / lit(1e12))
+          .as("harmonic"))
+    },
+
     // A26: k-truss decomposition over the widened part edit-graph —
     // edge-level cohesion peeling (see [[KTruss]]: degree-ordered
     // triangle orientation, support peel to fixpoint, throw on
@@ -619,6 +640,20 @@ object GraphPack extends QueryPack {
     "g_ppr" -> pprSql(PPR_ITERS),
     "g_sssp" -> ssspSql(4),
     "g_ktruss" -> ktrussSql(KTRUSS_K, KTRUSS_UNROLL),
+    "g_harmonic" ->
+      s"""WITH RECURSIVE $tradeEdgesSql,
+         |roots AS (SELECT DISTINCT src AS node FROM edges),
+         |walk(root, node, wave) AS (
+         | SELECT node, node, CAST(1 AS BIGINT) FROM roots
+         | UNION
+         | SELECT w.root, e.dst, w.wave + 1 FROM walk w JOIN edges e ON e.src = w.node
+         | WHERE w.wave < 30),
+         |m AS (SELECT root, node, MIN(wave) - 1 AS dist FROM walk GROUP BY root, node),
+         |b AS (SELECT root, dist, CAST(COUNT(*) AS BIGINT) AS c
+         |      FROM m WHERE dist > 0 GROUP BY 1, 2)
+         |SELECT root AS node,
+         | CAST(CAST(SUM(c * (1000000000000 // dist)) AS BIGINT) AS DOUBLE) / 1e12 AS harmonic
+         |FROM b GROUP BY root""".stripMargin,
     "g_walks" -> {
       val steps = (1 to 3).map { t =>
         s"""w$t AS (SELECT w.seed,

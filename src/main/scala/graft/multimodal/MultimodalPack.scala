@@ -68,6 +68,37 @@ object MultimodalPack extends QueryPack {
             .as("frame_checksum"))
     },
 
+    // G7: cross-media duplicate-frame detection — the "same
+    // intro/outro across different videos" primitive: G3's sampled
+    // frames fingerprinted and grouped ACROSS media, emitting every
+    // frame signature that appears in ≥ 2 distinct items (shared
+    // stock footage, boilerplate slates, re-uploads). Scale shape:
+    // frame explode is bounded map work inside the scan; the one
+    // shuffle carries (signature, doc) pairs pre-deduped map-side by
+    // the partial distinct aggregate, and the HAVING-style filter
+    // means output is bounded by actual cross-media duplication, not
+    // corpus size.
+    "m_frame_dedup" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("payload", $"text".cast("binary"))
+        .withColumn("n_frames",
+          expr(s"CAST(floor(length(payload) / $FRAME_BYTES) AS BIGINT)"))
+        .filter($"n_frames" >= 1)
+        .select($"doc_id",
+          explode(expr(s"sequence(1L, n_frames, $FRAME_STRIDE)")).as("frame_idx"),
+          $"payload")
+        .select($"doc_id",
+          md5(expr(
+            s"substring(payload, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)"))
+            .as("frame_checksum"))
+        .groupBy($"frame_checksum")
+        .agg(countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_occurrences"),
+          min($"doc_id").as("canonical_id"))
+        .filter($"n_docs" >= 2)
+    },
+
     // G4: resize — pool the 16-bin feature map to POOL coarse bins
     // (the downscale step of an image pipeline, applied to the stub
     // decoder's feature space). Pure row-local map work; pooled
@@ -205,6 +236,19 @@ object MultimodalPack extends QueryPack {
         |FROM documents""".stripMargin,
     // ASCII corpus (spec-checked) ⇒ substr over characters IS the
     // byte slicing the Spark side does on the binary payload.
+    "m_frame_dedup" ->
+      s"""WITH base AS (
+         | SELECT doc_id, text,
+         |  CAST(floor(octet_length(encode(text)) / $FRAME_BYTES) AS BIGINT) AS n_frames
+         | FROM documents),
+         |f AS (
+         | SELECT doc_id,
+         |  md5(substr(text, CAST((i - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)) AS frame_checksum
+         | FROM base, UNNEST(range(1, n_frames + 1, $FRAME_STRIDE)) t(i)
+         | WHERE n_frames >= 1)
+         |SELECT frame_checksum, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         | CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS canonical_id
+         |FROM f GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
     "m_frames" ->
       s"""WITH base AS (
          | SELECT doc_id, text,

@@ -94,6 +94,33 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("g_harmonic: bounds against reachability and positivity") {
+    val h = graph.GraphPack.queries("g_harmonic")(spark, sfDir)
+    val ecc = graph.GraphPack.queries("g_eccentricity")(spark, sfDir)
+      .select($"node", $"ecc", $"n_reachable")
+    val joined = h.join(ecc, "node").cache()
+    // each reachable peer contributes (0, 1]: 0 < H <= n_reachable - 1
+    assert(joined.filter($"harmonic" <= 0.0 ||
+      $"harmonic" > ($"n_reachable" - 1L).cast("double")).count() === 0)
+    // and at least (n_reachable - 1) / ecc (every term >= 1/ecc)
+    assert(joined.filter(
+      $"harmonic" < ($"n_reachable" - 1L).cast("double") / $"ecc".cast("double") - 1e-9)
+      .count() === 0)
+  }
+
+  test("m_frame_dedup: output frames really are shared across >= 2 media items") {
+    val out = multimodal.MultimodalPack.queries("m_frame_dedup")(spark, sfDir).cache()
+    assert(out.filter($"n_docs" < 2 || $"n_occurrences" < $"n_docs").count() === 0)
+    // every emitted signature exists in the G3 frame stream, and the
+    // canonical id is the minimum doc carrying it
+    val frames = multimodal.MultimodalPack.queries("m_frames")(spark, sfDir)
+      .groupBy($"frame_checksum")
+      .agg(countDistinct($"doc_id").as("nd"), min($"doc_id").as("mn"))
+    val j = out.join(frames, "frame_checksum")
+    assert(j.count() === out.count())
+    assert(j.filter($"n_docs" =!= $"nd" || $"canonical_id" =!= $"mn").count() === 0)
+  }
+
   test("d_minhash_est: estimates are exact sixteenths; guarantee holds on the corpus") {
     val out = dedup.DedupPack.queries("d_minhash_est")(spark, sfDir).cache()
     // est = agree/16 exactly: 16*est must be a whole number
