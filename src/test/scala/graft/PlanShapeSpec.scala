@@ -22,7 +22,8 @@ class PlanShapeSpec extends SparkSpec {
     Set("s_knn_brute", "s_knn_ivf", "s_range_search", "g_ged_pairs", "d_semantic", "s_knn_pq",
       "s_pipeline", // embeds d_semantic's bounded centroid broadcast
       "t_tfidf", // one-row corpus-count broadcast
-      "g_eccentricity") // one-row diameter/radius extrema broadcast
+      "g_eccentricity", // one-row diameter/radius extrema broadcast
+      "s_maxsim") // bounded multi-vector query broadcast (E1's shape)
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
