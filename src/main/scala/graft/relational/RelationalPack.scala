@@ -275,6 +275,36 @@ object RelationalPack extends QueryPack {
         .select($"o_custkey", $"island_start", $"island_end", $"n_orders")
     },
 
+    // C22: market-basket co-occurrence mining — part pairs bought in
+    // the same order with support count and lift, the frequent-
+    // itemset primitive behind recommenders and substitution
+    // analysis. Scale shape: the per-order pair fan-out is C(k,2) of
+    // the ORDER size (bounded small by the domain, like D4's
+    // df-capped posting lists — a pathological mega-order would need
+    // the same block-split as the wedge join); support and the two
+    // item marginals are partial-aggregable groupBys; the one-row
+    // totals broadcast. Lift = (support·n)/(c_a·c_b) as ONE IEEE
+    // division of exact integer cross-products — no float chains.
+    "q_basket_pairs" -> { (s, d) =>
+      import s.implicits._
+      val op = Tables.lineitem(s, d)
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+        .localCheckpoint(false) // feeds both pair-join sides + marginals
+      val totals = op.agg(countDistinct($"o").as("n_orders"))
+      val item = op.groupBy($"p").agg(count(lit(1)).as("c_item"))
+      op.as("a").join(op.as("b"),
+          col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("part_a"), col("b.p").as("part_b"))
+        .agg(count(lit(1)).as("support"))
+        .filter($"support" >= 2)
+        .join(item.select($"p".as("part_a"), $"c_item".as("ca")), "part_a")
+        .join(item.select($"p".as("part_b"), $"c_item".as("cb")), "part_b")
+        .crossJoin(broadcast(totals))
+        .select($"part_a", $"part_b", $"support",
+          (($"support" * $"n_orders").cast("double") /
+            ($"ca" * $"cb").cast("double")).as("lift"))
+    },
+
     // C14: cube aggregation — all four grouping sets of the flag/status
     // pair in ONE scan (Catalyst expands the cube into a single
     // Expand + hash aggregate; the partial aggregate still combines
@@ -494,6 +524,17 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_basket_pairs" ->
+      """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
+        |item AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS c FROM op GROUP BY 1),
+        |pairs AS (SELECT a.p AS part_a, b.p AS part_b, CAST(COUNT(*) AS BIGINT) AS support
+        |          FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        |          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+        |SELECT pr.part_a, pr.part_b, pr.support,
+        | CAST(pr.support * t.n_orders AS DOUBLE) / CAST(ia.c * ib.c AS DOUBLE) AS lift
+        |FROM pairs pr JOIN item ia ON ia.p = pr.part_a
+        | JOIN item ib ON ib.p = pr.part_b, tot t""".stripMargin,
     "q_intervals" ->
       """WITH iv AS (
         | SELECT o_custkey, o_orderkey,

@@ -23,7 +23,8 @@ class PlanShapeSpec extends SparkSpec {
       "s_pipeline", // embeds d_semantic's bounded centroid broadcast
       "t_tfidf", // one-row corpus-count broadcast
       "g_eccentricity", // one-row diameter/radius extrema broadcast
-      "s_maxsim") // bounded multi-vector query broadcast (E1's shape)
+      "s_maxsim", // bounded multi-vector query broadcast (E1's shape)
+      "q_basket_pairs") // one-row order-total broadcast
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -94,6 +94,19 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("q_basket_pairs: support and lift identities") {
+    val out = relational.RelationalPack.queries("q_basket_pairs")(spark, sfDir).cache()
+    assert(out.filter($"support" < 2 || $"part_a" >= $"part_b").count() === 0)
+    assert(out.filter($"lift" <= 0.0).count() === 0)
+    // support can never exceed either item's own order count:
+    // lift = support·n/(ca·cb) <= n/max(ca,cb) — verify via a direct
+    // recount of one marginal
+    val op = Tables.lineitem(spark, sfDir)
+      .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+    val ca = op.groupBy($"p".as("part_a")).agg(count(lit(1)).as("ca"))
+    assert(out.join(ca, "part_a").filter($"support" > $"ca").count() === 0)
+  }
+
   test("g_harmonic: bounds against reachability and positivity") {
     val h = graph.GraphPack.queries("g_harmonic")(spark, sfDir)
     val ecc = graph.GraphPack.queries("g_eccentricity")(spark, sfDir)
