@@ -37,6 +37,14 @@ object SimilarityPack extends QueryPack {
   private val PQ_NCODES = 4
   // E7 radius search: emit every corpus vector at least this similar
   private val RANGE_MIN_COSINE = 0.3
+  // E10 kNN-join: every corpus vector's approximate top-k among ALL
+  // vectors (the kNN-graph build). Wider 8-bit band buckets (2 bands
+  // of PLANES/2) than E2's query-probe 2-bit bands: the symmetric
+  // join pays Σ bucket² across the whole corpus, so buckets must be
+  // ~n/256, not ~n/4.
+  private val KNN_JOIN_BANDS = 2
+  private val KNN_JOIN_K = 3
+
   // E9 late-interaction MaxSim: the corpus regroups into multi-vector
   // "documents" of DOC_W consecutive vectors; the query is the first
   // QVECS vectors as ONE multi-vector query; top TOPK docs win.
@@ -73,6 +81,35 @@ object SimilarityPack extends QueryPack {
       topK(c.crossJoin(broadcast(q))
         .filter($"q_id" =!= $"n_id")
         .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
+    },
+
+    // E10: approximate kNN-JOIN — every corpus vector's top-k nearest
+    // neighbors among the whole corpus, the kNN-graph construction
+    // that feeds SemDeDup-style clustering, label propagation over
+    // embeddings, and outlier mining. No broadcast anywhere (both
+    // sides are the corpus): candidates come from a symmetric LSH
+    // band equi-join whose cost is Σ bucket² — the 8-bit band keys
+    // keep buckets ~n/256 so candidate volume stays near-linear —
+    // and the verify joins are co-partitioned equi-joins on vec_id.
+    // Per-vector top-k is the map-side bounded TopK aggregate: the
+    // final shuffle carries O(n·k) rows, never the candidate set.
+    "s_knn_join" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      val bands = VectorOps.bandKeys(
+        VectorOps.signatures(Tables.embeddings(s, d), "vec_id", PLANES),
+        "vec_id", PLANES, KNN_JOIN_BANDS)
+      val cand = bands.as("x").join(bands.as("y"),
+          col("x.b") === col("y.b") && col("x.bv") === col("y.bv") &&
+            col("x.vec_id") =!= col("y.vec_id"))
+        .select(col("x.vec_id").as("q_id"), col("y.vec_id").as("n_id"))
+        .distinct()
+      topK(cand
+        .join(e.select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn")), "q_id")
+        .join(e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn")), "n_id")
+        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")),
+        KNN_JOIN_K)
     },
 
     // E9: multi-vector late-interaction retrieval (ColBERT MaxSim) —
@@ -357,6 +394,30 @@ object SimilarityPack extends QueryPack {
       |        FROM dims GROUP BY vec_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "s_knn_join" -> {
+      val width = PLANES / KNN_JOIN_BANDS
+      s"""WITH $dimsSql,
+         |proj AS (
+         | SELECT vec_id, j,
+         |  CASE WHEN SUM(CAST(floor((CASE WHEN substr(md5(j || '_' || i), 1, 1) < '8' THEN x ELSE -x END) * 1e12 + 0.5) AS BIGINT)) >= 0
+         |   THEN '1' ELSE '0' END AS bit
+         | FROM dims, UNNEST(range(1, ${PLANES + 1})) tj(j) GROUP BY vec_id, j),
+         |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sg FROM proj GROUP BY vec_id),
+         |bands AS (SELECT vec_id, b, substr(sg, (b-1)*$width + 1, $width) AS bv
+         |          FROM sig, UNNEST(range(1, ${KNN_JOIN_BANDS + 1})) tb(b)),
+         |cand AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |         FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv AND q.vec_id <> c.vec_id),
+         |dot AS (SELECT cd.q_id, cd.n_id, CAST(SUM(CAST(floor(dq.x * dc.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM cand cd JOIN dims dq ON dq.vec_id = cd.q_id
+         |         JOIN dims dc ON dc.vec_id = cd.n_id AND dc.i = dq.i
+         |        GROUP BY cd.q_id, cd.n_id),
+         |cosv AS (SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
+         |         FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |ranked AS (SELECT q_id, n_id, cosine,
+         |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
+         |           FROM cosv)
+         |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $KNN_JOIN_K""".stripMargin
+    },
     "s_maxsim" ->
       s"""WITH $dimsSql,
          |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

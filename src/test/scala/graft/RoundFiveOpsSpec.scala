@@ -145,6 +145,22 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.filter($"doc_a" >= $"doc_b").count() === 0)
   }
 
+  test("s_knn_join: per-vector ranks are contiguous, cosines bounded and sorted") {
+    val out = similarity.SimilarityPack.queries("s_knn_join")(spark, sfDir).cache()
+    assert(out.filter($"rank" < 1 || $"rank" > 3).count() === 0)
+    assert(out.filter(abs($"cosine") > 1.0 + 1e-9).count() === 0)
+    assert(out.filter($"q_id" === $"n_id").count() === 0)
+    // ranks per q_id are 1..n without gaps, ordered by cosine desc
+    val byQ = out.groupBy($"q_id").agg(
+      count(lit(1)).as("n"), max($"rank").as("mx"), min($"rank").as("mn"))
+    assert(byQ.filter($"mn" =!= 1L || $"mx" =!= $"n").count() === 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"rank".asc)
+    val mono = out.withColumn("prev", lag($"cosine", 1).over(w))
+      .filter($"prev".isNotNull && $"cosine" > $"prev" + 1e-12)
+    assert(mono.count() === 0)
+  }
+
   test("s_maxsim: self-containing doc ranks first; scores are bounded and sorted") {
     val out = similarity.SimilarityPack.queries("s_maxsim")(spark, sfDir)
       .orderBy($"rank".asc).collect()
