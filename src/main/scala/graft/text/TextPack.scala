@@ -429,7 +429,10 @@ object TextPack extends QueryPack {
     // exact integers (cross-engine bit-equal).
     "t_vocab" -> { (s, d) =>
       import s.implicits._
-      val freq = Tables.fanOut(s, Tables.documents(s, d))
+      // no fanOut: the tokenizer here is pure codegen (split+explode,
+      // no UDF), so there is no CPU hotspot to spread — adding the
+      // repartition would be a third, corpus-sized shuffle
+      val freq = Tables.documents(s, d)
         .select($"lang", explode(split(TextOps.norm($"text"), " ")).as("term"))
         .groupBy($"lang", $"term").agg(count(lit(1)).as("f"))
       freq.groupBy($"lang")
