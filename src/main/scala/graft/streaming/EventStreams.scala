@@ -24,6 +24,13 @@ final case class OpenSession(startUs: Long, endUs: Long, n: Long, sumCents: Long
   * yet sealed, sorted by start. */
 final case class SessionsState(open: List[OpenSession])
 
+/** One sealed day emitted by the streaming EWMA. */
+final case class EwmaOut(event_type: String, day: String, n: Long, ewma: Double)
+
+/** Per-type EWMA state: unsealed per-day counters (watermark-bounded)
+  * plus the trailing ≤7 sealed counts, newest first. */
+final case class EwmaState(open: List[(Long, Long)], hist: List[Long])
+
 /** Structured Streaming surface (SURVEY §2 H4): the streaming
   * counterparts of the batch events pack, spec-verified with
   * MemoryStream sources (no oracle — the driver's DuckDB gate has no
@@ -201,5 +208,63 @@ object EventStreams {
               | AND purchase_ts <= click_ts + interval $windowMinutes minutes""".stripMargin))
       .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"),
         col("click_ts"), col("purchase_ts"))
+  }
+
+  /** Streaming twin of the batch H14 `e_ewma`: per-type daily counts
+    * smoothed over the trailing 8 OBSERVED days (α = 1/2), emitted
+    * append-only as each day is sealed by the watermark.
+    *
+    * State per event type is bounded by construction: the open
+    * per-day counters inside the watermark horizon plus the last 7
+    * sealed counts (the EWMA window) — never stream history. Days
+    * seal in ascending order when the watermark passes their end, so
+    * the trailing history is identical to the batch lag-chain's row
+    * order, and the smoothing arithmetic reproduces the batch
+    * expression tree term-for-term (same left-to-right additions of
+    * exact dyadic products) — a sealed day's row is bit-identical to
+    * the batch twin's whatever the arrival batching was. Late events
+    * inside the horizon land in their open day counter; events later
+    * than the watermark are dropped by the runtime like every
+    * append-mode aggregation here. */
+  def dailyEwma(events: Dataset[StreamEvent]): Dataset[EwmaOut] = {
+    import events.sparkSession.implicits._
+    val dayUs = 86400L * 1000000L
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.event_type)
+      .flatMapGroupsWithState[EwmaState, EwmaOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (typ: String, batch: Iterator[StreamEvent], state: GroupState[EwmaState]) =>
+          val prior = state.getOption.getOrElse(EwmaState(Nil, Nil))
+          val openMap = scala.collection.mutable.Map(prior.open: _*)
+          batch.foreach { e =>
+            val day = (e.ts.getTime * 1000L) / dayUs
+            openMap.update(day, openMap.getOrElse(day, 0L) + 1L)
+          }
+          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val (sealedDays, open) = openMap.toList.partition {
+            case (d, _) => (d + 1L) * dayUs <= wmUs
+          }
+          var hist = prior.hist
+          val outs = sealedDays.sortBy(_._1).map { case (d, n) =>
+            // the batch twin's expression tree, term for term:
+            // ((n + l1*0.5) + l2*0.25) + ... — same IEEE op order
+            var num = n.toDouble
+            var den = 1.0
+            hist.take(7).zipWithIndex.foreach { case (h, i) =>
+              num += h.toDouble * math.pow(0.5, i + 1)
+              den += math.pow(0.5, i + 1)
+            }
+            hist = (n :: hist).take(7)
+            EwmaOut(typ, java.time.LocalDate.ofEpochDay(d).toString, n, num / den)
+          }
+          if (open.isEmpty && outs.isEmpty && hist.isEmpty) state.remove()
+          else {
+            state.update(EwmaState(open.sortBy(_._1), hist))
+            if (open.nonEmpty)
+              state.setTimeoutTimestamp(open.map(_._1 + 1L).min * dayUs / 1000L)
+          }
+          outs.iterator
+      }
   }
 }

@@ -224,4 +224,39 @@ class EventStreamsSpec extends SparkSpec {
       assert(got === Set((1L, 1L, 2L, 9.0)))
     } finally q.stop()
   }
+
+  test("dailyEwma seals days in order and reproduces the batch smoothing exactly") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    def dayEv(id: Long, day: Int, minute: Int, typ: String = "click") =
+      StreamEvent(id, Timestamp.valueOf(f"2024-01-${day + 1}%02d ${minute / 60}%02d:${minute % 60}%02d:00"),
+        1L, typ, 1.0)
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.dailyEwma(in.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // day 1: 3 clicks; day 2: 1 click — split across batches, with a
+      // LATE day-1 event arriving in batch two (inside the horizon)
+      in.addData(dayEv(1, 0, 10), dayEv(2, 0, 20))
+      q.processAllAvailable()
+      in.addData(dayEv(3, 0, 30), dayEv(4, 1, 10))
+      q.processAllAvailable()
+      // day 3 click; pushes the watermark past day 1 and day 2 ends
+      in.addData(dayEv(5, 2, 120))
+      q.processAllAvailable()
+      // far-future other-type event seals day 3 too
+      in.addData(dayEv(9, 20, 0, typ = "flush"))
+      q.processAllAvailable()
+      val got = spark.table("ewma_out").as[EwmaOut].collect()
+        .filter(_.event_type == "click").sortBy(_.day)
+      // hand-computed batch chain: d1 ewma = 3; d2 = (1 + 3*0.5)/1.5;
+      // d3 = (1 + 1*0.5 + 3*0.25)/1.75
+      assert(got.map(o => (o.day, o.n)).toSeq ===
+        Seq(("2024-01-01", 3L), ("2024-01-02", 1L), ("2024-01-03", 1L)))
+      assert(got(0).ewma === 3.0)
+      assert(got(1).ewma === (1.0 + 3.0 * 0.5) / 1.5)
+      assert(got(2).ewma === (1.0 + 1.0 * 0.5 + 3.0 * 0.25) / 1.75)
+    } finally q.stop()
+  }
 }
