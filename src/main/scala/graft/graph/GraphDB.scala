@@ -102,4 +102,16 @@ class GraphDB(s: SparkSession, root: String) {
 
   /** number_entries (main.py:335-337). */
   def numberEntries(): Long = edges.count()
+
+  /** Deterministic random-walk corpus from `seeds` (single column
+    * "seed") over the current snapshot — [[RandomWalks.run]] on the
+    * stored edge table (analytics surface beyond the reference,
+    * same graph). */
+  def walks(seeds: DataFrame, steps: Int): DataFrame =
+    RandomWalks.run(s, edges.select(col("src"), col("dst")), seeds, steps)
+
+  /** k-truss cohesive core of the current snapshot
+    * ([[KTruss.run]]): canonical surviving edges with support. */
+  def ktruss(k: Int): DataFrame =
+    KTruss.run(s, edges.select(col("src"), col("dst")), k)
 }

@@ -89,6 +89,19 @@ class GraphDBSpec extends SparkSpec {
     assert(db.edges.filter(col("rule") === "jump").count() === 2L)
   }
 
+  test("walks and ktruss run over the persisted snapshot") {
+    import spark.implicits._
+    val db = freshDb()
+    // K4 so the 4-truss is the whole graph; walks can never leave it
+    val k4 = Seq((1L,2L),(1L,3L),(1L,4L),(2L,3L),(2L,4L),(3L,4L))
+    db.init((k4 ++ k4.map(p => (p._2, p._1))).toDF("src", "dst"))
+    val tr = db.ktruss(4).collect()
+    assert(tr.map(r => (r.getLong(0), r.getLong(1))).toSet === k4.toSet)
+    val w = db.walks(Seq(1L).toDF("seed"), steps = 2).collect()
+    assert(w.length === 3) // steps 0..2, no dead ends in K4
+    assert(w.forall(r => Set(1L, 2L, 3L, 4L)(r.getLong(1))))
+  }
+
   test("stats and degrees reflect the persisted edge table") {
     val db = freshDb()
     db.init(chain(2)) // edges: 4 directed, 3 distinct src nodes
