@@ -56,6 +56,9 @@ object TextPack extends QueryPack {
   /** Context-window chunking: window length and stride in tokens. */
   private val CHUNK_LEN = 32
   private val CHUNK_STRIDE = 24
+  // F18 weighted sample: survivors kept out of the corpus, weight
+  // 1..4 derived from the source id (CAST(substr) % 4 + 1)
+  private val SAMPLE_N = 100
 
   /** Repeated-passage removal: non-overlapping segment length in
     * words, and the absolute document-frequency at which a segment
@@ -446,6 +449,31 @@ object TextPack extends QueryPack {
           ($"top_f".cast("double") / $"n_tokens".cast("double")).as("top_share"))
     },
 
+    // F18: deterministic weighted sampling WITHOUT replacement — an
+    // exact-size sample of SAMPLE_N docs where selection probability
+    // rises with an integer per-source weight, via the min-of-w-hashes
+    // order statistic (the integer-weight cousin of Efraimidis-
+    // Spirakis u^(1/w) keys, chosen because it needs NO pow() — pow
+    // is not bit-identical across libm implementations, md5 order
+    // is). Each doc's sort key = min over w copies of md5(j ||'_'||
+    // id); a doc with weight w holds w independent lottery tickets.
+    // Scale shape: keys are map-side (bounded ≤4-element transform);
+    // the global top-N is TakeOrderedAndProject — per-partition
+    // bounded heaps, the shuffle carries N rows per partition, never
+    // a full sort. Deterministic: re-runs and engines agree exactly.
+    "t_weighted_sample" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d)
+        .withColumn("weight",
+          (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+        .withColumn("skey",
+          array_min(transform(sequence(lit(1), $"weight".cast("int")),
+            j => md5(concat(j.cast("string"), lit("_"), $"doc_id".cast("string"))))))
+        .orderBy($"skey".asc, $"doc_id".asc)
+        .limit(SAMPLE_N)
+        .select($"doc_id", $"source", $"weight", $"skey")
+    },
+
     // F12: context-window chunking — each document's token sequence
     // split into overlapping windows (len 32, stride 24): the step
     // that turns variable-length documents into model-sized training
@@ -561,6 +589,17 @@ object TextPack extends QueryPack {
            | CAST(hapax AS DOUBLE) / CAST(vocab AS DOUBLE) AS hapax_share,
            | CAST(top_f AS DOUBLE) / CAST(n_tokens AS DOUBLE) AS top_share
            |FROM agg""".stripMargin,
+      "t_weighted_sample" ->
+        s"""WITH w AS (
+           | SELECT doc_id, source,
+           |  CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS weight
+           | FROM documents),
+           |k AS (
+           | SELECT doc_id, MIN(md5(j || '_' || CAST(doc_id AS VARCHAR))) AS skey
+           | FROM w, UNNEST(range(1, weight + 1)) t(j) GROUP BY doc_id)
+           |SELECT w.doc_id, w.source, w.weight, k.skey
+           |FROM w JOIN k USING (doc_id)
+           |ORDER BY k.skey, w.doc_id LIMIT $SAMPLE_N""".stripMargin,
       "t_tokens" ->
         s"""SELECT doc_id,
            | CAST(len(string_split(nrm, ' ')) AS BIGINT) AS n_tokens_ws,

@@ -94,6 +94,28 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("t_weighted_sample: exact size, valid keys, weight skew in expectation") {
+    val out = text.TextPack.queries("t_weighted_sample")(spark, sfDir).cache()
+    assert(out.count() === 100)
+    assert(out.filter($"weight" < 1 || $"weight" > 4).count() === 0)
+    // the sort key really is the minimum of the doc's weight tickets
+    val one = out.filter($"weight" === 2L).limit(1).collect()
+    one.foreach { r =>
+      val id = r.getLong(0)
+      val exp = (1 to 2).map(j => {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        md.digest(s"${j}_$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      }).min
+      assert(r.getString(3) === exp)
+    }
+    // higher-weight docs must be over-represented vs the corpus share
+    val corpus = Tables.documents(spark, sfDir)
+      .withColumn("weight", (expr("CAST(substring(source, 4) AS INT)") % 4 + 1).cast("long"))
+    val corpusHi = corpus.filter($"weight" >= 3).count().toDouble / corpus.count()
+    val sampleHi = out.filter($"weight" >= 3).count().toDouble / 100.0
+    assert(sampleHi > corpusHi)
+  }
+
   test("q_basket_pairs: support and lift identities") {
     val out = relational.RelationalPack.queries("q_basket_pairs")(spark, sfDir).cache()
     assert(out.filter($"support" < 2 || $"part_a" >= $"part_b").count() === 0)
