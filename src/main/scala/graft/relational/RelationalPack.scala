@@ -275,6 +275,23 @@ object RelationalPack extends QueryPack {
         .select($"o_custkey", $"island_start", $"island_end", $"n_orders")
     },
 
+    // C23: UNPIVOT (melt) — the inverse of H7's pivot: a wide
+    // per-flag aggregate row becomes one (flag, metric, value) row
+    // per metric, the normalization step feeding generic metric
+    // stores and long-format chart tables. Catalyst plans unpivot as
+    // an Expand over the already-aggregated (|flags|-bounded) rows —
+    // zero additional shuffle beyond the aggregation's own.
+    "q_unpivot" -> { (s, d) =>
+      import s.implicits._
+      Tables.lineitem(s, d)
+        .groupBy($"l_returnflag")
+        .agg(dsum(dec($"l_quantity")).as("sum_qty"),
+          dsum(dec($"l_extendedprice")).as("sum_price"),
+          count(lit(1)).cast("double").as("n_rows"))
+        .unpivot(Array($"l_returnflag"),
+          Array($"sum_qty", $"sum_price", $"n_rows"), "metric", "value")
+    },
+
     // C22: market-basket co-occurrence mining — part pairs bought in
     // the same order with support count and lift, the frequent-
     // itemset primitive behind recommenders and substitution
@@ -524,6 +541,15 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        | SELECT l_returnflag,
+        |  CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_price,
+        |  CAST(COUNT(*) AS DOUBLE) AS n_rows
+        | FROM lineitem GROUP BY 1)
+        |SELECT l_returnflag, metric, value
+        |FROM wide UNPIVOT (value FOR metric IN (sum_qty, sum_price, n_rows))""".stripMargin,
     "q_basket_pairs" ->
       """WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |tot AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM op),
