@@ -275,6 +275,40 @@ object RelationalPack extends QueryPack {
         .select($"o_custkey", $"island_start", $"island_end", $"n_orders")
     },
 
+    // C24: grouped linear regression + correlation from EXACT moment
+    // sums — per flag, OLS slope/intercept and Pearson r of
+    // (quantity → extendedprice). The five moments accumulate as
+    // BIGINT cents (one partial-aggregable pass); the n·Σxy − Σx·Σy
+    // cross-products exceed 64 bits, so they run in DECIMAL(38,0) on
+    // the Spark side and HUGEINT in the oracle — two different exact
+    // 128-bit integer representations that agree digit-for-digit —
+    // and only the final slope/intercept/r expressions touch IEEE
+    // doubles, in one pinned op order. The sketch-free shape: ONE
+    // scan, ONE shuffle of six numbers per group at any scale.
+    "q_linreg" -> { (s, d) =>
+      import s.implicits._
+      val d38 = DecimalType(38, 0)
+      val m = Tables.lineitem(s, d)
+        .select($"l_returnflag",
+          ($"l_quantity".cast(D) * 100).cast("long").as("xc"),
+          ($"l_extendedprice".cast(D) * 100).cast("long").as("yc"))
+        .groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n"), sum($"xc").as("sx"), sum($"yc").as("sy"),
+          sum($"xc" * $"xc").as("sxx"), sum($"xc" * $"yc").as("sxy"),
+          sum($"yc" * $"yc").as("syy"))
+      def dd(c: org.apache.spark.sql.Column) = c.cast(d38)
+      val num = dd($"n") * dd($"sxy") - dd($"sx") * dd($"sy")
+      val den1 = dd($"n") * dd($"sxx") - dd($"sx") * dd($"sx")
+      val den2 = dd($"n") * dd($"syy") - dd($"sy") * dd($"sy")
+      m.withColumn("slope", num.cast("double") / den1.cast("double"))
+        .withColumn("intercept",
+          ($"sy".cast("double") - $"slope" * $"sx".cast("double")) /
+            ($"n".cast("double") * lit(100.0)))
+        .withColumn("corr",
+          num.cast("double") / (sqrt(den1.cast("double")) * sqrt(den2.cast("double"))))
+        .select($"l_returnflag", $"n", $"slope", $"intercept", $"corr")
+    },
+
     // C23: UNPIVOT (melt) — the inverse of H7's pivot: a wide
     // per-flag aggregate row becomes one (flag, metric, value) row
     // per metric, the normalization step feeding generic metric
@@ -541,6 +575,30 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_linreg" ->
+      """WITH c AS (
+        | SELECT l_returnflag,
+        |  CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS xc,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS yc
+        | FROM lineitem),
+        |m AS (
+        | SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(xc) AS BIGINT) AS sx, CAST(SUM(yc) AS BIGINT) AS sy,
+        |  CAST(SUM(xc * xc) AS BIGINT) AS sxx, CAST(SUM(xc * yc) AS BIGINT) AS sxy,
+        |  CAST(SUM(yc * yc) AS BIGINT) AS syy
+        | FROM c GROUP BY 1),
+        |h AS (
+        | SELECT l_returnflag, n, sx, sy,
+        |  CAST(n AS HUGEINT) * CAST(sxy AS HUGEINT) - CAST(sx AS HUGEINT) * CAST(sy AS HUGEINT) AS num,
+        |  CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT) - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT) AS den1,
+        |  CAST(n AS HUGEINT) * CAST(syy AS HUGEINT) - CAST(sy AS HUGEINT) * CAST(sy AS HUGEINT) AS den2
+        | FROM m)
+        |SELECT l_returnflag, n,
+        | CAST(num AS DOUBLE) / CAST(den1 AS DOUBLE) AS slope,
+        | (CAST(sy AS DOUBLE) - (CAST(num AS DOUBLE) / CAST(den1 AS DOUBLE)) * CAST(sx AS DOUBLE))
+        |   / (CAST(n AS DOUBLE) * 100.0) AS intercept,
+        | CAST(num AS DOUBLE) / (sqrt(CAST(den1 AS DOUBLE)) * sqrt(CAST(den2 AS DOUBLE))) AS corr
+        |FROM h""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         | SELECT l_returnflag,

@@ -94,6 +94,25 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("q_linreg: correlation bounds and agreement with an in-JVM recomputation") {
+    val out = relational.RelationalPack.queries("q_linreg")(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out.values.forall { case (_, _, c) => c >= -1.0 - 1e-12 && c <= 1.0 + 1e-12 })
+    // recompute one group's slope in plain Scala from the same cents
+    val rows = Tables.lineitem(spark, sfDir)
+      .select(col("l_returnflag"),
+        (col("l_quantity").cast("decimal(18,2)") * 100).cast("long"),
+        (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val g = rows.filter(_._1 == "A")
+    val n = BigInt(g.length)
+    val sx = g.map(t => BigInt(t._2)).sum; val sy = g.map(t => BigInt(t._3)).sum
+    val sxx = g.map(t => BigInt(t._2) * t._2).sum
+    val sxy = g.map(t => BigInt(t._2) * t._3).sum
+    val slope = (n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble
+    assert(math.abs(out("A")._1 - slope) < 1e-9)
+  }
+
   test("t_weighted_sample: exact size, valid keys, weight skew in expectation") {
     val out = text.TextPack.queries("t_weighted_sample")(spark, sfDir).cache()
     assert(out.count() === 100)
