@@ -76,6 +76,26 @@ object EventsPack extends QueryPack {
             .as("n_attributed"))
     },
 
+    // H15: multi-touch attribution — every purchase credited equally
+    // across ALL clicks in its trailing 10-minute window (H5's
+    // last-touch funnel generalized): n_touch from ONE value-based
+    // RANGE frame over the user's event-time order (no self-join,
+    // no click×purchase pair blowup), credit = 1/n as a single IEEE
+    // division. One partition-key shuffle, streaming frame state.
+    "e_multitouch" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc)
+        .rangeBetween(-FUNNEL_WINDOW_US, 0)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("n_touch",
+          sum(when($"event_type" === "click", 1L).otherwise(0L)).over(w))
+        .filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("purchase_id"), $"ts_us", $"n_touch",
+          when($"n_touch" > 0L, lit(1.0) / $"n_touch".cast("double"))
+            .as("credit_per_click"))
+    },
+
     // H14: EWMA trend smoothing — per-type daily event counts smoothed
     // by an exponentially-weighted moving average over the trailing 8
     // observations (alpha = 1/2). The weights 2^-i are exact dyadic
@@ -338,6 +358,18 @@ object EventsPack extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "e_ewma" -> ewmaSql,
+    "e_multitouch" ->
+      s"""WITH base AS (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |t AS (
+         | SELECT *, SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) OVER (
+         |   PARTITION BY user_id ORDER BY ts_us
+         |   RANGE BETWEEN $FUNNEL_WINDOW_US PRECEDING AND CURRENT ROW) AS n_touch
+         | FROM base)
+         |SELECT user_id, event_id AS purchase_id, ts_us,
+         | CAST(n_touch AS BIGINT) AS n_touch,
+         | CASE WHEN n_touch > 0 THEN 1.0 / CAST(n_touch AS DOUBLE) END AS credit_per_click
+         |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "e_window_uniques" ->
       s"""SELECT
          | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,

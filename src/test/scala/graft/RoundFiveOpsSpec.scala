@@ -94,6 +94,21 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("e_multitouch: credit is 1/n_touch and reconciles with the last-touch funnel") {
+    val out = streaming.EventsPack.queries("e_multitouch")(spark, sfDir).cache()
+    assert(out.filter($"n_touch" > 0 &&
+      abs($"credit_per_click" * $"n_touch".cast("double") - 1.0) > 1e-12).count() === 0)
+    assert(out.filter($"n_touch" === 0 && $"credit_per_click".isNotNull).count() === 0)
+    // purchases with >= 1 touch here == attributed purchases in H5
+    // (last-touch within the same 10-min window)
+    val touched = out.filter($"n_touch" > 0)
+      .groupBy($"user_id").agg(count(lit(1)).as("n_multi"))
+    val funnel = streaming.EventsPack.queries("e_funnel")(spark, sfDir)
+      .select($"user_id", $"n_attributed")
+    assert(touched.join(funnel, "user_id")
+      .filter($"n_multi" =!= $"n_attributed").count() === 0)
+  }
+
   test("q_linreg: correlation bounds and agreement with an in-JVM recomputation") {
     val out = relational.RelationalPack.queries("q_linreg")(spark, sfDir)
       .collect().map(r => r.getString(0) -> (r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
