@@ -185,6 +185,15 @@ object GraphPack extends QueryPack {
         seeds, depth = 3)
     },
 
+    // A29: maximal independent set (Luby) over the widened part
+    // edit-graph — see [[Mis]]: deterministic per-round md5
+    // priorities, O(log n) rounds, schedule-independent result.
+    "g_mis" -> { (s, d) =>
+      import s.implicits._
+      Mis.run(s, Tables.part(s, d).select($"p_partkey".as("id")),
+        GraphBuilder.partEdgesWide(s, d))
+    },
+
     // A28: harmonic centrality — H(u) = Σ_{v≠u reachable} 1/d(u,v),
     // the disconnected-robust closeness variant (isolated pairs
     // contribute 0 instead of poisoning the mean). Rides the same
@@ -549,6 +558,42 @@ object GraphPack extends QueryPack {
   // row below makes an exhausted unroll attributable
   private val KTRUSS_UNROLL = 6
 
+  // measured Luby rounds: 3 at sf0.01, 4 at sf0.1; 7 leaves margin
+  private val MIS_UNROLL = 7
+
+  /** Unrolled Luby MIS oracle: per-round md5 priorities replayed
+    * bit-for-bit (same 'g'-sentinel for nodes with no undecided
+    * neighbor), winners + neighbors removed, edges pruned to
+    * both-ends-undecided. */
+  private def misSql(rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""m$r AS (SELECT src, MIN(md5('${r}_' || CAST(dst AS VARCHAR))) AS mh
+         |        FROM e${r - 1} GROUP BY src),
+         |w$r AS MATERIALIZED (
+         | SELECT u.node FROM u${r - 1} u LEFT JOIN m$r ON m$r.src = u.node
+         | WHERE md5('${r}_' || CAST(u.node AS VARCHAR)) < COALESCE(m$r.mh, 'g')),
+         |rm$r AS (SELECT node FROM w$r
+         |         UNION SELECT e.dst FROM e${r - 1} e JOIN w$r w ON w.node = e.src),
+         |u$r AS MATERIALIZED (SELECT node FROM u${r - 1} ANTI JOIN rm$r USING (node)),
+         |e$r AS MATERIALIZED (SELECT e.src, e.dst FROM e${r - 1} e
+         |       JOIN u$r a ON a.node = e.src JOIN u$r b ON b.node = e.dst)""".stripMargin
+    }.mkString(",\n")
+    val misUnion = (1 to rounds)
+      .map(r => s"SELECT node, CAST($r AS BIGINT) AS mis_round FROM w$r")
+      .mkString(" UNION ALL ")
+    s"""WITH $wideEdgesSql,
+       |u0 AS MATERIALIZED (SELECT DISTINCT CAST(p_partkey AS BIGINT) AS node FROM part),
+       |e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM wedges WHERE src <> dst),
+       |$steps,
+       |mis AS ($misUnion)
+       |SELECT u.node, m.mis_round IS NOT NULL AS in_mis, m.mis_round
+       |FROM u0 u LEFT JOIN mis m ON m.node = u.node
+       |UNION ALL
+       |-- divergence sentinel: unroll margin exhausted, not an engine bug
+       |SELECT CAST(-1 AS BIGINT), FALSE, CAST(-1 AS BIGINT)
+       |WHERE (SELECT COUNT(*) FROM u$rounds) > 0""".stripMargin
+  }
+
   /** Unrolled k-truss peeling oracle: id-ordered triangle listing
     * (e1=(a,b), e2=(b,c), e3=(a,c) with a<b<c — a DIFFERENT but
     * equally triangle-unique DAG orientation than the Spark side's
@@ -640,6 +685,7 @@ object GraphPack extends QueryPack {
     "g_ppr" -> pprSql(PPR_ITERS),
     "g_sssp" -> ssspSql(4),
     "g_ktruss" -> ktrussSql(KTRUSS_K, KTRUSS_UNROLL),
+    "g_mis" -> misSql(MIS_UNROLL),
     "g_harmonic" ->
       s"""WITH RECURSIVE $tradeEdgesSql,
          |roots AS (SELECT DISTINCT src AS node FROM edges),

@@ -163,6 +163,27 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.join(ca, "part_a").filter($"support" > $"ca").count() === 0)
   }
 
+  test("Mis: independence and maximality on the part graph; isolated nodes join") {
+    import org.apache.spark.sql.DataFrame
+    val edges: DataFrame = graph.GraphBuilder.partEdgesWide(spark, sfDir)
+    val out = graph.GraphPack.queries("g_mis")(spark, sfDir).cache()
+    val mis = out.filter($"in_mis").select($"node")
+    // independence: no edge has both endpoints in the MIS
+    val inside = edges
+      .join(mis.select($"node".as("src")), Seq("src"), "left_semi")
+      .join(mis.select($"node".as("dst")), Seq("dst"), "left_semi")
+    assert(inside.count() === 0)
+    // maximality: every non-member has at least one member neighbor
+    // (a non-member with no member neighbor could be added — not maximal);
+    // isolated non-members are impossible (they win round 1)
+    val nonMembers = out.filter(!$"in_mis").select($"node")
+    val covered = nonMembers.join(
+      edges.join(mis.select($"node".as("dst")), Seq("dst"), "left_semi")
+        .select($"src".as("node")).distinct(),
+      Seq("node"), "left_semi")
+    assert(covered.count() === nonMembers.count())
+  }
+
   test("g_harmonic: bounds against reachability and positivity") {
     val h = graph.GraphPack.queries("g_harmonic")(spark, sfDir)
     val ecc = graph.GraphPack.queries("g_eccentricity")(spark, sfDir)
