@@ -83,6 +83,25 @@ object SimilarityPack extends QueryPack {
         .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
     },
 
+    // E11: ANN recall measurement ON the hard signal — recall@K of
+    // the E2 LSH probe against the E1 exact top-k, per query. The
+    // metric every ANN deployment must continuously report; both
+    // engines derive both rankings deterministically, so the recall
+    // fractions hash-compare exactly (eval discipline as a query, the
+    // same move as C10/C15's guarantee booleans). Cost is the two
+    // underlying plans plus one (q×K)-sized semi-join — query-set
+    // bounded, corpus-free.
+    "s_recall" -> { (s, d) =>
+      import s.implicits._
+      val ann = SimilarityPack.queries("s_knn_ann")(s, d).select($"q_id", $"n_id")
+      val brute = SimilarityPack.queries("s_knn_brute")(s, d).select($"q_id", $"n_id")
+      brute.join(ann, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+        .join(brute.select($"q_id").distinct(), Seq("q_id"), "right")
+        .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+        .withColumn("recall", $"n_hits".cast("double") / lit(K.toDouble))
+    },
+
     // E10: approximate kNN-JOIN — every corpus vector's top-k nearest
     // neighbors among the whole corpus, the kNN-graph construction
     // that feeds SemDeDup-style clustering, label propagation over
@@ -394,6 +413,45 @@ object SimilarityPack extends QueryPack {
       |        FROM dims GROUP BY vec_id)""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    "s_recall" -> {
+      val width = PLANES / BANDS
+      s"""WITH $dimsSql,
+         |proj AS (
+         | SELECT vec_id, j,
+         |  CASE WHEN SUM(CAST(floor((CASE WHEN substr(md5(j || '_' || i), 1, 1) < '8' THEN x ELSE -x END) * 1e12 + 0.5) AS BIGINT)) >= 0
+         |   THEN '1' ELSE '0' END AS bit
+         | FROM dims, UNNEST(range(1, ${PLANES + 1})) tj(j) GROUP BY vec_id, j),
+         |sig AS (SELECT vec_id, string_agg(bit, '' ORDER BY j) AS sg FROM proj GROUP BY vec_id),
+         |bands AS (SELECT vec_id, b, substr(sg, (b-1)*$width + 1, $width) AS bv
+         |          FROM sig, UNNEST(range(1, ${BANDS + 1})) tb(b)),
+         |canda AS (SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS n_id
+         |          FROM bands q JOIN bands c ON q.b = c.b AND q.bv = c.bv AND q.vec_id <> c.vec_id
+         |          WHERE q.vec_id < $N_QUERIES),
+         |dota AS (SELECT cd.q_id, cd.n_id, CAST(SUM(CAST(floor(dq.x * dc.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |         FROM canda cd JOIN dims dq ON dq.vec_id = cd.q_id
+         |          JOIN dims dc ON dc.vec_id = cd.n_id AND dc.i = dq.i
+         |         GROUP BY cd.q_id, cd.n_id),
+         |ranka AS (SELECT d.q_id, d.n_id,
+         |           ROW_NUMBER() OVER (PARTITION BY d.q_id
+         |             ORDER BY d.dp / (nq.n * nc.n) DESC, d.n_id ASC) AS rank
+         |          FROM dota d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |dotb AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |          CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |         FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |         WHERE q.vec_id < $N_QUERIES
+         |         GROUP BY q.vec_id, c.vec_id),
+         |rankb AS (SELECT d.q_id, d.n_id,
+         |           ROW_NUMBER() OVER (PARTITION BY d.q_id
+         |             ORDER BY d.dp / (nq.n * nc.n) DESC, d.n_id ASC) AS rank
+         |          FROM dotb d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |hits AS (SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |         FROM rankb b JOIN ranka a ON a.q_id = b.q_id AND a.n_id = b.n_id
+         |         WHERE b.rank <= $K AND a.rank <= $K GROUP BY 1),
+         |qs AS (SELECT DISTINCT q_id FROM rankb)
+         |SELECT q.q_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $K.0 AS recall
+         |FROM qs q LEFT JOIN hits h USING (q_id)""".stripMargin
+    },
     "s_knn_join" -> {
       val width = PLANES / KNN_JOIN_BANDS
       s"""WITH $dimsSql,
