@@ -275,6 +275,33 @@ object RelationalPack extends QueryPack {
         .select($"o_custkey", $"island_start", $"island_end", $"n_orders")
     },
 
+    // C25: 2-D skyline (Pareto frontier) — parts no other part beats
+    // on BOTH axes (cheaper AND bigger): the classic multi-criteria
+    // shortlist operator. NOT the quadratic dominance self-join: the
+    // frontier is computed on the DISTINCT (price, size) grid —
+    // value-bounded however many fact rows exist — with two window
+    // passes: a tuple survives iff it holds its price group's max
+    // size AND strictly beats the running max size over all strictly
+    // cheaper tuples (value-based RANGE frame, so equal prices are
+    // peers, not predecessors). Integer cents; the one global sort
+    // runs on the grid, not the table.
+    "q_skyline" -> { (s, d) =>
+      import s.implicits._
+      val grid = Tables.part(s, d)
+        .select(($"p_retailprice".cast(D) * 100).cast("long").as("price_c"),
+          $"p_size".cast("long").as("size"))
+        .groupBy($"price_c", $"size").agg(count(lit(1)).as("n_parts"))
+      val cheaper = Window.orderBy($"price_c".asc)
+        .rangeBetween(Window.unboundedPreceding, -1)
+      val samePrice = Window.partitionBy($"price_c")
+      grid
+        .withColumn("best_cheaper", max($"size").over(cheaper))
+        .withColumn("best_here", max($"size").over(samePrice))
+        .filter($"size" === $"best_here" &&
+          ($"best_cheaper".isNull || $"size" > $"best_cheaper"))
+        .select($"price_c", $"size", $"n_parts")
+    },
+
     // C24: grouped linear regression + correlation from EXACT moment
     // sums — per flag, OLS slope/intercept and Pearson r of
     // (quantity → extendedprice). The five moments accumulate as
@@ -575,6 +602,19 @@ object RelationalPack extends QueryPack {
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_skyline" ->
+      """WITH grid AS (
+        | SELECT CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS price_c,
+        |  CAST(p_size AS BIGINT) AS size, CAST(COUNT(*) AS BIGINT) AS n_parts
+        | FROM part GROUP BY 1, 2),
+        |w AS (
+        | SELECT *,
+        |  MAX(size) OVER (ORDER BY price_c
+        |    RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+        |  MAX(size) OVER (PARTITION BY price_c) AS best_here
+        | FROM grid)
+        |SELECT price_c, size, n_parts FROM w
+        |WHERE size = best_here AND (best_cheaper IS NULL OR size > best_cheaper)""".stripMargin,
     "q_linreg" ->
       """WITH c AS (
         | SELECT l_returnflag,

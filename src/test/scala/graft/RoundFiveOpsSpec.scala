@@ -94,6 +94,20 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("q_skyline: matches the brute-force dominance definition on the grid") {
+    val out = relational.RelationalPack.queries("q_skyline")(spark, sfDir)
+      .select($"price_c", $"size").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val grid = Tables.part(spark, sfDir)
+      .select((col("p_retailprice").cast("decimal(18,2)") * 100).cast("long"),
+        col("p_size").cast("long"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = grid.filter { case (p, sz) =>
+      !grid.exists { case (p2, s2) =>
+        p2 <= p && s2 >= sz && (p2, s2) != (p, sz) }
+    }.toSet
+    assert(out === brute)
+  }
+
   test("e_multitouch: credit is 1/n_touch and reconciles with the last-touch funnel") {
     val out = streaming.EventsPack.queries("e_multitouch")(spark, sfDir).cache()
     assert(out.filter($"n_touch" > 0 &&
