@@ -76,6 +76,27 @@ object EventsPack extends QueryPack {
             .as("n_attributed"))
     },
 
+    // H16: behavioral Markov transition matrix — P(next type | type)
+    // from consecutive same-user event pairs (H12's path mining
+    // reduced to first order, normalized into probabilities): ONE
+    // lead() window pass over the (ts, event_id) total order, then a
+    // |types|²-bounded count groupBy and a per-row exact division
+    // (both operands are exact BIGINTs, the quotient is ONE IEEE op).
+    "e_markov" -> { (s, d) =>
+      import s.implicits._
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      val pairs = Tables.events(s, d)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("to_type", lead($"event_type", 1).over(w))
+        .filter($"to_type".isNotNull)
+        .groupBy($"event_type".as("from_type"), $"to_type")
+        .agg(count(lit(1)).as("n"))
+      val fromTotals = pairs.groupBy($"from_type").agg(sum($"n").as("n_from"))
+      pairs.join(fromTotals, "from_type")
+        .select($"from_type", $"to_type", $"n",
+          ($"n".cast("double") / $"n_from".cast("double")).as("p"))
+    },
+
     // H15: multi-touch attribution — every purchase credited equally
     // across ALL clicks in its trailing 10-minute window (H5's
     // last-touch funnel generalized): n_touch from ONE value-based
@@ -358,6 +379,20 @@ object EventsPack extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "e_ewma" -> ewmaSql,
+    "e_markov" ->
+      """WITH base AS (
+        | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |pairs AS (
+        | SELECT event_type AS from_type,
+        |  LEAD(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS to_type
+        | FROM base),
+        |cnt AS (
+        | SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n
+        | FROM pairs WHERE to_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        | CAST(c.n AS DOUBLE) / CAST(t.n_from AS DOUBLE) AS p
+        |FROM cnt c JOIN tot t USING (from_type)""".stripMargin,
     "e_multitouch" ->
       s"""WITH base AS (
          | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -94,6 +94,18 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(out.except(again).count() === 0 && again.except(out).count() === 0)
   }
 
+  test("e_markov: rows are a proper conditional distribution") {
+    val out = streaming.EventsPack.queries("e_markov")(spark, sfDir).cache()
+    // probabilities in (0, 1]; each from-row sums to ~1
+    assert(out.filter($"p" <= 0.0 || $"p" > 1.0).count() === 0)
+    val sums = out.groupBy($"from_type").agg(sum($"p").as("sp"))
+    assert(sums.filter(abs($"sp" - 1.0) > 1e-9).count() === 0)
+    // transition count conservation: Σn = total events − one per user
+    val events = Tables.events(spark, sfDir)
+    val expected = events.count() - events.select($"user_id").distinct().count()
+    assert(out.agg(sum($"n")).as[Long].head === expected)
+  }
+
   test("q_skyline: matches the brute-force dominance definition on the grid") {
     val out = relational.RelationalPack.queries("q_skyline")(spark, sfDir)
       .select($"price_c", $"size").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
