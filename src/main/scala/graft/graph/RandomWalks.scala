@@ -1,9 +1,10 @@
 package graft.graph
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-/** Deterministic random-walk sampling (SURVEY §2 A27) — the corpus
+/** Deterministic random-walk sampling (SURVEY §2 A25) — the corpus
   * generator for skip-gram graph embeddings (DeepWalk/node2vec
   * style): from each seed, walk `steps` hops, choosing the next hop
   * pseudo-randomly but REPRODUCIBLY from the current node's sorted
@@ -16,14 +17,23 @@ import org.apache.spark.sql.functions._
   * 2^63 — so DuckDB reproduces every hop bit-for-bit; the walk is a
   * pure function of the graph, not of partitioning or schedule).
   *
-  * Scale shape: the adjacency build is the one edge shuffle (O(deg)
-  * per node, shared across all steps via a lazy localCheckpoint);
-  * each hop is ONE equi-join of the frontier (|seeds| rows, typically
-  * ≪ graph) against the adjacency — AQE broadcasts the frontier side
-  * — so a w-step walk costs w frontier joins and no iteration-growing
-  * state. Walks that reach a sink node simply end (inner join), same
-  * as the reference BFS treating missing adjacency as absence
-  * (main.py:272-305's neighbor lookups).
+  * Scale shape: adjacency is stored POSITIONALLY as (src, pos, dst)
+  * rows — pos = rank of dst in the node's sorted neighbor list — with
+  * degrees on a separate vertex-sized table, NOT as per-node neighbor
+  * arrays: a walk only ever reads ONE element per hop, and a
+  * collect_list adjacency would build a degree-sized aggregation
+  * buffer under a single key (a degree-10^8 celebrity = an ~800 MB
+  * unspillable buffer — the exact failure class the capped dedup
+  * posting lists avoid). The positional build is a row_number window
+  * (sort-based, spills; no per-key in-memory aggregation state) over
+  * the one edge shuffle, shared across all hops via a lazy
+  * localCheckpoint. Each hop is then: frontier ⋈ deg (compute idx) ⋈
+  * adjacency on (node, pos = idx) — AQE broadcasts the frontier side
+  * (|seeds| rows, typically ≪ graph), so a w-step walk costs w
+  * bounded joins and no iteration-growing state. Walks that reach a
+  * sink node simply end (inner join), same as the reference BFS
+  * treating missing adjacency as absence (main.py:272-305's neighbor
+  * lookups).
   */
 object RandomWalks {
 
@@ -33,22 +43,37 @@ object RandomWalks {
     * (seed, step, node) for step 0..steps, one walk per seed. */
   def run(s: SparkSession, edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     require(steps >= 0, s"steps must be >= 0, got $steps")
-    val adj = edges
+    val norm = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
-      .groupBy(col("src"))
-      .agg(sort_array(collect_list(col("dst"))).as("nbrs"))
       .localCheckpoint(false)
+    // positional adjacency: pos is 0-based rank of dst among the
+    // node's (distinct) neighbors sorted ascending — element pos of
+    // the sorted neighbor list, without ever materializing the list
+    val adj = norm
+      .withColumn("pos",
+        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .localCheckpoint(false)
+    val deg = norm.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false)
+    // uniquely-named projections: the loop joins cur (whose lineage
+    // already contains adj/deg from earlier hops) back against them,
+    // so shared column names would be ambiguous self-join references
+    val degT = deg.select(col("src").as("__dg_src"), col("deg").as("__dg_deg"))
+    val adjT = adj.select(col("src").as("__aj_src"), col("pos").as("__aj_pos"),
+      col("dst").as("__aj_dst"))
     var cur = seeds.select(col("seed").cast("long").as("seed"),
       col("seed").cast("long").as("node"), lit(0L).as("step"))
     val waves = Seq.newBuilder[DataFrame]
     waves += cur
     for (t <- 1 to steps) {
-      cur = cur.join(adj, cur("node") === adj("src"))
+      val withIdx = cur.join(degT, col("node") === col("__dg_src"))
         .select(col("seed"),
-          expr(s"element_at(nbrs, cast((node * 1103515245 + $t * 12345) % 2147483647 % size(nbrs) as int) + 1)")
-            .as("node"),
-          lit(t.toLong).as("step"))
+          expr(s"(node * 1103515245 + $t * 12345) % 2147483647 % __dg_deg").as("__idx"),
+          col("node"))
+      cur = withIdx.join(adjT,
+          col("node") === col("__aj_src") && col("__idx") === col("__aj_pos"))
+        .select(col("seed"), col("__aj_dst").as("node"), lit(t.toLong).as("step"))
       waves += cur
     }
     waves.result().reduce(_ union _)

@@ -277,25 +277,53 @@ object RelationalPack extends QueryPack {
 
     // C25: 2-D skyline (Pareto frontier) — parts no other part beats
     // on BOTH axes (cheaper AND bigger): the classic multi-criteria
-    // shortlist operator. NOT the quadratic dominance self-join: the
-    // frontier is computed on the DISTINCT (price, size) grid —
-    // value-bounded however many fact rows exist — with two window
-    // passes: a tuple survives iff it holds its price group's max
-    // size AND strictly beats the running max size over all strictly
-    // cheaper tuples (value-based RANGE frame, so equal prices are
-    // peers, not predecessors). Integer cents; the one global sort
-    // runs on the grid, not the table.
+    // shortlist operator. NOT the quadratic dominance self-join, and
+    // (since round 5) NOT a single-partition global sort either: the
+    // distinct (price, size) grid can approach fact cardinality at
+    // scale (p_retailprice has ~O(#parts) distinct values), so the
+    // "running max over all strictly cheaper tuples" decomposes by
+    // PRICE BAND (price_c DIV 10^4 — $100-wide, so #bands is bounded
+    // by the price DOMAIN, not the row count):
+    //   1. per-band max(size) — one partial-aggregable pass;
+    //   2. running max over strictly LOWER bands — a window over the
+    //      band summary (domain-bounded rows, the only unpartitioned
+    //      sort);
+    //   3. within-band strictly-cheaper running max — value-based
+    //      RANGE frame PARTITIONED BY band (each band holds ≤ 10^4
+    //      prices × |size domain| grid rows at ANY fact scale).
+    // A lower band's prices are all strictly cheaper, so
+    // best_cheaper = greatest(best lower band, within-band running
+    // max) — exactly the unbanded frame, spread over bounded tasks.
     "q_skyline" -> { (s, d) =>
       import s.implicits._
       val grid = Tables.part(s, d)
         .select(($"p_retailprice".cast(D) * 100).cast("long").as("price_c"),
           $"p_size".cast("long").as("size"))
         .groupBy($"price_c", $"size").agg(count(lit(1)).as("n_parts"))
-      val cheaper = Window.orderBy($"price_c".asc)
+        .withColumn("band", expr("price_c div 10000"))
+      // band summary: domain-bounded (one row per $100 of price range)
+      val bandBest = grid.groupBy($"band").agg(max($"size").as("band_max"))
+        .withColumn("best_lower_band",
+          max($"band_max").over(Window.orderBy($"band".asc)
+            .rowsBetween(Window.unboundedPreceding, -1)))
+        .select($"band", $"best_lower_band")
+      val inBand = Window.partitionBy($"band").orderBy($"price_c".asc)
         .rangeBetween(Window.unboundedPreceding, -1)
-      val samePrice = Window.partitionBy($"price_c")
+      // band is a function of price_c, so partitioning the same-price
+      // window by (band, price_c) is semantically identical to
+      // (price_c) alone — and rides the inBand exchange+sort (band
+      // hash satisfies the clustering, (band, price_c) order is
+      // already established): ONE fact-grid shuffle for both windows.
+      val samePrice = Window.partitionBy($"band", $"price_c")
       grid
-        .withColumn("best_cheaper", max($"size").over(cheaper))
+        .join(broadcast(bandBest), Seq("band"))
+        .withColumn("best_in_band", max($"size").over(inBand))
+        .withColumn("best_cheaper", greatest(
+          coalesce($"best_lower_band", lit(Long.MinValue)),
+          coalesce($"best_in_band", lit(Long.MinValue))))
+        .withColumn("best_cheaper",
+          when($"best_cheaper" === Long.MinValue, lit(null).cast("long"))
+            .otherwise($"best_cheaper"))
         .withColumn("best_here", max($"size").over(samePrice))
         .filter($"size" === $"best_here" &&
           ($"best_cheaper".isNull || $"size" > $"best_cheaper"))

@@ -91,6 +91,30 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"q_asof must not contain a join:\n$plan")
   }
 
+  test("q_skyline's only unpartitioned window runs over the domain-bounded band summary") {
+    // The strictly-cheaper running max decomposes by price band so the
+    // fact-scaled (price, size) grid never funnels through a single
+    // partition: the one global-order window may only see the per-band
+    // aggregate (one row per $100 of price DOMAIN, regardless of row
+    // count). A regression reintroducing Window.orderBy over the grid
+    // itself fails here.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Window => LWindow}
+    val plan = df("q_skyline").queryExecution.optimizedPlan
+    val globals = plan.collect { case w: LWindow if w.partitionSpec.isEmpty => w }
+    assert(globals.size === 1, s"expected exactly one global window:\n$plan")
+    globals.foreach { w =>
+      // directly beneath the global window there must be an aggregate
+      // grouping on the single band key (Catalyst may collapse the
+      // grid aggregate into it — max per band needs no distinct grid —
+      // but the window input stays band-count-bounded either way)
+      val bandAgg = w.child.collect {
+        case a: Aggregate if a.groupingExpressions.length == 1 => a
+      }
+      assert(bandAgg.nonEmpty,
+        s"global window is not fed by the single-key band aggregate:\n$w")
+    }
+  }
+
   test("iterative graph queries keep lineage truncated (no unrolled join towers)") {
     // A 10-iteration PageRank plan that did NOT checkpoint would nest
     // ~10 joins; with per-iteration localCheckpoint the final plan has
