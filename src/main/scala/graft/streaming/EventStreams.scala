@@ -53,6 +53,16 @@ object EventStreams {
   val SESSION_GAP_US: Long = 1800L * 1000000L
   val WINDOW_SEC: Long = 300L
 
+  /** Exact epoch microseconds of an event timestamp. Timestamp.getTime
+    * is MILLISECOND-truncated — `getTime * 1000` silently dropped the
+    * sub-ms digits the batch twins read via unix_micros, a drift the
+    * cross-engine replay gate caught on real (µs-grained) data; the
+    * nanos field carries the full fraction. */
+  private def micros(t: Timestamp): Long = {
+    val i = t.toInstant
+    i.getEpochSecond * 1000000L + i.getNano / 1000L
+  }
+
   /** Tumbling 5-minute windowed counts/sums with a 10-minute
     * watermark (append-mode-safe).
     *
@@ -95,7 +105,7 @@ object EventStreams {
             val cents = java.math.BigDecimal.valueOf(e.value)
               .setScale(2, java.math.RoundingMode.HALF_UP)
               .movePointRight(2).longValueExact()
-            OpenSession(e.ts.getTime * 1000L, e.ts.getTime * 1000L, 1L, cents)
+            OpenSession(micros(e.ts), micros(e.ts), 1L, cents)
           }.toList
           // Coalesce pass: prior sessions and singleton events sorted
           // by start; anything within the gap of its predecessor
@@ -238,7 +248,7 @@ object EventStreams {
           val prior = state.getOption.getOrElse(EwmaState(Nil, Nil))
           val openMap = scala.collection.mutable.Map(prior.open: _*)
           batch.foreach { e =>
-            val day = (e.ts.getTime * 1000L) / dayUs
+            val day = micros(e.ts) / dayUs
             openMap.update(day, openMap.getOrElse(day, 0L) + 1L)
           }
           val wmUs = state.getCurrentWatermarkMs() * 1000L

@@ -355,6 +355,50 @@ object EventsPack extends QueryPack {
         .select($"rank", $"user_id", round($"total_dec", 2).cast("double").as("total_value"),
           $"n_events")
     },
+
+    // H4 on the hard signal: the Structured Streaming operators
+    // replayed over the events table TO COMPLETION (multi-chunk
+    // MemoryStream replay, watermark advanced between micro-batches,
+    // far-future sentinel sealing every window/session/day — see
+    // [[StreamReplay]]), oracled by the IDENTICAL SQL as their batch
+    // twins. Streaming state merging across batches, append-mode
+    // sealing, and the exact-cents money contract are all inside the
+    // hash compare — a drift between the incremental and batch
+    // formulations flips the driver's gate red.
+    "e_stream_window" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d)(ds => EventStreams.windowedCounts(ds.toDF())) {
+        out => out.filter($"event_type" =!= StreamReplay.SENTINEL_TYPE)
+      }
+    },
+
+    // Streaming sessionization replay: SessionOut rows carry no
+    // session_id (state seals sessions independently), so the batch
+    // twin's per-user id is re-derived by ranking each user's sealed
+    // sessions by start time — sessions of one user are disjoint and
+    // gap-separated, so start order IS the batch new_session running
+    // count. The ranking window runs on the sessions-sized OUTPUT.
+    "e_stream_sessions" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d)(ds => EventStreams.sessionize(ds).toDF()) { out =>
+        out.filter($"user_id" =!= StreamReplay.SENTINEL_USER)
+          .withColumn("session_id", row_number().over(
+            Window.partitionBy($"user_id").orderBy($"start_us".asc)).cast("long"))
+          .select($"user_id", $"session_id", $"n_events",
+            $"start_us", $"end_us", $"sum_value")
+      }
+    },
+
+    // Streaming daily-EWMA replay: dailyEwma's sealed days must
+    // reproduce e_ewma's lag-chain expression tree term-for-term
+    // (bit-identical doubles), so the SAME ewmaSql oracle hashes both.
+    "e_stream_ewma" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d)(ds => EventStreams.dailyEwma(ds).toDF()) {
+        out => out.filter($"event_type" =!= StreamReplay.SENTINEL_TYPE)
+          .select($"event_type", $"day", $"n", $"ewma")
+      }
+    },
   )
 
   /** The e_ewma smoothing expression, shared-shape with the Spark
@@ -377,8 +421,38 @@ object EventsPack extends QueryPack {
        |FROM lags""".stripMargin
   }
 
+  /** e_window's oracle — shared verbatim with the streaming replay
+    * twin (the replay promises set equality with the batch result). */
+  private val windowSql: String =
+    s"""SELECT
+       | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       | event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+       | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+       |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** e_sessions' oracle — shared verbatim with the streaming replay. */
+  private val sessionsSql: String =
+    s"""WITH base AS (
+       | SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+       |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
+       | FROM events),
+       |flagged AS (
+       | SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SESSION_GAP_US THEN 1 ELSE 0 END AS new_session
+       | FROM base),
+       |sess AS (
+       | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+       |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+       | FROM flagged)
+       |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
+       | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+       |FROM sess GROUP BY user_id, session_id""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     "e_ewma" -> ewmaSql,
+    // the streaming replays promise EQUALITY with their batch twins,
+    // so they share the twins' oracle SQL verbatim
+    "e_stream_ewma" -> ewmaSql,
     "e_markov" ->
       """WITH base AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
@@ -468,28 +542,10 @@ object EventsPack extends QueryPack {
         |SELECT h.event_type, strftime(h.h, '%Y-%m-%d %H:%M:%S') AS hour, h.n,
         | h.n * t.n_buckets > t.total * 2 AS spike
         |FROM hours h JOIN typ t ON t.event_type = h.event_type""".stripMargin,
-    "e_window" ->
-      s"""SELECT
-         | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
-         | event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
-         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
-         |FROM events GROUP BY 1, 2""".stripMargin,
-    "e_sessions" ->
-      s"""WITH base AS (
-         | SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
-         |  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts) ASC, event_id ASC) AS prev_us
-         | FROM events),
-         |flagged AS (
-         | SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > $SESSION_GAP_US THEN 1 ELSE 0 END AS new_session
-         | FROM base),
-         |sess AS (
-         | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
-         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
-         | FROM flagged)
-         |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-         | MIN(ts_us) AS start_us, MAX(ts_us) AS end_us,
-         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
-         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "e_window" -> windowSql,
+    "e_stream_window" -> windowSql,
+    "e_sessions" -> sessionsSql,
+    "e_stream_sessions" -> sessionsSql,
     "e_funnel" ->
       s"""WITH base AS (
          | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

@@ -259,4 +259,22 @@ class EventStreamsSpec extends SparkSpec {
       assert(got(2).ewma === (1.0 + 1.0 * 0.5 + 3.0 * 0.25) / 1.75)
     } finally q.stop()
   }
+
+  test("StreamReplay: sealed output is invariant to micro-batch slicing") {
+    // The hard-signal replay promises the streaming result EQUALS the
+    // batch twin's, which implies the emitted set cannot depend on how
+    // the stream was chunked: one giant batch and many small batches
+    // (different watermark advancement schedules, different state
+    // merge interleavings) must seal identical sessions.
+    val one = StreamReplay.replay(spark, sfDir, chunks = 1)(
+      ds => EventStreams.sessionize(ds).toDF()) {
+      out => out.filter(out("user_id") =!= StreamReplay.SENTINEL_USER)
+    }
+    val many = StreamReplay.replay(spark, sfDir, chunks = 13)(
+      ds => EventStreams.sessionize(ds).toDF()) {
+      out => out.filter(out("user_id") =!= StreamReplay.SENTINEL_USER)
+    }
+    assert(one.count() === many.count())
+    assert(one.except(many).count() === 0 && many.except(one).count() === 0)
+  }
 }
