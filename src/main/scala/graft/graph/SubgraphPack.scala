@@ -23,6 +23,15 @@ final case class OrderGraph(okey: Long, nodes: Seq[Int],
     edges.map(e => (math.min(e(0), e(1)), math.max(e(0), e(1)))).toSet)
 }
 
+/** Per-order B6 validation verdict: reject_reason is the exact
+  * message [[Subgraphs.validate]] produced (null when accepted);
+  * node/edge counts of the canonical built graph ride along for
+  * accepted orders so the edge-derivation rules are inside the same
+  * cross-engine check. */
+final case class ValidationRow(o_orderkey: Long, is_valid: Boolean,
+                               reject_reason: Option[String],
+                               n_nodes: Option[Long], n_edges: Option[Long])
+
 /** Pairwise similarity row (mcs.py:285-346's result surface).
   * Every column except ged_ok is exactly cross-engine-computable via
   * the canon-key class sets; ged_ok carries the exact-GED guarantee
@@ -70,15 +79,20 @@ object SubgraphPack extends QueryPack {
       .select($"l_orderkey".as("okey"), $"l_linenumber".as("node"), $"l_suppkey".as("supp"))
   }
 
-  /** Build the local graph of one order; None if validation rejects. */
-  private def buildGraph(its: Seq[OrderItem]): Option[Subgraphs.LocalGraph] = {
+  /** Build the local graph of one order through the B6 validation
+    * gate; Left(reason) when the order is rejected. */
+  private def graphEither(its: Seq[OrderItem]): Either[String, Subgraphs.LocalGraph] = {
     val nodes = its.map(_.node)
     val bySupp = its.groupBy(_.supp).values.filter(_.size > 1)
     val suppEdges = bySupp.flatMap(g => g.map(_.node).sorted.combinations(2).map(p => (p(0), p(1))))
     val nodeSet = nodes.toSet
     val adjEdges = nodes.filter(n => nodeSet(n + 1)).map(n => (n, n + 1))
-    Subgraphs.validate(nodes, (suppEdges ++ adjEdges).toSeq).toOption
+    Subgraphs.validate(nodes, (suppEdges ++ adjEdges).toSeq)
   }
+
+  /** Build the local graph of one order; None if validation rejects. */
+  private def buildGraph(its: Seq[OrderItem]): Option[Subgraphs.LocalGraph] =
+    graphEither(its).toOption
 
   /** The B3 index aggregation, shared with B4's query-by-size.
     * first(size)/first(canon_key) are safe: the WL hash digests the
@@ -125,6 +139,31 @@ object SubgraphPack extends QueryPack {
       indexDf(s, d)
         .filter($"size" === 3)
         .select($"subgraph_hash", $"frequency", $"canon_key")
+    },
+
+    // B6 on the hard signal: per-order validation verdicts through
+    // the REAL Subgraphs.validate code path (mcs.py:27-54's
+    // constraint surface) — okey, accept/reject, the exact reject
+    // message, and the canonical graph's node/edge counts for
+    // accepted orders. The oracle reproduces the same verdicts
+    // arithmetically (distinct-node size cap; duplicate (node, supp)
+    // pairs become self-loop edges) and re-derives the edge counts
+    // from the same supplier-share + adjacent-linenumber rules, so
+    // validation semantics AND edge derivation are hash-compared.
+    // Same one-shuffle per-order shape as the census.
+    "g_validation" -> { (s, d) =>
+      import s.implicits._
+      items(s, d).as[OrderItem]
+        .groupByKey(_.okey)
+        .mapGroups { (okey, it) =>
+          graphEither(it.toSeq) match {
+            case Left(reason) =>
+              ValidationRow(okey, is_valid = false, Some(reason), None, None)
+            case Right(g) =>
+              ValidationRow(okey, is_valid = true, None, Some(g.n.toLong), Some(g.m.toLong))
+          }
+        }
+        .toDF()
     },
 
     // B5: pairwise Tanimoto + approx GED over a bounded order range
@@ -265,6 +304,40 @@ object SubgraphPack extends QueryPack {
       |  ('4:6:3333', '5688ca8e2136fda0029dee1dd3074496', 4)) m(ck, h, sz))""".stripMargin
 
   override def oracles: Map[String, String] = Map(
+    // B6: validation verdicts recomputed arithmetically — the size
+    // cap runs on DISTINCT nodes (validate() dedups first), a
+    // duplicate (node, supp) pair is exactly the condition under
+    // which the Spark side derives a self-loop edge, and the check
+    // ORDER mirrors validate() (size cap before self-loop). Edge
+    // counts re-derive the supplier-share + adjacency bonds over the
+    // distinct node set with UNION dedup = the canonical edge Set.
+    "g_validation" ->
+      """WITH items AS (
+        | SELECT CAST(l_orderkey AS BIGINT) AS okey, CAST(l_linenumber AS INT) AS node, l_suppkey AS supp
+        | FROM lineitem),
+        |agg AS (
+        | SELECT okey, COUNT(DISTINCT node) AS nd, COUNT(*) AS cnt,
+        |  COUNT(DISTINCT (node, supp)) AS cnp
+        | FROM items GROUP BY okey),
+        |verdict AS (
+        | SELECT okey,
+        |  CASE WHEN nd > 10 THEN 'too many nodes: ' || CAST(nd AS VARCHAR) || ' > 10'
+        |       WHEN cnt > cnp THEN 'self-loop' END AS reject_reason,
+        |  nd
+        | FROM agg),
+        |e0 AS (
+        | SELECT DISTINCT i1.okey, i1.node AS a, i2.node AS b
+        | FROM items i1 JOIN items i2
+        |  ON i1.okey = i2.okey AND i1.supp = i2.supp AND i1.node < i2.node
+        | UNION
+        | SELECT DISTINCT i1.okey, i1.node, i2.node
+        | FROM items i1 JOIN items i2 ON i1.okey = i2.okey AND i2.node = i1.node + 1),
+        |ecnt AS (SELECT okey, CAST(COUNT(*) AS BIGINT) AS m FROM e0 GROUP BY okey)
+        |SELECT v.okey AS o_orderkey, v.reject_reason IS NULL AS is_valid,
+        | v.reject_reason,
+        | CASE WHEN v.reject_reason IS NULL THEN CAST(v.nd AS BIGINT) END AS n_nodes,
+        | CASE WHEN v.reject_reason IS NULL THEN COALESCE(e.m, 0) END AS n_edges
+        |FROM verdict v LEFT JOIN ecnt e ON e.okey = v.okey""".stripMargin,
     "g_subgraph_census" ->
       s"""WITH $censusSql
          |SELECT c.okey AS o_orderkey, m.h AS subgraph_hash,
