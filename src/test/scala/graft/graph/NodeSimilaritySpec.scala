@@ -46,6 +46,21 @@ class NodeSimilaritySpec extends SparkSpec {
     assert(got.size > 700) // C(40,2) = 780 pairs via the hub
   }
 
+  test("celebrity hub (deg = 2000 >> tau = 8): blocks stay bounded and the closed form holds") {
+    // 250 blocks for the hub, ~31k cross-block task groups — the
+    // degree-scaled work the positional build spreads out; every
+    // aggregation buffer holds <= tau neighbor ids by construction
+    // (collects group on (mid, rank DIV tau)). On a pure star every
+    // leaf pair meets only through the hub: n_common = 1 and
+    // jaccard = 1/(1+1-1) = 1.0 for all C(2000,2) pairs.
+    val star = undirected((1L to 2000L).map(i => (0L, i)))
+    val out = NodeSimilarity.jaccard(spark, star, tau = 8).cache()
+    try {
+      assert(out.count() === 2000L * 1999L / 2L)
+      assert(out.filter($"n_common" =!= 1L || $"jaccard" =!= 1.0).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("tau larger than any degree (all-cold path) gives identical results") {
     val cold = sortedRows(NodeSimilarity.jaccard(spark, hubGraph, tau = 1000))
     val hot = sortedRows(NodeSimilarity.jaccard(spark, hubGraph, tau = 8))
