@@ -84,6 +84,60 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("two writers racing the same version: one commits, one fails actionably, store stays consistent") {
+    import spark.implicits._
+    import java.util.concurrent.{CountDownLatch, CyclicBarrier}
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "base")).toDF("src", "dst", "tag"), root)
+    // both writers start together, so both resolve next version = 2
+    // before either finishes its staging write — the rename race the
+    // commit protocol exists for
+    val barrier = new CyclicBarrier(2)
+    val done = new CountDownLatch(2)
+    val results = new java.util.concurrent.ConcurrentHashMap[String, Either[Throwable, Int]]()
+    def writer(name: String, delta: (Long, Long, String)): Thread = {
+      val t = new Thread(() => {
+        try {
+          barrier.await()
+          results.put(name, Right(GraphStore.upsert(spark, root,
+            Seq(delta).toDF("src", "dst", "tag"))))
+        } catch { case e: Throwable => results.put(name, Left(e)) }
+        finally done.countDown()
+      })
+      t.start(); t
+    }
+    writer("a", (3L, 4L, "wa"))
+    writer("b", (5L, 6L, "wb"))
+    done.await()
+    val (wins, losses) = results.values().toArray.toSeq
+      .map(_.asInstanceOf[Either[Throwable, Int]]).partition(_.isRight)
+    // at least one writer must land; a loser (if the race actually
+    // collided — it does, staging writes take far longer than the
+    // version probe) must fail with the actionable concurrent-commit
+    // error, never silently clobber
+    assert(wins.nonEmpty)
+    losses.foreach { l =>
+      val e = l.swap.toOption.get
+      assert(e.isInstanceOf[IllegalStateException] &&
+        e.getMessage.contains("concurrent GraphStore commit"),
+        s"loser must fail actionably, got: $e")
+    }
+    // the store is readable and consistent: the committed snapshot(s)
+    // contain the base edge plus each winner's delta
+    val latest = GraphStore.latestVersion(spark, root)
+    assert(latest >= 2)
+    val got = GraphStore.read(spark, root).as[(Long, Long, String)].collect().toSet
+    assert(got.contains((1L, 2L, "base")))
+    assert(got.size === 1 + wins.size)
+    // a defeated writer's RETRY (the error message's instruction)
+    // succeeds and lands on a fresh version
+    if (losses.nonEmpty) {
+      val v = GraphStore.upsert(spark, root, Seq((7L, 8L, "retry")).toDF("src", "dst", "tag"))
+      assert(v > latest)
+      assert(GraphStore.read(spark, root).count() === got.size + 1)
+    }
+  }
+
   test("dedup survivor within one input is deterministic across reruns") {
     import spark.implicits._
     val dup = Seq((1L, 2L, "zz"), (1L, 2L, "aa"), (3L, 4L, "c")).toDF("src", "dst", "tag")
