@@ -399,6 +399,24 @@ object EventsPack extends QueryPack {
           .select($"event_type", $"day", $"n", $"ewma")
       }
     },
+
+    // Stream-stream JOIN replay: clickAttribution's two-sided
+    // watermarked inner join (each purchase matched to same-user
+    // clicks in the preceding 10 minutes, click state evicted once
+    // the purchase watermark passes click_ts + window) replayed to
+    // completion must emit exactly the batch join's pair set — the
+    // oracle is the plain SQL interval join. Timestamps emit as
+    // exact epoch micros.
+    "e_stream_attrib" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d)(ds => EventStreams.clickAttribution(ds.toDF())) { out =>
+        out.filter($"user_id" =!= StreamReplay.SENTINEL_USER)
+          .select($"user_id", $"click_id", $"purchase_id",
+            round($"value".cast(D), 2).cast("double").as("value"),
+            unix_micros($"click_ts").as("click_us"),
+            unix_micros($"purchase_ts").as("purchase_us"))
+      }
+    },
   )
 
   /** The e_ewma smoothing expression, shared-shape with the Spark
@@ -453,6 +471,17 @@ object EventsPack extends QueryPack {
     // the streaming replays promise EQUALITY with their batch twins,
     // so they share the twins' oracle SQL verbatim
     "e_stream_ewma" -> ewmaSql,
+    // the stream-stream join's batch characterization: the plain
+    // interval join over the same click/purchase split
+    "e_stream_attrib" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | CAST(ROUND(CAST(p.value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value,
+        | epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us
+        |FROM events c JOIN events p
+        | ON p.user_id = c.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000""".stripMargin,
     "e_markov" ->
       """WITH base AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
