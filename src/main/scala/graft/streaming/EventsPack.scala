@@ -400,6 +400,33 @@ object EventsPack extends QueryPack {
       }
     },
 
+    // Streaming HLL sketch replay: windowedDistinctUsers' 256-byte
+    // per-window register state, merged incrementally across the
+    // replay's micro-batches, must estimate the SAME cardinalities as
+    // the batch sketch (register max is idempotent and order-free, so
+    // batch-vs-stream register equality is exact, not approximate).
+    // Emitted in e_window_uniques' guarantee shape: exact per-window
+    // uniques (cross-engine) + the |est − exact| ≤ max(0.4n, 3)
+    // boolean the oracle reproduces as TRUE — a streaming-state bug
+    // that inflated or dropped registers flips the hash red. The
+    // inner join on window_start naturally drops the sentinel's
+    // far-future window (the batch side never saw the sentinel).
+    "e_stream_uniques" -> { (s, d) =>
+      import s.implicits._
+      val streamed = StreamReplay.replay(s, d)(
+        ds => EventStreams.windowedDistinctUsers(ds.toDF()))(identity)
+      Tables.events(s, d)
+        .select(window($"ts", s"$WINDOW_SEC seconds").as("win"), $"user_id")
+        .distinct()
+        .groupBy($"win").agg(count(lit(1)).as("n_users"))
+        .select(date_format($"win.start", "yyyy-MM-dd HH:mm:ss").as("window_start"),
+          $"n_users")
+        .join(streamed, Seq("window_start"))
+        .select($"window_start", $"n_users",
+          (abs($"est_users" - $"n_users".cast("double")) <=
+            greatest(lit(0.4) * $"n_users".cast("double"), lit(3.0))).as("hll_ok"))
+    },
+
     // Stream-stream JOIN replay: clickAttribution's two-sided
     // watermarked inner join (each purchase matched to same-user
     // clicks in the preceding 10 minutes, click state evicted once
@@ -447,6 +474,15 @@ object EventsPack extends QueryPack {
        | event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
        |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** e_window_uniques' oracle — shared verbatim with the streaming
+    * HLL replay (same exact counts, same TRUE guarantee literal). */
+  private val windowUniquesSql: String =
+    s"""SELECT
+       | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+       | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       | TRUE AS hll_ok
+       |FROM events GROUP BY 1""".stripMargin
 
   /** e_sessions' oracle — shared verbatim with the streaming replay. */
   private val sessionsSql: String =
@@ -508,12 +544,8 @@ object EventsPack extends QueryPack {
          | CAST(n_touch AS BIGINT) AS n_touch,
          | CASE WHEN n_touch > 0 THEN 1.0 / CAST(n_touch AS DOUBLE) END AS credit_per_click
          |FROM t WHERE event_type = 'purchase'""".stripMargin,
-    "e_window_uniques" ->
-      s"""SELECT
-         | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
-         | CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
-         | TRUE AS hll_ok
-         |FROM events GROUP BY 1""".stripMargin,
+    "e_window_uniques" -> windowUniquesSql,
+    "e_stream_uniques" -> windowUniquesSql,
     "e_gaps" ->
       """WITH base AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

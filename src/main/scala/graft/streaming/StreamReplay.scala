@@ -57,8 +57,17 @@ object StreamReplay {
   }
 
   /** Replays events through `pipe` and returns the final table with
-    * sentinel-derived rows removed by `dropSentinel`. */
-  def replay(s: SparkSession, sfDir: String, chunks: Int = 8)(
+    * sentinel-derived rows removed by `dropSentinel`.
+    *
+    * The streaming query starts under a reduced shuffle-partition
+    * count (restored afterwards): stateful operators instantiate
+    * state-store instances per shuffle partition PER MICRO-BATCH, a
+    * fixed cost that dominates a bounded-data replay at 32 partitions
+    * (measured 49 s → ~15 s on the stream-stream join at sf0.1).
+    * This knob only right-sizes state parallelism for the replayed
+    * volume — a production deployment of the same pipelines sizes it
+    * to the live volume instead. */
+  def replay(s: SparkSession, sfDir: String, chunks: Int = 6)(
       pipe: Dataset[StreamEvent] => DataFrame)(
       dropSentinel: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
@@ -74,18 +83,24 @@ object StreamReplay {
     implicit val sql = s.sqlContext
     val in = MemoryStream[StreamEvent]
     val name = s"graft_replay_${nameCounter.incrementAndGet()}"
-    val q = pipe(in.toDS())
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append()).start()
+    // held for the query's whole life: the state partition count is
+    // latched from the session conf at first-batch planning
+    val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      val per = math.max(1, math.ceil(rows.length / chunks.toDouble).toInt)
-      rows.grouped(per).foreach { chunk =>
-        in.addData(chunk.toIndexedSeq)
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = pipe(in.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val per = math.max(1, math.ceil(rows.length / chunks.toDouble).toInt)
+        rows.grouped(per).foreach { chunk =>
+          in.addData(chunk.toIndexedSeq)
+          q.processAllAvailable()
+        }
+        in.addData(sentinel)
         q.processAllAvailable()
-      }
-      in.addData(sentinel)
-      q.processAllAvailable()
-    } finally q.stop()
+      } finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
     // localCheckpoint so the returned plan reads materialized blocks,
     // not a memory-sink view the next streaming replay could touch
     dropSentinel(s.table(name)).localCheckpoint()
