@@ -61,22 +61,27 @@ object Skew {
 
   /** Two-phase aggregation over a skewed group key for
     * NON-partial-aggregable aggregates (exact distinct counts):
-    * phase 1 dedups (keys, x) on a salted shuffle, phase 2 counts per
-    * key. Plain `countDistinct` ships every value of a hot key to one
-    * reducer; here the dedup happens across `salt`-spread partitions
-    * first and the final count receives pre-shrunk data.
-    */
+    * phase 1 dedups (keys, x) rows on a shuffle keyed by the FULL
+    * tuple — a hot key's values spread across partitions by value
+    * hash (the spreading an explicit salt column would add is already
+    * inside hash(keys, value)) — and phase 2 counts per key, fully
+    * partial-aggregable. Plain `countDistinct` ships every value of a
+    * hot key to one reducer; and the previous formulation here
+    * collect_set-ed each (key, salt-shard)'s values into ONE
+    * aggregation buffer — bounded only by |distinct|/salt, the
+    * unbounded-buffer class this engine bans everywhere else. Both
+    * phases now carry constant per-row state.
+    *
+    * `salt` is retained for source compatibility; the full-tuple
+    * shuffle already spreads at the session's partition count, which
+    * upper-bounds what any salt value could achieve. */
   def saltedCountDistinct(df: DataFrame, keys: Seq[String], valueCol: String,
                           outCol: String, salt: Int = 64): DataFrame = {
     require(salt > 0, "salt must be positive")
     df.select((keys :+ valueCol).map(col).toIndexedSeq: _*)
-      .withColumn("__salt", pmod(hash(col(valueCol)), lit(salt)))
-      .groupBy((keys :+ "__salt").map(col).toIndexedSeq: _*)
-      .agg(collect_set(col(valueCol)).as("__vs"))
-      // values are hash-partitioned by __salt, so the same value never
-      // appears under two salts of one key: set sizes just add up.
+      .distinct()
       .groupBy(keys.map(col).toIndexedSeq: _*)
-      .agg(sum(size(col("__vs"))).as(outCol))
+      .agg(count(col(valueCol)).as(outCol))
   }
 
   /** The salt expression for the big side — exposed so callers can
