@@ -56,6 +56,9 @@ object SimilarityPack extends QueryPack {
   // deterministic seed policy as IVF/PQ/SemDeDup).
   private val KM_K = 8
   private val KM_ITERS = 2
+  // E12 binary quantization: hamming shortlist size before the exact
+  // cosine re-rank
+  private val BQ_RERANK = 50
 
   /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
     * aggregate: each map partition reduces to ≤ K entries per query
@@ -81,6 +84,53 @@ object SimilarityPack extends QueryPack {
       topK(c.crossJoin(broadcast(q))
         .filter($"q_id" =!= $"n_id")
         .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
+    },
+
+    // E12: 1-bit binary-quantization ANN with exact re-ranking — the
+    // memory-tier serving trick of modern vector stores: each vector
+    // collapses to ONE 64-bit sign signature (64 dims × sign bit;
+    // 256× smaller than the float vector), the first-phase scan ranks
+    // candidates by hamming distance computed as bit_count(sig XOR
+    // sig) — two codegen'd builtin ops on longs, no vector touched —
+    // and only the BQ_RERANK shortlist per query reads real
+    // embeddings for the exact-cosine re-rank. Both phases carry
+    // total orders ((hamming ASC, n_id) then (cosine DESC, n_id)),
+    // so the two-phase result is deterministic cross-engine; the
+    // oracle recomputes hamming directly from per-dimension sign
+    // disagreements — it never packs bits, so the packing itself is
+    // verified through every pairwise distance. Shuffle: the hamming
+    // phase reduces map-side to ≤ BQ_RERANK rows per query (bounded
+    // TopKByScore), the re-rank join carries O(queries × BQ_RERANK).
+    "s_knn_binary" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val base = Tables.embeddings(s, d)
+      val sigs = base.select($"vec_id",
+        expr("aggregate(sequence(0, size(embedding) - 1), 0L, " +
+          "(acc, i) -> IF(element_at(embedding, i + 1) > 0, acc | shiftleft(1L, i), acc))")
+          .as("sig"))
+      val qsig = sigs.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"sig".as("qsig"))
+      val shortlist = sigs.select($"vec_id".as("n_id"), $"sig".as("nsig"))
+        .crossJoin(broadcast(qsig))
+        .filter($"q_id" =!= $"n_id")
+        .withColumn("score", -expr("bit_count(qsig ^ nsig)").cast("double"))
+        .groupBy($"q_id")
+        .agg(graft.functions.GraftFunctions.topK($"score", $"n_id", BQ_RERANK).as("tk"))
+        .select($"q_id", explode($"tk").as("t"))
+        .select($"q_id", $"t.id".as("n_id"), (-$"t.score").cast("long").as("hamming"))
+      val emb = base.withColumn("nrm", VectorOps.normDec("embedding"))
+      val reranked = shortlist
+        .join(emb.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn")), "n_id")
+        .join(broadcast(emb.filter($"vec_id" < N_QUERIES)
+          .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))), "q_id")
+        .withColumn("cosine", VectorOps.dotDecFast($"qe", $"ne") / ($"qn" * $"nn"))
+      // the ranking window sees ≤ BQ_RERANK rows per query — bounded
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+      reranked.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"n_id", $"hamming", $"cosine")
     },
 
     // E11: ANN recall measurement ON the hard signal — recall@K of
@@ -505,6 +555,33 @@ object SimilarityPack extends QueryPack {
          |SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
          |FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id
          |WHERE d.dp / (nq.n * nc.n) >= $RANGE_MIN_COSINE""".stripMargin,
+    // E12: hamming recomputed from per-dimension sign disagreements
+    // (no bit packing in SQL — the packed-signature arithmetic is
+    // verified through the distances), then the exact-cosine re-rank
+    // over the same (hamming ASC, n_id) shortlist
+    "s_knn_binary" ->
+      s"""WITH $dimsSql,
+         |ham AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(SUM(CASE WHEN (q.x > 0) <> (c.x > 0) THEN 1 ELSE 0 END) AS BIGINT) AS hamming
+         |        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < $N_QUERIES
+         |        GROUP BY 1, 2),
+         |sel AS (SELECT q_id, n_id, hamming FROM (
+         |         SELECT q_id, n_id, hamming,
+         |          ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY hamming ASC, n_id ASC) AS r
+         |         FROM ham) WHERE r <= $BQ_RERANK),
+         |dot AS (SELECT s.q_id, s.n_id, s.hamming,
+         |         CAST(SUM(CAST(floor(dq.x * dc.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM sel s
+         |        JOIN dims dq ON dq.vec_id = s.q_id
+         |        JOIN dims dc ON dc.vec_id = s.n_id AND dc.i = dq.i
+         |        GROUP BY 1, 2, 3),
+         |cosv AS (SELECT d.q_id, d.n_id, d.hamming, d.dp / (nq.n * nc.n) AS cosine
+         |         FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |ranked AS (SELECT q_id, n_id, hamming, cosine,
+         |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
+         |           FROM cosv)
+         |SELECT q_id, rank, n_id, hamming, cosine FROM ranked WHERE rank <= $K""".stripMargin,
     "s_knn_brute" ->
       s"""WITH $dimsSql,
          |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

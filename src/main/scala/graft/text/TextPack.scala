@@ -36,6 +36,8 @@ object TextPack extends QueryPack {
     * overlap with it are flagged. */
   private val CONTAM_BENCH_BOUND = 20
   private val CONTAM_THRESHOLD = 0.1
+  // F19: a shingle is "corpus-common" from this document frequency
+  private val DUPGRAM_DF = 4
 
   /** Corpus balancing: per-language quota. */
   private val BALANCE_QUOTA = 50
@@ -223,6 +225,37 @@ object TextPack extends QueryPack {
           $"n_hits".cast("double") / $"n_shingles".cast("double"))
         .select($"doc_id", $"n_shingles", $"n_hits", $"contamination",
           ($"contamination" >= CONTAM_THRESHOLD).as("contaminated"))
+    },
+
+    // F19: corpus-boilerplate scoring by duplicated n-grams — per
+    // document, the share of its DISTINCT shingles that are common
+    // corpus-wide (document frequency ≥ DUPGRAM_DF) — the
+    // cross-document cousin of t_repetition's within-document signals
+    // and the shingle-level cousin of t_passages' line dedup: a
+    // document dominated by corpus-common n-grams is template/SEO
+    // boilerplate even when no single line repeats verbatim.
+    // Scale shape: one map-side shingling pass, one partial-aggregable
+    // df groupBy on the shingle key, one shingle-keyed equi-join
+    // carrying constant per-row state (the t_tfidf class — never a
+    // posting list), one per-doc partial aggregation; the flag is an
+    // exact integer cross-multiplication, the share one IEEE division.
+    "t_dupgrams" -> { (s, d) =>
+      import s.implicits._
+      val pairs = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id",
+          graft.dedup.Signatures.shingleSet(TextOps.words($"text")).as("set"))
+        .filter(size($"set") > 0)
+        .select($"doc_id", explode($"set").as("shingle"))
+        .localCheckpoint(false)
+      val df = pairs.groupBy($"shingle").agg(count(lit(1)).as("df"))
+      pairs.join(df, "shingle")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"df" >= DUPGRAM_DF, 1L).otherwise(0L)).as("n_common"))
+        .withColumn("common_share",
+          $"n_common".cast("double") / $"n_shingles".cast("double"))
+        .select($"doc_id", $"n_shingles", $"n_common", $"common_share",
+          ($"n_common" * 2 >= $"n_shingles").as("boilerplate_heavy"))
     },
 
     // F6b: Bloom-filter decontamination — the flag-only variant of
@@ -688,6 +721,18 @@ object TextPack extends QueryPack {
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) AS contamination,
            | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / CAST(z.n_shingles AS DOUBLE) >= $CONTAM_THRESHOLD AS contaminated
            |FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
+      "t_dupgrams" ->
+        s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           |       FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+           |df AS (SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df FROM sh GROUP BY 1)
+           |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           | CAST(SUM(CASE WHEN f.df >= $DUPGRAM_DF THEN 1 ELSE 0 END) AS BIGINT) AS n_common,
+           | CAST(SUM(CASE WHEN f.df >= $DUPGRAM_DF THEN 1 ELSE 0 END) AS DOUBLE)
+           |   / CAST(COUNT(*) AS DOUBLE) AS common_share,
+           | SUM(CASE WHEN f.df >= $DUPGRAM_DF THEN 1 ELSE 0 END) * 2 >= COUNT(*) AS boilerplate_heavy
+           |FROM sh s JOIN df f USING (shingle)
+           |GROUP BY 1""".stripMargin,
       "t_bloom_contam" ->
         s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
