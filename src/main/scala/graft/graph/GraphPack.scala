@@ -703,7 +703,7 @@ object GraphPack extends QueryPack {
     "g_walks" -> {
       val steps = (1 to 3).map { t =>
         s"""w$t AS (SELECT w.seed,
-           | a.nbrs[CAST((w.node * 1103515245 + $t * 12345) % 2147483647 % len(a.nbrs) AS INT) + 1] AS node,
+           | a.nbrs[CAST(((w.node % 2147483647) * 1103515245 + $t * 12345) % 2147483647 % len(a.nbrs) AS INT) + 1] AS node,
            | CAST($t AS BIGINT) AS step
            |FROM w${t - 1} w JOIN adj a ON a.src = w.node)""".stripMargin
       }.mkString(",\n")

@@ -11,11 +11,16 @@ import org.apache.spark.sql.functions._
   * neighbor list. Cross-engine determinism comes from an explicit
   * LCG-style index formula instead of an engine RNG:
   *
-  *   idx(node, t) = ((node * 1103515245 + t * 12345) mod 2^31−1) mod deg(node)
+  *   idx(node, t) = (((node mod 2^31−1) * 1103515245 + t * 12345) mod 2^31−1) mod deg(node)
   *
-  * (all exact BIGINT arithmetic — node ids up to ~8.4e9 stay inside
-  * 2^63 — so DuckDB reproduces every hop bit-for-bit; the walk is a
-  * pure function of the graph, not of partitioning or schedule).
+  * (all exact BIGINT arithmetic: the node id is pre-reduced mod
+  * 2^31−1 BEFORE the multiply, bounding the product at ~2^61 — no
+  * overflow for ANY long node id, where the unreduced product would
+  * wrap negative past ~8.4e9 and a sign-preserving % would then make
+  * the positional join silently match nothing. Every intermediate is
+  * non-negative (pmod), so DuckDB reproduces every hop bit-for-bit;
+  * the walk is a pure function of the graph, not of partitioning or
+  * schedule).
   *
   * Scale shape: adjacency is stored POSITIONALLY as (src, pos, dst)
   * rows — pos = rank of dst in the node's sorted neighbor list — with
@@ -69,7 +74,7 @@ object RandomWalks {
     for (t <- 1 to steps) {
       val withIdx = cur.join(degT, col("node") === col("__dg_src"))
         .select(col("seed"),
-          expr(s"(node * 1103515245 + $t * 12345) % 2147483647 % __dg_deg").as("__idx"),
+          expr(s"pmod(pmod(node, 2147483647) * 1103515245 + $t * 12345, 2147483647) % __dg_deg").as("__idx"),
           col("node"))
       cur = withIdx.join(adjT,
           col("node") === col("__aj_src") && col("__idx") === col("__aj_pos"))

@@ -105,9 +105,17 @@ object SimilarityPack extends QueryPack {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val base = Tables.embeddings(s, d)
+      // Java long shifts wrap the shift count mod 64, so a >64-dim
+      // embedding would silently alias sign bits and corrupt every
+      // hamming distance; fail loudly instead (raise_error rides the
+      // same projection, so the guard can't be pruned away).
       val sigs = base.select($"vec_id",
-        expr("aggregate(sequence(0, size(embedding) - 1), 0L, " +
-          "(acc, i) -> IF(element_at(embedding, i + 1) > 0, acc | shiftleft(1L, i), acc))")
+        when(size($"embedding") <= 64,
+          expr("aggregate(sequence(0, size(embedding) - 1), 0L, " +
+            "(acc, i) -> IF(element_at(embedding, i + 1) > 0, acc | shiftleft(1L, i), acc))"))
+          .otherwise(raise_error(concat(
+            lit("s_knn_binary packs sign bits into one 64-bit word; embedding has "),
+            size($"embedding").cast("string"), lit(" dims (max 64)"))))
           .as("sig"))
       val qsig = sigs.filter($"vec_id" < N_QUERIES)
         .select($"vec_id".as("q_id"), $"sig".as("qsig"))

@@ -24,6 +24,7 @@ class PlanShapeSpec extends SparkSpec {
       "t_tfidf", // one-row corpus-count broadcast
       "g_eccentricity", // one-row diameter/radius extrema broadcast
       "s_maxsim", // bounded multi-vector query broadcast (E1's shape)
+      "s_knn_binary", // ≤N_QUERIES-row sign-signature broadcast (E1's shape)
       "q_basket_pairs", // one-row order-total broadcast
       "s_recall") // composes s_knn_brute/ann, inheriting their shapes
 
