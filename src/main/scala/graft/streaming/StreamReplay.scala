@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.util.concurrent.atomic.AtomicInteger
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
@@ -29,12 +31,18 @@ import org.apache.spark.sql.streaming.OutputMode
   *      prefix of it. Sentinel-derived rows carry a reserved
   *      user/type and are filtered from the returned table.
   *
-  * This is a VERIFICATION harness, not a scale operator: the one
-  * driver-side collect feeds MemoryStream, which is how Spark's own
-  * streaming tests replay bounded data. At production scale the same
-  * pipelines read an unbounded file/Kafka source (StreamingIngest);
-  * state bounds (watermark-horizon sessions, constant-size sketches)
-  * are what the operators themselves guarantee. */
+  * This is a VERIFICATION harness, not a scale operator — but it is
+  * still shaped so the driver never materializes the table it
+  * replays: the sorted events live as a checkpointed DATASET on the
+  * executors (loaded and sorted ONCE per scale dir, shared by every
+  * replay in the family), and the feed pulls them through
+  * `toLocalIterator` one chunk at a time — the driver holds at most
+  * one chunk (plus the ≤2 uncommitted batches MemoryStream retains
+  * until the engine commits them), never the full table, at ANY
+  * replayed volume. At production scale the same pipelines read an
+  * unbounded file/Kafka source (StreamingIngest); state bounds
+  * (watermark-horizon sessions, constant-size sketches) are what the
+  * operators themselves guarantee. */
 object StreamReplay {
 
   /** Reserved ids for the watermark-sealing sentinel event. */
@@ -43,18 +51,46 @@ object StreamReplay {
 
   private val nameCounter = new AtomicInteger(0)
 
-  /** Loads the events table as [[StreamEvent]]s sorted by event time
-    * (ties by event_id — any within-chunk order works; sorting makes
-    * the chunk split contiguous). */
-  private def load(s: SparkSession, sfDir: String): Array[StreamEvent] = {
-    import s.implicits._
-    graft.Tables.events(s, sfDir)
-      .select($"event_id", $"ts", $"user_id", $"event_type",
-        $"value".cast("double").as("value"))
-      .orderBy($"ts".asc, $"event_id".asc)
-      .as[StreamEvent]
-      .collect()
-  }
+  /** The executor-side sorted event set a replay streams through:
+    * checkpointed blocks + the two scalars every replay needs. */
+  private final case class SortedEvents(ds: Dataset[StreamEvent], count: Long, maxTsMs: Long)
+
+  /** One cached load per (session, scale dir): the five-plus replay
+    * keys in a verify/bench run each used to re-read and re-sort the
+    * events table; now the first replay pays the one scan+sort and
+    * the rest stream the same checkpointed blocks. (Weak-keyed by the
+    * session so a stopped test session's blocks don't pin.) */
+  private val cache =
+    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, SortedEvents]]()
+
+  private def sortedEvents(s: SparkSession, sfDir: String): SortedEvents =
+    cache.synchronized {
+      val bySf = cache.asScala.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+      bySf.getOrElseUpdate(sfDir, {
+        import s.implicits._
+        // eager checkpoint: materialized sorted range partitions —
+        // toLocalIterator then walks them in range order, so the
+        // global (ts, event_id) order survives partition-at-a-time
+        // fetching without a driver-side sort
+        val ds = graft.Tables.events(s, sfDir)
+          .select($"event_id", $"ts", $"user_id", $"event_type",
+            $"value".cast("double").as("value"))
+          .orderBy($"ts".asc, $"event_id".asc)
+          .as[StreamEvent]
+          .localCheckpoint(true)
+        val stats = ds.agg(count(lit(1)), max(unix_millis($"ts"))).head()
+        SortedEvents(ds, stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
+      })
+    }
+
+  /** Groups `events` into `per`-sized chunks and hands each to
+    * `deliver`, pulling from the source LAZILY: between deliveries at
+    * most one chunk has been drawn from the iterator — the bound the
+    * replay relies on to never hold the full table driver-side
+    * (spec-asserted in EventStreamsSpec). */
+  private[streaming] def feed(events: Iterator[StreamEvent], per: Int)(
+      deliver: Seq[StreamEvent] => Unit): Unit =
+    events.grouped(per).foreach(chunk => deliver(chunk))
 
   /** Replays events through `pipe` and returns the final table with
     * sentinel-derived rows removed by `dropSentinel`.
@@ -63,7 +99,9 @@ object StreamReplay {
     * count (restored afterwards): stateful operators instantiate
     * state-store instances per shuffle partition PER MICRO-BATCH, a
     * fixed cost that dominates a bounded-data replay at 32 partitions
-    * (measured 49 s → ~15 s on the stream-stream join at sf0.1).
+    * (measured 49 s at 32 → ~10 s at 8 → ~9 s at 4 on the
+    * stream-stream join at sf0.1; the floor left is per-micro-batch
+    * planning + state commit, which partitions don't touch).
     * This knob only right-sizes state parallelism for the replayed
     * volume — a production deployment of the same pipelines sizes it
     * to the live volume instead. */
@@ -72,14 +110,13 @@ object StreamReplay {
       dropSentinel: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     require(chunks > 0, s"chunks must be positive, got $chunks")
-    val rows = load(s, sfDir)
-    val sentinel = {
-      val maxMs = if (rows.isEmpty) 0L else rows.last.ts.getTime
+    val sorted = sortedEvents(s, sfDir)
+    val sentinel =
       // 100 days past the last event: beyond every watermark delay +
       // session gap + day boundary used by the streaming operators
-      StreamEvent(Long.MaxValue, new java.sql.Timestamp(maxMs + 100L * 86400L * 1000L),
+      StreamEvent(Long.MaxValue,
+        new java.sql.Timestamp(sorted.maxTsMs + 100L * 86400L * 1000L),
         SENTINEL_USER, SENTINEL_TYPE, 0.0)
-    }
     implicit val sql = s.sqlContext
     val in = MemoryStream[StreamEvent]
     val name = s"graft_replay_${nameCounter.incrementAndGet()}"
@@ -87,14 +124,18 @@ object StreamReplay {
     // latched from the session conf at first-batch planning
     val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = pipe(in.toDS())
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append()).start()
       try {
-        val per = math.max(1, math.ceil(rows.length / chunks.toDouble).toInt)
-        rows.grouped(per).foreach { chunk =>
-          in.addData(chunk.toIndexedSeq)
+        val per = math.max(1, math.ceil(sorted.count / chunks.toDouble).toInt)
+        // processAllAvailable between chunks both advances the
+        // watermark and COMMITS the delivered batch, letting
+        // MemoryStream drop it — the driver's steady-state footprint
+        // is one in-flight chunk
+        feed(sorted.ds.toLocalIterator().asScala, per) { chunk =>
+          in.addData(chunk)
           q.processAllAvailable()
         }
         in.addData(sentinel)

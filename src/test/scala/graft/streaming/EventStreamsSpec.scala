@@ -277,4 +277,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(one.count() === many.count())
     assert(one.except(many).count() === 0 && many.except(one).count() === 0)
   }
+
+  test("StreamReplay.feed never draws more than one chunk ahead of delivery") {
+    // The replay's driver-memory contract: the feed pulls from the
+    // (executor-backed) iterator lazily, so between deliveries at most
+    // `per` events have been drawn beyond what was already delivered —
+    // the full table is never held driver-side. A refactor that
+    // re-introduced a collect (or an eager grouping) fails here.
+    val total = 1000
+    val per = 64
+    var pulled = 0
+    var delivered = 0
+    val src = Iterator.tabulate(total) { i =>
+      pulled += 1
+      StreamEvent(i.toLong, new java.sql.Timestamp(i.toLong), 1L, "click", 0.0)
+    }
+    StreamReplay.feed(src, per) { chunk =>
+      assert(pulled <= delivered + per,
+        s"feed drew $pulled events with only $delivered delivered (chunk=$per): not lazy")
+      delivered += chunk.size
+    }
+    assert(delivered === total)
+  }
 }
