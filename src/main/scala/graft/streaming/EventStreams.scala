@@ -145,6 +145,27 @@ object EventStreams {
       .withWatermark("ts", watermarkDelay)
       .dropDuplicatesWithinWatermark(keyCol)
 
+  /** Streaming dedup on the (user, type, 5-min window) activity key —
+    * the presence-grid dedup feeding DAU/funnel pipelines, and the
+    * form of streaming dedup that carries an EXACT batch oracle:
+    * duplicates of one key are at most WINDOW_SEC apart in event
+    * time, the watermark delay (10 min) exceeds that span, and the
+    * replay feeds event-time-sorted contiguous chunks — so a key's
+    * state can never expire while a duplicate is still in flight, and
+    * the emitted key set EQUALS the batch `SELECT DISTINCT` whatever
+    * the chunking. Only the key columns are projected, so the result
+    * is also independent of WHICH physical duplicate won the race.
+    * State is watermark-bounded: the keys of the active horizon, not
+    * history — the bound that keeps a 100 TB/day ingest feasible. */
+  def dedupActivityKeys(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("window_start",
+        date_format(timestamp_seconds(expr(s"unix_micros(ts) div ${WINDOW_SEC * 1000000L} * $WINDOW_SEC")),
+          "yyyy-MM-dd HH:mm:ss"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "window_start")
+      .select(col("window_start"), col("event_type"), col("user_id"))
+
   /** Streaming per-user running totals (the H3 top-k feeder as an
     * incremental plan): complete-mode aggregation over user totals.
     * The top-k cut itself stays in the sink query (rank-over-totals

@@ -427,6 +427,65 @@ object EventsPack extends QueryPack {
             greatest(lit(0.4) * $"n_users".cast("double"), lit(3.0))).as("hll_ok"))
     },
 
+    // Streaming dedup replay: dropDuplicatesWithinWatermark on the
+    // (user, type, 5-min window) activity key. Exactness argument
+    // (see [[EventStreams.dedupActivityKeys]]): key duplicates span
+    // ≤ 5 min of event time < the 10-min watermark delay, and the
+    // sorted-contiguous replay means a key's dedup state is always
+    // still alive when its next duplicate arrives — so the sealed
+    // key set equals the batch DISTINCT exactly, independent of
+    // chunking AND of which physical row won (only key columns are
+    // emitted). The D1 operator's incremental form on the hard gate.
+    "e_stream_dedup" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d)(ds => EventStreams.dedupActivityKeys(ds.toDF())) {
+        out => out.filter($"event_type" =!= StreamReplay.SENTINEL_TYPE)
+      }
+    },
+
+    // Streaming windowed heavy-hitters replay — C15's discipline
+    // applied to the stream: a Misra-Gries summary's VALUES (and even
+    // its surviving item set) depend on merge order, so the raw
+    // summary can't hash-compare; its GUARANTEES are order-free and
+    // provable per window against exact batch counts. Emitted per
+    // window: the exact event count (cross-engine anchor), the MG
+    // sandwich est ≤ true ≤ est + max_err over every reported item,
+    // and the coverage bound — every user with count > n/(cap+1)
+    // appears in the summary. A streaming-state bug that corrupted a
+    // counter through an inter-batch merge, or dropped a heavy item,
+    // flips a boolean and the driver's hash goes red. The exact-count
+    // side runs batch (it's the oracle anchor, not streaming state).
+    "e_stream_hh" -> { (s, d) =>
+      import s.implicits._
+      val cap = 32
+      val streamed = StreamReplay.replay(s, d)(
+        ds => EventStreams.windowedHeavyHitters(ds.toDF(), cap))(identity)
+        .select($"window_start", $"user_id", $"est_count", $"max_err")
+      val perUser = Tables.events(s, d)
+        .select(date_format(timestamp_seconds(
+          expr(s"unix_micros(ts) div ${WINDOW_SEC * 1000000L} * $WINDOW_SEC")),
+          "yyyy-MM-dd HH:mm:ss").as("window_start"), $"user_id")
+        .groupBy($"window_start", $"user_id").agg(count(lit(1)).as("true_cnt"))
+        .localCheckpoint(false) // consumed by totals, sandwich and coverage
+      val winTot = perUser.groupBy($"window_start")
+        .agg(sum($"true_cnt").as("n_events"))
+      val sandwich = streamed
+        .join(perUser, Seq("window_start", "user_id"), "left")
+        .groupBy($"window_start")
+        .agg(expr("bool_and(true_cnt IS NOT NULL AND est_count <= true_cnt " +
+          "AND true_cnt <= est_count + max_err)").as("sandwich_ok"))
+      val misses = perUser.join(winTot, "window_start")
+        .filter($"true_cnt" * (cap + 1) > $"n_events")
+        .join(streamed, Seq("window_start", "user_id"), "left_anti")
+        .groupBy($"window_start").agg(count(lit(1)).as("n_missed"))
+      // inner joins on the batch-side window set drop the sentinel's
+      // far-future window (the batch side never saw the sentinel)
+      winTot.join(sandwich, "window_start")
+        .join(misses, Seq("window_start"), "left")
+        .select($"window_start", $"n_events", $"sandwich_ok",
+          coalesce($"n_missed", lit(0L)).===(0L).as("coverage_ok"))
+    },
+
     // Stream-stream JOIN replay: clickAttribution's two-sided
     // watermarked inner join (each purchase matched to same-user
     // clicks in the preceding 10 minutes, click state evicted once
@@ -546,6 +605,21 @@ object EventsPack extends QueryPack {
          |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "e_window_uniques" -> windowUniquesSql,
     "e_stream_uniques" -> windowUniquesSql,
+    // the MG guarantees are TRUE by construction whatever the merge
+    // order; the exact window totals anchor the row set cross-engine
+    "e_stream_hh" ->
+      s"""SELECT
+         | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+         | CAST(COUNT(*) AS BIGINT) AS n_events,
+         | TRUE AS sandwich_ok, TRUE AS coverage_ok
+         |FROM events GROUP BY 1""".stripMargin,
+    // streaming dedup promises EQUALITY with the batch DISTINCT over
+    // the activity key (see the query's exactness argument)
+    "e_stream_dedup" ->
+      s"""SELECT DISTINCT
+         | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+         | event_type, user_id
+         |FROM events""".stripMargin,
     "e_gaps" ->
       """WITH base AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
