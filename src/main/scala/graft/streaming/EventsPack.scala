@@ -486,6 +486,13 @@ object EventsPack extends QueryPack {
           coalesce($"n_missed", lit(0L)).===(0L).as("coverage_ok"))
     },
 
+    // File-source ingest on the hard signal: events land as JSONL
+    // files in two waves with a query stop/RESTART between them; the
+    // checkpointed parquet sink must contain exactly the batch row
+    // set — exactly-once across the restart, proven by the hash (see
+    // [[StreamingIngest.replayFileIngest]]).
+    "e_stream_ingest" -> { (s, d) => StreamingIngest.replayFileIngest(s, d) },
+
     // Stream-stream JOIN replay: clickAttribution's two-sided
     // watermarked inner join (each purchase matched to same-user
     // clicks in the preceding 10 minutes, click state evicted once
@@ -605,6 +612,11 @@ object EventsPack extends QueryPack {
          |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "e_window_uniques" -> windowUniquesSql,
     "e_stream_uniques" -> windowUniquesSql,
+    // the ingest round-trip promises the sink EQUALS the source table
+    "e_stream_ingest" ->
+      """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,
+        | CAST(ROUND(CAST(value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value
+        |FROM events""".stripMargin,
     // the MG guarantees are TRUE by construction whatever the merge
     // order; the exact window totals anchor the row set cross-engine
     "e_stream_hh" ->
