@@ -25,7 +25,25 @@ import org.apache.spark.sql.functions._
   */
 object LabelPropagation {
 
-  def run(s: SparkSession, vertices: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+  /** @param smallGraph caller's ASSERTION that the graph is
+    *        dimension-bounded (≤ 2^20 edges and vertices at ANY fact
+    *        scale): edges and vertex ids are then collected once and
+    *        the label rounds run in-process, replacing iters × (join +
+    *        two aggregations) scheduler rounds with one job —
+    *        bit-identical output because LPA is pure integer
+    *        arithmetic with a total (count DESC, label ASC) order
+    *        ([[PersonalizedPageRank]]'s guarded fast-path pattern).
+    *        Refused with an exception if the assertion is false. The
+    *        distributed loop stays the default and is what the
+    *        benchmark exercises. */
+  def run(s: SparkSession, vertices: DataFrame, edges: DataFrame, iters: Int,
+          smallGraph: Boolean = false): DataFrame = {
+    if (smallGraph) runDimBounded(s, vertices, edges, iters)
+    else runDistributed(s, vertices, edges, iters)
+  }
+
+  private def runDistributed(s: SparkSession, vertices: DataFrame, edges: DataFrame,
+                             iters: Int): DataFrame = {
     import s.implicits._
     require(iters >= 1, s"iters must be >= 1, got $iters")
     // Derived once, hash-partitioned on the join key: localCheckpoint
@@ -51,5 +69,55 @@ object LabelPropagation {
         .localCheckpoint(false)
     }
     labels
+  }
+
+  /** Dimension-bounded fast path: one distributed job ships the edge
+    * list and vertex ids (limits INSIDE the collects — a fact-sized
+    * graph is refused after at most limit+1 rows, never an OOM-sized
+    * collect); the synchronous rounds then run in-process. Integer
+    * counts, max over (count, −label) — the exact argmax the
+    * distributed struct-max computes — so the result is bit-identical
+    * by construction (spec-asserted). */
+  private def runDimBounded(s: SparkSession, vertices: DataFrame, edges: DataFrame,
+                            iters: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val limit = 1 << 20
+    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .limit(limit + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(e.length <= limit,
+      s"smallGraph is set but the edge set exceeds $limit rows — " +
+        "not dimension-bounded; use the distributed path")
+    val v = vertices.select(col("id").cast("long"))
+      .limit(limit + 1).collect().map(_.getLong(0))
+    require(v.length <= limit,
+      s"smallGraph is set but the vertex set exceeds $limit rows — " +
+        "not dimension-bounded; use the distributed path")
+    var label = mutable.HashMap(v.map(n => n -> n).toIndexedSeq: _*)
+    for (_ <- 1 to iters) {
+      val counts = mutable.HashMap.empty[(Long, Long), Long]
+      e.foreach { case (src, dst) =>
+        // only labeled sources vote, exactly like the edges⋈labels join
+        label.get(src).foreach { l =>
+          counts.update((dst, l), counts.getOrElse((dst, l), 0L) + 1L)
+        }
+      }
+      // per-dst argmax over (count, −label): lexicographic tuple max ==
+      // the distributed max(struct(c, −label))
+      val best = mutable.HashMap.empty[Long, (Long, Long)]
+      counts.foreach { case ((dst, l), c) =>
+        val cand = (c, -l)
+        if (best.get(dst).forall(b => Ordering[(Long, Long)].lt(b, cand)))
+          best.update(dst, cand)
+      }
+      label = label.map { case (n, old) => n -> best.get(n).map(b => -b._2).getOrElse(old) }
+    }
+    val rows = label.toSeq.sortBy(_._1).map { case (n, l) => Row(n, l) }
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("label", LongType)))
+    s.createDataFrame(rows.asJava, schema)
   }
 }
