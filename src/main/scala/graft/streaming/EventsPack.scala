@@ -3,6 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.OutputMode
 import org.apache.spark.sql.types.DecimalType
 import graft.{QueryPack, Tables}
 
@@ -486,6 +487,21 @@ object EventsPack extends QueryPack {
           coalesce($"n_missed", lit(0L)).===(0L).as("coverage_ok"))
     },
 
+    // Streaming running-totals replay — the H3 feeder as COMPLETE-mode
+    // incremental aggregation: per-user (count, exact-decimal sum)
+    // state merged across micro-batches, the memory sink's final
+    // emission compared against the batch GROUP BY. Complete mode's
+    // sink holds the USER-dimension table (never the event stream);
+    // the decimal-cents sum is order-free, so incremental merging is
+    // exactly the batch result. Closes the last spec-only H4 surface.
+    "e_stream_totals" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d, mode = OutputMode.Complete())(
+        ds => EventStreams.userTotals(ds.toDF())) {
+        out => out.filter($"user_id" =!= StreamReplay.SENTINEL_USER)
+      }
+    },
+
     // File-source ingest on the hard signal: events land as JSONL
     // files in two waves with a query stop/RESTART between them; the
     // checkpointed parquet sink must contain exactly the batch row
@@ -612,6 +628,11 @@ object EventsPack extends QueryPack {
          |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "e_window_uniques" -> windowUniquesSql,
     "e_stream_uniques" -> windowUniquesSql,
+    // complete-mode totals promise EQUALITY with the batch GROUP BY
+    "e_stream_totals" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
+        |FROM events GROUP BY user_id""".stripMargin,
     // the ingest round-trip promises the sink EQUALS the source table
     "e_stream_ingest" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,

@@ -105,7 +105,8 @@ object StreamReplay {
     * This knob only right-sizes state parallelism for the replayed
     * volume — a production deployment of the same pipelines sizes it
     * to the live volume instead. */
-  def replay(s: SparkSession, sfDir: String, chunks: Int = 6)(
+  def replay(s: SparkSession, sfDir: String, chunks: Int = 6,
+             mode: OutputMode = OutputMode.Append())(
       pipe: Dataset[StreamEvent] => DataFrame)(
       dropSentinel: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
@@ -127,7 +128,7 @@ object StreamReplay {
       s.conf.set("spark.sql.shuffle.partitions", "4")
       val q = pipe(in.toDS())
         .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append()).start()
+        .outputMode(mode).start()
       try {
         val per = math.max(1, math.ceil(sorted.count / chunks.toDouble).toInt)
         // processAllAvailable between chunks both advances the

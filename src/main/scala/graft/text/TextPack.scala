@@ -482,6 +482,44 @@ object TextPack extends QueryPack {
           ($"top_f".cast("double") / $"n_tokens".cast("double")).as("top_share"))
     },
 
+    // F20: collocation mining — the top bigrams by PMI LIFT, the
+    // corpus statistic behind phrase detection / tokenizer-merge
+    // candidates (word2vec-phrases style). PMI itself is a log, and
+    // libm logs are not bit-identical across engines — but log is
+    // monotone, so ranking by the RAW lift c_ab·N / (c_a·c_b) is
+    // ranking by PMI, and the lift is one IEEE division of two exact
+    // integer products (cross-engine bit-equal; products stay ≪ 2^53
+    // at any tested scale). Marginals c_a (as first word), c_b (as
+    // second) and N re-aggregate from the bigram-count table itself —
+    // vocab²-bounded, not corpus-bounded. Scale shape: one bounded
+    // per-doc window builds bigrams, one partial-aggregable shuffle
+    // counts them; the one-row total N is a broadcast (t_tfidf's
+    // pattern); the top-20 is TakeOrderedAndProject (bounded heaps),
+    // and only the 20 survivors cross the ranking window.
+    "t_colloc" -> { (s, d) =>
+      import s.implicits._
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+      val bi = Tables.documents(s, d)
+        .select($"doc_id", posexplode(split(TextOps.norm($"text"), " ")).as(Seq("pos", "wa")))
+        .withColumn("wb", lead($"wa", 1).over(w))
+        .filter($"wb".isNotNull)
+      val cnt = bi.groupBy($"wa", $"wb").agg(count(lit(1)).as("c_ab"))
+        .localCheckpoint(false) // consumed by marginals, total and scoring
+      val ca = cnt.groupBy($"wa").agg(sum($"c_ab").as("c_a"))
+      val cb = cnt.groupBy($"wb").agg(sum($"c_ab").as("c_b"))
+      val tot = cnt.agg(sum($"c_ab").as("n_bi"))
+      val scored = cnt.filter($"c_ab" >= 5)
+        .join(ca, "wa").join(cb, "wb")
+        .crossJoin(broadcast(tot))
+        .withColumn("lift",
+          ($"c_ab" * $"n_bi").cast("double") / ($"c_a" * $"c_b").cast("double"))
+      scored.orderBy($"lift".desc, $"wa".asc, $"wb".asc).limit(20)
+        .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy($"lift".desc, $"wa".asc, $"wb".asc)).cast("long"))
+        .select($"rank", $"wa", $"wb", $"c_ab", $"lift")
+    },
+
     // F18: deterministic weighted sampling WITHOUT replacement — an
     // exact-size sample of SAMPLE_N docs where selection probability
     // rises with an integer per-source weight, via the min-of-w-hashes
@@ -606,6 +644,26 @@ object TextPack extends QueryPack {
   override def oracles: Map[String, String] = {
     val nrmSql = """regexp_replace(lower(trim(text)),'\s+',' ','g')"""
     Map(
+      // lift = one IEEE division of exact integer products (the log
+      // step of PMI is monotone, so the rank order is PMI's)
+      "t_colloc" ->
+        s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
+           |bi AS (
+           | SELECT w[CAST(t.i AS INT)] AS wa, w[CAST(t.i AS INT) + 1] AS wb
+           | FROM toks, UNNEST(range(1, len(w))) t(i)),
+           |cnt AS (SELECT wa, wb, CAST(COUNT(*) AS BIGINT) AS c_ab FROM bi GROUP BY 1, 2),
+           |ca AS (SELECT wa, CAST(SUM(c_ab) AS BIGINT) AS c_a FROM cnt GROUP BY 1),
+           |cb AS (SELECT wb, CAST(SUM(c_ab) AS BIGINT) AS c_b FROM cnt GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(c_ab) AS BIGINT) AS n_bi FROM cnt)
+           |SELECT rank, wa, wb, c_ab, lift FROM (
+           | SELECT wa, wb, c_ab,
+           |  CAST(c_ab * n_bi AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) AS lift,
+           |  CAST(ROW_NUMBER() OVER (ORDER BY
+           |    CAST(c_ab * n_bi AS DOUBLE) / CAST(c_a * c_b AS DOUBLE) DESC,
+           |    wa ASC, wb ASC) AS BIGINT) AS rank
+           | FROM cnt JOIN ca USING (wa) JOIN cb USING (wb) CROSS JOIN tot
+           | WHERE c_ab >= 5) t
+           |WHERE rank <= 20""".stripMargin,
       "t_vocab" ->
         s"""WITH freq AS (
            | SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS f

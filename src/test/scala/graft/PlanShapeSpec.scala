@@ -22,6 +22,7 @@ class PlanShapeSpec extends SparkSpec {
     Set("s_knn_brute", "s_knn_ivf", "s_range_search", "g_ged_pairs", "d_semantic", "s_knn_pq",
       "s_pipeline", // embeds d_semantic's bounded centroid broadcast
       "t_tfidf", // one-row corpus-count broadcast
+      "t_colloc", // one-row bigram-total broadcast (t_tfidf's pattern)
       "g_eccentricity", // one-row diameter/radius extrema broadcast
       "s_maxsim", // bounded multi-vector query broadcast (E1's shape)
       "s_knn_binary", // ≤N_QUERIES-row sign-signature broadcast (E1's shape)
