@@ -235,6 +235,13 @@ object GraphPack extends QueryPack {
       RandomWalks.run(s, GraphBuilder.partEdgesWide(s, d), seeds, steps = 3)
     },
 
+    // A29: DAG longest-path leveling over the DIRECTED size-up edit
+    // rule (the acyclic half of the widened edit-graph) — dependency
+    // depth per part, computed on the dimension-bounded (brand, size)
+    // quotient graph and broadcast-stamped back onto the fact table
+    // (see [[DagDepth]] for why facts never iterate).
+    "g_dag_depth" -> { (s, d) => DagDepth.partEditDepth(s, d) },
+
     // A3: depth-bounded wavefront expansion (add_relations,
     // main.py:212-242): seeds at wave 0, 3 waves out, first-seen wins.
     "g_expand" -> { (s, d) =>
@@ -718,6 +725,21 @@ object GraphPack extends QueryPack {
          |$steps
          |$out""".stripMargin
     },
+    // bounded state enumeration: class domain ≤ |brands|×|sizes|,
+    // depth ≤ the size span, so UNION-dedup'd walk states are finite
+    "g_dag_depth" ->
+      """WITH RECURSIVE cls AS (
+        | SELECT DISTINCT p_brand AS brand, CAST(p_size AS INT) AS s FROM part),
+        |walk(brand, s, depth) AS (
+        | SELECT brand, s, CAST(0 AS BIGINT) FROM cls
+        | UNION
+        | SELECT c.brand, c.s, w.depth + 1
+        | FROM walk w JOIN cls c ON c.brand = w.brand
+        |  AND (c.s = w.s + 1 OR c.s = w.s + 2)
+        | WHERE w.depth < 60),
+        |cd AS (SELECT brand, s, MAX(depth) AS depth FROM walk GROUP BY 1, 2)
+        |SELECT CAST(p.p_partkey AS BIGINT) AS part, cd.depth
+        |FROM part p JOIN cd ON cd.brand = p.p_brand AND cd.s = CAST(p.p_size AS INT)""".stripMargin,
     "g_jaccard_nodes" ->
       s"""WITH $wideEdgesSql,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM wedges GROUP BY src),
