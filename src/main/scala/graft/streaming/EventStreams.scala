@@ -166,6 +166,29 @@ object EventStreams {
       .dropDuplicatesWithinWatermark("user_id", "event_type", "window_start")
       .select(col("window_start"), col("event_type"), col("user_id"))
 
+  /** CHAINED stateful pipeline — dedup THEN windowed aggregation in
+    * ONE streaming query under ONE watermark: the composition case
+    * multi-stage production pipelines actually exercise (two state
+    * stores, the second consuming the first's in-batch output).
+    * Dedup on the (user, type, window) activity key makes the
+    * downstream count-per-(window, type) a streaming COUNT(DISTINCT
+    * user_id) — and because the dedup is exact under the sorted
+    * replay (see [[dedupActivityKeys]]) and the window agg seals on
+    * the shared watermark, the sealed result EQUALS the batch
+    * distinct-count twin exactly. */
+  def dedupThenWindowCounts(events: DataFrame): DataFrame = {
+    events
+      .withWatermark("ts", "10 minutes")
+      .withColumn("window_start",
+        date_format(timestamp_seconds(expr(s"unix_micros(ts) div ${WINDOW_SEC * 1000000L} * $WINDOW_SEC")),
+          "yyyy-MM-dd HH:mm:ss"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type", "window_start")
+      .groupBy(window(col("ts"), s"$WINDOW_SEC seconds"), col("event_type"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("event_type"), col("n_users"))
+  }
+
   /** Streaming per-user running totals (the H3 top-k feeder as an
     * incremental plan): complete-mode aggregation over user totals.
     * The top-k cut itself stays in the sink query (rank-over-totals

@@ -487,6 +487,19 @@ object EventsPack extends QueryPack {
           coalesce($"n_missed", lit(0L)).===(0L).as("coverage_ok"))
     },
 
+    // CHAINED stateful replay: dedup → windowed agg composed in ONE
+    // streaming query under one watermark (two state stores, the
+    // second consuming the first's in-batch output) — the multi-stage
+    // composition production pipelines trip on. Sealed output equals
+    // the batch per-window COUNT(DISTINCT user) by the e_stream_dedup
+    // exactness argument + append-mode window sealing.
+    "e_stream_chain" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d)(ds => EventStreams.dedupThenWindowCounts(ds.toDF())) {
+        out => out.filter($"event_type" =!= StreamReplay.SENTINEL_TYPE)
+      }
+    },
+
     // Streaming running-totals replay — the H3 feeder as COMPLETE-mode
     // incremental aggregation: per-user (count, exact-decimal sum)
     // state merged across micro-batches, the memory sink's final
@@ -628,6 +641,13 @@ object EventsPack extends QueryPack {
          |FROM t WHERE event_type = 'purchase'""".stripMargin,
     "e_window_uniques" -> windowUniquesSql,
     "e_stream_uniques" -> windowUniquesSql,
+    // the chained pipeline promises EQUALITY with the batch
+    // per-window distinct-user counts
+    "e_stream_chain" ->
+      s"""SELECT
+         | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+         | event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM events GROUP BY 1, 2""".stripMargin,
     // complete-mode totals promise EQUALITY with the batch GROUP BY
     "e_stream_totals" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
