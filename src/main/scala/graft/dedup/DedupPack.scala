@@ -222,6 +222,29 @@ object DedupPack extends QueryPack {
           ($"id" === $"component").as("is_survivor"))
     },
 
+    // D10: canonical-representative selection — the keep-BEST step
+    // real pipelines run after D6's closure (min-id survivorship is a
+    // tiebreak policy; retention policy keeps the highest-quality
+    // member, here the longest text). Per cluster: the argmax doc by
+    // (n_chars DESC, doc_id ASC) via ONE partial-aggregable
+    // max(struct(n_chars, −doc_id)) — no per-cluster sort, no window
+    // over the corpus — plus member count and kept-char mass. The
+    // doc-count-sized join with metadata is the only extra shuffle
+    // over D6.
+    "d_canonical" -> { (s, d) =>
+      import s.implicits._
+      val clusters = DedupPack.queries("d_cluster")(s, d)
+        .select($"doc_id", $"cluster_id")
+      val meta = Tables.documents(s, d)
+        .select($"doc_id".cast("long").as("doc_id"), $"n_chars".cast("long").as("n_chars"))
+      clusters.join(meta, "doc_id")
+        .groupBy($"cluster_id")
+        .agg(max(struct($"n_chars", (-$"doc_id").as("negid"))).as("m"),
+          count(lit(1)).as("n_members"), sum($"n_chars").as("total_chars"))
+        .select($"cluster_id", (-$"m.negid").as("canonical_doc"),
+          $"m.n_chars".as("canonical_chars"), $"n_members", $"total_chars")
+    },
+
     // D3: SimHash 64-bit + hamming radius via 16-bit chunk blocking.
     // Term-frequency weighted (Charikar simhash): tf weights separate
     // docs drawn from a small shared vocabulary, which both matches
@@ -441,6 +464,28 @@ object DedupPack extends QueryPack {
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id,
          | node = MIN(lbl) AS is_survivor
          |FROM reach GROUP BY node""".stripMargin,
+    // D6's closure + per-cluster argmax by (n_chars DESC, doc_id ASC)
+    "d_canonical" ->
+      s"""WITH RECURSIVE $minhashCandSql,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(node, lbl) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |j AS (SELECT c.cluster_id, c.doc_id, CAST(d.n_chars AS BIGINT) AS n_chars
+         |      FROM cl c JOIN documents d ON d.doc_id = c.doc_id),
+         |pick AS (SELECT cluster_id, doc_id, n_chars,
+         |          ROW_NUMBER() OVER (PARTITION BY cluster_id
+         |            ORDER BY n_chars DESC, doc_id ASC) AS rn
+         |         FROM j),
+         |agg AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+         |         CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         |        FROM j GROUP BY 1)
+         |SELECT a.cluster_id, p.doc_id AS canonical_doc,
+         | p.n_chars AS canonical_chars, a.n_members, a.total_chars
+         |FROM agg a JOIN pick p ON p.cluster_id = a.cluster_id AND p.rn = 1""".stripMargin,
     "d_simhash" ->
       s"""WITH toks AS (
          | SELECT doc_id, tok, COUNT(*) AS tf

@@ -86,6 +86,28 @@ object SimilarityPack extends QueryPack {
         .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
     },
 
+    // E13: FILTERED vector search — top-k under a metadata predicate
+    // (the "only lang=en docs" / "only this tenant" case every vector
+    // store serves). Strategy is PRE-filter: the predicate applies to
+    // the corpus scan BEFORE any distance work, so cost scales with
+    // the filtered subset, the top-k is exact over survivors (no
+    // post-filter recall loss, the failure mode of filter-after-ANN
+    // at selective predicates), and the predicate — here the vec_id
+    // residue class standing in for a metadata column — is eligible
+    // for scan pushdown/partition pruning at the source.
+    "s_knn_filtered" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      val q = e.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      val c = e.filter(pmod($"vec_id", lit(5)) === 0)
+        .select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+      topK(c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"n_id")
+        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
+    },
+
     // E12: 1-bit binary-quantization ANN with exact re-ranking — the
     // memory-tier serving trick of modern vector stores: each vector
     // collapses to ONE 64-bit sign signature (64 dims × sign bit;
@@ -590,6 +612,19 @@ object SimilarityPack extends QueryPack {
          |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
          |           FROM cosv)
          |SELECT q_id, rank, n_id, hamming, cosine FROM ranked WHERE rank <= $K""".stripMargin,
+    "s_knn_filtered" ->
+      s"""WITH $dimsSql,
+         |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < $N_QUERIES AND c.vec_id % 5 = 0
+         |        GROUP BY q.vec_id, c.vec_id),
+         |cosv AS (SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
+         |         FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |ranked AS (SELECT q_id, n_id, cosine,
+         |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
+         |           FROM cosv)
+         |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K""".stripMargin,
     "s_knn_brute" ->
       s"""WITH $dimsSql,
          |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,

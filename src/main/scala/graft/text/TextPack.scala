@@ -482,6 +482,37 @@ object TextPack extends QueryPack {
           ($"top_f".cast("double") / $"n_tokens".cast("double")).as("top_share"))
     },
 
+    // F21: split-leakage audit — F5's assignment composed with F6's
+    // shingle overlap: for every TEST-split document, how many of its
+    // distinct 3-gram shingles also occur in any TRAIN-split document
+    // (train/test contamination through near-duplicate text — the
+    // eval-hygiene check a dedup pass can miss when near-dups straddle
+    // the split boundary). Scale shape: the train shingle set is NOT
+    // broadcast (train is most of the corpus, unlike F6's fixed-size
+    // benchmark) — the probe is a shingle-keyed equi-JOIN carrying
+    // constant per-row state, then one per-doc count; the shingling
+    // pass is shared via a lazy localCheckpoint.
+    "t_leakage" -> { (s, d) =>
+      import s.implicits._
+      val sets = Tables.fanOut(s, Tables.documents(s, d))
+        .withColumn("h", TextOps.md5s($"doc_id".cast("string")))
+        .select($"doc_id", splitCol($"h").as("split"),
+          graft.dedup.Signatures.shingleSet(TextOps.words($"text")).as("set"))
+        .filter(size($"set") > 0)
+        .localCheckpoint(false)
+      val trainShingles = sets.filter($"split" === "train")
+        .select(explode($"set").as("shingle")).distinct()
+      val test = sets.filter($"split" === "test")
+      val sizes = test.select($"doc_id", size($"set").cast("long").as("n_shingles"))
+      val hits = test.select($"doc_id", explode($"set").as("shingle"))
+        .join(trainShingles, "shingle")
+        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
+      sizes.join(hits, Seq("doc_id"), "left")
+        .select($"doc_id", $"n_shingles",
+          coalesce($"n_shared", lit(0L)).as("n_shared"),
+          (coalesce($"n_shared", lit(0L)) * 2L >= $"n_shingles").as("leaked"))
+    },
+
     // F20: collocation mining — the top bigrams by PMI LIFT, the
     // corpus statistic behind phrase detection / tokenizer-merge
     // candidates (word2vec-phrases style). PMI itself is a log, and
@@ -765,6 +796,19 @@ object TextPack extends QueryPack {
            |    ORDER BY md5(CAST(doc_id AS VARCHAR)) ASC, doc_id ASC) AS BIGINT) AS pick_rank
            | FROM documents) t
            |WHERE pick_rank <= $BALANCE_QUOTA""".stripMargin,
+      "t_leakage" ->
+        s"""WITH toks AS (SELECT doc_id, $splitSql AS split, string_split($nrmSql, ' ') AS w FROM documents),
+           |sh AS (SELECT DISTINCT doc_id, split, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle
+           |       FROM toks, UNNEST(range(1, len(w)-1)) AS t(i) WHERE len(w) >= 3),
+           |train AS (SELECT DISTINCT shingle FROM sh WHERE split = 'train'),
+           |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles FROM sh
+           |       WHERE split = 'test' GROUP BY 1),
+           |hits AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shared
+           |         FROM sh s JOIN train t USING (shingle)
+           |         WHERE s.split = 'test' GROUP BY 1)
+           |SELECT z.doc_id, z.n_shingles, COALESCE(h.n_shared, 0) AS n_shared,
+           | COALESCE(h.n_shared, 0) * 2 >= z.n_shingles AS leaked
+           |FROM sz z LEFT JOIN hits h ON h.doc_id = z.doc_id""".stripMargin,
       "t_contam" ->
         s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
            |sh AS (SELECT DISTINCT doc_id, w[i] || ' ' || w[i+1] || ' ' || w[i+2] AS shingle

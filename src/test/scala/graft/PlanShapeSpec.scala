@@ -26,6 +26,7 @@ class PlanShapeSpec extends SparkSpec {
       "g_eccentricity", // one-row diameter/radius extrema broadcast
       "s_maxsim", // bounded multi-vector query broadcast (E1's shape)
       "s_knn_binary", // ≤N_QUERIES-row sign-signature broadcast (E1's shape)
+      "s_knn_filtered", // pre-filtered corpus × query broadcast (E1's shape)
       "q_basket_pairs", // one-row order-total broadcast
       "s_recall") // composes s_knn_brute/ann, inheriting their shapes
 
