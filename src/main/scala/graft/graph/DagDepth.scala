@@ -56,6 +56,14 @@ object DagDepth {
         depth.update((brand, sz), if (preds.isEmpty) 0L else preds.max)
       }
     }
+    // the oracle's recursive walk is bounded at depth < 60 (it must
+    // bound its state enumeration); enforce the SAME contract here so
+    // a deeper-than-expected class chain fails LOUDLY on the engine
+    // side instead of silently diverging from the oracle — the
+    // s_knn_binary dims-guard discipline
+    require(depth.isEmpty || depth.values.max <= 59L,
+      s"class-DAG chain depth ${depth.values.max} exceeds the declared bound of 59 " +
+        "(size domain wider than expected) — raise the bound in BOTH engines")
     val rows = classes.map { case (b, sz) => Row(b, sz, depth((b, sz))) }.toSeq
     val schema = StructType(Seq(StructField("brand", StringType),
       StructField("size", IntegerType), StructField("depth", LongType)))

@@ -91,11 +91,19 @@ object LabelPropagation {
     require(e.length <= limit,
       s"smallGraph is set but the edge set exceeds $limit rows — " +
         "not dimension-bounded; use the distributed path")
-    val v = vertices.select(col("id").cast("long"))
-      .limit(limit + 1).collect().map(_.getLong(0))
-    require(v.length <= limit,
+    val vRows = vertices.select(col("id").cast("long")).limit(limit + 1).collect()
+    require(vRows.length <= limit,
       s"smallGraph is set but the vertex set exceeds $limit rows — " +
         "not dimension-bounded; use the distributed path")
+    // degenerate inputs fail loudly rather than silently diverging
+    // from the distributed path: getLong would read a NULL id as 0,
+    // and a duplicated vertex row would multiply that source's votes
+    // in the distributed edges⋈labels join — semantics this in-process
+    // count can't (and shouldn't) reproduce
+    require(vRows.forall(!_.isNullAt(0)), "smallGraph path: null vertex id")
+    val v = vRows.map(_.getLong(0))
+    require(v.distinct.length == v.length,
+      "smallGraph path: duplicate vertex ids (deduplicate the vertex set first)")
     var label = mutable.HashMap(v.map(n => n -> n).toIndexedSeq: _*)
     for (_ <- 1 to iters) {
       val counts = mutable.HashMap.empty[(Long, Long), Long]
@@ -115,7 +123,7 @@ object LabelPropagation {
       }
       label = label.map { case (n, old) => n -> best.get(n).map(b => -b._2).getOrElse(old) }
     }
-    val rows = label.toSeq.sortBy(_._1).map { case (n, l) => Row(n, l) }
+    val rows = v.sorted.map(n => Row(n, label(n))).toSeq
     val schema = StructType(Seq(
       StructField("id", LongType), StructField("label", LongType)))
     s.createDataFrame(rows.asJava, schema)

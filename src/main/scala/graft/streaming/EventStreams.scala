@@ -211,7 +211,7 @@ object EventStreams {
     graft.functions.GraftFunctions.register(events.sparkSession)
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "300 seconds"))
+      .groupBy(window(col("ts"), s"$WINDOW_SEC seconds"))
       .agg(graft.functions.GraftFunctions.heavyHitters(col("user_id"), capacity).as("hh"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         posexplode(col("hh")).as(Seq("pos", "h")))
@@ -235,7 +235,7 @@ object EventStreams {
     import graft.functions.GraftFunctions.{hllCard, hllMerge, hllUnit}
     events
       .withWatermark("ts", "10 minutes")
-      .groupBy(window(col("ts"), "300 seconds"))
+      .groupBy(window(col("ts"), s"$WINDOW_SEC seconds"))
       .agg(hllMerge(hllUnit(xxhash64(col("user_id")))).as("regs"))
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         round(hllCard(col("regs")), 3).as("est_users"))

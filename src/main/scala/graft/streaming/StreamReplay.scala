@@ -55,18 +55,31 @@ object StreamReplay {
     * checkpointed blocks + the two scalars every replay needs. */
   private final case class SortedEvents(ds: Dataset[StreamEvent], count: Long, maxTsMs: Long)
 
-  /** One cached load per (session, scale dir): the five-plus replay
-    * keys in a verify/bench run each used to re-read and re-sort the
-    * events table; now the first replay pays the one scan+sort and
-    * the rest stream the same checkpointed blocks. (Weak-keyed by the
-    * session so a stopped test session's blocks don't pin.) */
-  private val cache =
-    new java.util.WeakHashMap[SparkSession, scala.collection.mutable.Map[String, SortedEvents]]()
+  /** One cached load per (session, scale dir): the replay keys in a
+    * verify/bench run each used to re-read and re-sort the events
+    * table; now the first replay pays the one scan+sort and the rest
+    * stream the same checkpointed blocks. Weak-keyed by the session —
+    * and the VALUES are soft references, because a strongly-held
+    * SortedEvents reaches its own SparkSession through the Dataset
+    * and would make the weak key permanently reachable (the classic
+    * WeakHashMap value→key cycle its Javadoc warns about): with the
+    * soft wrapper a dead session's entry is collectable, while live
+    * caches survive the explicit System.gc() the bench issues between
+    * queries (soft refs only clear under memory pressure). */
+  private val cache = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[SortedEvents]]]()
 
-  private def sortedEvents(s: SparkSession, sfDir: String): SortedEvents =
-    cache.synchronized {
-      val bySf = cache.asScala.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-      bySf.getOrElseUpdate(sfDir, {
+  private def sortedEvents(s: SparkSession, sfDir: String): SortedEvents = {
+    val bySf = cache.synchronized {
+      cache.asScala.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+    }
+    bySf.synchronized(bySf.get(sfDir).flatMap(r => Option(r.get))) match {
+      case Some(v) => v
+      case None =>
+        // computed OUTSIDE the monitor: the scan+sort is a multi-second
+        // Spark job and must not serialize unrelated replays (worst
+        // case two racing threads duplicate one load; last write wins)
         import s.implicits._
         // eager checkpoint: materialized sorted range partitions —
         // toLocalIterator then walks them in range order, so the
@@ -79,9 +92,12 @@ object StreamReplay {
           .as[StreamEvent]
           .localCheckpoint(true)
         val stats = ds.agg(count(lit(1)), max(unix_millis($"ts"))).head()
-        SortedEvents(ds, stats.getLong(0), if (stats.isNullAt(1)) 0L else stats.getLong(1))
-      })
+        val v = SortedEvents(ds, stats.getLong(0),
+          if (stats.isNullAt(1)) 0L else stats.getLong(1))
+        bySf.synchronized(bySf.update(sfDir, new java.lang.ref.SoftReference(v)))
+        v
     }
+  }
 
   /** Groups `events` into `per`-sized chunks and hands each to
     * `deliver`, pulling from the source LAZILY: between deliveries at

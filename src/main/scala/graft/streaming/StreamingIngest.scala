@@ -92,8 +92,10 @@ object StreamingIngest {
     } finally {
       import java.nio.file.{Files, Path}
       import java.util.Comparator
-      Files.walk(base).sorted(Comparator.reverseOrder[Path]())
+      val walk = Files.walk(base)
+      try walk.sorted(Comparator.reverseOrder[Path]())
         .forEach(p => Files.deleteIfExists(p))
+      finally walk.close()
     }
   }
 }

@@ -126,6 +126,24 @@ object TextPack extends QueryPack {
       |  WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = 'd' THEN 'val'
       |  ELSE 'test' END""".stripMargin
 
+  /** Shared probe shape of the F6/F21 overlap audits: per probe doc
+    * (doc_id, set), the distinct-shingle count and how many of those
+    * shingles occur in the reference shingle set — one explode, one
+    * shingle-keyed join with constant per-row state, one per-doc
+    * count. The reference arrives as a (shingle) DataFrame:
+    * broadcast-wrapped by the caller when dimension-bounded (F6's
+    * fixed benchmark), join-probed plain when it scales with the
+    * corpus (F21's train split). Single-sourced so a fix to the
+    * overlap accounting cannot drift between the two keys. */
+  private def shingleOverlapCounts(probe: DataFrame, reference: DataFrame): DataFrame = {
+    val sizes = probe.select(col("doc_id"), size(col("set")).cast("long").as("n_shingles"))
+    val hits = probe.select(col("doc_id"), explode(col("set")).as("shingle"))
+      .join(reference, "shingle")
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    sizes.join(hits, Seq("doc_id"), "left")
+      .withColumn("n_hits", coalesce(col("n_hits"), lit(0L)))
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // F1: token counting — whitespace tokens and a BPE-ish regex
     // tokenizer (alpha runs / digit runs as separate tokens).
@@ -214,13 +232,7 @@ object TextPack extends QueryPack {
         .localCheckpoint(false)
       val bench = sets.filter($"doc_id" < CONTAM_BENCH_BOUND)
         .select(explode($"set").as("shingle")).distinct()
-      val train = sets.filter($"doc_id" >= CONTAM_BENCH_BOUND)
-      val sizes = train.select($"doc_id", size($"set").cast("long").as("n_shingles"))
-      val hits = train.select($"doc_id", explode($"set").as("shingle"))
-        .join(broadcast(bench), "shingle")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
-      sizes.join(hits, Seq("doc_id"), "left")
-        .withColumn("n_hits", coalesce($"n_hits", lit(0L)))
+      shingleOverlapCounts(sets.filter($"doc_id" >= CONTAM_BENCH_BOUND), broadcast(bench))
         .withColumn("contamination",
           $"n_hits".cast("double") / $"n_shingles".cast("double"))
         .select($"doc_id", $"n_shingles", $"n_hits", $"contamination",
@@ -502,15 +514,9 @@ object TextPack extends QueryPack {
         .localCheckpoint(false)
       val trainShingles = sets.filter($"split" === "train")
         .select(explode($"set").as("shingle")).distinct()
-      val test = sets.filter($"split" === "test")
-      val sizes = test.select($"doc_id", size($"set").cast("long").as("n_shingles"))
-      val hits = test.select($"doc_id", explode($"set").as("shingle"))
-        .join(trainShingles, "shingle")
-        .groupBy($"doc_id").agg(count(lit(1)).as("n_shared"))
-      sizes.join(hits, Seq("doc_id"), "left")
-        .select($"doc_id", $"n_shingles",
-          coalesce($"n_shared", lit(0L)).as("n_shared"),
-          (coalesce($"n_shared", lit(0L)) * 2L >= $"n_shingles").as("leaked"))
+      shingleOverlapCounts(sets.filter($"split" === "test"), trainShingles)
+        .select($"doc_id", $"n_shingles", $"n_hits".as("n_shared"),
+          ($"n_hits" * 2L >= $"n_shingles").as("leaked"))
     },
 
     // F20: collocation mining — the top bigrams by PMI LIFT, the
