@@ -278,6 +278,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(one.except(many).count() === 0 && many.except(one).count() === 0)
   }
 
+  test("streaming dedup and chained pipeline: sealed output invariant to micro-batch slicing") {
+    // e_stream_dedup's exactness argument says the sealed key set
+    // cannot depend on chunking (duplicate span < watermark delay
+    // under the sorted replay); the chained dedup→window pipeline
+    // inherits it plus append-mode sealing. One giant batch vs many
+    // small batches must agree exactly for both.
+    def run(chunks: Int, pipe: org.apache.spark.sql.Dataset[StreamEvent] => org.apache.spark.sql.DataFrame) =
+      StreamReplay.replay(spark, sfDir, chunks = chunks)(pipe) {
+        out => out.filter(out("event_type") =!= StreamReplay.SENTINEL_TYPE)
+      }
+    for (pipe <- Seq(
+        (ds: org.apache.spark.sql.Dataset[StreamEvent]) => EventStreams.dedupActivityKeys(ds.toDF()),
+        (ds: org.apache.spark.sql.Dataset[StreamEvent]) => EventStreams.dedupThenWindowCounts(ds.toDF()))) {
+      val one = run(1, pipe)
+      val many = run(13, pipe)
+      assert(one.count() === many.count())
+      assert(one.except(many).count() === 0 && many.except(one).count() === 0)
+    }
+  }
+
   test("StreamReplay.feed never draws more than one chunk ahead of delivery") {
     // The replay's driver-memory contract: the feed pulls from the
     // (executor-backed) iterator lazily, so between deliveries at most
