@@ -55,6 +55,38 @@ object EventsPack extends QueryPack {
           round(sum($"value".cast(D)), 2).cast("double").as("sum_value"))
     },
 
+    // H17: sessionized CEP pattern matching (MATCH_RECOGNIZE-lite) —
+    // per session, the count of CONTIGUOUS view→click→purchase
+    // conversion chains in the event-time-ordered type sequence, the
+    // complex-event-processing primitive H5/H12 don't cover (H5 is
+    // pairwise with a time window, H12 is frequency of ANY 3-gram;
+    // this detects a SPECIFIC ordered pattern with a per-entity
+    // verdict). The type sequence materializes per SESSION, not per
+    // user: the aggregation buffer is gap-bounded like the
+    // sessionizer's own state — a user's unbounded history never
+    // funnels into one buffer. Matching is a literal scan over the
+    // comma-joined sequence (type names are a fixed closed set, so
+    // the literal cannot false-match across boundaries); counts and
+    // the verdict are exact integers, order pinned by (ts, event_id).
+    "e_cep" -> { (s, d) =>
+      import s.implicits._
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .withColumn("ts_us", unix_micros($"ts"))
+        .withColumn("prev_us", lag($"ts_us", 1).over(byUser))
+        .withColumn("new_session",
+          when($"prev_us".isNull || $"ts_us" - $"prev_us" > SESSION_GAP_US, 1L).otherwise(0L))
+        .withColumn("session_id", sum($"new_session").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"user_id", $"session_id")
+        .agg(count(lit(1)).as("n_events"),
+          expr("array_join(transform(array_sort(collect_list(struct(ts_us, event_id, event_type)))," +
+            " x -> x.event_type), ',')").as("seq"))
+        .select($"user_id", $"session_id", $"n_events",
+          expr("regexp_count(seq, 'view,click,purchase')").cast("long").as("n_conversions"))
+        .withColumn("converted", $"n_conversions" >= 1L)
+    },
+
     // H5: funnel attribution — per user, how many purchases follow a
     // click within 10 minutes (the batch twin of the stream-stream
     // click-attribution join in EventStreams.clickAttribution). One
@@ -613,6 +645,28 @@ object EventsPack extends QueryPack {
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000""".stripMargin,
+    // the session derivation is sessionsSql's verbatim; the ordered
+    // type sequence via string_agg ORDER BY, the literal chain count
+    // via regexp_extract_all
+    "e_cep" ->
+      s"""WITH base AS (
+         | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
+         |flagged AS (
+         | SELECT *, CASE WHEN lag(ts_us) OVER w IS NULL
+         |   OR ts_us - lag(ts_us) OVER w > $SESSION_GAP_US THEN 1 ELSE 0 END AS new_session
+         | FROM base WINDOW w AS (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC)),
+         |sess AS (
+         | SELECT *, CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+         | FROM flagged),
+         |seqs AS (
+         | SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  string_agg(event_type, ',' ORDER BY ts_us ASC, event_id ASC) AS seq
+         | FROM sess GROUP BY user_id, session_id)
+         |SELECT user_id, session_id, n_events,
+         | CAST(len(regexp_extract_all(seq, 'view,click,purchase')) AS BIGINT) AS n_conversions,
+         | len(regexp_extract_all(seq, 'view,click,purchase')) >= 1 AS converted
+         |FROM seqs""".stripMargin,
     "e_markov" ->
       """WITH base AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),
