@@ -194,6 +194,38 @@ object RelationalPack extends QueryPack {
         .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
     },
 
+    // C26: SCD Type-2 dimension build — the warehouse primitive the
+    // upsert key (C8) doesn't cover: collapse each customer's
+    // order-status history into versioned validity intervals
+    // [valid_from, valid_to) with an is_current flag (gaps-and-islands
+    // over a change flag). Scale shape: two window passes and one
+    // groupBy, ALL partitioned by the dimension's natural key — one
+    // shuffle on o_custkey total (the version window, the island
+    // groupBy and the valid_to lead all reuse the same hash
+    // partitioning), no self-join however long a customer's history.
+    "q_scd2" -> { (s, d) =>
+      import s.implicits._
+      val byCust = Window.partitionBy($"custkey")
+        .orderBy($"o_orderdate".asc, $"o_orderkey".asc)
+      Tables.orders(s, d)
+        .select($"o_custkey".as("custkey"), $"o_orderkey", $"o_orderdate",
+          $"o_orderstatus".as("status"))
+        .withColumn("prev_status", lag($"status", 1).over(byCust))
+        .withColumn("chg",
+          when($"prev_status".isNull || $"prev_status" =!= $"status", 1L).otherwise(0L))
+        .withColumn("version", sum($"chg").over(
+          byCust.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy($"custkey", $"version")
+        .agg(min($"status").as("status"),
+          date_format(min($"o_orderdate"), "yyyy-MM-dd").as("valid_from"),
+          count(lit(1)).as("n_orders"))
+        .withColumn("valid_to", lead($"valid_from", 1).over(
+          Window.partitionBy($"custkey").orderBy($"version".asc)))
+        .withColumn("is_current", $"valid_to".isNull)
+        .select($"custkey", $"version", $"status", $"valid_from",
+          $"valid_to", $"is_current", $"n_orders")
+    },
+
     // C16: salted skew-join on the hard signal — the manual hot-key
     // mitigation (Skew.saltedJoin: big side scattered over salt
     // sub-keys by content hash, compact side replicated, join on
@@ -626,6 +658,26 @@ object RelationalPack extends QueryPack {
         | SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC) AS rn
         | FROM lineitem) t WHERE rn = 1""".stripMargin,
+    "q_scd2" ->
+      """WITH seq AS (
+        | SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_orderstatus AS status,
+        |  CASE WHEN lag(o_orderstatus) OVER w IS NULL
+        |    OR lag(o_orderstatus) OVER w <> o_orderstatus THEN 1 ELSE 0 END AS chg
+        | FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)),
+        |ver AS (
+        | SELECT *, CAST(SUM(chg) OVER (PARTITION BY custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS version
+        | FROM seq),
+        |grp AS (
+        | SELECT custkey, version, MIN(status) AS status,
+        |  strftime(MIN(o_orderdate), '%Y-%m-%d') AS valid_from,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orders
+        | FROM ver GROUP BY custkey, version)
+        |SELECT custkey, version, status, valid_from,
+        | lead(valid_from) OVER (PARTITION BY custkey ORDER BY version ASC) AS valid_to,
+        | (lead(valid_from) OVER (PARTITION BY custkey ORDER BY version ASC)) IS NULL AS is_current,
+        | n_orders
+        |FROM grp""".stripMargin,
     "q_rollup" ->
       """SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty

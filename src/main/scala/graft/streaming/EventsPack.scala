@@ -236,6 +236,121 @@ object EventsPack extends QueryPack {
         .withColumn("avg_gap_us", $"sum_gap_us".cast("double") / $"n_gaps".cast("double"))
     },
 
+    // H18: RFM customer segmentation — recency / frequency / monetary
+    // scores with EMPIRICAL tertile thresholds, computed scale-safely:
+    // every metric is quantized onto a domain-bounded grid (recency in
+    // whole days, frequency an integer, monetary floored to whole
+    // units), the three value-distribution histograms ride ONE
+    // groupBy on a bounded key set, and the tertile cut points come
+    // from a cumulative-count window over those bounded histograms —
+    // so the global quantiles never need a global sort of users, and
+    // the final scoring join is a 1-row broadcast. Threshold rule is
+    // exact integer arithmetic (percentile-disc: smallest v with
+    // cum ≥ ceil(k·n/3), ceil via (k·n+2) div 3), so both engines
+    // agree bit-for-bit.
+    "e_rfm" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+      val obsEnd = ev.agg(max($"ts_us").as("obs_end_us"))
+      val base = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id")
+        .agg(max($"ts_us").as("last_us"), count(lit(1)).as("frequency"),
+          sum($"value".cast(D)).as("mon_d"))
+        .crossJoin(broadcast(obsEnd))
+        .select($"user_id",
+          expr("(obs_end_us - last_us) div 86400000000").as("recency_days"),
+          $"frequency",
+          floor($"mon_d").cast("long").as("monetary_units"),
+          round($"mon_d", 2).cast("double").as("monetary"))
+      val melted = base.select(expr(
+        "stack(3, 'r', recency_days, 'f', frequency, 'm', monetary_units) AS (metric, v)"))
+      val wcum = Window.partitionBy($"metric").orderBy($"v".asc)
+      val cum = melted.groupBy($"metric", $"v").agg(count(lit(1)).as("c"))
+        .withColumn("cum", sum($"c").over(
+          wcum.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("n", sum($"c").over(Window.partitionBy($"metric")))
+      val th = cum.groupBy($"metric").agg(
+        min(when($"cum" >= expr("(n + 2) div 3"), $"v")).as("t1"),
+        min(when($"cum" >= expr("(2 * n + 2) div 3"), $"v")).as("t2"))
+      val thRow = th.groupBy().pivot("metric", Seq("r", "f", "m"))
+        .agg(first($"t1").as("t1"), first($"t2").as("t2"))
+      base.crossJoin(broadcast(thRow))
+        .select($"user_id", $"recency_days", $"frequency", $"monetary",
+          when($"recency_days" <= $"r_t1", 3L)
+            .when($"recency_days" <= $"r_t2", 2L).otherwise(1L).as("r_score"),
+          when($"frequency" <= $"f_t1", 1L)
+            .when($"frequency" <= $"f_t2", 2L).otherwise(3L).as("f_score"),
+          when($"monetary_units" <= $"m_t1", 1L)
+            .when($"monetary_units" <= $"m_t2", 2L).otherwise(3L).as("m_score"))
+        .withColumn("rfm", concat($"r_score".cast("string"),
+          $"f_score".cast("string"), $"m_score".cast("string")))
+    },
+
+    // H19: Kaplan–Meier time-to-conversion survival curve — per-user
+    // duration from first signup to first subsequent purchase
+    // (censored at the observation end when no purchase follows),
+    // then the KM estimator over the day grid: at each event time t,
+    // n_risk (users whose duration ≥ t), n_events, n_censored,
+    // hazard = n_events/n_risk (ONE IEEE division), and the survival
+    // product S(t) = Π(1 − d_i/n_i) computed by a quantized
+    // fold (each step: one IEEE multiply, then round to 12 decimals —
+    // the PageRank determinism contract applied to a recurrence) so
+    // both engines emit identical doubles. Scale shape: per-user
+    // durations are one groupBy on user_id; the curve itself lives on
+    // the DOMAIN-BOUNDED day grid (observation span in days), so the
+    // reverse-cumulative risk window and the fold array are bounded
+    // regardless of user count — same argument as q_skyline's band
+    // summary.
+    "e_survival" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+      val obsEnd = ev.agg(max($"ts_us").as("obs_end_us"))
+      val signup = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts_us").as("t0_us"))
+      val firstPurchase = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"ts_us")
+      val durations = signup
+        .join(firstPurchase.as("p"), Seq("user_id"), "left")
+        .groupBy($"user_id", $"t0_us")
+        .agg(min(when($"p.ts_us" > $"t0_us", $"p.ts_us")).as("tp_us"))
+        .crossJoin(broadcast(obsEnd))
+        .select($"user_id",
+          when($"tp_us".isNotNull,
+            expr("(tp_us - t0_us) div 86400000000"))
+            .otherwise(expr("(obs_end_us - t0_us) div 86400000000")).as("t_days"),
+          $"tp_us".isNotNull.as("observed"))
+      val grid = durations.groupBy($"t_days")
+        .agg(sum(when($"observed", 1L).otherwise(0L)).as("n_events"),
+          sum(when($"observed", 0L).otherwise(1L)).as("n_censored"))
+      // reverse-cumulative risk set over the bounded day grid
+      val wRisk = Window.orderBy($"t_days".asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val km = grid
+        .withColumn("n_risk", sum($"n_events" + $"n_censored").over(wRisk))
+        .filter($"n_events" > 0)
+      // quantized survival fold over the (bounded) ordered curve
+      val folded = km
+        .agg(sort_array(collect_list(struct($"t_days", $"n_events", $"n_censored",
+          $"n_risk"))).as("pts"))
+        .select(explode(expr(
+          """aggregate(pts,
+            |  struct(CAST(array() AS ARRAY<STRUCT<t_days: BIGINT, n_events: BIGINT,
+            |    n_censored: BIGINT, n_risk: BIGINT, survival: DECIMAL(28,12)>>) AS acc,
+            |    CAST(1 AS DECIMAL(28,12)) AS s),
+            |  (st, x) -> struct(
+            |    array_append(st.acc, struct(x.t_days, x.n_events, x.n_censored, x.n_risk,
+            |      CAST(CAST(st.s AS DOUBLE) * (CAST(1 AS DOUBLE) -
+            |        CAST(x.n_events AS DOUBLE) / CAST(x.n_risk AS DOUBLE))
+            |        AS DECIMAL(28,12)) AS survival)),
+            |    CAST(CAST(st.s AS DOUBLE) * (CAST(1 AS DOUBLE) -
+            |      CAST(x.n_events AS DOUBLE) / CAST(x.n_risk AS DOUBLE))
+            |      AS DECIMAL(28,12))),
+            |  st -> st.acc)""".stripMargin)).as("r"))
+      folded.select($"r.t_days", $"r.n_events", $"r.n_censored", $"r.n_risk",
+        ($"r.n_events".cast("double") / $"r.n_risk".cast("double")).as("hazard"),
+        $"r.survival".cast("double").as("survival"))
+    },
+
     // H12: behavioral path mining — the 10 most common 3-step
     // event-type sequences (per-user order by (ts, event_id), two
     // lead()s in ONE window pass — no self-joins). The trigram
@@ -667,6 +782,80 @@ object EventsPack extends QueryPack {
          | CAST(len(regexp_extract_all(seq, 'view,click,purchase')) AS BIGINT) AS n_conversions,
          | len(regexp_extract_all(seq, 'view,click,purchase')) >= 1 AS converted
          |FROM seqs""".stripMargin,
+    "e_rfm" ->
+      """WITH ev AS (SELECT user_id, event_type, value, epoch_us(ts) AS ts_us FROM events),
+        |mx AS (SELECT MAX(ts_us) AS obs_end_us FROM ev),
+        |base AS (
+        | SELECT user_id,
+        |  CAST((mx.obs_end_us - MAX(ts_us)) // 86400000000 AS BIGINT) AS recency_days,
+        |  CAST(COUNT(*) AS BIGINT) AS frequency,
+        |  CAST(FLOOR(SUM(CAST(value AS DECIMAL(18,2)))) AS BIGINT) AS monetary_units,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS monetary
+        | FROM ev CROSS JOIN mx WHERE event_type = 'purchase'
+        | GROUP BY user_id, mx.obs_end_us),
+        |melted AS (
+        | SELECT 'r' AS metric, recency_days AS v FROM base
+        | UNION ALL SELECT 'f', frequency FROM base
+        | UNION ALL SELECT 'm', monetary_units FROM base),
+        |cum AS (
+        | SELECT metric, v,
+        |  SUM(c) OVER (PARTITION BY metric ORDER BY v ASC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |  SUM(c) OVER (PARTITION BY metric) AS n
+        | FROM (SELECT metric, v, COUNT(*) AS c FROM melted GROUP BY 1, 2)),
+        |th AS (
+        | SELECT metric,
+        |  MIN(CASE WHEN cum >= (n + 2) // 3 THEN v END) AS t1,
+        |  MIN(CASE WHEN cum >= (2 * n + 2) // 3 THEN v END) AS t2
+        | FROM cum GROUP BY metric),
+        |tr AS (SELECT
+        | MAX(CASE WHEN metric = 'r' THEN t1 END) AS r_t1, MAX(CASE WHEN metric = 'r' THEN t2 END) AS r_t2,
+        | MAX(CASE WHEN metric = 'f' THEN t1 END) AS f_t1, MAX(CASE WHEN metric = 'f' THEN t2 END) AS f_t2,
+        | MAX(CASE WHEN metric = 'm' THEN t1 END) AS m_t1, MAX(CASE WHEN metric = 'm' THEN t2 END) AS m_t2
+        | FROM th),
+        |scored AS (
+        | SELECT user_id, recency_days, frequency, monetary,
+        |  CAST(CASE WHEN recency_days <= r_t1 THEN 3 WHEN recency_days <= r_t2 THEN 2 ELSE 1 END AS BIGINT) AS r_score,
+        |  CAST(CASE WHEN frequency <= f_t1 THEN 1 WHEN frequency <= f_t2 THEN 2 ELSE 3 END AS BIGINT) AS f_score,
+        |  CAST(CASE WHEN monetary_units <= m_t1 THEN 1 WHEN monetary_units <= m_t2 THEN 2 ELSE 3 END AS BIGINT) AS m_score
+        | FROM base CROSS JOIN tr)
+        |SELECT *, CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR) || CAST(m_score AS VARCHAR) AS rfm
+        |FROM scored""".stripMargin,
+    "e_survival" ->
+      """WITH RECURSIVE ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us FROM events),
+        |mx AS (SELECT MAX(ts_us) AS obs_end_us FROM ev),
+        |signup AS (SELECT user_id, MIN(ts_us) AS t0_us FROM ev WHERE event_type = 'signup' GROUP BY 1),
+        |dur AS (
+        | SELECT s.user_id,
+        |  CASE WHEN MIN(CASE WHEN p.ts_us > s.t0_us THEN p.ts_us END) IS NOT NULL
+        |   THEN (MIN(CASE WHEN p.ts_us > s.t0_us THEN p.ts_us END) - s.t0_us) // 86400000000
+        |   ELSE (mx.obs_end_us - s.t0_us) // 86400000000 END AS t_days,
+        |  MIN(CASE WHEN p.ts_us > s.t0_us THEN p.ts_us END) IS NOT NULL AS observed
+        | FROM signup s CROSS JOIN mx
+        |  LEFT JOIN (SELECT user_id, ts_us FROM ev WHERE event_type = 'purchase') p USING (user_id)
+        | GROUP BY s.user_id, s.t0_us, mx.obs_end_us),
+        |grid AS (
+        | SELECT CAST(t_days AS BIGINT) AS t_days,
+        |  CAST(SUM(CASE WHEN observed THEN 1 ELSE 0 END) AS BIGINT) AS n_events,
+        |  CAST(SUM(CASE WHEN observed THEN 0 ELSE 1 END) AS BIGINT) AS n_censored
+        | FROM dur GROUP BY 1),
+        |km AS (
+        | SELECT *, CAST(SUM(n_events + n_censored) OVER (ORDER BY t_days ASC
+        |   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_risk
+        | FROM grid),
+        |pts AS (SELECT *, ROW_NUMBER() OVER (ORDER BY t_days ASC) AS i FROM km WHERE n_events > 0),
+        |rec AS (
+        | SELECT i, t_days, n_events, n_censored, n_risk,
+        |  CAST(CAST(1 AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)) AS DECIMAL(28,12)) AS s
+        | FROM pts WHERE i = 1
+        | UNION ALL
+        | SELECT p.i, p.t_days, p.n_events, p.n_censored, p.n_risk,
+        |  CAST(CAST(r.s AS DOUBLE) * (CAST(1 AS DOUBLE) - CAST(p.n_events AS DOUBLE) / CAST(p.n_risk AS DOUBLE)) AS DECIMAL(28,12))
+        | FROM pts p JOIN rec r ON p.i = r.i + 1)
+        |SELECT t_days, n_events, n_censored, n_risk,
+        | CAST(n_events AS DOUBLE) / CAST(n_risk AS DOUBLE) AS hazard,
+        | CAST(s AS DOUBLE) AS survival
+        |FROM rec""".stripMargin,
     "e_markov" ->
       """WITH base AS (
         | SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us FROM events),

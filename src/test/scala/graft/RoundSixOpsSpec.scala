@@ -63,4 +63,89 @@ class RoundSixOpsSpec extends SparkSpec {
       assert(d === want, s"part $id (brand $b size $sz)")
     }
   }
+
+  test("q_scd2: intervals tile each customer's history — no gaps, one current, exact totals") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("q_scd2")(spark, sfDir).collect()
+    val byCust = rows.groupBy(_.getLong(0))
+    val orderCounts = Tables.orders(spark, sfDir)
+      .groupBy($"o_custkey").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byCust.keySet === orderCounts.keySet)
+    byCust.foreach { case (cust, ivs) =>
+      val sorted = ivs.sortBy(_.getLong(1)) // by version
+      assert(sorted.map(_.getLong(1)).toSeq === (1L to sorted.length).toSeq,
+        s"versions must be dense 1..k for customer $cust")
+      // adjacent versions must change status (else they'd be one island)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getString(2) != b.getString(2), s"customer $cust: un-collapsed island")
+          // valid_to of version v = valid_from of version v+1 (half-open tiling)
+          assert(a.getString(4) == b.getString(3), s"customer $cust: gap in validity chain")
+        case _ => ()
+      }
+      assert(sorted.count(_.getBoolean(5)) === 1, s"customer $cust: exactly one current version")
+      assert(sorted.last.getBoolean(5), s"customer $cust: the last version is the current one")
+      assert(sorted.map(_.getLong(6)).sum === orderCounts(cust),
+        s"customer $cust: interval order counts must sum to the order total")
+    }
+  }
+
+  test("e_rfm: tertile thresholds are the exact percentile-disc cut points on the grid") {
+    import spark.implicits._
+    val rows = SparkEntry.queries("e_rfm")(spark, sfDir).collect()
+    val n = rows.length
+    val k1 = (n + 2) / 3
+    assert(rows.forall { r =>
+      val (rs, fs, ms) = (r.getLong(4), r.getLong(5), r.getLong(6))
+      Seq(rs, fs, ms).forall(x => x >= 1 && x <= 3) &&
+        r.getString(7) == s"$rs$fs$ms"
+    })
+    // percentile-disc law per metric: the favored/low bucket is the
+    // SMALLEST prefix of the sorted grid reaching ceil(n/3) — i.e. its
+    // size is >= k1, and dropping its threshold value's ties goes
+    // below k1. recency's best bucket is score 3; frequency/monetary's
+    // low bucket is score 1.
+    def cutLaw(values: Seq[Long], bucket: Set[Long], scores: Seq[Long], low: Long): Unit = {
+      val inBucket = scores.zip(values).filter(_._1 == low).map(_._2)
+      assert(inBucket.size >= k1, "low bucket must reach ceil(n/3)")
+      val t = inBucket.max
+      val ties = values.count(_ == t)
+      assert(inBucket.size - ties < k1, "dropping the threshold ties must fall below the cut")
+      assert(values.filter(_ <= t).toSet == inBucket.toSet ||
+        values.count(_ <= t) == inBucket.size, "bucket must be a value prefix")
+    }
+    val rec = rows.map(_.getLong(1)).toSeq
+    val fr = rows.map(_.getLong(2)).toSeq
+    cutLaw(rec, rec.toSet, rows.map(_.getLong(4)).toSeq, low = 3L)
+    cutLaw(fr, fr.toSet, rows.map(_.getLong(5)).toSeq, low = 1L)
+  }
+
+  test("e_survival: KM invariants — risk-set accounting, hazard, quantized product") {
+    import spark.implicits._
+    val km = SparkEntry.queries("e_survival")(spark, sfDir)
+      .orderBy($"t_days".asc).collect()
+    assert(km.nonEmpty)
+    // risk sets strictly decrease and each step removes at least the
+    // events+censored observed at that time
+    km.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(3) <= a.getLong(3) - a.getLong(1) - a.getLong(2),
+          "risk set must shrink by at least the removals at each event time")
+      case _ => ()
+    }
+    // hazard is the single division; survival is the quantized product
+    var s = BigDecimal(1)
+    km.foreach { r =>
+      val (d, n) = (r.getLong(1), r.getLong(3))
+      assert(d >= 1 && n >= d)
+      assert(r.getDouble(4) === d.toDouble / n.toDouble)
+      val step = s.toDouble * (1.0 - d.toDouble / n.toDouble)
+      s = BigDecimal(step).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+      assert(r.getDouble(5) === s.toDouble, s"survival at t=${r.getLong(0)}")
+    }
+    assert(km.map(_.getDouble(5)).toSeq.sliding(2).forall {
+      case Seq(a, b) => b <= a; case _ => true
+    }, "survival curve is non-increasing")
+  }
 }
