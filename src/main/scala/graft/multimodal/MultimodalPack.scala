@@ -29,6 +29,10 @@ object MultimodalPack extends QueryPack {
   /** G3 frame sampling: fixed-size frames, every STRIDE-th sampled. */
   private val FRAME_BYTES = 32
   private val FRAME_STRIDE = 4
+  /** G8 aspect-ratio bucketing: packing shards per bucket and the
+    * per-batch pixel budget (≈4 images of the max 511×511 dims). */
+  private val AR_SHARDS = 8
+  private val AR_PIXEL_BUDGET = 1L << 20
   /** G4 resize: pool the 16-bin feature map down to 4 coarse bins. */
   private val POOL = 4
 
@@ -97,6 +101,36 @@ object MultimodalPack extends QueryPack {
           count(lit(1)).as("n_occurrences"),
           min($"doc_id").as("canonical_id"))
         .filter($"n_docs" >= 2)
+    },
+
+    // G8: aspect-ratio bucketed batch packing — the image-training
+    // batch-assembly primitive (bucket by aspect ratio so a batch
+    // never mixes portrait with landscape, then greedily pack each
+    // bucket into fixed pixel-budget batches, the sequence-packing
+    // move of t_pack applied to pixels). Dims are synthesized
+    // deterministically from the payload size (the container has no
+    // real images — G2's stub-decoder contract); bucket id is an
+    // exact integer ratio band clamp(4·w/h, 2..8). Scale shape:
+    // packing is per (bucket, shard) — AR_SHARDS independent packing
+    // streams per bucket, so the pass parallelizes within a bucket
+    // and a 100 TB corpus never funnels one bucket through one task;
+    // ONE shuffle total on the compound key.
+    "m_ar_buckets" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"bucket", $"shard").orderBy($"doc_id".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .withColumn("n_bytes", length($"text".cast("binary")).cast("long"))
+        .withColumn("width", lit(64L) + $"n_bytes" % 448L)
+        .withColumn("height", lit(64L) + ($"n_bytes" * 31L) % 448L)
+        .withColumn("pixels", $"width" * $"height")
+        .withColumn("bucket",
+          least(greatest(expr("(width * 4) div height"), lit(2L)), lit(8L)))
+        .withColumn("shard", ($"doc_id" % AR_SHARDS).cast("long"))
+        .withColumn("cum_before", sum($"pixels").over(w) - $"pixels")
+        .select($"doc_id", $"bucket", $"shard", $"width", $"height", $"pixels",
+          expr(s"cum_before div $AR_PIXEL_BUDGET").as("batch_idx"))
     },
 
     // G4: resize — pool the 16-bin feature map to POOL coarse bins
@@ -234,6 +268,26 @@ object MultimodalPack extends QueryPack {
         | lower(hex(encode(substr(text, 1, 4)))) AS magic_hex,
         | md5(text) AS checksum
         |FROM documents""".stripMargin,
+    "m_ar_buckets" ->
+      s"""WITH dims AS (
+         | SELECT doc_id, CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+         |img AS (
+         | SELECT doc_id, 64 + n_bytes % 448 AS width, 64 + (n_bytes * 31) % 448 AS height
+         | FROM dims),
+         |keyed AS (
+         | SELECT doc_id, width, height, width * height AS pixels,
+         |  LEAST(GREATEST((width * 4) // height, 2), 8) AS bucket,
+         |  doc_id % $AR_SHARDS AS shard
+         | FROM img),
+         |cum AS (
+         | SELECT *, SUM(pixels) OVER (PARTITION BY bucket, shard ORDER BY doc_id ASC
+         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - pixels AS cum_before
+         | FROM keyed)
+         |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket, CAST(shard AS BIGINT) AS shard,
+         | CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+         | CAST(pixels AS BIGINT) AS pixels,
+         | CAST(cum_before // $AR_PIXEL_BUDGET AS BIGINT) AS batch_idx
+         |FROM cum""".stripMargin,
     // ASCII corpus (spec-checked) ⇒ substr over characters IS the
     // byte slicing the Spark side does on the binary payload.
     "m_frame_dedup" ->

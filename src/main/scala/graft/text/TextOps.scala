@@ -72,4 +72,37 @@ object TextOps {
     * [[graft.functions.GraftFunctions.register]] on the session. */
   def hamming(a: Column, b: Column): Column =
     graft.functions.GraftFunctions.hamming(a, b)
+
+  /** PII-class scrub stages: (category, pattern, replacement token),
+    * applied strictly in declaration order — each category counts and
+    * redacts on the PREVIOUS stage's output, so an overlapping match
+    * (the digits inside an email or an IP) is attributed to the
+    * earliest category exactly once and never double-redacted.
+    * Patterns stay inside the syntax intersection of Java regex
+    * (Spark) and RE2 (the DuckDB oracle): character classes,
+    * bounded repetition, groups and \b only — no backreferences or
+    * lookaround, which RE2 rejects. */
+  val scrubStages: Seq[(String, String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b", "<IP>"),
+    ("number", "[0-9]+", "<NUM>"),
+  )
+
+  /** Apply [[scrubStages]] to `df`'s `textCol`: appends one
+    * `n_<category>` BIGINT count per stage plus the fully-redacted
+    * text as `redacted` and a `clean` verdict. Pure row-local
+    * codegen'd regex work — zero shuffle at any scale. */
+  def scrub(df: org.apache.spark.sql.DataFrame, textCol: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, regexp_count, regexp_replace}
+    val staged = scrubStages.foldLeft(df.withColumn("__cur", col(textCol))) {
+      case (acc, (cat, pat, repl)) =>
+        acc.withColumn(s"n_$cat", regexp_count(col("__cur"), lit(pat)).cast("long"))
+          .withColumn("__cur", regexp_replace(col("__cur"), pat, repl))
+    }
+    staged
+      .withColumn("redacted", col("__cur"))
+      .withColumn("clean",
+        scrubStages.map { case (cat, _, _) => col(s"n_$cat") }.reduce(_ + _) === lit(0L))
+      .drop("__cur")
+  }
 }

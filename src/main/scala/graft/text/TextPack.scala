@@ -145,6 +145,23 @@ object TextPack extends QueryPack {
   }
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // F22: PII-class pattern scrubbing — TextOps.scrubStages applied
+    // as a strict pipeline (count on the previous stage's output,
+    // then redact) over the events props payload, the one text column
+    // in the test data where a category actually fires (documents is
+    // digit-free word soup; the numeric category hits every props
+    // row, exercising count+redact parity cross-engine, while the
+    // email/IPv4 categories prove their no-false-positive side here
+    // and their detection side on ScrubSpec's hand-built corpus).
+    // Pure row-local codegen'd regex — zero shuffle at any scale.
+    "t_scrub" -> { (s, d) =>
+      import s.implicits._
+      TextOps.scrub(
+        Tables.events(s, d).select($"event_id", $"props"), "props")
+        .select($"event_id", $"n_email", $"n_ipv4", $"n_number",
+          $"redacted", $"clean")
+    },
+
     // F1: token counting — whitespace tokens and a BPE-ish regex
     // tokenizer (alpha runs / digit runs as separate tokens).
     "t_tokens" -> { (s, d) =>
@@ -681,6 +698,24 @@ object TextPack extends QueryPack {
   override def oracles: Map[String, String] = {
     val nrmSql = """regexp_replace(lower(trim(text)),'\s+',' ','g')"""
     Map(
+      // stage patterns come verbatim from TextOps.scrubStages (one
+      // source of truth for both engines; RE2∩Java syntax only)
+      "t_scrub" -> {
+        val Seq((c1, p1, r1), (c2, p2, r2), (c3, p3, r3)) = TextOps.scrubStages
+        s"""WITH s0 AS (SELECT event_id, props AS cur FROM events),
+           |s1 AS (SELECT event_id,
+           |  CAST(len(regexp_extract_all(cur, '$p1')) AS BIGINT) AS n_$c1,
+           |  regexp_replace(cur, '$p1', '$r1', 'g') AS cur FROM s0),
+           |s2 AS (SELECT event_id, n_$c1,
+           |  CAST(len(regexp_extract_all(cur, '$p2')) AS BIGINT) AS n_$c2,
+           |  regexp_replace(cur, '$p2', '$r2', 'g') AS cur FROM s1),
+           |s3 AS (SELECT event_id, n_$c1, n_$c2,
+           |  CAST(len(regexp_extract_all(cur, '$p3')) AS BIGINT) AS n_$c3,
+           |  regexp_replace(cur, '$p3', '$r3', 'g') AS cur FROM s2)
+           |SELECT event_id, n_$c1, n_$c2, n_$c3, cur AS redacted,
+           | n_$c1 + n_$c2 + n_$c3 = 0 AS clean
+           |FROM s3""".stripMargin
+      },
       // lift = one IEEE division of exact integer products (the log
       // step of PMI is monotone, so the rank order is PMI's)
       "t_colloc" ->

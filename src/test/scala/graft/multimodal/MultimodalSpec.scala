@@ -44,4 +44,37 @@ class MultimodalSpec extends SparkSpec {
     val docs = graft.Tables.documents(spark, sfDir)
     assert(docs.filter(octet_length(col("text")) =!= length(col("text"))).count() === 0)
   }
+
+  test("m_ar_buckets: batches respect the pixel budget and pack greedily without holes") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.queries("m_ar_buckets")(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every bucket id is a valid clamped ratio band and dims in range
+    rows.foreach { r =>
+      val (w, h, b) = (r.getAs[Long]("width"), r.getAs[Long]("height"), r.getAs[Long]("bucket"))
+      assert(w >= 64 && w < 512 && h >= 64 && h < 512)
+      assert(b === math.min(math.max(w * 4 / h, 2L), 8L))
+      assert(r.getAs[Long]("pixels") === w * h)
+    }
+    // greedy packing law per (bucket, shard) stream: batch_idx is the
+    // doc-id-ordered running pixel sum divided by the budget — batches
+    // are contiguous, non-decreasing, and each holds < budget + one
+    // image of slack (the greedy overflow bound)
+    val budget = 1L << 20
+    rows.groupBy(r => (r.getAs[Long]("bucket"), r.getAs[Long]("shard"))).foreach {
+      case (_, stream) =>
+        val ordered = stream.sortBy(_.getAs[Long]("doc_id"))
+        var cum = 0L
+        ordered.foreach { r =>
+          assert(r.getAs[Long]("batch_idx") === cum / budget)
+          cum += r.getAs[Long]("pixels")
+        }
+        val perBatch = ordered.groupBy(_.getAs[Long]("batch_idx"))
+          .view.mapValues(_.map(_.getAs[Long]("pixels")).sum)
+        perBatch.foreach { case (idx, px) =>
+          if (idx < perBatch.keys.max)
+            assert(px < budget + 511L * 511L, s"batch $idx overfull beyond greedy slack")
+        }
+    }
+  }
 }
