@@ -107,6 +107,19 @@ object GraphBuilder {
     up.union(down).union(sub)
   }
 
+  /** DIRECTED size-up part graph: the non-symmetrized orientation of
+    * [[partEdges]] (src → dst where dst is the same brand one size
+    * up). The one derived graph with genuine edge DIRECTION — the
+    * input HITS needs (hubs point, authorities are pointed at);
+    * the symmetric graphs would collapse hub ≡ authority. */
+  def partEdgesUp(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
+    val b = p.select($"p_partkey".as("dst"), $"p_brand".as("brand_b"), $"p_size".as("size_b"))
+    p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + 1)
+      .select($"p_partkey".as("src"), $"dst")
+  }
+
   /** Widened part edit-graph: same brand, size differing by 1 OR 2
     * (a two-rule edit neighborhood — the substitution analog next to
     * partEdges' deletion analog). Interior parts of a brand's size

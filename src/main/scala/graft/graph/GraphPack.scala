@@ -82,6 +82,41 @@ object GraphPack extends QueryPack {
   }
 
   private val PR_ITERS = 10
+  /** HITS rounds (A30) and RA link-prediction emission cap (A31). */
+  private val HITS_ITERS = 8
+  private val AA_TOP = 100
+
+  /** Unrolled HITS oracle — the same L1-normalized rounds as
+    * [[Hits.run]]: per-message DECIMAL(28,12) quantization, exact
+    * decimal sums, one scalar-subquery division per normalization. */
+  private def hitsSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""a${i}raw AS MATERIALIZED (
+         | SELECT e.dst AS node, CAST(SUM(CAST(h.h AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS araw
+         | FROM up e JOIN h${i - 1} h ON e.src = h.node GROUP BY e.dst),
+         |a$i AS MATERIALIZED (
+         | SELECT node, CAST(araw AS DOUBLE) /
+         |   (SELECT CAST(CAST(SUM(araw) AS DECIMAL(38,12)) AS DOUBLE) FROM a${i}raw) AS a
+         | FROM a${i}raw),
+         |h${i}raw AS MATERIALIZED (
+         | SELECT e.src AS node, CAST(SUM(CAST(a.a AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS hraw
+         | FROM up e JOIN a$i a ON e.dst = a.node GROUP BY e.src),
+         |h$i AS MATERIALIZED (
+         | SELECT node, CAST(hraw AS DOUBLE) /
+         |   (SELECT CAST(CAST(SUM(hraw) AS DECIMAL(38,12)) AS DOUBLE) FROM h${i}raw) AS h
+         | FROM h${i}raw)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH up AS MATERIALIZED (
+       | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst
+       | FROM part a JOIN part b ON a.p_brand = b.p_brand AND b.p_size = a.p_size + 1),
+       |nodes AS (SELECT src AS node FROM up UNION SELECT dst FROM up),
+       |h0 AS (SELECT DISTINCT src AS node, CAST(1.0 AS DOUBLE) AS h FROM up),
+       |$steps
+       |SELECT n.node, COALESCE(h.h, CAST(0 AS DOUBLE)) AS hub,
+       | COALESCE(a.a, CAST(0 AS DOUBLE)) AS authority
+       |FROM nodes n LEFT JOIN h$iters h ON n.node = h.node
+       | LEFT JOIN a$iters a ON n.node = a.node""".stripMargin
+  }
 
   /** ANF: propagation rounds and the per-node relative-error bound
     * the guarantee proves. m = 256 registers → rsd ≈ 6.5%; the bound is
@@ -308,6 +343,34 @@ object GraphPack extends QueryPack {
     "g_pagerank" -> { (s, d) =>
       PageRank.run(GraphBuilder.tradeEdges(s, d), PR_ITERS,
         bidirectional = true, smallRanks = true)
+    },
+
+    // A30: HITS hubs & authorities over the DIRECTED size-up part
+    // graph (the one derived graph with real edge direction — on a
+    // symmetric graph hub ≡ authority and the algorithm degenerates).
+    // L1-normalized each round so it cannot overflow at any scale;
+    // see Hits.scala for the exact cross-engine arithmetic contract.
+    "g_hits" -> { (s, d) =>
+      import s.implicits._
+      Hits.run(GraphBuilder.partEdgesUp(s, d), HITS_ITERS)
+        .select($"node", $"hub", $"authority")
+    },
+
+    // A31: link prediction by the Resource-Allocation index (the
+    // Adamic–Adar family: score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w);
+    // RA's 1/deg replaces AA's 1/ln(deg) because a transcendental ln
+    // has no cross-engine bit contract while ONE IEEE division does —
+    // same family, same ranking intent, engine-exact). Top-AA_TOP
+    // non-adjacent pairs. Scale shape: wedge enumeration is the
+    // triangle-count join (Σdeg² work, bounded by the edit-graph's
+    // structural degree cap; a celebrity-skewed graph would take
+    // NodeSimilarity's positional-block decomposition instead), the
+    // adjacency exclusion is a left-anti equi-join, contributions are
+    // DECIMAL(28,12)-quantized before the exact sum, and the global
+    // top-k is Spark's TakeOrdered (map-side k, never a full sort).
+    // See LinkPrediction.scala for the full plan contract.
+    "g_adamic_adar" -> { (s, d) =>
+      LinkPrediction.resourceAllocation(GraphBuilder.partEdgesWide(s, d), AA_TOP)
     },
 
     // A10: all-pairs BFS wave matrix (batch analogue of repeatedly
@@ -817,6 +880,23 @@ object GraphPack extends QueryPack {
          |SELECT CAST(n.n_nationkey AS BIGINT) AS id, COALESCE(t.n, CAST(0 AS BIGINT)) AS n_triangles
          |FROM nation n LEFT JOIN tri t ON t.id = n.n_nationkey""".stripMargin,
     "g_pagerank" -> pagerankSql(PR_ITERS),
+    "g_hits" -> hitsSql(HITS_ITERS),
+    "g_adamic_adar" ->
+      s"""WITH $wideEdgesSql,
+         |wdeg AS (SELECT src AS w, CAST(COUNT(*) AS BIGINT) AS degw FROM wedges GROUP BY src),
+         |pr AS (
+         | SELECT x.dst AS u, y.dst AS v, x.src AS w
+         | FROM wedges x JOIN wedges y ON x.src = y.src AND x.dst < y.dst),
+         |nonadj AS (
+         | SELECT p.u, p.v, p.w FROM pr p
+         | WHERE NOT EXISTS (SELECT 1 FROM wedges e WHERE e.src = p.u AND e.dst = p.v)),
+         |sc AS (
+         | SELECT u, v, CAST(COUNT(*) AS BIGINT) AS n_common,
+         |  CAST(CAST(SUM(CAST(CAST(1 AS DOUBLE) / CAST(d.degw AS DOUBLE) AS DECIMAL(28,12))) AS DECIMAL(38,12)) AS DOUBLE) AS score
+         | FROM nonadj n JOIN wdeg d ON n.w = d.w GROUP BY u, v)
+         |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC) AS BIGINT) AS rank,
+         | u, v, n_common, score
+         |FROM sc ORDER BY score DESC, u ASC, v ASC LIMIT $AA_TOP""".stripMargin,
     "g_clustering" ->
       s"""WITH $tradeEdgesSql,
          |canon AS (SELECT src AS x, dst AS y FROM edges WHERE src < dst),

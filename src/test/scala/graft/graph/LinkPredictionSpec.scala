@@ -1,0 +1,59 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** A31 Resource-Allocation link prediction: closed-form examples +
+  * sf0.001 invariants. */
+class LinkPredictionSpec extends SparkSpec {
+
+  private def sym(pairs: (Long, Long)*) = {
+    import spark.implicits._
+    val up = pairs.toDF("src", "dst")
+    up.union(up.select($"dst".as("src"), $"src".as("dst")))
+  }
+
+  private def scores(edges: org.apache.spark.sql.DataFrame, k: Int = 100) =
+    LinkPrediction.resourceAllocation(edges, k).collect()
+      .map(r => (r.getLong(1), r.getLong(2)) -> (r.getLong(3), r.getDouble(4))).toMap
+
+  test("path 1-2-3: the single non-adjacent pair scores 1/deg(middle)") {
+    val out = scores(sym((1L, 2L), (2L, 3L)))
+    assert(out === Map((1L, 3L) -> (1L, 0.5)))
+  }
+
+  test("4-cycle: both diagonals share two degree-2 witnesses, score 1.0") {
+    val out = scores(sym((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)))
+    assert(out === Map((1L, 3L) -> (2L, 1.0), (2L, 4L) -> (2L, 1.0)))
+  }
+
+  test("high-degree witnesses contribute less than low-degree ones") {
+    // u=1,v=2 share witness 10 (deg 2: only to u,v); u=3,v=4 share
+    // witness 20 which ALSO touches 5,6 (deg 4) → 1/2 > 1/4.
+    val out = scores(sym((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L),
+      (5L, 20L), (6L, 20L)))
+    assert(out((1L, 2L))._2 === 0.5)
+    assert(out((3L, 4L))._2 === 0.25)
+    assert(out((1L, 2L))._2 > out((3L, 4L))._2)
+  }
+
+  test("adjacent pairs are excluded even when they share witnesses (triangle)") {
+    // triangle 1-2-3: every pair is adjacent → no candidates at all
+    val out = scores(sym((1L, 2L), (2L, 3L), (1L, 3L)))
+    assert(out.isEmpty)
+  }
+
+  test("topK truncates by (score DESC, u, v) with contiguous ranks") {
+    val e = GraphBuilder.partEdgesWide(spark, sfDir)
+    val rows = LinkPrediction.resourceAllocation(e, 12).collect()
+    assert(rows.length === 12)
+    assert(rows.map(_.getLong(0)).toSeq === (1L to 12L))
+    val ordered = rows.map(r => (-r.getDouble(4), r.getLong(1), r.getLong(2)))
+    assert(ordered.toSeq === ordered.sorted.toSeq, "rank order must follow the total order")
+    // every emitted pair is genuinely non-adjacent in the input
+    import spark.implicits._
+    val pairs = rows.map(r => (r.getLong(1), r.getLong(2))).toSeq.toDF("u", "v")
+    val adj = e.select($"src".as("u"), $"dst".as("v"))
+    assert(pairs.join(adj, Seq("u", "v"), "left_semi").count() === 0)
+  }
+}
