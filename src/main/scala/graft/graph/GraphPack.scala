@@ -373,6 +373,12 @@ object GraphPack extends QueryPack {
       LinkPrediction.resourceAllocation(GraphBuilder.partEdgesWide(s, d), AA_TOP)
     },
 
+    // A32: degree assortativity over the widened part edit-graph —
+    // see Assortativity.scala for the exact-moment plan contract.
+    "g_assortativity" -> { (s, d) =>
+      Assortativity.of(GraphBuilder.partEdgesWide(s, d))
+    },
+
     // A10: all-pairs BFS wave matrix (batch analogue of repeatedly
     // calling query(), main.py:272) — reachable pairs only.
     "g_bfs_allpairs" -> { (s, d) =>
@@ -897,6 +903,30 @@ object GraphPack extends QueryPack {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC) AS BIGINT) AS rank,
          | u, v, n_common, score
          |FROM sc ORDER BY score DESC, u ASC, v ASC LIMIT $AA_TOP""".stripMargin,
+    "g_assortativity" ->
+      s"""WITH $wideEdgesSql,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM wedges GROUP BY src),
+         |xy AS (
+         | SELECT dx.deg AS x, dy.deg AS y
+         | FROM wedges e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node),
+         |m AS (
+         | SELECT CAST(COUNT(*) AS BIGINT) AS n_edges,
+         |  SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+         |  SUM(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+         |  SUM(CAST(x AS HUGEINT) * CAST(y AS HUGEINT)) AS sxy,
+         |  SUM(CAST(y AS HUGEINT) * CAST(y AS HUGEINT)) AS syy
+         | FROM xy),
+         |h AS (
+         | SELECT n_edges,
+         |  CAST(n_edges AS HUGEINT) * sxy - sx * sy AS num,
+         |  CAST(n_edges AS HUGEINT) * sxx - sx * sx AS den1,
+         |  CAST(n_edges AS HUGEINT) * syy - sy * sy AS den2
+         | FROM m)
+         |SELECT n_edges,
+         | CASE WHEN den1 = 0 OR den2 = 0 THEN NULL
+         |  ELSE CAST(num AS DOUBLE) / (sqrt(CAST(den1 AS DOUBLE)) * sqrt(CAST(den2 AS DOUBLE)))
+         | END AS assortativity
+         |FROM h""".stripMargin,
     "g_clustering" ->
       s"""WITH $tradeEdgesSql,
          |canon AS (SELECT src AS x, dst AS y FROM edges WHERE src < dst),
