@@ -194,6 +194,18 @@ object RelationalPack extends QueryPack {
         .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
     },
 
+    // C27: table profiling (the data-quality / catalog-stats
+    // primitive: per column null count, EXACT distinct count, typed
+    // min/max) in ONE pass over the table. Scale shape: the
+    // multi-distinct aggregate plans as Catalyst's Expand (one stream
+    // per distinct column riding a single shuffle with map-side
+    // partial dedup) — the canonical exact-NDV plan; min/max/null
+    // counts ride the same pass. Output stringification is
+    // type-pinned so it hash-matches cross-engine: timestamps as
+    // yyyy-MM-dd, doubles through DECIMAL(18,2) (fixed-format, no
+    // shortest-roundtrip double printing), integers/strings verbatim.
+    "q_profile" -> { (s, d) => Profiler.profile(Tables.orders(s, d)) },
+
     // C26: SCD Type-2 dimension build — the warehouse primitive the
     // upsert key (C8) doesn't cover: collapse each customer's
     // order-status history into versioned validity intervals
@@ -658,6 +670,27 @@ object RelationalPack extends QueryPack {
         | SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC) AS rn
         | FROM lineitem) t WHERE rn = 1""".stripMargin,
+    "q_profile" -> {
+      // one UNION ALL branch per orders column; stringification
+      // type-pinned to match the Spark side exactly
+      val branches = Seq(
+        ("o_orderkey", "plain"), ("o_custkey", "plain"),
+        ("o_orderstatus", "plain"), ("o_totalprice", "dec"),
+        ("o_orderdate", "date"), ("o_orderpriority", "plain"))
+        .map { case (c, kind) =>
+          def str(agg: String) = kind match {
+            case "date" => s"strftime($agg($c), '%Y-%m-%d')"
+            case "dec"  => s"CAST(CAST($agg($c) AS DECIMAL(18,2)) AS VARCHAR)"
+            case _      => s"CAST($agg($c) AS VARCHAR)"
+          }
+          s"""SELECT '$c' AS col_name, CAST(COUNT(*) AS BIGINT) AS n_rows,
+             | CAST(COUNT(*) - COUNT($c) AS BIGINT) AS n_nulls,
+             | CAST(COUNT(DISTINCT $c) AS BIGINT) AS n_distinct,
+             | ${str("MIN")} AS min_value, ${str("MAX")} AS max_value
+             |FROM orders""".stripMargin
+        }
+      branches.mkString("\nUNION ALL\n")
+    },
     "q_scd2" ->
       """WITH seq AS (
         | SELECT o_custkey AS custkey, o_orderkey, o_orderdate, o_orderstatus AS status,

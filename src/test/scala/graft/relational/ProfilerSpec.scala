@@ -1,0 +1,41 @@
+package graft.relational
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** C27 table profiling: hand-built table with known nulls/dupes +
+  * plan shape (single scan). */
+class ProfilerSpec extends SparkSpec {
+
+  test("profile counts nulls, exact distincts, and typed min/max per column") {
+    import spark.implicits._
+    val t = Seq[(java.lang.Long, String, java.lang.Double)](
+      (1L, "b", 2.5), (2L, "a", null), (2L, null, 10.0),
+      (3L, "a", -1.25), (null, "c", 2.5))
+      .toDF("id", "tag", "score")
+    val out = Profiler.profile(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getString(4), r.getString(5))).toMap
+    assert(out("id") === ((5L, 1L, 3L, "1", "3")))
+    assert(out("tag") === ((5L, 1L, 3L, "a", "c")))
+    // doubles print through DECIMAL(18,2): fixed two-digit scale
+    assert(out("score") === ((5L, 1L, 3L, "-1.25", "10.00")))
+  }
+
+  test("an all-null column profiles as zero distincts with null extrema") {
+    import spark.implicits._
+    val t = Seq((1L, null: String), (2L, null: String)).toDF("id", "v")
+    val row = Profiler.profile(t).filter(col("col_name") === "v").head()
+    assert(row.getLong(2) === 2L) // n_nulls
+    assert(row.getLong(3) === 0L) // n_distinct
+    assert(row.isNullAt(4) && row.isNullAt(5))
+  }
+
+  test("the profile is one pass: a single scan of the input feeds every column's stats") {
+    val plan = Profiler.profile(graft.Tables.orders(spark, sfDir))
+      .queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(plan).size
+    assert(scans === 1, s"profile must scan the table exactly once:\n$plan")
+    assert(plan.contains("Expand"), "exact multi-NDV should plan as Expand")
+  }
+}
