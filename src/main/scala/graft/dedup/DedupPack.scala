@@ -231,6 +231,34 @@ object DedupPack extends QueryPack {
     // over the corpus — plus member count and kept-char mass. The
     // doc-count-sized join with metadata is the only extra shuffle
     // over D6.
+    // D11: blocked entity resolution (record linkage on STRUCTURED
+    // records — the master-data twin of the document dedup family):
+    // candidate pairs come from an equi-join on a composite blocking
+    // key (nation × 6-digit name prefix — block count scales with the
+    // data, so block SIZE, and with it the per-block pairwise work,
+    // stays bounded as the table grows; an unblocked pairwise pass
+    // would be O(n²) and is exactly what this primitive exists to
+    // avoid), then the matcher runs Levenshtein ≤ 1 on survivors
+    // only. Edit distance is integer dynamic programming — identical
+    // in any engine — so the match set has a cross-engine bit
+    // contract. Blocking recall tradeoff (documented, standard): a
+    // near-match differing inside the blocking prefix is missed.
+    "d_er" -> { (s, d) =>
+      import s.implicits._
+      val b = Tables.customer(s, d)
+        .select($"c_custkey".cast("long").as("custkey"), $"c_name", $"c_nationkey",
+          concat($"c_nationkey".cast("string"), lit("|"),
+            substring(regexp_replace($"c_name", "[^0-9]", ""), 1, 6)).as("blk"))
+      val x = b.select($"blk", $"custkey".as("custkey_a"), $"c_name".as("name_a"),
+        $"c_nationkey".cast("long").as("nationkey"))
+      val y = b.select($"blk", $"custkey".as("custkey_b"), $"c_name".as("name_b"))
+      x.join(y, "blk")
+        .filter($"custkey_a" < $"custkey_b" &&
+          levenshtein($"name_a", $"name_b") <= 1)
+        .select($"custkey_a", $"custkey_b", $"nationkey",
+          levenshtein($"name_a", $"name_b").cast("long").as("lev"))
+    },
+
     "d_canonical" -> { (s, d) =>
       import s.implicits._
       val clusters = DedupPack.queries("d_cluster")(s, d)
@@ -465,6 +493,16 @@ object DedupPack extends QueryPack {
          | node = MIN(lbl) AS is_survivor
          |FROM reach GROUP BY node""".stripMargin,
     // D6's closure + per-cluster argmax by (n_chars DESC, doc_id ASC)
+    "d_er" ->
+      """WITH b AS (
+        | SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS nationkey,
+        |  c_nationkey || '|' || substr(regexp_replace(c_name, '[^0-9]', '', 'g'), 1, 6) AS blk
+        | FROM customer)
+        |SELECT x.custkey AS custkey_a, y.custkey AS custkey_b,
+        | x.nationkey, CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS lev
+        |FROM b x JOIN b y ON x.blk = y.blk AND x.custkey < y.custkey
+        |WHERE levenshtein(x.c_name, y.c_name) <= 1""".stripMargin,
     "d_canonical" ->
       s"""WITH RECURSIVE $minhashCandSql,
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand

@@ -221,6 +221,66 @@ object EventsPack extends QueryPack {
     // max/sum/count over exact epoch-microsecond integers) and the
     // mean is a SINGLE IEEE division over those integers, so both
     // engines produce bit-identical doubles.
+    // H20: calendar gap fill + forward fill (time-series resample —
+    // the "make the series dense before you chart/model it" step
+    // every metrics pipeline needs): per (user, day) purchase
+    // revenue on the FULL calendar grid, missing days carrying the
+    // last observed value forward. Scale shape: the calendar is a
+    // domain-bounded one-row broadcast exploded to |days| rows (the
+    // grid is users × bounded-days, smaller than the event table);
+    // the daily aggregate is one partial-aggregable groupBy; the
+    // forward fill is ONE user-partitioned window pass (last
+    // IGNORE NULLS — never a self-join per gap). Filled values are
+    // COPIES of already-rounded doubles, so no new arithmetic and
+    // the cross-engine hash holds. Leading days before a user's
+    // first purchase stay NULL (nothing to fill from).
+    "e_fill" -> { (s, d) =>
+      import s.implicits._
+      val ev = Tables.events(s, d)
+      val bounds = ev.agg(to_date(min($"ts")).as("d0"), to_date(max($"ts")).as("d1"))
+      val days = bounds.select(explode(sequence($"d0", $"d1")).as("day"))
+      val users = ev.select($"user_id").distinct()
+      val daily = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n_tx"),
+          round(sum($"value".cast(D)), 2).cast("double").as("rev"))
+      val w = Window.partitionBy($"user_id").orderBy($"day".asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      users.crossJoin(broadcast(days))
+        .join(daily, Seq("user_id", "day"), "left")
+        .withColumn("revenue", last($"rev", ignoreNulls = true).over(w))
+        .select($"user_id", date_format($"day", "yyyy-MM-dd").as("day"),
+          coalesce($"n_tx", lit(0L)).as("n_tx"), $"revenue",
+          ($"rev".isNull && $"revenue".isNotNull).as("is_filled"))
+    },
+
+    // H21: time-weighted average (TWAP — the correct mean for
+    // irregularly-sampled series: each observation weighted by how
+    // long it was the CURRENT value, so burst-sampling can't bias
+    // the average the way a plain mean does): per user, the step
+    // function of `value` integrated over the user's own timeline.
+    // Exact arithmetic end-to-end — cent-quantized values × integer
+    // microsecond durations summed as DECIMAL(38,0) (vs the oracle's
+    // HUGEINT), ONE IEEE division at the end. One window pass (lead)
+    // and one groupBy, both partitioned on user_id, so the hash
+    // exchange is reused: ONE shuffle total.
+    "e_twa" -> { (s, d) =>
+      import s.implicits._
+      val d38 = DecimalType(38, 0)
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
+      Tables.events(s, d)
+        .select($"user_id", $"event_id", unix_micros($"ts").as("ts_us"),
+          ($"value".cast(D) * 100).cast("long").as("cents"))
+        .withColumn("dur_us", lead($"ts_us", 1).over(byUser) - $"ts_us")
+        .filter($"dur_us".isNotNull)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_intervals"),
+          sum($"dur_us").as("total_us"),
+          sum($"cents".cast(d38) * $"dur_us".cast(d38)).as("num"))
+        .select($"user_id", $"n_intervals",
+          ($"num".cast("double") / (lit(100.0) * $"total_us".cast("double"))).as("twa"))
+    },
+
     "e_gaps" -> { (s, d) =>
       import s.implicits._
       val byUser = Window.partitionBy($"user_id").orderBy($"ts_us".asc, $"event_id".asc)
@@ -916,6 +976,46 @@ object EventsPack extends QueryPack {
          | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
          | event_type, user_id
          |FROM events""".stripMargin,
+    "e_twa" ->
+      """WITH base AS (
+        | SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |seq AS (
+        | SELECT user_id, cents,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us ASC, event_id ASC) - ts_us AS dur_us
+        | FROM base),
+        |m AS (
+        | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_intervals,
+        |  CAST(SUM(dur_us) AS BIGINT) AS total_us,
+        |  SUM(CAST(cents AS HUGEINT) * CAST(dur_us AS HUGEINT)) AS num
+        | FROM seq WHERE dur_us IS NOT NULL GROUP BY 1)
+        |SELECT user_id, n_intervals,
+        | CAST(num AS DOUBLE) / (100.0 * CAST(total_us AS DOUBLE)) AS twa
+        |FROM m""".stripMargin,
+    "e_fill" ->
+      """WITH bounds AS (
+        | SELECT CAST(date_trunc('day', MIN(ts)) AS DATE) AS d0,
+        |  CAST(date_trunc('day', MAX(ts)) AS DATE) AS d1 FROM events),
+        |days AS (
+        | SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+        | FROM bounds),
+        |users AS (SELECT DISTINCT user_id FROM events),
+        |daily AS (
+        | SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |  CAST(COUNT(*) AS BIGINT) AS n_tx,
+        |  CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS rev
+        | FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |grid AS (
+        | SELECT g.user_id, g.day, dl.n_tx, dl.rev,
+        |  last_value(dl.rev IGNORE NULLS)
+        |   OVER (PARTITION BY g.user_id ORDER BY g.day ASC) AS revenue
+        | FROM (SELECT u.user_id, d.day FROM users u CROSS JOIN days d) g
+        | LEFT JOIN daily dl ON g.user_id = dl.user_id AND g.day = dl.day)
+        |SELECT user_id, strftime(day, '%Y-%m-%d') AS day,
+        | COALESCE(n_tx, CAST(0 AS BIGINT)) AS n_tx, revenue,
+        | (rev IS NULL AND revenue IS NOT NULL) AS is_filled
+        |FROM grid""".stripMargin,
     "e_gaps" ->
       """WITH base AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),

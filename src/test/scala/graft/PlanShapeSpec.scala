@@ -30,6 +30,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_basket_pairs", // one-row order-total broadcast
       "e_rfm", // one-row observation-end + one-row tertile-threshold broadcasts
       "e_survival", // one-row observation-end broadcast (t_tfidf's pattern)
+      "e_fill", // domain-bounded calendar-days broadcast onto the user grid
       "s_recall") // composes s_knn_brute/ann, inheriting their shapes
 
   private def df(name: String): DataFrame = {

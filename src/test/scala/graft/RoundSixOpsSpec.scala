@@ -148,4 +148,70 @@ class RoundSixOpsSpec extends SparkSpec {
       case Seq(a, b) => b <= a; case _ => true
     }, "survival curve is non-increasing")
   }
+
+  test("d_er: matches are same-block, ordered, and within edit distance 1") {
+    import spark.implicits._
+    val m = SparkEntry.queries("d_er")(spark, sfDir).collect()
+    assert(m.nonEmpty)
+    m.foreach { r =>
+      assert(r.getLong(0) < r.getLong(1), "pairs must be canonical (a < b)")
+      assert(r.getLong(3) <= 1L)
+    }
+    // cross-check against an unblocked brute-force pass at sf0.001:
+    // within-block recall is exact — every brute pair whose names
+    // share the 6-digit blocking prefix AND nation must be found
+    val c = Tables.customer(spark, sfDir)
+      .select($"c_custkey".cast("long").as("k"), $"c_name".as("n"),
+        $"c_nationkey".cast("long").as("nk"))
+    val brute = c.as("x").join(c.as("y"),
+        $"x.k" < $"y.k" && $"x.nk" === $"y.nk" &&
+          levenshtein($"x.n", $"y.n") <= 1 &&
+          substring(regexp_replace($"x.n", "[^0-9]", ""), 1, 6) ===
+            substring(regexp_replace($"y.n", "[^0-9]", ""), 1, 6))
+      .select($"x.k", $"y.k").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(m.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
+  }
+
+  test("e_fill: the grid tiles every user across the full calendar and fills copy forward") {
+    import spark.implicits._
+    val out = SparkEntry.queries("e_fill")(spark, sfDir).cache()
+    val nDays = out.select($"day").distinct().count()
+    // every user has exactly one row per calendar day
+    val perUser = out.groupBy($"user_id").agg(count(lit(1)).as("n"),
+      countDistinct($"day").as("nd")).collect()
+    perUser.foreach(r => assert(r.getLong(1) === nDays && r.getLong(2) === nDays))
+    // filled rows have no transactions; observed rows are never flagged
+    assert(out.filter($"is_filled" && $"n_tx" =!= 0L).count() === 0)
+    // forward-fill law: a filled row's revenue equals the previous
+    // non-filled row's revenue in day order
+    val rows = out.orderBy($"user_id".asc, $"day".asc).collect()
+    var lastObs: Map[Long, Double] = Map.empty
+    rows.foreach { r =>
+      val (u, filled) = (r.getLong(0), r.getBoolean(4))
+      if (!r.isNullAt(3)) {
+        if (filled) assert(lastObs.get(u).contains(r.getDouble(3)),
+          s"filled revenue must copy the last observed value for user $u day ${r.getString(1)}")
+        else lastObs += u -> r.getDouble(3)
+      } else assert(!filled && !lastObs.contains(u),
+        "null revenue only before a user's first observation")
+    }
+    out.unpersist()
+  }
+
+  test("e_twa: time-weighted averages stay inside each user's value envelope, one shuffle") {
+    import spark.implicits._
+    val twa = SparkEntry.queries("e_twa")(spark, sfDir)
+    val env = Tables.events(spark, sfDir).groupBy($"user_id")
+      .agg(min($"value").as("lo"), max($"value").as("hi"), count(lit(1)).as("n"))
+    val joined = twa.join(env, "user_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (t, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(t >= lo - 1e-9 && t <= hi + 1e-9, s"twa $t outside [$lo,$hi]")
+      assert(r.getLong(1) === r.getLong(5) - 1, "n_intervals = n_events - 1")
+    }
+    val exchanges = "Exchange hashpartitioning".r
+      .findAllIn(twa.queryExecution.executedPlan.toString).size
+    assert(exchanges === 1, "window + groupBy must share one user_id exchange")
+  }
 }
