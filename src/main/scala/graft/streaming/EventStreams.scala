@@ -193,6 +193,26 @@ object EventStreams {
     * incremental plan): complete-mode aggregation over user totals.
     * The top-k cut itself stays in the sink query (rank-over-totals
     * on a 〈users〉-sized table, not the event stream). */
+  /** Stream-static enrichment (H22): the streamed events joined
+    * against a STATIC dimension table inside the streaming query —
+    * Spark's stream-static join needs no state at all (the static
+    * side is just re-planned per micro-batch, broadcast when small),
+    * which is exactly why it's the idiomatic enrichment shape vs. a
+    * stateful stream-stream join. Watermark is declared BEFORE the
+    * join so window sealing is untouched by enrichment; the inner
+    * join drops the sentinel row (no matching dimension key), but the
+    * sentinel still advances the watermark — it is tracked at the
+    * source, not post-join. Aggregates per (window, segment) with the
+    * batch twin's exact decimal arithmetic. */
+  def enrichStaticWindowed(events: DataFrame, dim: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), s"$WINDOW_SEC seconds"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("c_mktsegment").as("mktsegment"), col("n_events"), col("sum_value"))
+
   def userTotals(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"))

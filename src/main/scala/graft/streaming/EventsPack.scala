@@ -580,6 +580,20 @@ object EventsPack extends QueryPack {
       }
     },
 
+    // Streaming stream-static enrichment replay (H22): events joined
+    // against the static customer dimension INSIDE the streaming
+    // query, aggregated per (window, market segment). Stream-static
+    // joins keep no state (the static side re-plans per micro-batch),
+    // so the sealed output equals the batch join+group twin exactly;
+    // the sentinel has no dimension row, so the inner join drops its
+    // data while its event time still advances the watermark.
+    "e_stream_enrich" -> { (s, d) =>
+      import s.implicits._
+      val dim = Tables.customer(s, d).select($"c_custkey", $"c_mktsegment")
+      StreamReplay.replay(s, d)(
+        ds => EventStreams.enrichStaticWindowed(ds.toDF(), dim))(identity)
+    },
+
     // Streaming sessionization replay: SessionOut rows carry no
     // session_id (state seals sessions independently), so the batch
     // twin's per-user id is re-derived by ranking each user's sealed
@@ -1075,6 +1089,13 @@ object EventsPack extends QueryPack {
         |FROM hours h JOIN typ t ON t.event_type = h.event_type""".stripMargin,
     "e_window" -> windowSql,
     "e_stream_window" -> windowSql,
+    "e_stream_enrich" ->
+      s"""SELECT
+         | strftime(make_timestamp(CAST(floor(epoch(e.ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
+         | c.c_mktsegment AS mktsegment, CAST(COUNT(*) AS BIGINT) AS n_events,
+         | CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value
+         |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+         |GROUP BY 1, 2""".stripMargin,
     "e_sessions" -> sessionsSql,
     "e_stream_sessions" -> sessionsSql,
     "e_funnel" ->

@@ -298,6 +298,30 @@ class EventStreamsSpec extends SparkSpec {
     }
   }
 
+  test("stream-static enrichment: sealed output invariant to slicing and equal to the batch join") {
+    // H22's stream-static join keeps no state, so neither the chunking
+    // nor the per-batch re-plan of the static side may change the
+    // sealed (window, segment) aggregate — and it must equal the plain
+    // batch join+group computed outside the streaming engine.
+    import org.apache.spark.sql.functions._
+    val dim = graft.Tables.customer(spark, sfDir)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    def run(chunks: Int) = StreamReplay.replay(spark, sfDir, chunks = chunks)(
+      ds => EventStreams.enrichStaticWindowed(ds.toDF(), dim))(identity)
+    val one = run(1)
+    val many = run(13)
+    assert(one.count() === many.count())
+    assert(one.except(many).count() === 0 && many.except(one).count() === 0)
+    val batch = graft.Tables.events(spark, sfDir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .groupBy(window(col("ts"), s"${EventStreams.WINDOW_SEC} seconds"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value").cast("decimal(18,2)")), 2).cast("double").as("sum_value"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+        col("c_mktsegment").as("mktsegment"), col("n_events"), col("sum_value"))
+    assert(many.except(batch).count() === 0 && batch.except(many).count() === 0)
+  }
+
   test("StreamReplay.feed never draws more than one chunk ahead of delivery") {
     // The replay's driver-memory contract: the feed pulls from the
     // (executor-backed) iterator lazily, so between deliveries at most
