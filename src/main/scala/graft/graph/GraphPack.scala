@@ -379,6 +379,13 @@ object GraphPack extends QueryPack {
       Assortativity.of(GraphBuilder.partEdgesWide(s, d))
     },
 
+    // A33: bridge (cut-edge) detection — A29's quotient pattern
+    // applied to 2-edge-connectivity; see Bridges.scala. The oracle
+    // replays the DEFINITION (per-edge deletion reachability CTE)
+    // against the engine's Tarjan low-link pass — two different
+    // algorithms agreeing on the hash.
+    "g_bridges" -> { (s, d) => Bridges.classEdgeBridges(s, d) },
+
     // A10: all-pairs BFS wave matrix (batch analogue of repeatedly
     // calling query(), main.py:272) — reachable pairs only.
     "g_bfs_allpairs" -> { (s, d) =>
@@ -903,6 +910,25 @@ object GraphPack extends QueryPack {
          |SELECT CAST(ROW_NUMBER() OVER (ORDER BY score DESC, u ASC, v ASC) AS BIGINT) AS rank,
          | u, v, n_common, score
          |FROM sc ORDER BY score DESC, u ASC, v ASC LIMIT $AA_TOP""".stripMargin,
+    "g_bridges" ->
+      """WITH RECURSIVE classes AS (
+        | SELECT DISTINCT p_brand AS brand, CAST(p_size AS BIGINT) AS size FROM part),
+        |eid AS (
+        | SELECT a.brand, a.size AS size_lo, b.size AS size_hi,
+        |  ROW_NUMBER() OVER (ORDER BY a.brand, a.size, b.size) AS id
+        | FROM classes a JOIN classes b
+        |  ON a.brand = b.brand AND (b.size = a.size + 1 OR b.size = a.size + 2)),
+        |sym AS (
+        | SELECT brand, size_lo AS x, size_hi AS y, id FROM eid
+        | UNION ALL SELECT brand, size_hi, size_lo, id FROM eid),
+        |reach(id, brand, node) AS (
+        | SELECT id, brand, size_lo FROM eid
+        | UNION
+        | SELECT r.id, r.brand, s.y
+        | FROM reach r JOIN sym s ON s.brand = r.brand AND s.x = r.node AND s.id <> r.id)
+        |SELECT e.brand, e.size_lo, e.size_hi,
+        | NOT EXISTS (SELECT 1 FROM reach r WHERE r.id = e.id AND r.node = e.size_hi) AS is_bridge
+        |FROM eid e""".stripMargin,
     "g_assortativity" ->
       s"""WITH $wideEdgesSql,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM wedges GROUP BY src),

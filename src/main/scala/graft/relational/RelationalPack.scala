@@ -194,6 +194,33 @@ object RelationalPack extends QueryPack {
         .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
     },
 
+    // C28: CDC log application with DELETE tombstones (the Delta/
+    // Hudi MERGE compaction primitive C8's keep-latest doesn't
+    // cover: a tombstone removes the key, a later upsert revives it,
+    // and op accounting survives either way). The event stream is the
+    // change log — 'error' events are deletes, everything else
+    // upserts `value` — applied in (event-time, id) order. Scale
+    // shape: last-op-wins is ONE partial-aggregable
+    // max(struct(ts, id, payload)) groupBy — no window, no sort, no
+    // self-join; the op counters ride the same aggregate, so the
+    // whole log collapses in a single shuffle however long a key's
+    // history. Cents-exact payload (the upsert value is an exact
+    // integer until the final /100 cast).
+    "q_cdc" -> { (s, d) =>
+      import s.implicits._
+      Tables.events(s, d)
+        .select($"user_id", unix_micros($"ts").as("ts_us"), $"event_id",
+          $"event_type", ($"value".cast(D) * 100).cast("long").as("cents"))
+        .groupBy($"user_id")
+        .agg(max(struct($"ts_us", $"event_id", $"event_type", $"cents")).as("last"),
+          count(lit(1)).as("n_ops"),
+          sum(when($"event_type" === "error", 1L).otherwise(0L)).as("n_deletes"))
+        .filter($"last.event_type" =!= "error")
+        .select($"user_id", $"last.event_type".as("last_type"),
+          ($"last.cents".cast("double") / 100.0).as("last_value"),
+          $"n_ops", $"n_deletes")
+    },
+
     // C27: table profiling (the data-quality / catalog-stats
     // primitive: per column null count, EXACT distinct count, typed
     // min/max) in ONE pass over the table. Scale shape: the
@@ -670,6 +697,24 @@ object RelationalPack extends QueryPack {
         | SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC) AS rn
         | FROM lineitem) t WHERE rn = 1""".stripMargin,
+    "q_cdc" ->
+      """WITH log AS (
+        | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,
+        |  CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+        | FROM events),
+        |ranked AS (
+        | SELECT user_id, event_type, cents,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        | FROM log),
+        |counts AS (
+        | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops,
+        |  CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS n_deletes
+        | FROM log GROUP BY 1)
+        |SELECT r.user_id, r.event_type AS last_type,
+        | CAST(r.cents AS DOUBLE) / 100.0 AS last_value,
+        | c.n_ops, c.n_deletes
+        |FROM ranked r JOIN counts c ON r.user_id = c.user_id
+        |WHERE r.rn = 1 AND r.event_type <> 'error'""".stripMargin,
     "q_profile" -> {
       // one UNION ALL branch per orders column; stringification
       // type-pinned to match the Spark side exactly
