@@ -386,6 +386,40 @@ object GraphPack extends QueryPack {
     // algorithms agreeing on the hash.
     "g_bridges" -> { (s, d) => Bridges.classEdgeBridges(s, d) },
 
+    // A34: rich-club coefficient φ(k) = E_{>k} / (N_{>k}·(N_{>k}−1))
+    // on the directed symmetric list (Colizza 2006 — do hubs wire to
+    // hubs more than degree alone explains?). Scale shape: degrees
+    // are one groupBy; each edge contributes min(deg_u, deg_v), so
+    // E_{>k} for EVERY k comes from one histogram of that min plus a
+    // suffix window — and both the node-degree histogram and the
+    // min-edge histogram live on the DISTINCT-DEGREE-VALUE domain
+    // (≈O(√edges) rows), so the one unpartitioned window runs over a
+    // domain-bounded table (q_skyline's sanctioned shape), never the
+    // fact-scaled graph. N·(N−1) in DECIMAL(38,0) (node counts can
+    // square past long at scale); ONE IEEE division per k.
+    "g_richclub" -> { (s, d) =>
+      import s.implicits._
+      val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      val e = GraphBuilder.partEdgesWide(s, d)
+      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val nodeHist = deg.groupBy($"deg".as("k")).agg(count(lit(1)).as("nn"))
+      val minHist = e
+        .join(deg.select($"node".as("src"), $"deg".as("dx")), "src")
+        .join(deg.select($"node".as("dst"), $"deg".as("dy")), "dst")
+        .groupBy(least($"dx", $"dy").as("k")).agg(count(lit(1)).as("ne"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy($"k".desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      nodeHist.join(minHist, Seq("k"), "full_outer")
+        .select($"k", coalesce($"nn", lit(0L)).as("nn"), coalesce($"ne", lit(0L)).as("ne"))
+        .withColumn("n_rich", coalesce(sum($"nn").over(w), lit(0L)))
+        .withColumn("e_rich", coalesce(sum($"ne").over(w), lit(0L)))
+        .filter($"n_rich" >= 2)
+        .select($"k", $"n_rich", $"e_rich",
+          ($"e_rich".cast("double") /
+            ($"n_rich".cast(d38) * ($"n_rich".cast(d38) - 1)).cast("double")).as("phi"))
+    },
+
     // A10: all-pairs BFS wave matrix (batch analogue of repeatedly
     // calling query(), main.py:272) — reachable pairs only.
     "g_bfs_allpairs" -> { (s, d) =>
@@ -929,6 +963,27 @@ object GraphPack extends QueryPack {
         |SELECT e.brand, e.size_lo, e.size_hi,
         | NOT EXISTS (SELECT 1 FROM reach r WHERE r.id = e.id AND r.node = e.size_hi) AS is_bridge
         |FROM eid e""".stripMargin,
+    "g_richclub" ->
+      s"""WITH $wideEdgesSql,
+         |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM wedges GROUP BY src),
+         |nh AS (SELECT deg AS k, CAST(COUNT(*) AS BIGINT) AS nn FROM deg GROUP BY deg),
+         |mh AS (
+         | SELECT LEAST(dx.deg, dy.deg) AS k, CAST(COUNT(*) AS BIGINT) AS ne
+         | FROM wedges e JOIN deg dx ON e.src = dx.node JOIN deg dy ON e.dst = dy.node
+         | GROUP BY 1),
+         |u AS (
+         | SELECT COALESCE(nh.k, mh.k) AS k, COALESCE(nn, CAST(0 AS BIGINT)) AS nn,
+         |  COALESCE(ne, CAST(0 AS BIGINT)) AS ne
+         | FROM nh FULL OUTER JOIN mh ON nh.k = mh.k),
+         |c AS (
+         | SELECT k,
+         |  COALESCE(CAST(SUM(nn) OVER suf AS BIGINT), CAST(0 AS BIGINT)) AS n_rich,
+         |  COALESCE(CAST(SUM(ne) OVER suf AS BIGINT), CAST(0 AS BIGINT)) AS e_rich
+         | FROM u WINDOW suf AS (ORDER BY k DESC ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+         |SELECT k, n_rich, e_rich,
+         | CAST(e_rich AS DOUBLE) /
+         |  CAST(CAST(n_rich AS HUGEINT) * (CAST(n_rich AS HUGEINT) - 1) AS DOUBLE) AS phi
+         |FROM c WHERE n_rich >= 2""".stripMargin,
     "g_assortativity" ->
       s"""WITH $wideEdgesSql,
          |deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg FROM wedges GROUP BY src),

@@ -492,6 +492,30 @@ object TextPack extends QueryPack {
     // bounded row per language — at 100 TB the second stage input is
     // |vocab|, not corpus size. Ratios are single IEEE divisions of
     // exact integers (cross-engine bit-equal).
+    // F23: word-frequency spectrum (count-of-counts — the Zipf/Heaps
+    // diagnostic behind vocabulary-growth and tokenizer-budget
+    // decisions; the f=1 row IS the hapax mass F11 summarizes): per
+    // language, how many distinct types occur exactly f times, with
+    // exact type/token shares. Scale shape: term frequencies are one
+    // partial-aggregable groupBy; the spectrum re-aggregates the
+    // VOCAB-bounded frequency table; the totals join is per-lang
+    // (bounded); distinct-f row count grows ~O(√tokens), so the
+    // output stays tiny at any corpus size. All integers exact; the
+    // two shares are single IEEE divisions.
+    "t_freqspec" -> { (s, d) =>
+      import s.implicits._
+      val freq = Tables.documents(s, d)
+        .select($"lang", explode(split(TextOps.norm($"text"), " ")).as("term"))
+        .groupBy($"lang", $"term").agg(count(lit(1)).as("f"))
+      val spec = freq.groupBy($"lang", $"f").agg(count(lit(1)).as("n_types"))
+      val tot = spec.groupBy($"lang")
+        .agg(sum($"n_types").as("vocab"), sum($"f" * $"n_types").as("n_tokens"))
+      spec.join(tot, "lang")
+        .select($"lang", $"f", $"n_types",
+          ($"n_types".cast("double") / $"vocab".cast("double")).as("type_share"),
+          (($"f" * $"n_types").cast("double") / $"n_tokens".cast("double")).as("token_share"))
+    },
+
     "t_vocab" -> { (s, d) =>
       import s.implicits._
       // no fanOut: the tokenizer here is pure codegen (split+explode,
@@ -736,6 +760,21 @@ object TextPack extends QueryPack {
            | FROM cnt JOIN ca USING (wa) JOIN cb USING (wb) CROSS JOIN tot
            | WHERE c_ab >= 5) t
            |WHERE rank <= 20""".stripMargin,
+      "t_freqspec" ->
+        s"""WITH freq AS (
+           | SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS f
+           | FROM (SELECT lang, UNNEST(string_split($nrmSql, ' ')) AS term FROM documents)
+           | GROUP BY 1, 2),
+           |spec AS (
+           | SELECT lang, f, CAST(COUNT(*) AS BIGINT) AS n_types FROM freq GROUP BY 1, 2),
+           |tot AS (
+           | SELECT lang, CAST(SUM(n_types) AS BIGINT) AS vocab,
+           |  CAST(SUM(f * n_types) AS BIGINT) AS n_tokens
+           | FROM spec GROUP BY 1)
+           |SELECT s.lang, s.f, s.n_types,
+           | CAST(s.n_types AS DOUBLE) / CAST(t.vocab AS DOUBLE) AS type_share,
+           | CAST(s.f * s.n_types AS DOUBLE) / CAST(t.n_tokens AS DOUBLE) AS token_share
+           |FROM spec s JOIN tot t ON s.lang = t.lang""".stripMargin,
       "t_vocab" ->
         s"""WITH freq AS (
            | SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS f

@@ -198,6 +198,52 @@ class RoundSixOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("g_richclub: sf0.001 coefficients match a brute-force recomputation") {
+    import spark.implicits._
+    val edges = graft.graph.GraphBuilder.partEdgesWide(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val deg = edges.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val out = SparkEntry.queries("g_richclub")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out.nonEmpty)
+    out.foreach { case (k, (nRich, eRich, phi)) =>
+      val rich = deg.filter(_._2 > k).keySet
+      val e = edges.count { case (u, v) => rich(u) && rich(v) }.toLong
+      assert(nRich === rich.size.toLong, s"n_rich at k=$k")
+      assert(eRich === e, s"e_rich at k=$k")
+      assert(phi === e.toDouble / (rich.size.toLong * (rich.size - 1L)).toDouble)
+      assert(phi >= 0.0 && phi <= 1.0)
+    }
+    // monotone shrinkage of the club as k rises
+    val ks = out.keys.toSeq.sorted
+    ks.sliding(2).foreach {
+      case Seq(a, b) => assert(out(b)._1 <= out(a)._1 && out(b)._2 <= out(a)._2)
+      case _ => ()
+    }
+  }
+
+  test("t_freqspec: shares partition to 1 per language and the f=1 row is the hapax mass") {
+    import spark.implicits._
+    val spec = SparkEntry.queries("t_freqspec")(spark, sfDir).cache()
+    val sums = spec.groupBy($"lang")
+      .agg(sum($"type_share").as("ts"), sum($"token_share").as("ks")).collect()
+    assert(sums.nonEmpty)
+    sums.foreach { r =>
+      assert(math.abs(r.getDouble(1) - 1.0) < 1e-9)
+      assert(math.abs(r.getDouble(2) - 1.0) < 1e-9)
+    }
+    val hapaxFromSpec = spec.filter($"f" === 1L)
+      .select($"lang", $"n_types").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val vocab = SparkEntry.queries("t_vocab")(spark, sfDir)
+      .select($"lang", $"hapax").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    vocab.foreach { case (lang, hapax) =>
+      assert(hapaxFromSpec.getOrElse(lang, 0L) === hapax, s"hapax mass for $lang")
+    }
+    spec.unpersist()
+  }
+
   test("e_twa: time-weighted averages stay inside each user's value envelope, one shuffle") {
     import spark.implicits._
     val twa = SparkEntry.queries("e_twa")(spark, sfDir)
