@@ -492,6 +492,30 @@ object TextPack extends QueryPack {
     // bounded row per language — at 100 TB the second stage input is
     // |vocab|, not corpus size. Ratios are single IEEE divisions of
     // exact integers (cross-engine bit-equal).
+    // F24: readability scoring (Flesch reading ease — the classic
+    // quality-filter feature next to F2's ratio heuristics): exact
+    // integer sentence/word/syllable-group counts per document (runs
+    // of [.!?] / whitespace tokens / vowel runs — the standard
+    // syllable approximation), then the Flesch formula with PINNED
+    // IEEE op order (two divisions, two multiplies, two subtracts —
+    // identical sequence in the oracle, so doubles match
+    // bit-for-bit). Pure row-local codegen'd regex: ZERO shuffle at
+    // any corpus size. Sentence counts floor at 1 so fragment-only
+    // documents (like the synthetic corpus) stay defined.
+    "t_readability" -> { (s, d) =>
+      import s.implicits._
+      Tables.documents(s, d).select(
+        $"doc_id",
+        greatest(lit(1L),
+          size(regexp_extract_all($"text", lit("[.!?]+"), lit(0))).cast("long")).as("n_sentences"),
+        size(split(TextOps.norm($"text"), " ")).cast("long").as("n_words"),
+        size(regexp_extract_all(lower($"text"), lit("[aeiouy]+"), lit(0))).cast("long").as("n_syllables"))
+        .withColumn("flesch",
+          lit(206.835) -
+            lit(1.015) * ($"n_words".cast("double") / $"n_sentences".cast("double")) -
+            lit(84.6) * ($"n_syllables".cast("double") / $"n_words".cast("double")))
+    },
+
     // F23: word-frequency spectrum (count-of-counts — the Zipf/Heaps
     // diagnostic behind vocabulary-growth and tokenizer-budget
     // decisions; the f=1 row IS the hapax mass F11 summarizes): per
@@ -760,6 +784,19 @@ object TextPack extends QueryPack {
            | FROM cnt JOIN ca USING (wa) JOIN cb USING (wb) CROSS JOIN tot
            | WHERE c_ab >= 5) t
            |WHERE rank <= 20""".stripMargin,
+      "t_readability" ->
+        s"""WITH c AS (
+           | SELECT doc_id,
+           |  GREATEST(CAST(1 AS BIGINT),
+           |   CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)) AS n_sentences,
+           |  CAST(len(string_split($nrmSql, ' ')) AS BIGINT) AS n_words,
+           |  CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+           | FROM documents)
+           |SELECT doc_id, n_sentences, n_words, n_syllables,
+           | CAST(206.835 AS DOUBLE) -
+           |  CAST(1.015 AS DOUBLE) * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE)) -
+           |  CAST(84.6 AS DOUBLE) * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE)) AS flesch
+           |FROM c""".stripMargin,
       "t_freqspec" ->
         s"""WITH freq AS (
            | SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS f
