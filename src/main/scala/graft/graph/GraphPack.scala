@@ -350,9 +350,33 @@ object GraphPack extends QueryPack {
     // symmetric graph hub ≡ authority and the algorithm degenerates).
     // L1-normalized each round so it cannot overflow at any scale;
     // see Hits.scala for the exact cross-engine arithmetic contract.
+    // QUOTIENT fast path: the size-up rule is all-pairs between
+    // (brand, size) classes, so hub/authority are pure class
+    // functions — the K rounds run in-process over the
+    // dimension-bounded class graph (guarded collect) and ONE
+    // broadcast join stamps scores onto parts; the distributed
+    // Hits.run twin is spec-pinned bit-identical. Parts grow with
+    // SF, classes don't: 8 rounds × 4 shuffles of a fact-scaled
+    // graph become one distinct + one broadcast join.
     "g_hits" -> { (s, d) =>
       import s.implicits._
-      Hits.run(GraphBuilder.partEdgesUp(s, d), HITS_ITERS)
+      val cls = Tables.part(s, d)
+        .groupBy($"p_brand", $"p_size".cast("long").as("size"))
+        .agg(count(lit(1)).as("cnt"))
+        .limit(Hits.MAX_CLASSES + 1).collect()
+      require(cls.length <= Hits.MAX_CLASSES,
+        s"class graph exceeds the ${Hits.MAX_CLASSES} domain bound")
+      val sizes = cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      val edges = sizes.keys.toSeq
+        .filter { case (b, sz) => sizes.contains((b, sz + 1)) }
+        .map { case (b, sz) => ((b, sz), (b, sz + 1)) }
+      val scores = Hits.quotientScores(sizes, edges, HITS_ITERS)
+      val rows = scores.toSeq.map { case ((b, sz), (hub, auth)) => (b, sz, hub, auth) }
+      val classDF = s.createDataFrame(rows).toDF("brand", "size", "hub", "authority")
+      Tables.part(s, d)
+        .select($"p_partkey".as("node"), $"p_brand".as("brand"),
+          $"p_size".cast("long").as("size"))
+        .join(broadcast(classDF), Seq("brand", "size"))
         .select($"node", $"hub", $"authority")
     },
 
@@ -368,9 +392,18 @@ object GraphPack extends QueryPack {
     // adjacency exclusion is a left-anti equi-join, contributions are
     // DECIMAL(28,12)-quantized before the exact sum, and the global
     // top-k is Spark's TakeOrdered (map-side k, never a full sort).
-    // See LinkPrediction.scala for the full plan contract.
+    // QUOTIENT fast path (see LinkPrediction.resourceAllocationQuotient):
+    // on the widened edit rule the RA score is a pure (brand, size)
+    // class function, and the fact-level wedge join's Σdeg² work
+    // grows QUADRATICALLY with SF (class sizes grow with the data) —
+    // the quotient sweeps the dimension-bounded class graph
+    // in-process and materializes part pairs only for the top-tier
+    // candidate class-pairs. The general fact-level operator
+    // (LinkPrediction.resourceAllocation) remains the arbitrary-graph
+    // path; a spec pins the two bit-identical on the edit graph.
     "g_adamic_adar" -> { (s, d) =>
-      LinkPrediction.resourceAllocation(GraphBuilder.partEdgesWide(s, d), AA_TOP)
+      LinkPrediction.resourceAllocationQuotient(s,
+        Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size")), AA_TOP)
     },
 
     // A32: degree assortativity over the widened part edit-graph —

@@ -31,6 +31,57 @@ object Hits {
   private val M = org.apache.spark.sql.types.DecimalType(28, 12)
   private val S = org.apache.spark.sql.types.DecimalType(38, 12)
 
+  /** Domain bound for the quotient fast path's collected class graph. */
+  val MAX_CLASSES = 100000
+
+  private def q12(d: Double): BigDecimal =
+    BigDecimal.decimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  /** CLASS-level HITS — the quotient fast path for graphs whose
+    * edges are all-pairs between attribute classes (the size-up rule:
+    * every part in (brand, s) points at every part in (brand, s+1)).
+    * On such graphs hub/authority are pure functions of the CLASS, so
+    * the K rounds run in-process over the dimension-bounded class
+    * graph with multiplicity weights; [[run]]'s arithmetic is
+    * replicated EXACTLY — summing size(c) copies of one quantized
+    * decimal is multiplication by an integer, the L1 totals weight by
+    * class size the same way, and each normalization is the same one
+    * IEEE division of two correctly-rounded decimal→double casts —
+    * so the stamped per-node scores are bit-identical to the
+    * distributed loop's (spec-pinned).
+    *
+    * @param classSizes class → member count (every class, ≥ 1).
+    * @param edges      directed CLASS edges (each class pair once;
+    *                    part-level multiplicity = size(src)·size(dst)).
+    * @return class → (hub, authority); classes with no outgoing edge
+    *         have hub 0.0, with no incoming authority 0.0. Only
+    *         classes touching an edge appear (isolated classes are
+    *         not graph nodes). */
+  def quotientScores[C](classSizes: Map[C, Long], edges: Seq[(C, C)],
+      iters: Int): Map[C, (Double, Double)] = {
+    val bySrc = edges.groupBy(_._1)
+    val byDst = edges.groupBy(_._2)
+    val sources = bySrc.keySet
+    val sinks = byDst.keySet
+    var h: Map[C, Double] = sources.map(_ -> 1.0).toMap
+    var a: Map[C, Double] = Map.empty
+    for (_ <- 1 to iters) {
+      val araw: Map[C, BigDecimal] = byDst.map { case (c, es) =>
+        c -> es.map { case (c1, _) => q12(h(c1)) * BigDecimal(classSizes(c1)) }.sum
+      }
+      val atot = araw.iterator.map { case (c, v) => v * BigDecimal(classSizes(c)) }.sum
+      a = araw.map { case (c, v) => c -> v.doubleValue / atot.doubleValue }
+      val hraw: Map[C, BigDecimal] = bySrc.map { case (c, es) =>
+        c -> es.map { case (_, c2) => q12(a(c2)) * BigDecimal(classSizes(c2)) }.sum
+      }
+      val htot = hraw.iterator.map { case (c, v) => v * BigDecimal(classSizes(c)) }.sum
+      h = hraw.map { case (c, v) => c -> v.doubleValue / htot.doubleValue }
+    }
+    (sources ++ sinks).iterator.map { c =>
+      c -> (h.getOrElse(c, 0.0), a.getOrElse(c, 0.0))
+    }.toMap
+  }
+
   /** @param edges directed (src, dst); duplicates allowed (multi-edges
     *              count multiply, same as the oracle).
     * @param iters full hub+authority update rounds (K).

@@ -23,6 +23,104 @@ import org.apache.spark.sql.functions._
 object LinkPrediction {
   private val M = org.apache.spark.sql.types.DecimalType(28, 12)
 
+  /** Domain bound for the quotient fast path's collected class graph. */
+  val MAX_CLASSES = 100000
+
+  private def q12(d: Double): BigDecimal =
+    BigDecimal.decimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  /** QUOTIENT fast path for the widened (±1, ±2) edit rule: the RA
+    * score of a pair (u, v) is a pure function of their (brand, size)
+    * CLASSES — every witness class contributes size(w)·Dec(1/deg(w)),
+    * deg(w) itself a class function — so per-pair scores come from an
+    * in-process sweep of the dimension-bounded class graph, and only
+    * the top-tier candidate class-pairs ever materialize part pairs.
+    * This removes the fact-level plan's scale defect: class sizes
+    * grow with SF, so the wedge join's Σdeg² work grows
+    * QUADRATICALLY with the data, while the quotient's work is
+    * constant in SF (classes are domain-bounded) plus one
+    * TakeOrdered over the ≥topK candidate pairs. Arithmetic is the
+    * fact plan's exactly: summing size(w) copies of one quantized
+    * decimal is integer multiplication; the BigDecimal sum equals
+    * Spark's exact DECIMAL(38,12) accumulation digit-for-digit.
+    *
+    * @param parts (p_partkey, p_brand, p_size)-shaped DataFrame.
+    * @return same schema/semantics as [[resourceAllocation]] on the
+    *         widened symmetric edit graph of `parts`. */
+  def resourceAllocationQuotient(s: org.apache.spark.sql.SparkSession,
+      parts: DataFrame, topK: Int): DataFrame = {
+    import s.implicits._
+    val cls = parts
+      .groupBy(col("p_brand").as("brand"), col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("cnt"))
+      .limit(MAX_CLASSES + 1).collect()
+    require(cls.length <= MAX_CLASSES,
+      s"class graph exceeds the $MAX_CLASSES domain bound")
+    type C = (String, Long)
+    val sizes: Map[C, Long] = cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def neighbors(c: C): Seq[C] = {
+      val (b, sz) = c
+      Seq(sz - 2, sz - 1, sz + 1, sz + 2).map(x => (b, x)).filter(sizes.contains)
+    }
+    val deg: Map[C, Long] = sizes.keys.map(c => c -> neighbors(c).map(sizes).sum).toMap
+    def adjacent(a: C, b: C): Boolean =
+      a._1 == b._1 && { val dd = math.abs(a._2 - b._2); dd == 1 || dd == 2 }
+    // accumulate per unordered candidate class pair {ca, cb} (ca ≤ cb)
+    val acc = scala.collection.mutable.Map.empty[(C, C), (BigDecimal, Long)]
+    implicit val cOrd: Ordering[C] = Ordering.Tuple2(Ordering.String, Ordering.Long)
+    for {
+      w <- sizes.keys.toSeq
+      ns = neighbors(w)
+      i <- ns.indices
+      j <- i until ns.length // i == j: pairs WITHIN one endpoint class
+      ca = cOrd.min(ns(i), ns(j)); cb = cOrd.max(ns(i), ns(j))
+      if !adjacent(ca, cb)
+      if ca != cb || sizes(ca) >= 2
+    } {
+      val contrib = q12(1.0 / deg(w).toDouble) * BigDecimal(sizes(w))
+      val (sc, nc) = acc.getOrElse((ca, cb), (BigDecimal(0), 0L))
+      acc((ca, cb)) = (sc + contrib, nc + sizes(w))
+    }
+    val scored = acc.toSeq.map { case ((ca, cb), (sc, nc)) =>
+      val nPairs = if (ca == cb) sizes(ca) * (sizes(ca) - 1) / 2 else sizes(ca) * sizes(cb)
+      (ca, cb, sc.doubleValue, nc, nPairs)
+    }.sortBy { case (_, _, sc, _, _) => -sc }
+    // candidate tiers: take class pairs in score order until the
+    // cumulative pair count covers topK, then extend through ties
+    var cum = 0L; var cutoff = Double.NegativeInfinity
+    val keep = scala.collection.mutable.ArrayBuffer.empty[(C, C, Double, Long, Long)]
+    for (t <- scored if cum < topK || t._3 == cutoff) {
+      keep += t; cum += t._5; cutoff = t._3
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("n_common", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("score", org.apache.spark.sql.types.DoubleType)))
+    if (keep.isEmpty)
+      return s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    // both orientations for cross-class pairs so u < v lands in one
+    val cand = keep.toSeq.flatMap { case (ca, cb, sc, nc, _) =>
+      if (ca == cb) Seq((ca._1, ca._2, cb._1, cb._2, nc, sc))
+      else Seq((ca._1, ca._2, cb._1, cb._2, nc, sc), (cb._1, cb._2, ca._1, ca._2, nc, sc))
+    }
+    val candDF = s.createDataFrame(cand)
+      .toDF("ba", "sa", "bb", "sb", "n_common", "score")
+    val pa = parts.select(col("p_partkey").cast("long").as("u"),
+      col("p_brand").as("ba"), col("p_size").cast("long").as("sa"))
+    val pb = parts.select(col("p_partkey").cast("long").as("v"),
+      col("p_brand").as("bb"), col("p_size").cast("long").as("sb"))
+    pa.join(broadcast(candDF), Seq("ba", "sa"))
+      .join(pb, Seq("bb", "sb"))
+      .filter(col("u") < col("v"))
+      .select(col("u"), col("v"), col("n_common"), col("score"))
+      .orderBy(col("score").desc, col("u").asc, col("v").asc).limit(topK)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("u").asc, col("v").asc)).cast("long"))
+      .select(col("rank"), col("u"), col("v"), col("n_common"), col("score"))
+  }
+
   /** @param edges SYMMETRIC (src, dst) edge list (both directions
     *              present), no self-loops.
     * @param topK  rows to return.

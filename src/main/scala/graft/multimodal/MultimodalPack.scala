@@ -72,6 +72,41 @@ object MultimodalPack extends QueryPack {
             .as("frame_checksum"))
     },
 
+    // G9: scene-change (shot-boundary) detection over G3's sampled
+    // frame stream — the video-segmentation primitive that feeds
+    // per-scene sampling budgets and clip extraction. Each sampled
+    // frame gets a COARSE bucket signature (here the stub decoder's
+    // analog of a perceptual bucket: the checksum's leading nibble —
+    // 16 buckets, so same-scene runs genuinely occur on synthetic
+    // payloads; a real decoder would emit a pHash band, same schema);
+    // a cut is a bucket CHANGE between consecutive sampled frames —
+    // ONE lag window pass partitioned by item, then a per-item
+    // summary. Shuffle cost: the frame explode is map-side; the one
+    // exchange carries (item, frame) rows partitioned by doc_id.
+    "m_scenes" -> { (s, d) =>
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val byDoc = Window.partitionBy($"doc_id").orderBy($"frame_idx".asc)
+      Tables.documents(s, d)
+        .withColumn("payload", $"text".cast("binary"))
+        .withColumn("n_frames",
+          expr(s"CAST(floor(length(payload) / $FRAME_BYTES) AS BIGINT)"))
+        .filter($"n_frames" >= 1)
+        .select($"doc_id",
+          explode(expr(s"sequence(1L, n_frames, $FRAME_STRIDE)")).as("frame_idx"),
+          $"payload")
+        .select($"doc_id", $"frame_idx",
+          substring(md5(expr(
+            s"substring(payload, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)")),
+            1, 1).as("bucket"))
+        .withColumn("cut",
+          when(lag($"bucket", 1).over(byDoc).isNotNull &&
+            lag($"bucket", 1).over(byDoc) =!= $"bucket", 1L).otherwise(0L))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_sampled"), sum($"cut").as("n_cuts"))
+        .select($"doc_id", $"n_sampled", $"n_cuts", ($"n_cuts" + 1L).as("n_scenes"))
+    },
+
     // G7: cross-media duplicate-frame detection — the "same
     // intro/outro across different videos" primitive: G3's sampled
     // frames fingerprinted and grouped ACROSS media, emitting every
@@ -303,6 +338,25 @@ object MultimodalPack extends QueryPack {
          |SELECT frame_checksum, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
          | CAST(COUNT(*) AS BIGINT) AS n_occurrences, MIN(doc_id) AS canonical_id
          |FROM f GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2""".stripMargin,
+    "m_scenes" ->
+      s"""WITH base AS (
+         | SELECT doc_id, text,
+         |  CAST(floor(octet_length(encode(text)) / $FRAME_BYTES) AS BIGINT) AS n_frames
+         | FROM documents),
+         |fr AS (
+         | SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+         |  substr(md5(substr(text, CAST((i - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)), 1, 1) AS bucket
+         | FROM base, UNNEST(range(1, n_frames + 1, $FRAME_STRIDE)) t(i)
+         | WHERE n_frames >= 1),
+         |cuts AS (
+         | SELECT doc_id,
+         |  CASE WHEN lag(bucket) OVER w IS NOT NULL AND lag(bucket) OVER w <> bucket
+         |   THEN 1 ELSE 0 END AS cut
+         | FROM fr WINDOW w AS (PARTITION BY doc_id ORDER BY frame_idx ASC))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+         | CAST(SUM(cut) AS BIGINT) AS n_cuts,
+         | CAST(SUM(cut) + 1 AS BIGINT) AS n_scenes
+         |FROM cuts GROUP BY doc_id""".stripMargin,
     "m_frames" ->
       s"""WITH base AS (
          | SELECT doc_id, text,

@@ -194,6 +194,34 @@ object RelationalPack extends QueryPack {
         .select($"l_orderkey", $"l_partkey", $"l_linenumber", $"l_quantity")
     },
 
+    // C29: equi-width histogram (the dashboard/EDA binning primitive
+    // C19's exact percentiles don't cover — fixed-width buckets with
+    // exact counts and mass): extrema in one partial-aggregable pass,
+    // broadcast as ONE row; bucket assignment is pure row-local IEEE
+    // arithmetic ((x−min)/width, floor, clamp — identical ops in the
+    // oracle, so bucket ids match bit-for-bit); counts/mass ride one
+    // bounded-key groupBy. Two scans total (extrema + binning) and
+    // one |buckets|-bounded shuffle at any scale.
+    "q_histogram" -> { (s, d) =>
+      import s.implicits._
+      val nb = 20
+      val x = Tables.lineitem(s, d).select($"l_extendedprice".as("x"))
+      val ext = x.agg(min($"x").as("lo"), max($"x").as("hi"))
+      x.crossJoin(broadcast(ext))
+        .select($"x", $"lo",
+          (($"hi" - $"lo") / lit(nb.toDouble)).as("width"))
+        .select($"x", $"lo", $"width",
+          least(floor(($"x" - $"lo") / $"width").cast("long"), lit(nb - 1L)).as("bucket"))
+        .groupBy($"bucket")
+        .agg(count(lit(1)).as("n_rows"),
+          round(sum($"x".cast(D)), 2).cast("double").as("mass"),
+          first($"lo").as("lo0"), first($"width").as("w0"))
+        .select($"bucket",
+          ($"lo0" + $"bucket".cast("double") * $"w0").as("bucket_lo"),
+          ($"lo0" + ($"bucket" + 1L).cast("double") * $"w0").as("bucket_hi"),
+          $"n_rows", $"mass")
+    },
+
     // C28: CDC log application with DELETE tombstones (the Delta/
     // Hudi MERGE compaction primitive C8's keep-latest doesn't
     // cover: a tombstone removes the key, a later upsert revives it,
@@ -697,6 +725,20 @@ object RelationalPack extends QueryPack {
         | SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC) AS rn
         | FROM lineitem) t WHERE rn = 1""".stripMargin,
+    "q_histogram" ->
+      """WITH ext AS (
+        | SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
+        |b AS (
+        | SELECT LEAST(CAST(FLOOR((l.l_extendedprice - e.lo) / ((e.hi - e.lo) / 20.0)) AS BIGINT),
+        |   CAST(19 AS BIGINT)) AS bucket,
+        |  l.l_extendedprice AS x, e.lo AS lo, (e.hi - e.lo) / 20.0 AS width
+        | FROM lineitem l CROSS JOIN ext e)
+        |SELECT bucket,
+        | MIN(lo) + CAST(bucket AS DOUBLE) * MIN(width) AS bucket_lo,
+        | MIN(lo) + CAST(bucket + 1 AS DOUBLE) * MIN(width) AS bucket_hi,
+        | CAST(COUNT(*) AS BIGINT) AS n_rows,
+        | CAST(ROUND(SUM(CAST(x AS DECIMAL(18,2))), 2) AS DOUBLE) AS mass
+        |FROM b GROUP BY bucket""".stripMargin,
     "q_cdc" ->
       """WITH log AS (
         | SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type,

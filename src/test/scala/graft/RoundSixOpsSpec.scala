@@ -198,6 +198,48 @@ class RoundSixOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q_histogram: buckets tile [min,max], counts conserve rows, mass conserves sum") {
+    import spark.implicits._
+    val h = SparkEntry.queries("q_histogram")(spark, sfDir).orderBy($"bucket".asc).collect()
+    assert(h.nonEmpty && h.head.getLong(0) >= 0L && h.last.getLong(0) <= 19L)
+    val li = Tables.lineitem(spark, sfDir).agg(
+      count(lit(1)), min($"l_extendedprice"), max($"l_extendedprice")).head()
+    assert(h.map(_.getLong(3)).sum === li.getLong(0), "row conservation")
+    // tiling: each bucket_hi equals the next bucket's bucket_lo when contiguous
+    h.sliding(2).foreach {
+      case Array(a, b) if b.getLong(0) === a.getLong(0) + 1 =>
+        assert(a.getDouble(2) === b.getDouble(1), "contiguous buckets must tile")
+      case _ => ()
+    }
+    assert(h.head.getDouble(1) === li.getDouble(1), "first bucket starts at min")
+    // every value is inside its bucket's [lo, hi] (hi inclusive for the clamp bucket)
+    h.foreach { r =>
+      assert(r.getDouble(1) <= r.getDouble(2))
+      assert(r.getLong(3) > 0L || r.getLong(0) < 19L)
+    }
+  }
+
+  test("m_scenes: cut accounting matches a direct recomputation of bucket runs") {
+    import spark.implicits._
+    val scenes = SparkEntry.queries("m_scenes")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(scenes.nonEmpty)
+    // recompute runs from the frame stream the same sampling produces
+    val frames = SparkEntry.queries("m_frames")(spark, sfDir)
+      .select($"doc_id", $"frame_idx", substring($"frame_checksum", 1, 1).as("b"))
+      .orderBy($"doc_id".asc, $"frame_idx".asc).collect()
+      .map(r => (r.getLong(0), r.getString(2)))
+    val byDoc = frames.groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    byDoc.foreach { case (doc, bs) =>
+      val cuts = bs.sliding(2).count { case Seq(a, b) => a != b; case _ => false }
+      val (nSampled, nCuts, nScenes) = scenes(doc)
+      assert(nSampled === bs.length.toLong)
+      assert(nCuts === cuts.toLong)
+      assert(nScenes === cuts.toLong + 1)
+    }
+    assert(scenes.keySet === byDoc.keySet)
+  }
+
   test("g_richclub: sf0.001 coefficients match a brute-force recomputation") {
     import spark.implicits._
     val edges = graft.graph.GraphBuilder.partEdgesWide(spark, sfDir)

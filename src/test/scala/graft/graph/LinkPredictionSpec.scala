@@ -43,6 +43,17 @@ class LinkPredictionSpec extends SparkSpec {
     assert(out.isEmpty)
   }
 
+  test("quotient fast path is bit-identical to the fact-level operator on the edit graph") {
+    import spark.implicits._
+    val facts = LinkPrediction.resourceAllocation(
+      GraphBuilder.partEdgesWide(spark, sfDir), 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    val quot = LinkPrediction.resourceAllocationQuotient(spark,
+      graft.Tables.part(spark, sfDir).select($"p_partkey", $"p_brand", $"p_size"), 100).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(quot.toSeq === facts.toSeq)
+  }
+
   test("topK truncates by (score DESC, u, v) with contiguous ranks") {
     val e = GraphBuilder.partEdgesWide(spark, sfDir)
     val rows = LinkPrediction.resourceAllocation(e, 12).collect()
