@@ -252,11 +252,13 @@ object DedupPack extends QueryPack {
       val x = b.select($"blk", $"custkey".as("custkey_a"), $"c_name".as("name_a"),
         $"c_nationkey".cast("long").as("nationkey"))
       val y = b.select($"blk", $"custkey".as("custkey_b"), $"c_name".as("name_b"))
+      // edit distance evaluated ONCE per candidate (it's the dominant
+      // per-pair cost — O(len²) DP); project first, filter the column
       x.join(y, "blk")
-        .filter($"custkey_a" < $"custkey_b" &&
-          levenshtein($"name_a", $"name_b") <= 1)
+        .filter($"custkey_a" < $"custkey_b")
         .select($"custkey_a", $"custkey_b", $"nationkey",
           levenshtein($"name_a", $"name_b").cast("long").as("lev"))
+        .filter($"lev" <= 1)
     },
 
     "d_canonical" -> { (s, d) =>

@@ -24,8 +24,6 @@ import org.apache.spark.sql.functions._
   * vs per-edge deletion BFS) agreeing on the hash checks the
   * SEMANTICS, not the implementation. */
 object Bridges {
-  /** Domain bound for the collected class graph (brand × size). */
-  val MAX_CLASSES = 100000
 
   /** Classic iterative Tarjan bridge-finding on an undirected
     * adjacency (node → neighbors with edge ids); returns bridge edge
@@ -84,16 +82,7 @@ object Bridges {
     * class graph: one row per canonical class edge
     * (brand, size_lo, size_hi, is_bridge). */
   def classEdgeBridges(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val classes = graft.Tables.part(s, d)
-      .select($"p_brand".as("brand"), $"p_size".cast("long").as("size"))
-      .distinct()
-    // the guard INSIDE the collect (PersonalizedPageRank's shape):
-    // never materialize more than the domain bound + 1 rows
-    val cls = classes.limit(MAX_CLASSES + 1).collect()
-      .map(r => (r.getString(0), r.getLong(1)))
-    require(cls.length <= MAX_CLASSES,
-      s"class graph exceeds the $MAX_CLASSES domain bound — not a dimension-bounded quotient")
+    val cls = Quotient.collectClasses(s, d).keys.toSeq
     val bySize = cls.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
     // canonical up-edges under the widened rule
     val edges = for {

@@ -107,34 +107,36 @@ object GraphBuilder {
     up.union(down).union(sub)
   }
 
+  /** Shared size-rule scaffolding: directed up-edges src → dst where
+    * dst is the same brand, `delta` sizes up — one EQUI-join per
+    * offset (never a range join), unioned. The three part edit-graph
+    * variants below differ only in offsets and symmetrization. */
+  private def sizeUpEdges(s: SparkSession, d: String, deltas: Seq[Int]): DataFrame = {
+    import s.implicits._
+    val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
+    val b = p.select($"p_partkey".as("dst"), $"p_brand".as("brand_b"), $"p_size".as("size_b"))
+    deltas.map { delta =>
+      p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + delta)
+        .select($"p_partkey".as("src"), $"dst")
+    }.reduce(_ union _)
+  }
+
   /** DIRECTED size-up part graph: the non-symmetrized orientation of
     * [[partEdges]] (src → dst where dst is the same brand one size
     * up). The one derived graph with genuine edge DIRECTION — the
     * input HITS needs (hubs point, authorities are pointed at);
     * the symmetric graphs would collapse hub ≡ authority. */
-  def partEdgesUp(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
-    val b = p.select($"p_partkey".as("dst"), $"p_brand".as("brand_b"), $"p_size".as("size_b"))
-    p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + 1)
-      .select($"p_partkey".as("src"), $"dst")
-  }
+  def partEdgesUp(s: SparkSession, d: String): DataFrame =
+    sizeUpEdges(s, d, Seq(1))
 
   /** Widened part edit-graph: same brand, size differing by 1 OR 2
     * (a two-rule edit neighborhood — the substitution analog next to
     * partEdges' deletion analog). Interior parts of a brand's size
     * range reach up to 4 neighbors, which gives the graph genuine
-    * core structure for [[KCore]]. Each size offset stays an
-    * EQUI-join on (brand, size + δ) — union of two equi-joins, no
-    * range join. */
+    * core structure for [[KCore]]. */
   def partEdgesWide(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
-    val b = p.select($"p_partkey".as("dst"), $"p_brand".as("brand_b"), $"p_size".as("size_b"))
-    val up = Seq(1, 2).map { delta =>
-      p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + delta)
-        .select($"p_partkey".as("src"), $"dst")
-    }.reduce(_ union _)
+    val up = sizeUpEdges(s, d, Seq(1, 2))
     up.union(up.select($"dst".as("src"), $"src".as("dst")))
   }
 }

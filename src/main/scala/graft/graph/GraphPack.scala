@@ -358,27 +358,7 @@ object GraphPack extends QueryPack {
     // Hits.run twin is spec-pinned bit-identical. Parts grow with
     // SF, classes don't: 8 rounds × 4 shuffles of a fact-scaled
     // graph become one distinct + one broadcast join.
-    "g_hits" -> { (s, d) =>
-      import s.implicits._
-      val cls = Tables.part(s, d)
-        .groupBy($"p_brand", $"p_size".cast("long").as("size"))
-        .agg(count(lit(1)).as("cnt"))
-        .limit(Hits.MAX_CLASSES + 1).collect()
-      require(cls.length <= Hits.MAX_CLASSES,
-        s"class graph exceeds the ${Hits.MAX_CLASSES} domain bound")
-      val sizes = cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-      val edges = sizes.keys.toSeq
-        .filter { case (b, sz) => sizes.contains((b, sz + 1)) }
-        .map { case (b, sz) => ((b, sz), (b, sz + 1)) }
-      val scores = Hits.quotientScores(sizes, edges, HITS_ITERS)
-      val rows = scores.toSeq.map { case ((b, sz), (hub, auth)) => (b, sz, hub, auth) }
-      val classDF = s.createDataFrame(rows).toDF("brand", "size", "hub", "authority")
-      Tables.part(s, d)
-        .select($"p_partkey".as("node"), $"p_brand".as("brand"),
-          $"p_size".cast("long").as("size"))
-        .join(broadcast(classDF), Seq("brand", "size"))
-        .select($"node", $"hub", $"authority")
-    },
+    "g_hits" -> { (s, d) => Hits.classHits(s, d, HITS_ITERS) },
 
     // A31: link prediction by the Resource-Allocation index (the
     // Adamic–Adar family: score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w);

@@ -31,11 +31,26 @@ object Hits {
   private val M = org.apache.spark.sql.types.DecimalType(28, 12)
   private val S = org.apache.spark.sql.types.DecimalType(38, 12)
 
-  /** Domain bound for the quotient fast path's collected class graph. */
-  val MAX_CLASSES = 100000
+  import Quotient.q12
 
-  private def q12(d: Double): BigDecimal =
-    BigDecimal.decimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+  /** The g_hits quotient fast path end-to-end: guarded class collect,
+    * size-up class edges, [[quotientScores]], one broadcast-join
+    * stamp onto parts. Lives here (not inline in the pack) so the
+    * spec and the query pin ONE implementation. */
+  def classHits(s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame = {
+    val sizes = Quotient.collectClasses(s, d)
+    val edges = sizes.keys.toSeq
+      .filter { case (b, sz) => sizes.contains((b, sz + 1)) }
+      .map { case (b, sz) => ((b, sz), (b, sz + 1)) }
+    val scores = quotientScores(sizes, edges, iters)
+    val rows = scores.toSeq.map { case ((b, sz), (hub, auth)) => (b, sz, hub, auth) }
+    val classDF = s.createDataFrame(rows).toDF("brand", "size", "hub", "authority")
+    graft.Tables.part(s, d)
+      .select(col("p_partkey").as("node"), col("p_brand").as("brand"),
+        col("p_size").cast("long").as("size"))
+      .join(broadcast(classDF), Seq("brand", "size"))
+      .select(col("node"), col("hub"), col("authority"))
+  }
 
   /** CLASS-level HITS — the quotient fast path for graphs whose
     * edges are all-pairs between attribute classes (the size-up rule:
@@ -88,6 +103,7 @@ object Hits {
     * @return (node, hub, authority) — every node appearing as src or
     *         dst; sinks have hub 0.0, sources authority 0.0. */
   def run(edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1, s"HITS needs at least one round, got $iters")
     val e = edges.select(col("src"), col("dst")).persist()
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

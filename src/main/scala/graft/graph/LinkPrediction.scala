@@ -23,11 +23,7 @@ import org.apache.spark.sql.functions._
 object LinkPrediction {
   private val M = org.apache.spark.sql.types.DecimalType(28, 12)
 
-  /** Domain bound for the quotient fast path's collected class graph. */
-  val MAX_CLASSES = 100000
-
-  private def q12(d: Double): BigDecimal =
-    BigDecimal.decimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+  import Quotient.q12
 
   /** QUOTIENT fast path for the widened (±1, ±2) edit rule: the RA
     * score of a pair (u, v) is a pure function of their (brand, size)
@@ -53,9 +49,9 @@ object LinkPrediction {
     val cls = parts
       .groupBy(col("p_brand").as("brand"), col("p_size").cast("long").as("size"))
       .agg(count(lit(1)).as("cnt"))
-      .limit(MAX_CLASSES + 1).collect()
-    require(cls.length <= MAX_CLASSES,
-      s"class graph exceeds the $MAX_CLASSES domain bound")
+      .limit(Quotient.MAX_CLASSES + 1).collect()
+    require(cls.length <= Quotient.MAX_CLASSES,
+      s"class graph exceeds the ${Quotient.MAX_CLASSES} domain bound")
     type C = (String, Long)
     val sizes: Map[C, Long] = cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
     def neighbors(c: C): Seq[C] = {

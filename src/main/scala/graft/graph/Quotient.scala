@@ -1,0 +1,39 @@
+package graft.graph
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Shared scaffolding for the QUOTIENT fast paths (A29/A30/A31/A33):
+  * operators whose result is a pure function of the dimension-bounded
+  * (brand, size) class graph collect that graph — guarded — and run
+  * in-process, then stamp results back onto the fact table. One
+  * domain bound, one guarded collect, one quantizer, so the fast
+  * paths cannot drift apart. */
+object Quotient {
+
+  /** Domain bound for any collected class graph (|brands|·|sizes|
+    * is attribute-domain-bounded regardless of fact count). */
+  val MAX_CLASSES = 100000
+
+  /** The engine-wide message quantizer (DECIMAL(28,12) HALF_UP —
+    * Spark's double→decimal cast semantics), used wherever an
+    * in-process fast path must replicate a distributed decimal
+    * contract bit-for-bit. */
+  def q12(d: Double): BigDecimal =
+    BigDecimal.decimal(d).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+
+  /** Guarded collect of the part table's (brand, size) classes with
+    * member counts: the limit sits INSIDE the collect (never
+    * materializing more than the bound + 1 rows on the driver), and
+    * a caller lying about boundedness fails loudly. */
+  def collectClasses(s: SparkSession, d: String): Map[(String, Long), Long] = {
+    import s.implicits._
+    val cls = graft.Tables.part(s, d)
+      .groupBy($"p_brand", $"p_size".cast("long").as("size"))
+      .agg(count(lit(1)).as("cnt"))
+      .limit(MAX_CLASSES + 1).collect()
+    require(cls.length <= MAX_CLASSES,
+      s"class graph exceeds the $MAX_CLASSES domain bound — not a dimension-bounded quotient")
+    cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+}

@@ -49,26 +49,30 @@ object MultimodalPack extends QueryPack {
           md5($"payload").as("checksum"))
     },
 
-    // G3: frame sampling — the video-column plumbing. The payload is
-    // treated as a stream of fixed-size frames; every STRIDE-th
-    // complete frame is sampled with its checksum. The explode is
-    // bounded by payload size / (FRAME_BYTES·STRIDE), all codegen'd
-    // byte slicing, no shuffle at any scale — exactly the shape a
-    // real frame-sampler (keyframe extraction, thumbnail pull) runs
-    // in, with the codec swapped in for the substring.
+    // G3: frame sampling — the video-column plumbing. The stub
+    // payload is treated as a stream of fixed-size frames; every
+    // STRIDE-th complete frame is sampled with its checksum. Frames
+    // are CHARACTER-addressed (length/substring on the text payload)
+    // so the slicing unit is identical in both engines for ANY UTF-8
+    // content — byte-addressing would need blob slicing the oracle
+    // dialect lacks, and mixing the two diverges on multi-byte
+    // code points. The explode is bounded by payload size /
+    // (FRAME_BYTES·STRIDE), all codegen'd slicing, no shuffle at any
+    // scale — exactly the shape a real frame-sampler (keyframe
+    // extraction, thumbnail pull) runs in, with the codec swapped in
+    // for the substring.
     "m_frames" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .withColumn("payload", $"text".cast("binary"))
         .withColumn("n_frames",
-          expr(s"CAST(floor(length(payload) / $FRAME_BYTES) AS BIGINT)"))
+          expr(s"CAST(floor(length(text) / $FRAME_BYTES) AS BIGINT)"))
         .filter($"n_frames" >= 1)
         .select($"doc_id", $"n_frames",
           explode(expr(s"sequence(1L, n_frames, $FRAME_STRIDE)")).as("frame_idx"),
-          $"payload")
+          $"text")
         .select($"doc_id", $"n_frames", $"frame_idx",
           md5(expr(
-            s"substring(payload, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)"))
+            s"substring(text, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)"))
             .as("frame_checksum"))
     },
 
@@ -88,16 +92,15 @@ object MultimodalPack extends QueryPack {
       import org.apache.spark.sql.expressions.Window
       val byDoc = Window.partitionBy($"doc_id").orderBy($"frame_idx".asc)
       Tables.documents(s, d)
-        .withColumn("payload", $"text".cast("binary"))
         .withColumn("n_frames",
-          expr(s"CAST(floor(length(payload) / $FRAME_BYTES) AS BIGINT)"))
+          expr(s"CAST(floor(length(text) / $FRAME_BYTES) AS BIGINT)"))
         .filter($"n_frames" >= 1)
         .select($"doc_id",
           explode(expr(s"sequence(1L, n_frames, $FRAME_STRIDE)")).as("frame_idx"),
-          $"payload")
+          $"text")
         .select($"doc_id", $"frame_idx",
           substring(md5(expr(
-            s"substring(payload, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)")),
+            s"substring(text, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)")),
             1, 1).as("bucket"))
         .withColumn("cut",
           when(lag($"bucket", 1).over(byDoc).isNotNull &&
@@ -120,16 +123,15 @@ object MultimodalPack extends QueryPack {
     "m_frame_dedup" -> { (s, d) =>
       import s.implicits._
       Tables.documents(s, d)
-        .withColumn("payload", $"text".cast("binary"))
         .withColumn("n_frames",
-          expr(s"CAST(floor(length(payload) / $FRAME_BYTES) AS BIGINT)"))
+          expr(s"CAST(floor(length(text) / $FRAME_BYTES) AS BIGINT)"))
         .filter($"n_frames" >= 1)
         .select($"doc_id",
           explode(expr(s"sequence(1L, n_frames, $FRAME_STRIDE)")).as("frame_idx"),
-          $"payload")
+          $"text")
         .select($"doc_id",
           md5(expr(
-            s"substring(payload, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)"))
+            s"substring(text, CAST((frame_idx - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)"))
             .as("frame_checksum"))
         .groupBy($"frame_checksum")
         .agg(countDistinct($"doc_id").as("n_docs"),
@@ -328,7 +330,7 @@ object MultimodalPack extends QueryPack {
     "m_frame_dedup" ->
       s"""WITH base AS (
          | SELECT doc_id, text,
-         |  CAST(floor(octet_length(encode(text)) / $FRAME_BYTES) AS BIGINT) AS n_frames
+         |  CAST(floor(length(text) / $FRAME_BYTES) AS BIGINT) AS n_frames
          | FROM documents),
          |f AS (
          | SELECT doc_id,
@@ -341,7 +343,7 @@ object MultimodalPack extends QueryPack {
     "m_scenes" ->
       s"""WITH base AS (
          | SELECT doc_id, text,
-         |  CAST(floor(octet_length(encode(text)) / $FRAME_BYTES) AS BIGINT) AS n_frames
+         |  CAST(floor(length(text) / $FRAME_BYTES) AS BIGINT) AS n_frames
          | FROM documents),
          |fr AS (
          | SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
@@ -360,7 +362,7 @@ object MultimodalPack extends QueryPack {
     "m_frames" ->
       s"""WITH base AS (
          | SELECT doc_id, text,
-         |  CAST(floor(octet_length(encode(text)) / $FRAME_BYTES) AS BIGINT) AS n_frames
+         |  CAST(floor(length(text) / $FRAME_BYTES) AS BIGINT) AS n_frames
          | FROM documents)
          |SELECT doc_id, n_frames, CAST(i AS BIGINT) AS frame_idx,
          | md5(substr(text, CAST((i - 1) * $FRAME_BYTES + 1 AS INT), $FRAME_BYTES)) AS frame_checksum

@@ -23,6 +23,11 @@ import org.apache.spark.sql.types._
 object Profiler {
   private val D = DecimalType(18, 2)
 
+  /** Backtick-quoted reference — a column (or templated alias) whose
+    * NAME contains a dot would otherwise parse as struct-field access
+    * and crash the generic helper. */
+  private def q(name: String): Column = col(s"`$name`")
+
   /** @return one row per column of `t`:
     *         (col_name, n_rows, n_nulls, n_distinct, min_value, max_value). */
   def profile(t: DataFrame): DataFrame = {
@@ -33,18 +38,18 @@ object Profiler {
     }
     val fields = t.schema.fields.toSeq
     val aggs = fields.flatMap { f =>
-      Seq(sum(when(col(f.name).isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
-        countDistinct(col(f.name)).as(s"__nd_${f.name}"),
-        asStr(min(col(f.name)), f.dataType).as(s"__mn_${f.name}"),
-        asStr(max(col(f.name)), f.dataType).as(s"__mx_${f.name}"))
+      Seq(sum(when(q(f.name).isNull, 1L).otherwise(0L)).as(s"__nn_${f.name}"),
+        countDistinct(q(f.name)).as(s"__nd_${f.name}"),
+        asStr(min(q(f.name)), f.dataType).as(s"__mn_${f.name}"),
+        asStr(max(q(f.name)), f.dataType).as(s"__mx_${f.name}"))
     }
     val one = t.agg(count(lit(1)).as("n_rows"), aggs: _*)
     val rows = fields.map { f =>
       struct(lit(f.name).as("col_name"),
-        col(s"__nn_${f.name}").as("n_nulls"),
-        col(s"__nd_${f.name}").as("n_distinct"),
-        col(s"__mn_${f.name}").as("min_value"),
-        col(s"__mx_${f.name}").as("max_value"))
+        q(s"__nn_${f.name}").as("n_nulls"),
+        q(s"__nd_${f.name}").as("n_distinct"),
+        q(s"__mn_${f.name}").as("min_value"),
+        q(s"__mx_${f.name}").as("max_value"))
     }
     one.select(col("n_rows"), explode(array(rows: _*)).as("p"))
       .select(col("p.col_name"), col("n_rows"), col("p.n_nulls"),

@@ -210,8 +210,13 @@ object RelationalPack extends QueryPack {
       x.crossJoin(broadcast(ext))
         .select($"x", $"lo",
           (($"hi" - $"lo") / lit(nb.toDouble)).as("width"))
+        // degenerate range (max == min): everything is bucket 0 on
+        // BOTH sides — without the guard Spark folds 0/0=NaN to 0L
+        // while the oracle's CAST(FLOOR(NaN)) errors
         .select($"x", $"lo", $"width",
-          least(floor(($"x" - $"lo") / $"width").cast("long"), lit(nb - 1L)).as("bucket"))
+          when($"width" === 0.0, lit(0L))
+            .otherwise(least(floor(($"x" - $"lo") / $"width").cast("long"), lit(nb - 1L)))
+            .as("bucket"))
         .groupBy($"bucket")
         .agg(count(lit(1)).as("n_rows"),
           round(sum($"x".cast(D)), 2).cast("double").as("mass"),
@@ -729,8 +734,9 @@ object RelationalPack extends QueryPack {
       """WITH ext AS (
         | SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),
         |b AS (
-        | SELECT LEAST(CAST(FLOOR((l.l_extendedprice - e.lo) / ((e.hi - e.lo) / 20.0)) AS BIGINT),
-        |   CAST(19 AS BIGINT)) AS bucket,
+        | SELECT CASE WHEN e.hi = e.lo THEN CAST(0 AS BIGINT)
+        |  ELSE LEAST(CAST(FLOOR((l.l_extendedprice - e.lo) / ((e.hi - e.lo) / 20.0)) AS BIGINT),
+        |   CAST(19 AS BIGINT)) END AS bucket,
         |  l.l_extendedprice AS x, e.lo AS lo, (e.hi - e.lo) / 20.0 AS width
         | FROM lineitem l CROSS JOIN ext e)
         |SELECT bucket,
@@ -746,7 +752,8 @@ object RelationalPack extends QueryPack {
         | FROM events),
         |ranked AS (
         | SELECT user_id, event_type, cents,
-        |  ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_us DESC, event_id DESC) AS rn
+        |  ROW_NUMBER() OVER (PARTITION BY user_id
+        |   ORDER BY ts_us DESC, event_id DESC, event_type DESC, cents DESC) AS rn
         | FROM log),
         |counts AS (
         | SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_ops,

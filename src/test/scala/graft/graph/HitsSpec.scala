@@ -60,22 +60,10 @@ class HitsSpec extends SparkSpec {
   }
 
   test("quotient fast path is bit-identical to the distributed loop on the size-up graph") {
-    import spark.implicits._
     val dist = Hits.run(GraphBuilder.partEdgesUp(spark, sfDir), iters = 4)
       .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
-    val cls = graft.Tables.part(spark, sfDir)
-      .groupBy($"p_brand", $"p_size".cast("long").as("size"))
-      .agg(count(lit(1)).as("cnt")).collect()
-    val sizes = cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    val edges = sizes.keys.toSeq
-      .filter { case (b, sz) => sizes.contains((b, sz + 1)) }
-      .map { case (b, sz) => ((b, sz), (b, sz + 1)) }
-    val scores = Hits.quotientScores(sizes, edges, iters = 4)
-    val fast = graft.Tables.part(spark, sfDir)
-      .select($"p_partkey".as("node"), $"p_brand", $"p_size".cast("long").as("size"))
-      .collect().flatMap { r =>
-        scores.get((r.getString(1), r.getLong(2))).map(sc => r.getLong(0) -> sc)
-      }.toMap
+    val fast = Hits.classHits(spark, sfDir, iters = 4)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
     assert(fast.keySet === dist.keySet)
     fast.foreach { case (n, (hub, auth)) =>
       assert(dist(n)._1 === hub, s"hub of $n")

@@ -31,6 +31,15 @@ class ProfilerSpec extends SparkSpec {
     assert(row.isNullAt(4) && row.isNullAt(5))
   }
 
+  test("column names containing dots profile correctly (quoted references)") {
+    import spark.implicits._
+    val t = Seq((1L, "x"), (2L, null: String)).toDF("user.id", "meta.tag")
+    val out = Profiler.profile(t).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out("user.id") === ((0L, 2L)))
+    assert(out("meta.tag") === ((1L, 1L)))
+  }
+
   test("the profile is one pass: a single scan of the input feeds every column's stats") {
     val plan = Profiler.profile(graft.Tables.orders(spark, sfDir))
       .queryExecution.executedPlan.toString
