@@ -122,6 +122,19 @@ class PlanShapeSpec extends SparkSpec {
     }
   }
 
+  test("quotient fast paths never hash-shuffle the fact table") {
+    // g_hits stamps in-process class scores via ONE broadcast join
+    // (zero hash exchanges in the final plan — the guarded class
+    // collect is a separate bounded job); g_bridges' final plan is
+    // the in-process verdict itself (local rows, zero exchanges). A
+    // regression reintroducing a fact-scaled iteration fails here.
+    Seq("g_hits", "g_bridges").foreach { name =>
+      val plan = df(name).queryExecution.executedPlan.toString
+      val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
+      assert(exchanges === 0, s"$name should not hash-shuffle, saw $exchanges:\n$plan")
+    }
+  }
+
   test("iterative graph queries keep lineage truncated (no unrolled join towers)") {
     // A 10-iteration PageRank plan that did NOT checkpoint would nest
     // ~10 joins; with per-iteration localCheckpoint the final plan has
