@@ -254,6 +254,43 @@ object EventsPack extends QueryPack {
           ($"rev".isNull && $"revenue".isNotNull).as("is_filled"))
     },
 
+    // H23: A/B experiment readout (two-proportion z-test — the
+    // experimentation primitive every event pipeline ends in):
+    // deterministic arm assignment (user_id parity — stable,
+    // engine-independent), per-user conversion (≥1 purchase) in one
+    // partial-aggregable groupBy, the two arms folded to ONE row by
+    // conditional aggregation, then lift and the pooled z statistic
+    // in PINNED IEEE order (each +,×,÷,√ correctly rounded and
+    // sequenced identically in the oracle, so even the z value
+    // hashes bit-for-bit). Integer counts are the cross-engine
+    // anchors; two shuffles total (user fold, two-row fold) at any
+    // scale.
+    "e_abtest" -> { (s, d) =>
+      import s.implicits._
+      val u = Tables.events(s, d).groupBy($"user_id")
+        .agg(max(when($"event_type" === "purchase", 1L).otherwise(0L)).as("conv"))
+        .withColumn("arm", pmod($"user_id", lit(2L)))
+      val m = u.groupBy($"arm").agg(count(lit(1)).as("n"), sum($"conv").as("k"))
+      val r = m.agg(
+        sum(when($"arm" === 0L, $"n")).as("n_a"),
+        sum(when($"arm" === 0L, $"k")).as("k_a"),
+        sum(when($"arm" === 1L, $"n")).as("n_b"),
+        sum(when($"arm" === 1L, $"k")).as("k_b"))
+      val pa = $"k_a".cast("double") / $"n_a".cast("double")
+      val pb = $"k_b".cast("double") / $"n_b".cast("double")
+      val pp = ($"k_a" + $"k_b").cast("double") / ($"n_a" + $"n_b").cast("double")
+      // degenerate experiment (0% or 100% pooled conversion): the
+      // pooled variance is exactly 0 and z is undefined — NULL on
+      // both sides, never a 0/0 (which ANSI Spark raises on and
+      // DuckDB folds to NaN: a cross-engine divergence either way)
+      val se2 = pp * (lit(1.0) - pp) *
+        (lit(1.0) / $"n_a".cast("double") + lit(1.0) / $"n_b".cast("double"))
+      r.select($"n_a", $"k_a", $"n_b", $"k_b",
+        pa.as("rate_a"), pb.as("rate_b"), (pb - pa).as("lift"),
+        when(se2 > 0.0, (pb - pa) / sqrt(se2))
+          .otherwise(lit(null).cast("double")).as("z"))
+    },
+
     // H21: time-weighted average (TWAP — the correct mean for
     // irregularly-sampled series: each observation weighted by how
     // long it was the CURRENT value, so burst-sampling can't bias
@@ -990,6 +1027,36 @@ object EventsPack extends QueryPack {
          | strftime(make_timestamp(CAST(floor(epoch(ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,
          | event_type, user_id
          |FROM events""".stripMargin,
+    "e_abtest" ->
+      """WITH u AS (
+        | SELECT user_id,
+        |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
+        |  user_id % 2 AS arm
+        | FROM events GROUP BY user_id),
+        |m AS (
+        | SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k
+        | FROM u GROUP BY arm),
+        |r AS (
+        | SELECT
+        |  CAST(SUM(CASE WHEN arm = 0 THEN n END) AS BIGINT) AS n_a,
+        |  CAST(SUM(CASE WHEN arm = 0 THEN k END) AS BIGINT) AS k_a,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_b,
+        |  CAST(SUM(CASE WHEN arm = 1 THEN k END) AS BIGINT) AS k_b
+        | FROM m),
+        |se AS (
+        | SELECT *,
+        |  (CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |   (CAST(1.0 AS DOUBLE) - CAST(k_a + k_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE)) *
+        |   (CAST(1.0 AS DOUBLE) / CAST(n_a AS DOUBLE) + CAST(1.0 AS DOUBLE) / CAST(n_b AS DOUBLE)) AS se2
+        | FROM r)
+        |SELECT n_a, k_a, n_b, k_b,
+        | CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+        | CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+        | CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS lift,
+        | CASE WHEN se2 > 0.0 THEN
+        |  (CAST(k_b AS DOUBLE) / CAST(n_b AS DOUBLE) - CAST(k_a AS DOUBLE) / CAST(n_a AS DOUBLE)) / sqrt(se2)
+        | ELSE NULL END AS z
+        |FROM se""".stripMargin,
     "e_twa" ->
       """WITH base AS (
         | SELECT user_id, event_id, epoch_us(ts) AS ts_us,

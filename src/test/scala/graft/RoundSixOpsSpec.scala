@@ -198,6 +198,24 @@ class RoundSixOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("e_abtest: arm accounting conserves users and z replays from the counts") {
+    import spark.implicits._
+    val r = SparkEntry.queries("e_abtest")(spark, sfDir).head()
+    val (na, ka, nb, kb) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val users = Tables.events(spark, sfDir).select($"user_id").distinct().count()
+    assert(na + nb === users)
+    assert(ka <= na && kb <= nb)
+    val (pa, pb) = (ka.toDouble / na.toDouble, kb.toDouble / nb.toDouble)
+    assert(r.getDouble(4) === pa && r.getDouble(5) === pb)
+    assert(r.getDouble(6) === pb - pa)
+    val pp = (ka + kb).toDouble / (na + nb).toDouble
+    val se2 = pp * (1.0 - pp) * (1.0 / na.toDouble + 1.0 / nb.toDouble)
+    if (se2 > 0.0) {
+      val z = (pb - pa) / math.sqrt(se2)
+      assert(r.getDouble(7) === z, "z must replay bit-for-bit from the integer counts")
+    } else assert(r.isNullAt(7), "degenerate experiments must emit NULL z, not 0/0")
+  }
+
   test("q_histogram: buckets tile [min,max], counts conserve rows, mass conserves sum") {
     import spark.implicits._
     val h = SparkEntry.queries("q_histogram")(spark, sfDir).orderBy($"bucket".asc).collect()
