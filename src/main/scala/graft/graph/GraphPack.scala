@@ -171,7 +171,10 @@ object GraphPack extends QueryPack {
     * (dst, label) counts from the previous labeling, per-dst mode
     * with min-label tie-break, keep-old for vertices with no
     * in-neighbors. Same update [[LabelPropagation.run]] performs. */
-  private def labelpropSql(iters: Int): String = {
+  /** The unrolled label-propagation CTE body (shared by the
+    * g_labelprop oracle and the g_modularity oracle, which evaluates
+    * the SAME final labeling). */
+  private def labelpropCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""m$i AS MATERIALIZED (
          | SELECT e.dst AS id, l.label, COUNT(*) AS c
@@ -182,12 +185,15 @@ object GraphPack extends QueryPack {
          | SELECT l.id, COALESCE(u.label, l.label) AS label
          | FROM l${i - 1} l LEFT JOIN u$i u ON u.id = l.id)""".stripMargin
     }.mkString(",\n")
-    s"""WITH $wideEdgesSql,
+    s"""$wideEdgesSql,
        |l0 AS MATERIALIZED (
        | SELECT CAST(p_partkey AS BIGINT) AS id, CAST(p_partkey AS BIGINT) AS label FROM part),
-       |$steps
-       |SELECT id, label FROM l$iters""".stripMargin
+       |$steps""".stripMargin
   }
+
+  private def labelpropSql(iters: Int): String =
+    s"""WITH ${labelpropCtes(iters)}
+       |SELECT id, label FROM l$iters""".stripMargin
 
   /** g_query_pair probes: fast path on-graph (0,0) and off-graph
     * (9999,9999), ordinary reachable pairs, and an unreachable
@@ -576,6 +582,42 @@ object GraphPack extends QueryPack {
       LabelPropagation.run(s, vertices, GraphBuilder.partEdgesWide(s, d), LP_ITERS)
     },
 
+    // A35: modularity of the label-propagation partition (Newman Q —
+    // the detect-then-EVALUATE half of community detection: Q > 0
+    // means denser-than-chance intra-community wiring). Q =
+    // Σ_c [L_c/2m − (D_c/2m)²] over the directed symmetric list
+    // (2m = directed edge count): per community one partial-aggregable
+    // groupBy yields BOTH the intra-edge count (ldst = lsrc) and the
+    // degree mass (every directed edge has its src's community), the
+    // total is a ONE-ROW broadcast, each community's term is
+    // DECIMAL(28,12)-quantized after its pinned IEEE expression, and
+    // the final Q is the exact decimal sum — a raw double Σ over
+    // communities would be accumulation-order-dependent and could
+    // never hash cross-engine.
+    "g_modularity" -> { (s, d) =>
+      import s.implicits._
+      val M = org.apache.spark.sql.types.DecimalType(28, 12)
+      val S = org.apache.spark.sql.types.DecimalType(38, 12)
+      val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
+      val e = GraphBuilder.partEdgesWide(s, d)
+      val labels = LabelPropagation.run(s, vertices, e, LP_ITERS)
+      val el = e
+        .join(labels.select($"id".as("src"), $"label".as("lsrc")), "src")
+        .join(labels.select($"id".as("dst"), $"label".as("ldst")), "dst")
+      val tot = el.agg(count(lit(1)).as("tot"))
+      val perC = el.groupBy($"lsrc".as("label"))
+        .agg(sum(when($"ldst" === $"lsrc", 1L).otherwise(0L)).as("l_intra"),
+          count(lit(1)).as("d_sum"))
+      val dsum = $"d_sum".cast("double") / $"tot".cast("double")
+      perC.crossJoin(broadcast(tot))
+        .select($"tot",
+          ($"l_intra".cast("double") / $"tot".cast("double") - dsum * dsum)
+            .cast(M).as("qc"))
+        .agg(count(lit(1)).as("n_communities"),
+          max($"tot").as("n_directed_edges"),
+          sum($"qc").cast(S).cast("double").as("modularity"))
+    },
+
     // A16: approximate neighborhood function (HyperANF) — per node,
     // the HLL-estimated |ball(v, 2)| on the part edit-graph (see
     // [[Anf]] for the register-propagation design: O(V × 256 B)
@@ -812,6 +854,29 @@ object GraphPack extends QueryPack {
          |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS ball2, TRUE AS anf_ok
          |FROM reach GROUP BY src""".stripMargin,
     "g_labelprop" -> labelpropSql(LP_ITERS),
+    "g_modularity" ->
+      s"""WITH ${labelpropCtes(LP_ITERS)},
+         |el AS (
+         | SELECT e.src, e.dst, ls.label AS lsrc, ld.label AS ldst
+         | FROM wedges e
+         |  JOIN l$LP_ITERS ls ON ls.id = e.src
+         |  JOIN l$LP_ITERS ld ON ld.id = e.dst),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS tot FROM el),
+         |perc AS (
+         | SELECT lsrc AS label,
+         |  CAST(SUM(CASE WHEN ldst = lsrc THEN 1 ELSE 0 END) AS BIGINT) AS l_intra,
+         |  CAST(COUNT(*) AS BIGINT) AS d_sum
+         | FROM el GROUP BY lsrc),
+         |qc AS (
+         | SELECT t.tot,
+         |  CAST(CAST(p.l_intra AS DOUBLE) / CAST(t.tot AS DOUBLE) -
+         |   (CAST(p.d_sum AS DOUBLE) / CAST(t.tot AS DOUBLE)) *
+         |   (CAST(p.d_sum AS DOUBLE) / CAST(t.tot AS DOUBLE)) AS DECIMAL(28,12)) AS qc
+         | FROM perc p CROSS JOIN tot t)
+         |SELECT CAST(COUNT(*) AS BIGINT) AS n_communities,
+         | MAX(tot) AS n_directed_edges,
+         | CAST(CAST(SUM(qc) AS DECIMAL(38,12)) AS DOUBLE) AS modularity
+         |FROM qc""".stripMargin,
     "g_ppr" -> pprSql(PPR_ITERS),
     "g_sssp" -> ssspSql(4),
     "g_ktruss" -> ktrussSql(KTRUSS_K, KTRUSS_UNROLL),

@@ -198,6 +198,31 @@ class RoundSixOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("g_modularity: Q replays from a driver recomputation over the labelprop partition") {
+    import spark.implicits._
+    val r = SparkEntry.queries("g_modularity")(spark, sfDir).head()
+    val (nC, tot, q) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    assert(q > -0.5 && q <= 1.0, s"Q=$q outside modularity bounds")
+    val edges = graft.graph.GraphBuilder.partEdgesWide(spark, sfDir)
+      .collect().map(x => (x.getLong(0), x.getLong(1)))
+    val vertices = Tables.part(spark, sfDir).select($"p_partkey".cast("long").as("id"))
+    val labels = graft.graph.LabelPropagation.run(spark, vertices,
+      graft.graph.GraphBuilder.partEdgesWide(spark, sfDir), 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(tot === edges.length.toLong)
+    val perC = edges.groupBy(e => labels(e._1)).map { case (c, es) =>
+      c -> (es.count(e => labels(e._2) == c).toLong, es.length.toLong)
+    }
+    assert(nC === perC.size.toLong)
+    var sum = BigDecimal(0)
+    perC.toSeq.sortBy(_._1).foreach { case (_, (intra, dsum)) =>
+      val term = intra.toDouble / tot.toDouble -
+        (dsum.toDouble / tot.toDouble) * (dsum.toDouble / tot.toDouble)
+      sum += BigDecimal.decimal(term).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    }
+    assert(q === sum.doubleValue, "Q must replay from the quantized per-community terms")
+  }
+
   test("e_abtest: arm accounting conserves users and z replays from the counts") {
     import spark.implicits._
     val r = SparkEntry.queries("e_abtest")(spark, sfDir).head()
