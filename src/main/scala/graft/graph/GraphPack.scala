@@ -132,6 +132,37 @@ object GraphPack extends QueryPack {
   private val LP_ITERS = 4
   private val PPR_ITERS = 6
 
+  /** One LPA run per (session, scale dir): g_labelprop and
+    * g_modularity evaluate the SAME 4-round labeling, so the second
+    * consumer reuses the first's materialized (eager localCheckpoint)
+    * result instead of re-running the iterative program —
+    * StreamReplay's cache discipline: weak session keys, SOFT value
+    * refs (a strongly-held DataFrame reaches its session and would
+    * pin the weak key — the WeakHashMap value→key cycle), compute
+    * OUTSIDE the monitor (a duplicate race costs one redundant run,
+    * never a deadlock). */
+  private val lpaCache = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
+
+  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val bySf = lpaCache.synchronized {
+      lpaCache.asScala.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+    }
+    bySf.synchronized(bySf.get(d).flatMap(r => Option(r.get))) match {
+      case Some(df) => df
+      case None =>
+        import s.implicits._
+        val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
+        val labels = LabelPropagation
+          .run(s, vertices, GraphBuilder.partEdgesWide(s, d), LP_ITERS)
+          .localCheckpoint()
+        bySf.synchronized(bySf(d) = new java.lang.ref.SoftReference(labels))
+        labels
+    }
+  }
+
   /** Unrolled personalized-PageRank oracle — same contract as
     * [[PersonalizedPageRank.run]]: per round, rank = 0.85 ·
     * decimal-sum(edge contributions ∪ static teleport row p(v)/0.85),
@@ -576,11 +607,7 @@ object GraphPack extends QueryPack {
     // A19: community detection — synchronous label propagation over
     // the widened part edit-graph, 4 fixed rounds, deterministic
     // min-label tie-break (see LabelPropagation for the contract).
-    "g_labelprop" -> { (s, d) =>
-      import s.implicits._
-      val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
-      LabelPropagation.run(s, vertices, GraphBuilder.partEdgesWide(s, d), LP_ITERS)
-    },
+    "g_labelprop" -> { (s, d) => lpaLabels(s, d) },
 
     // A35: modularity of the label-propagation partition (Newman Q —
     // the detect-then-EVALUATE half of community detection: Q > 0
@@ -598,9 +625,8 @@ object GraphPack extends QueryPack {
       import s.implicits._
       val M = org.apache.spark.sql.types.DecimalType(28, 12)
       val S = org.apache.spark.sql.types.DecimalType(38, 12)
-      val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
       val e = GraphBuilder.partEdgesWide(s, d)
-      val labels = LabelPropagation.run(s, vertices, e, LP_ITERS)
+      val labels = lpaLabels(s, d)
       val el = e
         .join(labels.select($"id".as("src"), $"label".as("lsrc")), "src")
         .join(labels.select($"id".as("dst"), $"label".as("ldst")), "dst")

@@ -344,6 +344,44 @@ object RelationalPack extends QueryPack {
           p(0.5).as("p50"), p(0.9).as("p90"), p(0.99).as("p99"))
     },
 
+    // C30: INTERPOLATED percentiles (percentile_cont semantics — the
+    // SQL-standard continuous quantile next to C19's discrete one):
+    // h = p·(n−1), the two bracketing order statistics come from the
+    // SAME ranked window pass C19 uses (rank predicates are pure
+    // integer row-local tests), and the interpolation
+    // v_lo + frac·(v_hi − v_lo) runs in PINNED IEEE order — the
+    // oracle spells out the identical formula instead of calling its
+    // builtin quantile_cont, so the compared doubles are
+    // bit-identical by construction, not by trusting two engines'
+    // internal quantile kernels to round alike. Integer-h groups
+    // (frac = 0) return the exact order statistic with no
+    // interpolation term (whose v_hi would be NULL at p = 1).
+    "q_percentiles_cont" -> { (s, d) =>
+      import s.implicits._
+      val byFlag = Window.partitionBy($"l_returnflag")
+      val ranked = Tables.lineitem(s, d)
+        .select($"l_returnflag", $"l_extendedprice".as("v"))
+        .withColumn("rn", row_number().over(byFlag.orderBy($"v".asc)))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      def h(q: Double) = lit(q) * ($"n" - 1).cast("double")
+      def lo(q: Double) = max(when($"rn" === floor(h(q)).cast("long") + 1L, $"v"))
+      def hi(q: Double) = max(when($"rn" === floor(h(q)).cast("long") + 2L, $"v"))
+      def interp(q: Double, loC: org.apache.spark.sql.Column, hiC: org.apache.spark.sql.Column) = {
+        val hh = lit(q) * ($"n_rows" - 1).cast("double")
+        val f = hh - floor(hh)
+        when(f === 0.0, loC).otherwise(loC + f * (hiC - loC))
+      }
+      ranked.groupBy($"l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          lo(0.5).as("lo50"), hi(0.5).as("hi50"),
+          lo(0.9).as("lo90"), hi(0.9).as("hi90"),
+          lo(0.99).as("lo99"), hi(0.99).as("hi99"))
+        .select($"l_returnflag", $"n_rows",
+          interp(0.5, $"lo50", $"hi50").as("p50"),
+          interp(0.9, $"lo90", $"hi90").as("p90"),
+          interp(0.99, $"lo99", $"hi99").as("p99"))
+    },
+
     // C21: interval coalescing (gaps-and-islands) — merge each
     // customer's overlapping order-activity intervals
     // [orderday, orderday + 30) into maximal islands, the classic
@@ -730,6 +768,32 @@ object RelationalPack extends QueryPack {
         | SELECT l_orderkey, l_partkey, l_linenumber, l_quantity,
         |  ROW_NUMBER() OVER (PARTITION BY l_orderkey, l_partkey ORDER BY l_linenumber ASC, l_quantity ASC, l_extendedprice ASC) AS rn
         | FROM lineitem) t WHERE rn = 1""".stripMargin,
+    "q_percentiles_cont" -> {
+      def h(q: String, n: String) = s"CAST($q AS DOUBLE) * CAST($n - 1 AS DOUBLE)"
+      def mark(q: String, off: Int, alias: String) =
+        s"MAX(CASE WHEN rn = CAST(FLOOR(${h(q, "n")}) AS BIGINT) + $off THEN v END) AS $alias"
+      def interp(q: String, lo: String, hi: String, alias: String) = {
+        val hh = h(q, "n_rows")
+        s"""CASE WHEN $hh - FLOOR($hh) = CAST(0.0 AS DOUBLE) THEN $lo
+           | ELSE $lo + ($hh - FLOOR($hh)) * ($hi - $lo) END AS $alias""".stripMargin
+      }
+      s"""WITH ranked AS (
+         | SELECT l_returnflag, l_extendedprice AS v,
+         |  ROW_NUMBER() OVER (PARTITION BY l_returnflag ORDER BY l_extendedprice ASC) AS rn,
+         |  COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+         | FROM lineitem),
+         |a AS (
+         | SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  ${mark("0.5", 1, "lo50")}, ${mark("0.5", 2, "hi50")},
+         |  ${mark("0.9", 1, "lo90")}, ${mark("0.9", 2, "hi90")},
+         |  ${mark("0.99", 1, "lo99")}, ${mark("0.99", 2, "hi99")}
+         | FROM ranked GROUP BY l_returnflag)
+         |SELECT l_returnflag, n_rows,
+         | ${interp("0.5", "lo50", "hi50", "p50")},
+         | ${interp("0.9", "lo90", "hi90", "p90")},
+         | ${interp("0.99", "lo99", "hi99", "p99")}
+         |FROM a""".stripMargin
+    },
     "q_histogram" ->
       """WITH ext AS (
         | SELECT MIN(l_extendedprice) AS lo, MAX(l_extendedprice) AS hi FROM lineitem),

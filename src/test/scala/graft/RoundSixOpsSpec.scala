@@ -198,6 +198,32 @@ class RoundSixOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q_percentiles_cont: interpolated values replay from the sorted groups") {
+    import spark.implicits._
+    val out = SparkEntry.queries("q_percentiles_cont")(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(out.nonEmpty)
+    val groups = Tables.lineitem(spark, sfDir)
+      .select($"l_returnflag", $"l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def cont(vs: Array[Double], q: Double): Double = {
+      val h = q * (vs.length - 1).toDouble
+      val f = h - math.floor(h)
+      val lo = vs(math.floor(h).toInt)
+      if (f == 0.0) lo else lo + f * (vs(math.floor(h).toInt + 1) - lo)
+    }
+    groups.foreach { case (flag, vs) =>
+      val (n, p50, p90, p99) = out(flag)
+      assert(n === vs.length.toLong)
+      assert(p50 === cont(vs, 0.5), s"p50 of $flag")
+      assert(p90 === cont(vs, 0.9), s"p90 of $flag")
+      assert(p99 === cont(vs, 0.99), s"p99 of $flag")
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
   test("g_modularity: Q replays from a driver recomputation over the labelprop partition") {
     import spark.implicits._
     val r = SparkEntry.queries("g_modularity")(spark, sfDir).head()
