@@ -222,6 +222,27 @@ object DedupPack extends QueryPack {
           ($"id" === $"component").as("is_survivor"))
     },
 
+    // D12: dedup impact spectrum (count-of-counts over D6's cluster
+    // sizes — the "what did dedup actually buy" report every pipeline
+    // publishes: how many singletons, how many k-way duplicate
+    // groups, what document mass each class holds). Re-aggregates the
+    // CLUSTER-bounded size table, so the spectrum costs two bounded
+    // groupBys on top of the closure; shares are single IEEE
+    // divisions of exact integers.
+    "d_cluster_spec" -> { (s, d) =>
+      import s.implicits._
+      val sizes = DedupPack.queries("d_cluster")(s, d)
+        .groupBy($"cluster_id").agg(count(lit(1)).as("sz"))
+      val spec = sizes.groupBy($"sz".as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+      val tot = spec.agg(sum($"cluster_size" * $"n_clusters").as("n_docs_total"))
+      spec.crossJoin(broadcast(tot))
+        .select($"cluster_size", $"n_clusters",
+          ($"cluster_size" * $"n_clusters").as("n_docs"),
+          (($"cluster_size" * $"n_clusters").cast("double") /
+            $"n_docs_total".cast("double")).as("doc_share"))
+    },
+
     // D10: canonical-representative selection — the keep-BEST step
     // real pipelines run after D6's closure (min-id survivorship is a
     // tiebreak policy; retention policy keeps the highest-quality
@@ -494,6 +515,24 @@ object DedupPack extends QueryPack {
          |SELECT node AS doc_id, MIN(lbl) AS cluster_id,
          | node = MIN(lbl) AS is_survivor
          |FROM reach GROUP BY node""".stripMargin,
+    "d_cluster_spec" ->
+      s"""WITH RECURSIVE $minhashCandSql,
+         |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand
+         |      UNION SELECT doc_b, doc_a FROM cand),
+         |reach(node, lbl) AS (
+         | SELECT doc_id, doc_id FROM documents
+         | UNION
+         | SELECT e.dst, r.lbl FROM reach r JOIN e ON e.src = r.node),
+         |cl AS (SELECT node AS doc_id, MIN(lbl) AS cluster_id FROM reach GROUP BY node),
+         |sizes AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz FROM cl GROUP BY cluster_id),
+         |spec AS (
+         | SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters
+         | FROM sizes GROUP BY sz),
+         |tot AS (SELECT CAST(SUM(cluster_size * n_clusters) AS BIGINT) AS n_docs_total FROM spec)
+         |SELECT s.cluster_size, s.n_clusters,
+         | CAST(s.cluster_size * s.n_clusters AS BIGINT) AS n_docs,
+         | CAST(s.cluster_size * s.n_clusters AS DOUBLE) / CAST(t.n_docs_total AS DOUBLE) AS doc_share
+         |FROM spec s CROSS JOIN tot t""".stripMargin,
     // D6's closure + per-cluster argmax by (n_chars DESC, doc_id ASC)
     "d_er" ->
       """WITH b AS (

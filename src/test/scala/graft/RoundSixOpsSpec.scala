@@ -198,6 +198,21 @@ class RoundSixOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("d_cluster_spec: spectrum conserves the corpus and shares partition to 1") {
+    import spark.implicits._
+    val spec = SparkEntry.queries("d_cluster_spec")(spark, sfDir).collect()
+    assert(spec.nonEmpty)
+    val corpus = Tables.documents(spark, sfDir).count()
+    assert(spec.map(_.getLong(2)).sum === corpus, "every document is in exactly one cluster")
+    spec.foreach(r => assert(r.getLong(2) === r.getLong(0) * r.getLong(1)))
+    assert(math.abs(spec.map(_.getDouble(3)).sum - 1.0) < 1e-9)
+    // the spectrum must agree with d_cluster's own size distribution
+    val sizes = SparkEntry.queries("d_cluster")(spark, sfDir)
+      .groupBy($"cluster_id").count().groupBy($"count").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(spec.map(r => r.getLong(0) -> r.getLong(1)).toMap === sizes)
+  }
+
   test("q_percentiles_cont: interpolated values replay from the sorted groups") {
     import spark.implicits._
     val out = SparkEntry.queries("q_percentiles_cont")(spark, sfDir).collect()
