@@ -1,0 +1,86 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Randomized structural check of the quotient fast paths' central
+  * claim — that summing size(c) copies of one quantized decimal IS
+  * integer multiplication, so class-level arithmetic is bit-identical
+  * to the part-level loop — on graphs the shipped dataset never
+  * produces (uneven class sizes, missing sizes, multiple components,
+  * single-class brands). Seeded RNG: deterministic, replayable. */
+class QuotientPropertySpec extends SparkSpec {
+
+  private def randomClasses(rng: scala.util.Random): Map[(String, Long), Long] = {
+    val brands = 2 + rng.nextInt(3)
+    (for {
+      b <- 1 to brands
+      s <- 1L to 8L
+      if rng.nextDouble() < 0.6 // holes in the size range
+    } yield (s"B$b", s) -> (1L + rng.nextInt(4))).toMap
+  }
+
+  /** Part table: globally unique ids per class member. */
+  private def partsOf(sizes: Map[(String, Long), Long]): Seq[(Long, String, Long)] = {
+    var id = 0L
+    sizes.toSeq.sortBy(_._1).flatMap { case ((b, s), n) =>
+      (1L to n).map { _ => id += 1; (id, b, s) }
+    }
+  }
+
+  test("HITS quotient ≡ distributed loop on 6 random class graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260814L)
+    for (trial <- 1 to 6) {
+      val sizes = randomClasses(rng)
+      val parts = partsOf(sizes)
+      val byClass = parts.groupBy(p => (p._2, p._3)).view.mapValues(_.map(_._1)).toMap
+      val edges = for {
+        ((b, s), srcs) <- byClass.toSeq
+        dsts <- byClass.get((b, s + 1)).toSeq
+        u <- srcs; v <- dsts
+      } yield (u, v)
+      if (edges.nonEmpty) {
+        val dist = Hits.run(edges.toDF("src", "dst"), iters = 3)
+          .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+        val classEdges = sizes.keys.toSeq
+          .filter { case (b, s) => sizes.contains((b, s + 1)) }
+          .map { case (b, s) => ((b, s), (b, s + 1)) }
+        val scores = Hits.quotientScores(sizes, classEdges, iters = 3)
+        val fast = parts.flatMap { case (id, b, s) =>
+          scores.get((b, s)).map(id -> _)
+        }.toMap
+        assert(fast.keySet === dist.keySet, s"trial $trial node sets")
+        fast.foreach { case (n, (hub, auth)) =>
+          assert(dist(n)._1 === hub, s"trial $trial hub of $n")
+          assert(dist(n)._2 === auth, s"trial $trial authority of $n")
+        }
+      }
+    }
+  }
+
+  test("RA quotient ≡ fact-level operator on 6 random class graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(14082026L)
+    for (trial <- 1 to 6) {
+      val sizes = randomClasses(rng)
+      val parts = partsOf(sizes)
+      val partsDF = parts.toDF("p_partkey", "p_brand", "p_size")
+      val byClass = parts.groupBy(p => (p._2, p._3)).view.mapValues(_.map(_._1)).toMap
+      val up = for {
+        ((b, s), srcs) <- byClass.toSeq
+        delta <- Seq(1L, 2L)
+        dsts <- byClass.get((b, s + delta)).toSeq
+        u <- srcs; v <- dsts
+      } yield (u, v)
+      if (up.nonEmpty) {
+        val sym = (up ++ up.map(_.swap)).toDF("src", "dst")
+        val facts = LinkPrediction.resourceAllocation(sym, 50).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        val quot = LinkPrediction.resourceAllocationQuotient(spark, partsDF, 50).collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        assert(quot.toSeq === facts.toSeq, s"trial $trial")
+      }
+    }
+  }
+}
