@@ -72,6 +72,69 @@ object SimilarityPack extends QueryPack {
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("n_id"), col("t.score").as("cosine"))
 
+  private def kmeansBody(s: SparkSession, d: String): DataFrame = {
+      import s.implicits._
+      val e = Tables.embeddings(s, d)
+      def assign(cents: Seq[(Int, Array[Double])]): Column = {
+        val structs = cents.map { case (cid, c) =>
+          val carr = array(c.map(lit(_)): _*)
+          val d2 = aggregate(
+            zip_with($"embedding", carr, (x, cc) =>
+              ((x.cast("double") - cc) * (x.cast("double") - cc)).cast("decimal(28,12)")),
+            lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
+            (acc, v) => (acc + v).cast("decimal(28,12)")).cast("double")
+          struct(d2.as("d2"), lit(cid).as("cid"))
+        }
+        array_min(array(structs: _*))
+      }
+      var cents: Seq[(Int, Array[Double])] = e.filter($"vec_id" < KM_K)
+        .select($"vec_id", $"embedding".cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
+        .sortBy(_._1).toSeq
+      for (_ <- 1 to KM_ITERS) {
+        val asg = e.withColumn("best", assign(cents))
+          .select($"vec_id", $"best.cid".as("cluster_id"))
+        cents = e.join(asg, "vec_id")
+          .select($"cluster_id", posexplode($"embedding").as(Seq("pos", "xf")))
+          .groupBy($"cluster_id", $"pos")
+          .agg(sum($"xf".cast("double").cast("decimal(28,12)")).as("sx"),
+            count(lit(1)).as("n"))
+          .select($"cluster_id", $"pos",
+            ($"sx".cast("double") / $"n".cast("double")).as("c"))
+          .collect()
+          .groupBy(_.getInt(0))
+          .map { case (cid, rows) =>
+            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
+          .toSeq.sortBy(_._1)
+      }
+      e.withColumn("best", assign(cents))
+        .select($"vec_id", $"best.cid".cast("long").as("cluster_id"),
+          round($"best.d2", 6).as("dist2"))
+  }
+
+  /** One Lloyd's run per (session, scale dir): s_kmeans and
+    * s_inertia share the materialized assignment (the GraphPack LPA
+    * cache discipline: weak session keys, soft value refs, compute
+    * outside the monitor). */
+  private val kmCache = new java.util.WeakHashMap[
+    SparkSession,
+    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
+
+  private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val bySf = kmCache.synchronized {
+      kmCache.asScala.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+    }
+    bySf.synchronized(bySf.get(d).flatMap(r => Option(r.get))) match {
+      case Some(df) => df
+      case None =>
+        val a = kmeansBody(s, d).localCheckpoint()
+        bySf.synchronized(bySf(d) = new java.lang.ref.SoftReference(a))
+        a
+    }
+  }
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: brute-force cosine top-k per query vector.
     "s_knn_brute" -> { (s, d) =>
@@ -375,46 +438,31 @@ object SimilarityPack extends QueryPack {
     // vector contract), means are one IEEE division of exact values,
     // ties break to the lowest centroid id — bit-identical to the
     // oracle's unrolled iterations.
-    "s_kmeans" -> { (s, d) =>
+    "s_kmeans" -> { (s, d) => kmeansAssignments(s, d) },
+
+    // E14: clustering-quality report (per-cluster inertia — the SSE
+    // readout that tells you whether K was right and which clusters
+    // are diffuse): re-aggregates s_kmeans' per-vector dist2 (already
+    // deterministic and 6-dp-rounded on both engines) as an EXACT
+    // DECIMAL(28,6) sum per cluster — a raw double Σ would be
+    // accumulation-order-dependent — plus each cluster's share of
+    // total inertia. The assignment itself is memoized per (session,
+    // scale dir) (the LPA cache discipline), so the report reuses the
+    // materialized clustering instead of re-running Lloyd's.
+    "s_inertia" -> { (s, d) =>
       import s.implicits._
-      val e = Tables.embeddings(s, d)
-      def assign(cents: Seq[(Int, Array[Double])]): Column = {
-        val structs = cents.map { case (cid, c) =>
-          val carr = array(c.map(lit(_)): _*)
-          val d2 = aggregate(
-            zip_with($"embedding", carr, (x, cc) =>
-              ((x.cast("double") - cc) * (x.cast("double") - cc)).cast("decimal(28,12)")),
-            lit(java.math.BigDecimal.ZERO).cast("decimal(28,12)"),
-            (acc, v) => (acc + v).cast("decimal(28,12)")).cast("double")
-          struct(d2.as("d2"), lit(cid).as("cid"))
-        }
-        array_min(array(structs: _*))
-      }
-      var cents: Seq[(Int, Array[Double])] = e.filter($"vec_id" < KM_K)
-        .select($"vec_id", $"embedding".cast("array<double>"))
-        .collect()
-        .map(r => r.getLong(0).toInt -> r.getSeq[Double](1).toArray)
-        .sortBy(_._1).toSeq
-      for (_ <- 1 to KM_ITERS) {
-        val asg = e.withColumn("best", assign(cents))
-          .select($"vec_id", $"best.cid".as("cluster_id"))
-        cents = e.join(asg, "vec_id")
-          .select($"cluster_id", posexplode($"embedding").as(Seq("pos", "xf")))
-          .groupBy($"cluster_id", $"pos")
-          .agg(sum($"xf".cast("double").cast("decimal(28,12)")).as("sx"),
-            count(lit(1)).as("n"))
-          .select($"cluster_id", $"pos",
-            ($"sx".cast("double") / $"n".cast("double")).as("c"))
-          .collect()
-          .groupBy(_.getInt(0))
-          .map { case (cid, rows) =>
-            cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toArray }
-          .toSeq.sortBy(_._1)
-      }
-      e.withColumn("best", assign(cents))
-        .select($"vec_id", $"best.cid".cast("long").as("cluster_id"),
-          round($"best.d2", 6).as("dist2"))
+      val D6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val a = kmeansAssignments(s, d)
+      val per = a.groupBy($"cluster_id")
+        .agg(count(lit(1)).as("n_vectors"),
+          sum($"dist2".cast(D6)).as("sse"))
+      val tot = per.agg(sum($"sse").as("sse_total"))
+      per.crossJoin(broadcast(tot))
+        .select($"cluster_id", $"n_vectors",
+          $"sse".cast("double").as("inertia"),
+          ($"sse".cast("double") / $"sse_total".cast("double")).as("inertia_share"))
     },
+
 
     // E6: composed embedding pipeline — semantic-dedup survivors
     // (D7's linear screen) flowing straight into int8 quantization as
@@ -491,6 +539,37 @@ object SimilarityPack extends QueryPack {
       |         FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
       |nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS n
       |        FROM dims GROUP BY vec_id)""".stripMargin
+
+  /** Shared unrolled-Lloyd's oracle CTEs ending in `kasg`
+    * (vec_id, cluster_id, dist2) — consumed by the s_kmeans and
+    * s_inertia oracles, which must evaluate the SAME clustering. */
+  private def kmeansOracleCtes(): String = {
+    val steps = (1 to KM_ITERS).map { it =>
+      s"""a$it AS (
+         | SELECT d.vec_id, c.cid,
+         |  CAST(SUM(CAST((d.x - c.c)*(d.x - c.c) AS DECIMAL(28,12))) AS DOUBLE) AS d2
+         | FROM kdims d JOIN c${it - 1} c ON c.i = d.i GROUP BY d.vec_id, c.cid),
+         |a${it}b AS (
+         | SELECT vec_id, cid FROM a$it
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
+         |c$it AS (
+         | SELECT a.cid, d.i, CAST(SUM(CAST(d.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
+         | FROM kdims d JOIN a${it}b a ON a.vec_id = d.vec_id GROUP BY a.cid, d.i)"""
+    }.mkString(",\n")
+    s"""kdims AS (
+       | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
+       | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
+       |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM kdims WHERE vec_id < $KM_K),
+       |$steps,
+       |fin AS (
+       | SELECT d.vec_id, c.cid,
+       |  CAST(SUM(CAST((d.x - c.c)*(d.x - c.c) AS DECIMAL(28,12))) AS DOUBLE) AS d2
+       | FROM kdims d JOIN c$KM_ITERS c ON c.i = d.i GROUP BY d.vec_id, c.cid),
+       |kasg AS (
+       | SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, round(d2, 6) AS dist2
+       | FROM fin
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1)""".stripMargin
+  }
 
   override def oracles: Map[String, String] = Map(
     "s_recall" -> {
@@ -730,34 +809,19 @@ object SimilarityPack extends QueryPack {
          | MAX(ABS(qi * scale - x)) AS max_abs_err
          |FROM q JOIN kept k ON k.vec_id = q.vec_id
          |GROUP BY q.vec_id""".stripMargin,
-    "s_kmeans" -> {
-      // unrolled Lloyd's: c0 = seed centroids; KM_ITERS × (assign
-      // aN/aNb + update cN); final assignment against c{KM_ITERS}.
-      val steps = (1 to KM_ITERS).map { it =>
-        s"""a$it AS (
-           | SELECT d.vec_id, c.cid,
-           |  CAST(SUM(CAST((d.x - c.c)*(d.x - c.c) AS DECIMAL(28,12))) AS DOUBLE) AS d2
-           | FROM kdims d JOIN c${it - 1} c ON c.i = d.i GROUP BY d.vec_id, c.cid),
-           |a${it}b AS (
-           | SELECT vec_id, cid FROM a$it
-           | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1),
-           |c$it AS (
-           | SELECT a.cid, d.i, CAST(SUM(CAST(d.x AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS c
-           | FROM kdims d JOIN a${it}b a ON a.vec_id = d.vec_id GROUP BY a.cid, d.i)"""
-      }.mkString(",\n")
-      s"""WITH kdims AS (
-         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-         | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
-         |c0 AS (SELECT CAST(vec_id AS INTEGER) AS cid, i, x AS c FROM kdims WHERE vec_id < $KM_K),
-         |$steps,
-         |fin AS (
-         | SELECT d.vec_id, c.cid,
-         |  CAST(SUM(CAST((d.x - c.c)*(d.x - c.c) AS DECIMAL(28,12))) AS DOUBLE) AS d2
-         | FROM kdims d JOIN c$KM_ITERS c ON c.i = d.i GROUP BY d.vec_id, c.cid)
-         |SELECT vec_id, CAST(cid AS BIGINT) AS cluster_id, round(d2, 6) AS dist2
-         |FROM fin
-         |QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) = 1""".stripMargin
-    },
+    "s_kmeans" -> s"""WITH ${kmeansOracleCtes()}
+                      |SELECT vec_id, cluster_id, dist2 FROM kasg""".stripMargin,
+    "s_inertia" ->
+      s"""WITH ${kmeansOracleCtes()},
+         |per AS (
+         | SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         |  CAST(SUM(CAST(dist2 AS DECIMAL(28,6))) AS DECIMAL(38,6)) AS sse
+         | FROM kasg GROUP BY cluster_id),
+         |tot AS (SELECT CAST(SUM(sse) AS DECIMAL(38,6)) AS sse_total FROM per)
+         |SELECT p.cluster_id, p.n_vectors,
+         | CAST(p.sse AS DOUBLE) AS inertia,
+         | CAST(p.sse AS DOUBLE) / CAST(t.sse_total AS DOUBLE) AS inertia_share
+         |FROM per p CROSS JOIN tot t""".stripMargin,
     "s_quantize" ->
       """WITH dims AS (
         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x

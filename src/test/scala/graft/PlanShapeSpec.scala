@@ -34,6 +34,7 @@ class PlanShapeSpec extends SparkSpec {
       "q_histogram", // one-row extrema broadcast (t_tfidf's pattern)
       "g_modularity", // one-row edge-total broadcast (t_tfidf's pattern)
       "d_cluster_spec", // one-row doc-total broadcast (t_tfidf's pattern)
+      "s_inertia", // one-row SSE-total broadcast (t_tfidf's pattern)
       "s_recall") // composes s_knn_brute/ann, inheriting their shapes
 
   private def df(name: String): DataFrame = {

@@ -198,6 +198,23 @@ class RoundSixOpsSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("s_inertia: conserves vectors, shares partition to 1, SSE replays from s_kmeans") {
+    import spark.implicits._
+    val inertia = SparkEntry.queries("s_inertia")(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(inertia.nonEmpty)
+    val asg = SparkEntry.queries("s_kmeans")(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getDouble(2)))
+    assert(inertia.values.map(_._1).sum === asg.length.toLong)
+    assert(math.abs(inertia.values.map(_._3).sum - 1.0) < 1e-9)
+    asg.groupBy(_._1).foreach { case (cid, rows) =>
+      val sse = rows.map(r => BigDecimal.decimal(r._2).setScale(6, BigDecimal.RoundingMode.HALF_UP))
+        .sum.doubleValue
+      assert(inertia(cid)._1 === rows.length.toLong)
+      assert(inertia(cid)._2 === sse, s"SSE of cluster $cid")
+    }
+  }
+
   test("d_cluster_spec: spectrum conserves the corpus and shares partition to 1") {
     import spark.implicits._
     val spec = SparkEntry.queries("d_cluster_spec")(spark, sfDir).collect()
