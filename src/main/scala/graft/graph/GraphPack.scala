@@ -134,34 +134,21 @@ object GraphPack extends QueryPack {
 
   /** One LPA run per (session, scale dir): g_labelprop and
     * g_modularity evaluate the SAME 4-round labeling, so the second
-    * consumer reuses the first's materialized (eager localCheckpoint)
-    * result instead of re-running the iterative program —
-    * StreamReplay's cache discipline: weak session keys, SOFT value
-    * refs (a strongly-held DataFrame reaches its session and would
-    * pin the weak key — the WeakHashMap value→key cycle), compute
-    * OUTSIDE the monitor (a duplicate race costs one redundant run,
-    * never a deadlock). */
-  private val lpaCache = new java.util.WeakHashMap[
-    SparkSession,
-    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
+    * consumer reuses the first's result instead of re-running the
+    * iterative program ([[graft.SessionCache]]'s discipline). The
+    * cached DataFrame is the run's own lazily-checkpointed final
+    * labels — NO extra eager materialization here, so merely
+    * BUILDING a consumer's plan (PlanShapeSpec, explain()) stays
+    * cheap and only one copy of the label blocks is ever
+    * persisted. */
+  private val lpaCache = new graft.SessionCache[DataFrame]
 
-  private def lpaLabels(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val bySf = lpaCache.synchronized {
-      lpaCache.asScala.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
+  private def lpaLabels(s: SparkSession, d: String): DataFrame =
+    lpaCache.getOrCompute(s, d) {
+      import s.implicits._
+      val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
+      LabelPropagation.run(s, vertices, GraphBuilder.partEdgesWide(s, d), LP_ITERS)
     }
-    bySf.synchronized(bySf.get(d).flatMap(r => Option(r.get))) match {
-      case Some(df) => df
-      case None =>
-        import s.implicits._
-        val vertices = Tables.part(s, d).select($"p_partkey".cast("long").as("id"))
-        val labels = LabelPropagation
-          .run(s, vertices, GraphBuilder.partEdgesWide(s, d), LP_ITERS)
-          .localCheckpoint()
-        bySf.synchronized(bySf(d) = new java.lang.ref.SoftReference(labels))
-        labels
-    }
-  }
 
   /** Unrolled personalized-PageRank oracle — same contract as
     * [[PersonalizedPageRank.run]]: per round, rank = 0.85 ·

@@ -114,26 +114,16 @@ object SimilarityPack extends QueryPack {
   }
 
   /** One Lloyd's run per (session, scale dir): s_kmeans and
-    * s_inertia share the materialized assignment (the GraphPack LPA
-    * cache discipline: weak session keys, soft value refs, compute
-    * outside the monitor). */
-  private val kmCache = new java.util.WeakHashMap[
-    SparkSession,
-    scala.collection.mutable.Map[String, java.lang.ref.SoftReference[DataFrame]]]()
+    * s_inertia share the assignment ([[graft.SessionCache]]'s
+    * discipline). The checkpoint is LAZY: plan construction still
+    * pays the algorithm's own centroid collects (inherent to
+    * Lloyd's), but the full final-assignment scan runs only when a
+    * consumer executes, and its blocks are then cached for the
+    * other consumer. */
+  private val kmCache = new graft.SessionCache[DataFrame]
 
-  private def kmeansAssignments(s: SparkSession, d: String): DataFrame = {
-    import scala.jdk.CollectionConverters._
-    val bySf = kmCache.synchronized {
-      kmCache.asScala.getOrElseUpdate(s, scala.collection.mutable.Map.empty)
-    }
-    bySf.synchronized(bySf.get(d).flatMap(r => Option(r.get))) match {
-      case Some(df) => df
-      case None =>
-        val a = kmeansBody(s, d).localCheckpoint()
-        bySf.synchronized(bySf(d) = new java.lang.ref.SoftReference(a))
-        a
-    }
-  }
+  private def kmeansAssignments(s: SparkSession, d: String): DataFrame =
+    kmCache.getOrCompute(s, d)(kmeansBody(s, d).localCheckpoint(eager = false))
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: brute-force cosine top-k per query vector.

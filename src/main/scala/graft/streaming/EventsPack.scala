@@ -1031,7 +1031,7 @@ object EventsPack extends QueryPack {
       """WITH u AS (
         | SELECT user_id,
         |  MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv,
-        |  user_id % 2 AS arm
+        |  (user_id % 2 + 2) % 2 AS arm
         | FROM events GROUP BY user_id),
         |m AS (
         | SELECT arm, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(conv) AS BIGINT) AS k

@@ -31,6 +31,7 @@ class QuotientPropertySpec extends SparkSpec {
   test("HITS quotient ≡ distributed loop on 6 random class graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(20260814L)
+    var trialsRun = 0
     for (trial <- 1 to 6) {
       val sizes = randomClasses(rng)
       val parts = partsOf(sizes)
@@ -41,6 +42,7 @@ class QuotientPropertySpec extends SparkSpec {
         u <- srcs; v <- dsts
       } yield (u, v)
       if (edges.nonEmpty) {
+        trialsRun += 1
         val dist = Hits.run(edges.toDF("src", "dst"), iters = 3)
           .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getDouble(2))).toMap
         val classEdges = sizes.keys.toSeq
@@ -57,11 +59,13 @@ class QuotientPropertySpec extends SparkSpec {
         }
       }
     }
+    assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
   }
 
   test("RA quotient ≡ fact-level operator on 6 random class graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(14082026L)
+    var trialsRun = 0
     for (trial <- 1 to 6) {
       val sizes = randomClasses(rng)
       val parts = partsOf(sizes)
@@ -74,6 +78,7 @@ class QuotientPropertySpec extends SparkSpec {
         u <- srcs; v <- dsts
       } yield (u, v)
       if (up.nonEmpty) {
+        trialsRun += 1
         val sym = (up ++ up.map(_.swap)).toDF("src", "dst")
         val facts = LinkPrediction.resourceAllocation(sym, 50).collect()
           .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
@@ -82,5 +87,6 @@ class QuotientPropertySpec extends SparkSpec {
         assert(quot.toSeq === facts.toSeq, s"trial $trial")
       }
     }
+    assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
   }
 }
