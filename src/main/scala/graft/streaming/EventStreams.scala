@@ -213,6 +213,28 @@ object EventStreams {
       .select(date_format(col("window.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
         col("c_mktsegment").as("mktsegment"), col("n_events"), col("sum_value"))
 
+  /** Streaming CDC materialization (H24): C28's last-op-wins with
+    * delete tombstones as an INCREMENTAL complete-mode aggregate —
+    * the continuously-maintained current-state table a CDC consumer
+    * keeps. State per key is one (ts, id, type, cents) struct plus
+    * two counters (constant, however long the history); the struct
+    * max is associative/commutative, so the incremental merges the
+    * engine applies between micro-batches provably reach the batch
+    * answer regardless of chunking. Tombstone filtering happens on
+    * the OUTPUT (a deleted key's state must survive internally — a
+    * later upsert revives it). */
+  def cdcState(events: DataFrame): DataFrame =
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("ts_us"), col("event_id"),
+        col("event_type"), (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("event_id"), col("event_type"), col("cents"))).as("last"),
+        count(lit(1)).as("n_ops"),
+        sum(when(col("event_type") === "error", 1L).otherwise(0L)).as("n_deletes"))
+      .select(col("user_id"), col("last.event_type").as("last_type"),
+        (col("last.cents").cast("double") / 100.0).as("last_value"),
+        col("n_ops"), col("n_deletes"))
+
   def userTotals(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"))

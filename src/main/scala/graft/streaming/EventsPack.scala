@@ -773,6 +773,21 @@ object EventsPack extends QueryPack {
       }
     },
 
+    // Streaming CDC materialization replay (H24): C28's tombstone
+    // semantics maintained INCREMENTALLY — the replayed stream's
+    // final state table must equal the batch q_cdc exactly (same
+    // oracle SQL verbatim). The tombstone filter runs on the final
+    // output, never inside the state (a later upsert must revive a
+    // deleted key mid-stream).
+    "e_stream_cdc" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d, mode = OutputMode.Complete())(
+        ds => EventStreams.cdcState(ds.toDF())) {
+        out => out.filter($"user_id" =!= StreamReplay.SENTINEL_USER &&
+          $"last_type" =!= "error")
+      }
+    },
+
     // File-source ingest on the hard signal: events land as JSONL
     // files in two waves with a query stop/RESTART between them; the
     // checkpointed parquet sink must contain exactly the batch row
@@ -1156,6 +1171,8 @@ object EventsPack extends QueryPack {
         |FROM hours h JOIN typ t ON t.event_type = h.event_type""".stripMargin,
     "e_window" -> windowSql,
     "e_stream_window" -> windowSql,
+    // the streaming CDC state must hash-match the batch q_cdc twin
+    "e_stream_cdc" -> graft.relational.RelationalPack.oracles("q_cdc"),
     "e_stream_enrich" ->
       s"""SELECT
          | strftime(make_timestamp(CAST(floor(epoch(e.ts) / $WINDOW_SEC) * $WINDOW_SEC AS BIGINT) * 1000000), '%Y-%m-%d %H:%M:%S') AS window_start,

@@ -322,6 +322,27 @@ class EventStreamsSpec extends SparkSpec {
     assert(many.except(batch).count() === 0 && batch.except(many).count() === 0)
   }
 
+  test("streaming CDC state: slicing-invariant, equals batch, tombstoned keys revive") {
+    import org.apache.spark.sql.functions._
+    def run(chunks: Int) = StreamReplay.replay(spark, sfDir, chunks = chunks,
+      mode = org.apache.spark.sql.streaming.OutputMode.Complete())(
+      ds => EventStreams.cdcState(ds.toDF())) {
+      out => out.filter(out("user_id") =!= StreamReplay.SENTINEL_USER &&
+        out("last_type") =!= "error")
+    }
+    val one = run(1)
+    val many = run(13)
+    assert(one.count() === many.count())
+    assert(one.except(many).count() === 0 && many.except(one).count() === 0)
+    // batch equality (the q_cdc operator computed outside streaming)
+    val batch = graft.SparkEntry.queries("q_cdc")(spark, sfDir)
+    assert(many.except(batch).count() === 0 && batch.except(many).count() === 0)
+    // revival semantics: surviving keys WITH mid-history deletes exist
+    // (a tombstone must not permanently kill a key's state)
+    assert(many.filter(col("n_deletes") >= 1).count() > 0,
+      "expected at least one revived key with mid-history tombstones")
+  }
+
   test("StreamReplay.feed never draws more than one chunk ahead of delivery") {
     // The replay's driver-memory contract: the feed pulls from the
     // (executor-backed) iterator lazily, so between deliveries at most
