@@ -702,6 +702,40 @@ object GraphPack extends QueryPack {
       deg.join(nbrAvg, "node").join(two, "node")
         .select($"node", $"degree", $"nbr_avg_degree", $"n_reach2")
     },
+
+    // A36: versioned GraphStore persistence on the hard signal — the
+    // reference's PersistentDataBase lifecycle (main.py:117-210:
+    // CREATE + INSERT OR IGNORE + reload) exercised end-to-end:
+    // write v1, INSERT-OR-IGNORE upsert v2, reset-write v3, then
+    // time-travel reads drive snapshot diffs in both directions.
+    // Each edge set is a size-band slice of the part edit-graph so
+    // the oracle derives the identical snapshots relationally and
+    // replays the diff as EXCEPTs — the store's dedup, versioning and
+    // anti-join diff all sit under the cross-engine hash. Diff cost
+    // is two anti equi-joins per step on (src, dst); never a
+    // full-table comparison state, so the shape survives any
+    // snapshot size.
+    "g_store_diff" -> { (s, d) =>
+      import s.implicits._
+      import graft.sources.GraphStore
+      def slice(lo: Int, hi: Int): DataFrame = {
+        val p = Tables.part(s, d)
+          .filter($"p_size".between(lo, hi))
+          .select($"p_partkey".cast("long").as("k"), $"p_brand", $"p_size")
+        val up = p.join(
+            p.select($"k".as("dst"), $"p_brand".as("brand_b"), $"p_size".as("size_b")),
+            $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + 1)
+          .select($"k".as("src"), $"dst")
+        up.union(up.select($"dst".as("src"), $"src".as("dst")))
+      }
+      val root = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      val v1 = GraphStore.write(slice(1, 30), root)
+      val v2 = GraphStore.upsert(s, root, slice(20, 45))
+      val v3 = GraphStore.write(slice(10, 50), root) // reset semantics
+      GraphStore.diff(s, root, v1, v2).withColumn("step", lit(1L))
+        .unionByName(GraphStore.diff(s, root, v2, v3).withColumn("step", lit(2L)))
+        .select($"step", $"src", $"dst", $"change")
+    },
   )
 
   /** Unrolled k-core peeling oracle: alive sets a1..aN with the
@@ -1232,5 +1266,32 @@ object GraphPack extends QueryPack {
          |SELECT p.node, p.ecc, p.n_reachable, g.diameter, g.radius,
          | p.ecc = g.diameter AS is_peripheral, p.ecc = g.radius AS is_central
          |FROM per p, g""".stripMargin,
+    "g_store_diff" -> {
+      // relational replay of the store lifecycle: e1 = write(1..30),
+      // m = e1 OR-IGNORE-merged with the 20..45 delta (src/dst-only
+      // edges, so the merge is a set union), e3 = reset-write(10..50);
+      // each diff step is the two EXCEPT directions.
+      def slice(name: String, lo: Int, hi: Int) =
+        s"""u$name AS (
+           | SELECT CAST(a.p_partkey AS BIGINT) AS src, CAST(b.p_partkey AS BIGINT) AS dst
+           | FROM part a JOIN part b ON a.p_brand = b.p_brand AND b.p_size = a.p_size + 1
+           | WHERE a.p_size BETWEEN $lo AND $hi AND b.p_size BETWEEN $lo AND $hi),
+           |$name AS (SELECT src, dst FROM u$name UNION SELECT dst, src FROM u$name)""".stripMargin
+      s"""WITH ${slice("e1", 1, 30)},
+         |${slice("e2", 20, 45)},
+         |${slice("e3", 10, 50)},
+         |m AS (SELECT src, dst FROM e1 UNION SELECT src, dst FROM e2)
+         |SELECT CAST(1 AS BIGINT) AS step, src, dst, 'added' AS change
+         | FROM (SELECT src, dst FROM m EXCEPT SELECT src, dst FROM e1)
+         |UNION ALL
+         |SELECT CAST(1 AS BIGINT), src, dst, 'removed'
+         | FROM (SELECT src, dst FROM e1 EXCEPT SELECT src, dst FROM m)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), src, dst, 'added'
+         | FROM (SELECT src, dst FROM e3 EXCEPT SELECT src, dst FROM m)
+         |UNION ALL
+         |SELECT CAST(2 AS BIGINT), src, dst, 'removed'
+         | FROM (SELECT src, dst FROM m EXCEPT SELECT src, dst FROM e3)""".stripMargin
+    },
   )
 }
