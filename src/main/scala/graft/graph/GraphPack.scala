@@ -279,9 +279,12 @@ object GraphPack extends QueryPack {
     // triangle orientation, support peel to fixpoint, throw on
     // non-convergence). k = 4: every surviving edge closes ≥ 2
     // triangles within the truss.
-    "g_ktruss" -> { (s, d) =>
-      KTruss.run(s, GraphBuilder.partEdgesWide(s, d), k = KTRUSS_K)
-    },
+    // A26: the widened edit-graph is a (brand, size) class blow-up, so
+    // the decomposition runs on the QUOTIENT (in-process weighted peel
+    // + one broadcast stamp join — see [[KTruss.quotientPartEdit]]);
+    // the general incremental-peel engine [[KTruss.run]] is its
+    // spec-pinned distributed twin (QuotientPropertySpec discipline).
+    "g_ktruss" -> { (s, d) => KTruss.quotientPartEdit(s, d, k = KTRUSS_K) },
 
     // A27: deterministic random-walk sampling over the widened part
     // edit-graph — DeepWalk-style embedding-corpus generation with an
