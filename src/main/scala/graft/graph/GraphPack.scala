@@ -245,13 +245,16 @@ object GraphPack extends QueryPack {
     },
 
     // A29: maximal independent set (Luby) over the widened part
-    // edit-graph — see [[Mis]]: deterministic per-round md5
-    // priorities, O(log n) rounds, schedule-independent result.
-    "g_mis" -> { (s, d) =>
-      import s.implicits._
-      Mis.run(s, Tables.part(s, d).select($"p_partkey".as("id")),
-        GraphBuilder.partEdgesWide(s, d))
-    },
+    // edit-graph — deterministic per-round md5 priorities, O(log n)
+    // rounds, schedule-independent result. QUOTIENT fast path: the
+    // blow-up structure makes the min-undecided-neighbor priority a
+    // pure class function, so each round is one vertex-set groupBy +
+    // a guarded class collect + one broadcast-join filter — the
+    // quadratic blown-up edge set is never materialized (see
+    // [[Mis.quotientPartEdit]]); the general edge-set engine
+    // [[Mis.run]] is its spec-pinned bit-identical twin
+    // (QuotientPropertySpec discipline, mis_round included).
+    "g_mis" -> { (s, d) => Mis.quotientPartEdit(s, d) },
 
     // A28: harmonic centrality — H(u) = Σ_{v≠u reachable} 1/d(u,v),
     // the disconnected-robust closeness variant (isolated pairs
@@ -731,7 +734,7 @@ object GraphPack extends QueryPack {
           .select($"k".as("src"), $"dst")
         up.union(up.select($"dst".as("src"), $"src".as("dst")))
       }
-      val root = java.nio.file.Files.createTempDirectory("graft_store_").toString
+      val root = graft.util.Scratch.dir("graft_store_").toString
       val v1 = GraphStore.write(slice(1, 30), root)
       val v2 = GraphStore.upsert(s, root, slice(20, 45))
       val v3 = GraphStore.write(slice(10, 50), root) // reset semantics

@@ -53,7 +53,7 @@ object KTruss {
     * analyzed plan IS the checkpoint's `LogicalRDD` (i.e. the direct
     * result of `localCheckpoint`) is touched, so derived plans that
     * merely read a checkpoint are never unpersisted through this. */
-  private def freeCheckpoint(df: DataFrame): Unit =
+  private[graph] def freeCheckpoint(df: DataFrame): Unit =
     df.queryExecution.analyzed match {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         lr.rdd.unpersist(blocking = false)
@@ -123,8 +123,11 @@ object KTruss {
     while (!converged && iter < maxIter) {
       val newDrop = alive.filter($"support" < k - 2).select($"a", $"b")
         .localCheckpoint()
-      if (newDrop.count() == 0L) converged = true
-      else {
+      if (newDrop.count() == 0L) {
+        converged = true
+        // the converged probe's (empty) checkpoint is dead immediately
+        freeCheckpoint(newDrop)
+      } else {
         val te = triEdges(tri)
         // triangles touching a just-dropped edge…
         val cand = te.join(newDrop, onEdge(te, newDrop), "left_semi")
@@ -158,8 +161,15 @@ object KTruss {
       }
       iter += 1
     }
-    if (!converged) throw new IllegalStateException(
-      s"k-truss peeling did not converge within $maxIter rounds (edges still dropping)")
+    if (!converged) {
+      // free every live checkpoint before aborting — a thrown run must
+      // not leak block-manager storage into the caller's session
+      freeCheckpoint(tri)
+      freeCheckpoint(alive)
+      freeCheckpoint(dropped)
+      throw new IllegalStateException(
+        s"k-truss peeling did not converge within $maxIter rounds (edges still dropping)")
+    }
     freeCheckpoint(tri)
     freeCheckpoint(dropped)
     alive.select($"a", $"b", $"support")

@@ -77,4 +77,117 @@ object Mis {
     verts.join(mis, Seq("node"), "left")
       .select($"node", $"mis_round".isNotNull.as("in_mis"), $"mis_round")
   }
+
+  /** QUOTIENT fast path for the widened (brand, size ± 1-or-2) part
+    * edit-graph — the KTruss.quotientPartEdit pattern applied to
+    * Luby's game. Unlike the truss (where support is a pure class
+    * function), Luby's per-node md5 priorities BREAK within-class
+    * symmetry, so the MIS itself is not a class function — but the
+    * blow-up structure still collapses every edge-set computation in
+    * [[run]] to a class-level one:
+    *
+    *   - the graph is a pure class blow-up (every node of class
+    *     c = (brand, size) is adjacent to EVERY node of every
+    *     adjacent class, and no within-class edges exist), so the
+    *     min-undecided-neighbor priority in round r is the SAME for
+    *     all nodes of c:  M_r(c) = min over adjacent classes c' with
+    *     undecided nodes of (min over undecided u ∈ c' of h_r(u));
+    *   - node v ∈ c wins round r  iff  h_r(v) < M_r(c)  — exactly
+    *     [[run]]'s winner predicate, with the same 'g' sentinel when
+    *     no adjacent class has undecided nodes;
+    *   - winner classes are automatically independent in the class
+    *     graph: c has a winner iff classMin_r(c) < M_r(c), i.e.
+    *     classMin_r(c) is strictly below every adjacent classMin — two
+    *     adjacent classes cannot both satisfy that;
+    *   - removal is class-level: a winner's neighbors are ALL
+    *     undecided nodes of the adjacent classes, so the survivors of
+    *     class c are {v undecided : h_r(v) ≥ M_r(c)} if no adjacent
+    *     class had a winner, ∅ otherwise.
+    *
+    * So each round is ONE partial-aggregable (brand, size) groupBy
+    * over the UNDECIDED VERTEX SET (min-hash + count), one guarded
+    * ≤ MAX_CLASSES collect, driver-side threshold/removal computation
+    * over the dimension-bounded class graph, and one broadcast-join
+    * filter — the quadratic blown-up edge set (the thing [[run]]
+    * groupBys and semi-join-prunes every round) is NEVER
+    * materialized. Round-faithful and hash-faithful, hence
+    * bit-identical to [[run]] on the same graph including
+    * `mis_round` (spec-pinned: QuotientPropertySpec +
+    * RoundEightOpsSpec). The convergence probe rides the same
+    * collect; non-convergence throws ([[run]]'s contract).
+    */
+  def quotientPartEdit(s: SparkSession, sfDir: String, maxIter: Int = 25): DataFrame = {
+    import s.implicits._
+    val parts = graft.Tables.part(s, sfDir)
+      .select($"p_partkey".cast("long").as("node"), $"p_brand".as("brand"),
+        $"p_size".cast("long").as("size"))
+    quotientBlowup(s, parts, maxIter)
+  }
+
+  /** Class-level Luby over any pure (brand, size ± 1-or-2) blow-up
+    * vertex table `(node, brand, size)` — factored out so the
+    * property spec can drive it over random class graphs. */
+  private[graph] def quotientBlowup(s: SparkSession, parts: DataFrame,
+                                    maxIter: Int): DataFrame = {
+    import s.implicits._
+    val verts = parts.localCheckpoint(false)
+    var u = verts.localCheckpoint()
+    var members = Seq.empty[DataFrame]
+    var undecided = true
+    var iter = 0
+    while (undecided && iter < maxIter) {
+      iter += 1
+      val r = iter
+      val h = md5(concat(lit(s"${r}_"), $"node".cast("string")))
+      // class state of the undecided set: min round-r hash per class.
+      // The limit sits INSIDE the collect (Quotient.collectClasses
+      // discipline) — never more than the bound + 1 rows on the driver.
+      val cls = u.groupBy($"brand", $"size")
+        .agg(min(h).as("mh"))
+        .limit(Quotient.MAX_CLASSES + 1).collect()
+      require(cls.length <= Quotient.MAX_CLASSES,
+        s"class graph exceeds the ${Quotient.MAX_CLASSES} domain bound — not a dimension-bounded quotient")
+      if (cls.isEmpty) undecided = false
+      else {
+        val mh: Map[(String, Long), String] =
+          cls.map(row => (row.getString(0), row.getLong(1)) -> row.getString(2)).toMap
+        def adjacent(c: (String, Long)): Seq[(String, Long)] =
+          Seq(-2L, -1L, 1L, 2L).map(d => (c._1, c._2 + d)).filter(mh.contains)
+        // 'g' sorts above every hex digest — run's no-undecided-
+        // neighbor sentinel
+        val thr: Map[(String, Long), String] = mh.keys.map { c =>
+          c -> adjacent(c).map(mh).minOption.getOrElse("g")
+        }.toMap
+        val winnersC = mh.keySet.filter(c => mh(c) < thr(c))
+        val removedC = mh.keySet.filter(c => adjacent(c).exists(winnersC))
+        val stateRows = mh.keys.toSeq.map { c =>
+          org.apache.spark.sql.Row(c._1, c._2, thr(c), removedC(c))
+        }
+        import org.apache.spark.sql.types._
+        import scala.jdk.CollectionConverters._
+        val state = s.createDataFrame(stateRows.asJava,
+          StructType(Seq(StructField("brand", StringType),
+            StructField("size", LongType), StructField("thr", StringType),
+            StructField("removed", BooleanType))))
+        val staged = u.join(broadcast(state), Seq("brand", "size"))
+        val winners = staged.filter(h < $"thr")
+          .select($"node").localCheckpoint()
+        members = members :+ winners.withColumn("mis_round", lit(r.toLong))
+        val nextU = staged.filter(!$"removed" && h >= $"thr")
+          .select($"node", $"brand", $"size").localCheckpoint()
+        KTruss.freeCheckpoint(u)
+        u = nextU
+      }
+    }
+    if (undecided) {
+      KTruss.freeCheckpoint(u)
+      throw new IllegalStateException(
+        s"Luby MIS (quotient) did not converge within $maxIter rounds")
+    }
+    KTruss.freeCheckpoint(u) // converged ⇒ u is the (empty) final round
+    val mis = members.reduceOption(_ union _)
+      .getOrElse(verts.limit(0).select($"node").withColumn("mis_round", lit(0L)))
+    verts.select($"node").join(mis, Seq("node"), "left")
+      .select($"node", $"mis_round".isNotNull.as("in_mis"), $"mis_round")
+  }
 }

@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-8 additions: the Luby-MIS quotient fast path (A29) and the
+  * real image-header decoder branch (G2). */
+class RoundEightOpsSpec extends SparkSpec {
+
+  test("MIS: the quotient fast path is identical to the edge-set Luby loop (mis_round included)") {
+    import spark.implicits._
+    // bit-identity on BOTH shipped scales — the whole (node, in_mis,
+    // mis_round) row set, not just the member set: the quotient path
+    // must replay every round, not merely land on some valid MIS
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Boolean, Option[Long])] =
+      df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dist = asSet(graph.Mis.run(spark,
+        Tables.part(spark, d).select($"p_partkey".as("id")),
+        graph.GraphBuilder.partEdgesWide(spark, d)))
+      val fast = asSet(graph.Mis.quotientPartEdit(spark, d))
+      assert(fast === dist, s"quotient diverges from the edge-set loop at $d")
+      // non-vacuous: a real MIS on this graph has members AND
+      // non-members, and takes more than one round
+      assert(fast.exists(_._2) && fast.exists(!_._2), s"degenerate MIS at $d")
+      assert(fast.flatMap(_._3).max > 1L, s"single-round MIS at $d — dynamics unexercised")
+    }
+  }
+}

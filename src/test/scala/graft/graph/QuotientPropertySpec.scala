@@ -89,4 +89,36 @@ class QuotientPropertySpec extends SparkSpec {
     }
     assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
   }
+
+  test("Luby MIS quotient ≡ edge-set loop on 6 random class graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(8202614L)
+    var trialsRun = 0
+    for (trial <- 1 to 6) {
+      val sizes = randomClasses(rng)
+      val parts = partsOf(sizes)
+      val byClass = parts.groupBy(p => (p._2, p._3)).view.mapValues(_.map(_._1)).toMap
+      // the wide (±1, ±2) blow-up, both orientations — what
+      // GraphBuilder.partEdgesWide builds from a part table
+      val up = for {
+        ((b, s), srcs) <- byClass.toSeq
+        delta <- Seq(1L, 2L)
+        dsts <- byClass.get((b, s + delta)).toSeq
+        u <- srcs; v <- dsts
+      } yield (u, v)
+      if (up.nonEmpty) {
+        trialsRun += 1
+        val sym = (up ++ up.map(_.swap)).toDF("src", "dst")
+        val vertsDF = parts.map(_._1).toDF("id")
+        val partsDF = parts.toDF("node", "brand", "size")
+        def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Boolean, Option[Long])] =
+          df.collect().map(r => (r.getLong(0), r.getBoolean(1),
+            if (r.isNullAt(2)) None else Some(r.getLong(2)))).toSet
+        val dist = asSet(Mis.run(spark, vertsDF, sym))
+        val fast = asSet(Mis.quotientBlowup(spark, partsDF, maxIter = 25))
+        assert(fast === dist, s"trial $trial: quotient diverges (sizes=$sizes)")
+      }
+    }
+    assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
+  }
 }
