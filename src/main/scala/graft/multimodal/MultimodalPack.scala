@@ -1,13 +1,16 @@
 package graft.multimodal
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 import graft.text.TextOps
 
 /** One decoded multimodal record: id, payload size, extracted
-  * feature vector. */
-final case class FeatureRow(doc_id: Long, n_bytes: Long, features: Seq[Float])
+  * feature vector, and the container metadata of the REAL header
+  * decode branch (format "raw" + null dims for non-image payloads). */
+final case class FeatureRow(doc_id: Long, n_bytes: Long, features: Seq[Float],
+                            format: String, width: Option[Int], height: Option[Int],
+                            channels: Option[Int], bit_depth: Option[Int])
 
 /** Multimodal-column pack (SURVEY §2 G1–G2).
   *
@@ -281,18 +284,40 @@ object MultimodalPack extends QueryPack {
     },
   )
 
-  /** G2 library surface: one fixed-width feature vector per document.
-    * Decode is per-row map work batched per partition — per-partition
-    * init (decoder handle, model session, …) happens once inside
-    * mapPartitions; the stub needs none. */
+  /** G2 library surface: one fixed-width feature vector per document
+    * plus typed container metadata. Decode is per-row map work
+    * batched per partition — per-partition init (decoder handle,
+    * model session, …) happens once inside mapPartitions; the stub
+    * feature extractor needs none, the REAL header branch
+    * ([[Decode.imageHeader]]) is allocation-free byte parsing. Image
+    * payloads (PNG/JPEG magic) get real width/height/channels/
+    * bit-depth columns; everything else rides the stub with
+    * format="raw" and null dimensions. */
   def featureVectors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    Tables.documents(s, dir)
-      .select($"doc_id", $"text".cast("binary").as("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch =>
+    featureVectorsOf(s,
+      Tables.documents(s, dir)
+        .select($"doc_id", $"text".cast("binary").as("payload"))
+        .as[(Long, Array[Byte])])
+  }
+
+  /** The decode seam itself, over any (id, payload) dataset — the
+    * spec drives real ImageIO-encoded PNG/JPEG payloads through this
+    * exact pipeline. */
+  def featureVectorsOf(s: SparkSession,
+                       ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import s.implicits._
+    ds.mapPartitions { batch =>
         batch.map { case (id, payload) =>
-          FeatureRow(id, payload.length.toLong, Decode.featuresOf(payload))
+          Decode.imageHeader(payload) match {
+            case Some(m) =>
+              FeatureRow(id, payload.length.toLong, Decode.featuresOf(payload),
+                m.format, Some(m.width), Some(m.height), Some(m.channels),
+                Some(m.bitDepth))
+            case None =>
+              FeatureRow(id, payload.length.toLong, Decode.featuresOf(payload),
+                "raw", None, None, None, None)
+          }
         }
       }
       .toDF()
@@ -465,9 +490,31 @@ object MultimodalPack extends QueryPack {
   )
 }
 
-/** The stubbed decoder: a deterministic fake standing in for a real
-  * image/audio decode + feature extractor (the real libraries are
-  * not in this container). Normalized 16-bin byte histogram. */
+/** Parsed image-container metadata: the REAL decode branch's output
+  * (format id, pixel dimensions, channel count, per-channel bit
+  * depth), straight from container headers — no pixel decode. */
+final case class ImageMeta(format: String, width: Int, height: Int,
+                           channels: Int, bitDepth: Int)
+
+/** The decoder behind the G2 mapPartitions seam. Two branches:
+  *
+  *   - REAL: [[imageHeader]] parses actual PNG and JPEG container
+  *     headers (magic, IHDR / SOF segment walk) pure-JVM from the
+  *     payload bytes — no image library, no pixel decode — yielding
+  *     width/height/channels/bit-depth (spec-pinned in DecodeSpec
+  *     against ImageIO-encoded images of known geometry). This is the
+  *     part of a production decode that IS expressible without
+  *     codec libraries, and it drives the typed-metadata columns of
+  *     [[MultimodalPack.featureVectorsOf]].
+  *   - STUB: [[featuresOf]], the deterministic fake standing in for
+  *     the pixel/sample feature extractor (the codec + model
+  *     libraries are not in this container): a normalized 16-bin byte
+  *     histogram over the payload. Applied to every payload — image
+  *     or not — so the feature column's contract is
+  *     format-independent and the `m_features` oracle is untouched by
+  *     the real branch (the shipped corpus is ASCII text: no payload
+  *     carries image magic, spec-asserted).
+  */
 object Decode {
   val DIM = 16
 
@@ -477,4 +524,75 @@ object Decode {
     val n = math.max(payload.length, 1).toFloat
     counts.toSeq.map(_ / n)
   }
+
+  private def u8(p: Array[Byte], i: Int): Int = p(i) & 0xff
+  private def u16(p: Array[Byte], i: Int): Int = (u8(p, i) << 8) | u8(p, i + 1)
+  private def u32(p: Array[Byte], i: Int): Long =
+    (u8(p, i).toLong << 24) | (u8(p, i + 1) << 16) | (u8(p, i + 2) << 8) | u8(p, i + 3)
+
+  private val PNG_MAGIC = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+
+  /** PNG: 8-byte magic, then the IHDR chunk (must be first per the
+    * spec): length(4) type(4)="IHDR" width(4) height(4) bitdepth(1)
+    * colortype(1). Channels from the color type: 0 gray, 2 RGB,
+    * 3 palette (1 index channel), 4 gray+alpha, 6 RGBA. */
+  private def png(p: Array[Byte]): Option[ImageMeta] = {
+    if (p.length < 26) return None
+    if ((0 until 8).exists(i => u8(p, i) != PNG_MAGIC(i))) return None
+    if (u32(p, 8) != 13L) return None // IHDR data length is fixed
+    if (!(u8(p, 12) == 'I' && u8(p, 13) == 'H' && u8(p, 14) == 'D' && u8(p, 15) == 'R'))
+      return None
+    val w = u32(p, 16)
+    val h = u32(p, 20)
+    if (w <= 0 || h <= 0 || w > Int.MaxValue || h > Int.MaxValue) return None
+    val depth = u8(p, 24)
+    val channels = u8(p, 25) match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    Some(ImageMeta("png", w.toInt, h.toInt, channels, depth))
+  }
+
+  /** JPEG: FF D8 start-of-image, then a marker-segment walk to the
+    * first start-of-frame (SOF0..15 minus DHT/JPG/DAC): precision(1)
+    * height(2) width(2) ncomponents(1). Standalone markers (RST,
+    * TEM) carry no length word; entropy-coded data begins at SOS, so
+    * an SOF must precede it in any decodable stream. */
+  private def jpeg(p: Array[Byte]): Option[ImageMeta] = {
+    if (p.length < 4 || u8(p, 0) != 0xff || u8(p, 1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < p.length) {
+      if (u8(p, i) != 0xff) return None // lost marker sync
+      var j = i
+      while (j < p.length && u8(p, j) == 0xff) j += 1 // fill bytes
+      if (j >= p.length) return None
+      val marker = u8(p, j)
+      marker match {
+        case m if (m >= 0xd0 && m <= 0xd9) || m == 0x01 => i = j + 1 // standalone
+        case 0xda => return None // SOS before any SOF: not decodable
+        case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+          if (j + 9 >= p.length) return None
+          val depth = u8(p, j + 3)
+          val h = u16(p, j + 4)
+          val w = u16(p, j + 6)
+          val channels = u8(p, j + 8)
+          if (w <= 0 || h <= 0 || channels <= 0) return None
+          return Some(ImageMeta("jpeg", w, h, channels, depth))
+        case _ =>
+          if (j + 2 >= p.length) return None
+          val len = u16(p, j + 1)
+          if (len < 2) return None
+          i = j + 1 + len
+      }
+    }
+    None
+  }
+
+  /** REAL header decode: Some(meta) iff the payload is a well-formed
+    * PNG or JPEG header; None (⇒ the stub path) otherwise. Truncated
+    * or corrupt containers fall back to None rather than throwing —
+    * a decode seam over 100 TB of scraped media must treat bad bytes
+    * as data, not as exceptions. */
+  def imageHeader(payload: Array[Byte]): Option[ImageMeta] =
+    png(payload).orElse(jpeg(payload))
 }
