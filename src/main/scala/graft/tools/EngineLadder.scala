@@ -1,0 +1,78 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Scale-ladder timings for the FACT-SCALE engines that the quotient
+  * fast paths removed from the per-round bench (round-7 verdict #1:
+  * "the only way to measure KTruss.run / Mis.run / the distributed
+  * twins at fact scale"). For each engine it times BOTH the
+  * distributed fact-scale implementation and (where one exists) its
+  * quotient twin, at the SF dir in SPARK_GRAFT_SF_DIR — so SCALING.md
+  * can show the two growth laws side by side on one machine state.
+  *
+  * Same measurement protocol as Bench: noop-sink materialization,
+  * median of --reps (default 3), cache-clear + GC between reps,
+  * failures excluded with the error on stderr. One JSON line.
+  */
+object EngineLadder {
+  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def ms(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+
+  private def median(xs: Seq[Double]): Double = {
+    val s = xs.sorted
+    if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val reps = {
+      val i = args.indexOf("--reps")
+      if (i >= 0 && i + 1 < args.length) args(i + 1).toInt else 3
+    }
+    val s = graft.GraftSession.local(defaultCpus = "32")
+    import graft.graph._
+
+    def parts = graft.Tables.part(s, sfDir)
+      .select(col("p_partkey").as("id"))
+    def wide = GraphBuilder.partEdgesWide(s, sfDir)
+    def up = GraphBuilder.partEdges(s, sfDir)
+
+    val engines: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+      "ktruss_run" -> (() => KTruss.run(s, wide, k = 4)),
+      "ktruss_quotient" -> (() => KTruss.quotientPartEdit(s, sfDir, k = 4)),
+      "mis_run" -> (() => Mis.run(s, parts, wide)),
+      "mis_quotient" -> (() => Mis.quotientPartEdit(s, sfDir)),
+      "hits_run" -> (() => Hits.run(up, iters = 8)),
+      "hits_quotient" -> (() => Hits.classHits(s, sfDir, iters = 8)),
+      "ra_run" -> (() => LinkPrediction.resourceAllocation(wide, topK = 100)),
+      "ra_quotient" -> (() => LinkPrediction.resourceAllocationQuotient(s,
+        graft.Tables.part(s, sfDir)
+          .select(col("p_partkey"), col("p_brand"), col("p_size")), 100)))
+
+    // one untimed warmup each (codegen + classloading out of band)
+    engines.foreach { case (n, f) =>
+      try materialize(f()) catch { case NonFatal(e) =>
+        System.err.println(s"[ladder] warmup $n: ${e.getMessage}") }
+      s.catalog.clearCache(); System.gc()
+    }
+    val out = engines.map { case (n, f) =>
+      val xs = (1 to reps).flatMap { _ =>
+        val t0 = System.nanoTime()
+        val ok = try { materialize(f()); true }
+          catch { case NonFatal(e) =>
+            System.err.println(s"[ladder] $n FAILED: ${e.getMessage}"); false }
+        val t = (System.nanoTime() - t0) / 1e9
+        s.catalog.clearCache(); System.gc()
+        if (ok) Some(t) else None
+      }
+      n -> (if (xs.nonEmpty) median(xs) else -1.0)
+    }
+    println(out.map { case (n, v) => s""""$n":${ms(v)}""" }
+      .mkString(s"""{"sf":"$sfDir","reps":$reps,"engines":{""", ",", "}}"))
+    s.stop()
+  }
+}
