@@ -688,8 +688,15 @@ object GraphPack extends QueryPack {
     // "similar entities" primitive (link prediction, entity
     // resolution), sharing its blocking idea with D4's
     // rare-shingle join.
+    // QUOTIENT fast path (round 8): neighbor sets in the class
+    // blow-up are pure class functions, so the class-pair table is
+    // computed in-process and ONE broadcast stamp join emits the
+    // fact pairs — the wedge enumeration (27× the output rows at the
+    // sf0.3x rung; 120 s there, the scale ladder's worst key)
+    // disappears. [[NodeSimilarity.jaccard]] is the general engine,
+    // spec-pinned bit-identical (QuotientPropertySpec discipline).
     "g_jaccard_nodes" -> { (s, d) =>
-      NodeSimilarity.jaccard(s, GraphBuilder.partEdgesWide(s, d))
+      NodeSimilarity.jaccardQuotientPartEdit(s, d)
     },
 
     // A11: neighborhood feature aggregation — per-node degree, mean

@@ -117,4 +117,83 @@ object NodeSimilarity {
         $"n_common".cast("double") / ($"da" + $"db" - $"n_common").cast("double"))
       .select($"a".as("node_a"), $"b".as("node_b"), $"n_common", $"jaccard")
   }
+
+  /** QUOTIENT fast path for the widened (brand, size ± 1-or-2) part
+    * edit-graph — the KTruss/Mis pattern applied to neighbor-set
+    * similarity. In a pure class blow-up every node of class
+    * c = (brand, size) has the IDENTICAL neighbor set N(c) = the
+    * union of adjacent classes' members, so for u ∈ c₁, v ∈ c₂:
+    *
+    *   |N(u) ∩ N(v)| = Σ_{c₃ adjacent to both} |c₃|   (a pure
+    *   class-pair function; c₁ = c₂ gives n_common = deg — two
+    *   same-class nodes share everything, Jaccard 1), and
+    *   |N(u) ∪ N(v)| = deg(c₁) + deg(c₂) − n_common.
+    *
+    * Only same-brand class pairs within size distance ≤ 4 can share a
+    * neighbor, so the class-pair table is domain-bounded (≤ 5 rows
+    * per class) and computed in-process off the guarded class
+    * collect; ONE broadcast stamp join against part × part emits the
+    * fact pairs in the same canonical (node_a < node_b) order, each
+    * exactly once (cross-class pairs via least/greatest over disjoint
+    * classes, within-class pairs via uid < vid). The output is
+    * inherently quadratic in class membership — what the fast path
+    * removes is the WEDGE ENUMERATION (Σ deg² rows, 27× the output at
+    * the sf0.3x rung: 120 s → stamp cost). The Jaccard division is
+    * the same single IEEE double division of exact integers the fact
+    * path performs, so rows are bit-identical (QuotientPropertySpec +
+    * RoundEightOpsSpec vs [[jaccard]]).
+    */
+  def jaccardQuotientPartEdit(s: SparkSession, sfDir: String): DataFrame = {
+    import s.implicits._
+    val classes = Quotient.collectClasses(s, sfDir)
+    quotientStamp(s, classes,
+      graft.Tables.part(s, sfDir).select(col("p_partkey").cast("long").as("id"),
+        col("p_brand").as("brand"), col("p_size").cast("long").as("size")))
+  }
+
+  /** The class-pair computation + stamp, factored over any class map
+    * and matching (id, brand, size) vertex table so the property spec
+    * can drive random class graphs through it. */
+  private[graph] def quotientStamp(s: SparkSession,
+                                   classes: Map[(String, Long), Long],
+                                   parts: DataFrame): DataFrame = {
+    import s.implicits._
+    val cnt = classes.withDefaultValue(0L)
+    def nbrSum(b: String, sz: Long): Long =
+      Seq(-2L, -1L, 1L, 2L).map(d => cnt((b, sz + d))).sum
+    val pairRows = classes.keys.toSeq.flatMap { case (b, s1) =>
+      (s1 to s1 + 4).filter(s2 => classes.contains((b, s2))).flatMap { s2 =>
+        val common = (math.max(s1, s2) - 2 to math.min(s1, s2) + 2)
+          .filter(s3 => math.abs(s3 - s1) >= 1 && math.abs(s3 - s1) <= 2 &&
+            math.abs(s3 - s2) >= 1 && math.abs(s3 - s2) <= 2)
+          .map(s3 => cnt((b, s3))).sum
+        if (common < 1L) None
+        else {
+          val union = nbrSum(b, s1) + nbrSum(b, s2) - common
+          Some(org.apache.spark.sql.Row(b, s1, s2, common,
+            common.toDouble / union.toDouble))
+        }
+      }
+    }
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val pairDF = s.createDataFrame(pairRows.asJava, StructType(Seq(
+      StructField("brand", StringType), StructField("slo", LongType),
+      StructField("shi", LongType), StructField("n_common", LongType),
+      StructField("jaccard", DoubleType))))
+    val p = parts.select($"id".as("uid"), $"brand".as("ubrand"), $"size".as("usize"))
+    val q = parts.select($"id".as("vid"), $"brand".as("vbrand"), $"size".as("vsize"))
+    val cross = p
+      .join(broadcast(pairDF.filter($"slo" < $"shi")),
+        $"ubrand" === $"brand" && $"usize" === $"slo")
+      .join(q, $"brand" === $"vbrand" && $"vsize" === $"shi")
+      .select(least($"uid", $"vid").as("node_a"),
+        greatest($"uid", $"vid").as("node_b"), $"n_common", $"jaccard")
+    val within = p
+      .join(broadcast(pairDF.filter($"slo" === $"shi")),
+        $"ubrand" === $"brand" && $"usize" === $"slo")
+      .join(q, $"brand" === $"vbrand" && $"vsize" === $"shi" && $"uid" < $"vid")
+      .select($"uid".as("node_a"), $"vid".as("node_b"), $"n_common", $"jaccard")
+    cross.unionByName(within)
+  }
 }

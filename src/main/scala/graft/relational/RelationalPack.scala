@@ -485,14 +485,21 @@ object RelationalPack extends QueryPack {
     "q_linreg" -> { (s, d) =>
       import s.implicits._
       val d38 = DecimalType(38, 0)
+      // second moments accumulate in DECIMAL(38,0), not BIGINT: the
+      // per-row products fit 64 bits (yc² ≤ ~1e14) but their SUM
+      // crosses 2⁶³ at ~3× the sf0.1 row count — the round-8 scale
+      // ladder caught exactly that overflow at sf0.3x. The decimal
+      // sum is the same exact integer (cross-engine digit-for-digit
+      // vs the oracle's HUGEINT), just 128-bit-safe to ~1e25 rows.
       val m = Tables.lineitem(s, d)
         .select($"l_returnflag",
           ($"l_quantity".cast(D) * 100).cast("long").as("xc"),
           ($"l_extendedprice".cast(D) * 100).cast("long").as("yc"))
         .groupBy($"l_returnflag")
         .agg(count(lit(1)).as("n"), sum($"xc").as("sx"), sum($"yc").as("sy"),
-          sum($"xc" * $"xc").as("sxx"), sum($"xc" * $"yc").as("sxy"),
-          sum($"yc" * $"yc").as("syy"))
+          sum(($"xc" * $"xc").cast(d38)).as("sxx"),
+          sum(($"xc" * $"yc").cast(d38)).as("sxy"),
+          sum(($"yc" * $"yc").cast(d38)).as("syy"))
       def dd(c: org.apache.spark.sql.Column) = c.cast(d38)
       val num = dd($"n") * dd($"sxy") - dd($"sx") * dd($"sy")
       val den1 = dd($"n") * dd($"sxx") - dd($"sx") * dd($"sx")

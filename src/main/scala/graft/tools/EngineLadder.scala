@@ -29,9 +29,11 @@ object EngineLadder {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val reps = {
+    val (reps, only) = {
       val i = args.indexOf("--reps")
-      if (i >= 0 && i + 1 < args.length) args(i + 1).toInt else 3
+      if (i >= 0 && i + 1 < args.length)
+        (args(i + 1).toInt, (args.take(i) ++ args.drop(i + 2)).toSet)
+      else (3, args.toSet)
     }
     val s = graft.GraftSession.local(defaultCpus = "32")
     import graft.graph._
@@ -41,7 +43,7 @@ object EngineLadder {
     def wide = GraphBuilder.partEdgesWide(s, sfDir)
     def up = GraphBuilder.partEdges(s, sfDir)
 
-    val engines: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+    val allEngines: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
       "ktruss_run" -> (() => KTruss.run(s, wide, k = 4)),
       "ktruss_quotient" -> (() => KTruss.quotientPartEdit(s, sfDir, k = 4)),
       "mis_run" -> (() => Mis.run(s, parts, wide)),
@@ -49,9 +51,12 @@ object EngineLadder {
       "hits_run" -> (() => Hits.run(up, iters = 8)),
       "hits_quotient" -> (() => Hits.classHits(s, sfDir, iters = 8)),
       "ra_run" -> (() => LinkPrediction.resourceAllocation(wide, topK = 100)),
+      "jaccard_run" -> (() => NodeSimilarity.jaccard(s, wide)),
+      "jaccard_quotient" -> (() => NodeSimilarity.jaccardQuotientPartEdit(s, sfDir)),
       "ra_quotient" -> (() => LinkPrediction.resourceAllocationQuotient(s,
         graft.Tables.part(s, sfDir)
           .select(col("p_partkey"), col("p_brand"), col("p_size")), 100)))
+    val engines = allEngines.filter { case (n, _) => only.isEmpty || only(n) }
 
     // one untimed warmup each (codegen + classloading out of band)
     engines.foreach { case (n, f) =>

@@ -26,4 +26,17 @@ class RoundEightOpsSpec extends SparkSpec {
       assert(fast.flatMap(_._3).max > 1L, s"single-round MIS at $d — dynamics unexercised")
     }
   }
+
+  test("node-Jaccard: the quotient stamp is identical to the positional-block engine") {
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val dist = asSet(graph.NodeSimilarity.jaccard(spark,
+        graph.GraphBuilder.partEdgesWide(spark, d)))
+      val fast = asSet(graph.NodeSimilarity.jaccardQuotientPartEdit(spark, d))
+      assert(fast === dist, s"quotient diverges from the block engine at $d")
+      assert(fast.exists(_._4 < 1.0) && fast.exists(_._4 == 1.0),
+        s"degenerate Jaccard spectrum at $d — equivalence under-exercised")
+    }
+  }
 }

@@ -90,6 +90,35 @@ class QuotientPropertySpec extends SparkSpec {
     assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
   }
 
+  test("node-Jaccard quotient ≡ positional-block engine on 6 random class graphs") {
+    import spark.implicits._
+    val rng = new scala.util.Random(26081408L)
+    var trialsRun = 0
+    for (trial <- 1 to 6) {
+      val sizes = randomClasses(rng)
+      val parts = partsOf(sizes)
+      val byClass = parts.groupBy(p => (p._2, p._3)).view.mapValues(_.map(_._1)).toMap
+      val up = for {
+        ((b, s), srcs) <- byClass.toSeq
+        delta <- Seq(1L, 2L)
+        dsts <- byClass.get((b, s + delta)).toSeq
+        u <- srcs; v <- dsts
+      } yield (u, v)
+      if (up.nonEmpty) {
+        trialsRun += 1
+        val sym = (up ++ up.map(_.swap)).toDF("src", "dst")
+        def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+          df.collect().map(r =>
+            (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+        val dist = asSet(NodeSimilarity.jaccard(spark, sym))
+        val fast = asSet(NodeSimilarity.quotientStamp(spark, sizes,
+          parts.toDF("id", "brand", "size")))
+        assert(fast === dist, s"trial $trial: quotient diverges (sizes=$sizes)")
+      }
+    }
+    assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
+  }
+
   test("Luby MIS quotient ≡ edge-set loop on 6 random class graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(8202614L)
