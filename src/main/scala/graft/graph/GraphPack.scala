@@ -597,11 +597,16 @@ object GraphPack extends QueryPack {
     // vector; see PersonalizedPageRank). "Rank every part by edit
     // proximity to these parts" — the relevance twin of A9's global
     // PageRank.
+    // REFINED-QUOTIENT fast path (round 8): the seed set breaks plain
+    // class symmetry, but refining each (brand, size) class by the
+    // seed flag restores it — teleport/outdeg/in-neighbors are all
+    // refined-class functions, so the whole iteration runs in-process
+    // off one guarded groupBy collect (seed COUNTS, never seed ids)
+    // + one broadcast stamp. [[PersonalizedPageRank.run]]'s
+    // distributed loop is the general engine, spec-pinned
+    // bit-identical (QuotientPropertySpec with random seed flags).
     "g_ppr" -> { (s, d) =>
-      import s.implicits._
-      val seeds = Tables.part(s, d).filter($"p_partkey" % 100 === 0)
-        .select($"p_partkey".as("node"))
-      PersonalizedPageRank.run(s, GraphBuilder.partEdges(s, d), seeds, PPR_ITERS)
+      PersonalizedPageRank.quotientPartEdit(s, d, PPR_ITERS)
     },
 
     // A19: community detection — synchronous label propagation over

@@ -165,4 +165,106 @@ object PersonalizedPageRank {
       StructField("node", LongType), StructField("rank", DoubleType)))
     s.createDataFrame(rows.asJava, schema)
   }
+
+  /** REFINED-QUOTIENT fast path for the bidirectional (brand,
+    * size ± 1) part edit-graph — the KTruss/Mis/Jaccard pattern with
+    * one twist: the seed set breaks plain class symmetry (two nodes
+    * of one class can differ in teleport), but REFINING each class by
+    * the seed flag restores it. Within a refined class
+    * c = (brand, size, is_seed):
+    *
+    *   - teleport is constant (base if is_seed else 0);
+    *   - outdeg is constant — Σ |(brand, size ± 1)|, a function of
+    *     the UNREFINED class (the flag doesn't change neighbors);
+    *   - the in-neighbor multiset is constant — ALL members of the
+    *     adjacent classes, both flavors.
+    *
+    * By induction every round's rank is a refined-class function, and
+    * the distributed loop's per-edge quantized message sum collapses
+    * exactly: n identical DECIMAL(28,12) contributions sum to
+    * contribution × n (integer BigDecimal multiply — exact). The
+    * whole iteration runs in-process over ≤ 2·|classes| entries off
+    * ONE guarded groupBy collect (the seed COUNTS ride the groupBy;
+    * seed IDS are never collected — at fact scale the seed set is
+    * fact-sized, only its per-class histogram is domain-bounded), and
+    * one broadcast stamp join emits (node, rank). Bit-identical to
+    * [[run]]'s distributed loop: same Decimal double→(28,12) HALF_UP
+    * per contribution, same once-quantized teleport/α row, same
+    * exact decimal sums, same final 0.85 · sum.doubleValue
+    * (QuotientPropertySpec on random class graphs with RANDOM seed
+    * flags + RoundEightOpsSpec on both shipped SFs).
+    */
+  def quotientPartEdit(s: SparkSession, sfDir: String, iters: Int): DataFrame = {
+    import s.implicits._
+    quotientRefined(s, graft.Tables.part(s, sfDir)
+      .select($"p_partkey".cast("long").as("id"), $"p_brand".as("brand"),
+        $"p_size".cast("long").as("size"),
+        ($"p_partkey" % 100 === 0).as("is_seed")), iters)
+  }
+
+  /** The refined-class iteration + stamp over any
+    * `(id, brand, size, is_seed)` vertex table of the ±1 blow-up —
+    * factored out so the property spec can drive random class graphs
+    * with random seed flags through it. */
+  private[graph] def quotientRefined(s: SparkSession, parts: DataFrame,
+                                     iters: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{BooleanType, Decimal, DoubleType, LongType, StringType, StructField, StructType}
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
+    import org.apache.spark.sql.functions.{broadcast, col, count, lit}
+    val cls: Map[(String, Long, Boolean), Long] = {
+      val rows = parts.groupBy(col("brand"), col("size"), col("is_seed"))
+        .agg(count(lit(1)).as("cnt"))
+        .limit(2 * Quotient.MAX_CLASSES + 1).collect()
+      require(rows.length <= 2 * Quotient.MAX_CLASSES,
+        s"refined class graph exceeds the ${2 * Quotient.MAX_CLASSES} domain bound")
+      rows.map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)) -> r.getLong(3)).toMap
+    }
+    val cnt = cls.withDefaultValue(0L)
+    val nSeeds = cls.collect { case ((_, _, true), n) => n }.sum
+    require(nSeeds > 0, "personalized PageRank needs at least one seed")
+    val base = 0.15 / nSeeds.toDouble
+    def outdeg(b: String, sz: Long): Long =
+      Seq(-1L, 1L).map(d => cnt((b, sz + d, true)) + cnt((b, sz + d, false))).sum
+    // sources = refined classes with ≥1 neighbor member (the deg-node
+    // domain of the distributed loop; the graph is bidirectional, so
+    // sources and receivers coincide and the domain is round-stable)
+    val sources = cls.keys.filter { case (b, sz, _) => outdeg(b, sz) > 0 }.toSeq
+    val q12 = (x: Double) => {
+      val d = Decimal(x); d.changePrecision(28, 12); d.toJavaBigDecimal
+    }
+    val tp: Map[(String, Long, Boolean), java.math.BigDecimal] =
+      sources.map { case c @ (_, _, f) =>
+        c -> q12((if (f) base else 0.0) / 0.85)
+      }.toMap
+    var rank: mutable.HashMap[(String, Long, Boolean), Double] =
+      mutable.HashMap(sources.map { case c @ (_, _, f) =>
+        c -> (if (f) base else 0.0)
+      }: _*)
+    for (_ <- 1 to iters) {
+      val msg = mutable.HashMap.empty[(String, Long, Boolean), java.math.BigDecimal]
+      tp.foreach { case (c, v) => msg.update(c, v) }
+      rank.foreach { case (c @ (b, sz, _), rk) =>
+        val contrib = q12(rk / outdeg(b, sz))
+        val total = contrib.multiply(java.math.BigDecimal.valueOf(cnt(c)))
+        for (d <- Seq(-1L, 1L); f2 <- Seq(true, false)) {
+          val tgt = (b, sz + d, f2)
+          if (cnt(tgt) > 0L)
+            msg.update(tgt,
+              msg.getOrElse(tgt, java.math.BigDecimal.ZERO).add(total))
+        }
+      }
+      val next = mutable.HashMap.empty[(String, Long, Boolean), Double]
+      msg.foreach { case (c, m) => next.update(c, 0.85 * m.doubleValue) }
+      rank = next
+    }
+    val rows = rank.toSeq.map { case ((b, sz, f), r) => Row(b, sz, f, r) }
+    val schema = StructType(Seq(StructField("brand", StringType),
+      StructField("size", LongType), StructField("is_seed", BooleanType),
+      StructField("rank", DoubleType)))
+    parts.join(broadcast(s.createDataFrame(rows.asJava, schema)),
+        Seq("brand", "size", "is_seed"))
+      .select(col("id").as("node"), col("rank"))
+  }
 }

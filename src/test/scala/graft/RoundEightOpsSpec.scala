@@ -39,4 +39,26 @@ class RoundEightOpsSpec extends SparkSpec {
         s"degenerate Jaccard spectrum at $d — equivalence under-exercised")
     }
   }
+
+  test("PPR: the refined quotient is identical to the distributed loop") {
+    import spark.implicits._
+    def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val seeds = Tables.part(spark, d).filter($"p_partkey" % 100 === 0)
+        .select($"p_partkey".as("node"))
+      val dist = asMap(graph.PersonalizedPageRank.run(spark,
+        graph.GraphBuilder.partEdges(spark, d), seeds, 6))
+      val fast = asMap(graph.PersonalizedPageRank.quotientPartEdit(spark, d, 6))
+      assert(fast.keySet === dist.keySet, s"node sets diverge at $d")
+      fast.foreach { case (n, r) => assert(dist(n) === r, s"rank of $n at $d") }
+      // non-vacuity lives at sf0.01: at sf0.001 no seed class touches
+      // an edge (45 sources, all ranks exactly 0 on BOTH paths — the
+      // data, not the engines), so the rich-spectrum check there
+      // would assert on the corpus, not the code
+      if (d.endsWith("sf0.01"))
+        assert(fast.values.toSet.size > 100 && fast.values.exists(_ > 0),
+          s"degenerate rank spectrum at $d")
+    }
+  }
 }

@@ -119,6 +119,39 @@ class QuotientPropertySpec extends SparkSpec {
     assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
   }
 
+  test("PPR refined quotient ≡ distributed loop on 6 random class graphs with random seeds") {
+    import spark.implicits._
+    val rng = new scala.util.Random(14268020L)
+    var trialsRun = 0
+    for (trial <- 1 to 6) {
+      val sizes = randomClasses(rng)
+      val parts = partsOf(sizes)
+      // RANDOM seed flags: the refinement must hold for any seed set,
+      // not just the shipped every-100th rule
+      val flagged = parts.map(p => (p._1, p._2, p._3, rng.nextDouble() < 0.3))
+      val byClass = parts.groupBy(p => (p._2, p._3)).view.mapValues(_.map(_._1)).toMap
+      val up = for {
+        ((b, s), srcs) <- byClass.toSeq
+        dsts <- byClass.get((b, s + 1)).toSeq
+        u <- srcs; v <- dsts
+      } yield (u, v)
+      if (up.nonEmpty && flagged.exists(_._4)) {
+        trialsRun += 1
+        val sym = (up ++ up.map(_.swap)).toDF("src", "dst")
+        val seeds = flagged.filter(_._4).map(_._1).toDF("node")
+        def asMap(df: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+          df.collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+        val dist = asMap(PersonalizedPageRank.run(spark, sym, seeds, iters = 4))
+        val fast = asMap(PersonalizedPageRank.quotientRefined(spark,
+          flagged.toDF("id", "brand", "size", "is_seed"), iters = 4))
+        assert(fast.keySet === dist.keySet, s"trial $trial node sets (sizes=$sizes)")
+        fast.foreach { case (n, r) =>
+          assert(dist(n) === r, s"trial $trial rank of $n") }
+      }
+    }
+    assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
+  }
+
   test("Luby MIS quotient ≡ edge-set loop on 6 random class graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(8202614L)
