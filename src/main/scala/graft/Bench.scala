@@ -46,8 +46,7 @@ import scala.util.control.NonFatal
   * samples.
   */
 object Bench {
-  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
+  import Measure.{materialize, median, ms}
 
   /** Minimal JSON string escape (same classes Verify escapes). */
   private def jsonStr(s: String): String =
@@ -57,19 +56,6 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-
-  // millisecond precision — sub-ms digits are measurement noise and
-  // full-precision Doubles bloat the JSON lines. Locale-pinned: the
-  // JVM default locale may use a comma decimal separator, which would
-  // make the emitted lines invalid JSON.
-  private def ms(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    val n = s.length
-    if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2.0
-  }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

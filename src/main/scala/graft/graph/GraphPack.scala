@@ -137,7 +137,7 @@ object GraphPack extends QueryPack {
   private val ANF_SAMPLE = 16
 
   private val LP_ITERS = 4
-  private val PPR_ITERS = 6
+  private[graft] val PPR_ITERS = 6
 
   /** One LPA run per (session, scale dir): g_labelprop and
     * g_modularity evaluate the SAME 4-round labeling, so the second

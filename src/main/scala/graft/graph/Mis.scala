@@ -135,20 +135,36 @@ object Mis {
     var members = Seq.empty[DataFrame]
     var undecided = true
     var iter = 0
-    while (undecided && iter < maxIter) {
-      iter += 1
-      val r = iter
+    // Any abnormal exit must free every live checkpoint — the KCore/
+    // KTruss contract this file's edge-set loop cites: winners
+    // checkpoints underlie the RESULT on success, so they are freed
+    // only on the throw paths.
+    def freeAndThrow(msg: String): Nothing = {
+      KTruss.freeCheckpoint(u)
+      members.foreach(KTruss.freeCheckpoint)
+      throw new IllegalStateException(msg)
+    }
+    while (undecided) {
+      // class state of the undecided set: min round-(iter+1) hash per
+      // class. The limit sits INSIDE the collect (Quotient
+      // .collectClasses discipline) — never more than the bound + 1
+      // rows on the driver. Checking BEFORE bumping iter keeps the
+      // round accounting identical to [[run]]: run does work rounds
+      // 1..maxIter and succeeds iff the undecided set is empty after
+      // any of them — a game needing exactly maxIter rounds must
+      // converge here too, not spuriously throw.
+      val r = iter + 1
       val h = md5(concat(lit(s"${r}_"), $"node".cast("string")))
-      // class state of the undecided set: min round-r hash per class.
-      // The limit sits INSIDE the collect (Quotient.collectClasses
-      // discipline) — never more than the bound + 1 rows on the driver.
       val cls = u.groupBy($"brand", $"size")
         .agg(min(h).as("mh"))
         .limit(Quotient.MAX_CLASSES + 1).collect()
-      require(cls.length <= Quotient.MAX_CLASSES,
+      if (cls.length > Quotient.MAX_CLASSES) freeAndThrow(
         s"class graph exceeds the ${Quotient.MAX_CLASSES} domain bound — not a dimension-bounded quotient")
       if (cls.isEmpty) undecided = false
       else {
+        iter += 1
+        if (iter > maxIter) freeAndThrow(
+          s"Luby MIS (quotient) did not converge within $maxIter rounds")
         val mh: Map[(String, Long), String] =
           cls.map(row => (row.getString(0), row.getLong(1)) -> row.getString(2)).toMap
         def adjacent(c: (String, Long)): Seq[(String, Long)] =
@@ -178,11 +194,6 @@ object Mis {
         KTruss.freeCheckpoint(u)
         u = nextU
       }
-    }
-    if (undecided) {
-      KTruss.freeCheckpoint(u)
-      throw new IllegalStateException(
-        s"Luby MIS (quotient) did not converge within $maxIter rounds")
     }
     KTruss.freeCheckpoint(u) // converged ⇒ u is the (empty) final round
     val mis = members.reduceOption(_ union _)

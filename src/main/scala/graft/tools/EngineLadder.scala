@@ -16,24 +16,16 @@ import scala.util.control.NonFatal
   * failures excluded with the error on stderr. One JSON line.
   */
 object EngineLadder {
-  private def materialize(df: org.apache.spark.sql.DataFrame): Unit =
-    df.write.format("noop").mode("overwrite").save()
-
-  private def ms(v: Double): String =
-    String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-
-  private def median(xs: Seq[Double]): Double = {
-    val s = xs.sorted
-    if (s.length % 2 == 1) s(s.length / 2) else (s(s.length / 2 - 1) + s(s.length / 2)) / 2.0
-  }
+  import graft.Measure.{materialize, median, ms}
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val (reps, only) = {
       val i = args.indexOf("--reps")
-      if (i >= 0 && i + 1 < args.length)
+      if (i >= 0) {
+        require(i + 1 < args.length, "--reps given without a value")
         (args(i + 1).toInt, (args.take(i) ++ args.drop(i + 2)).toSet)
-      else (3, args.toSet)
+      } else (3, args.toSet)
     }
     val s = graft.GraftSession.local(defaultCpus = "32")
     import graft.graph._
@@ -53,9 +45,20 @@ object EngineLadder {
       "ra_run" -> (() => LinkPrediction.resourceAllocation(wide, topK = 100)),
       "jaccard_run" -> (() => NodeSimilarity.jaccard(s, wide)),
       "jaccard_quotient" -> (() => NodeSimilarity.jaccardQuotientPartEdit(s, sfDir)),
+      "ppr_run" -> (() => {
+        val seeds = graft.Tables.part(s, sfDir)
+          .filter(col("p_partkey") % 100 === 0).select(col("p_partkey").as("node"))
+        PersonalizedPageRank.run(s, GraphBuilder.partEdges(s, sfDir), seeds,
+          GraphPack.PPR_ITERS)
+      }),
+      "ppr_quotient" -> (() =>
+        PersonalizedPageRank.quotientPartEdit(s, sfDir, GraphPack.PPR_ITERS)),
       "ra_quotient" -> (() => LinkPrediction.resourceAllocationQuotient(s,
         graft.Tables.part(s, sfDir)
           .select(col("p_partkey"), col("p_brand"), col("p_size")), 100)))
+    val unknown = only -- allEngines.map(_._1).toSet
+    require(unknown.isEmpty,
+      s"unknown engine name(s) ${unknown.mkString(", ")} — known: ${allEngines.map(_._1).mkString(", ")}")
     val engines = allEngines.filter { case (n, _) => only.isEmpty || only(n) }
 
     // one untimed warmup each (codegen + classloading out of band)

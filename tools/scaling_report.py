@@ -15,12 +15,6 @@ import json, os, sys
 # sf0.1->sf0.3x is 3x
 STEPS = [("sf0.001", "sf0.01", 10.0), ("sf0.01", "sf0.1", 10.0), ("sf0.1", "sf0.3x", 3.0)]
 
-# keys whose COST DRIVER is not the fact-row count (dimension-bounded
-# graph keys: the 25-node nation graph / the (brand,size) class graph
-# is constant across SFs; only the evidence scan underneath grows)
-DIM_BOUNDED_PREFIX = ()
-
-
 def load(d, sf):
     p = os.path.join(d, f"bench_{sf}.json")
     with open(p) as f:
@@ -35,17 +29,16 @@ def main():
     rows = []
     for k in keys:
         t = {sf: led[sf]["queries"].get(k, -1) for sf in led}
-        spreads = {sf: led[sf]["samples"].get(k, []) for sf in led}
         r01 = t["sf0.1"] / t["sf0.01"] if t["sf0.01"] > 0 else float("nan")
         r3x = t["sf0.3x"] / t["sf0.1"] if t["sf0.1"] > 0 else float("nan")
-        rows.append((k, t, r01, r3x, spreads))
+        rows.append((k, t, r01, r3x))
     print("| key | sf0.001 | sf0.01 | sf0.1 | sf0.3x | x(0.01->0.1) /10x rows | x(0.1->0.3x) /3x rows |")
     print("|---|---|---|---|---|---|---|")
-    for k, t, r01, r3x, _ in rows:
+    for k, t, r01, r3x in rows:
         print(f"| `{k}` | {t['sf0.001']:.2f} | {t['sf0.01']:.2f} | {t['sf0.1']:.2f} | "
               f"{t['sf0.3x']:.2f} | {r01:.2f}x | {r3x:.2f}x |")
     # summary buckets on the top rung (0.1 -> 0.3x, 3x rows)
-    sup = [(k, r3x, t) for k, t, _, r3x, _ in rows if r3x == r3x and r3x > 4.5 and t["sf0.3x"] > 1.0]
+    sup = [(k, r3x, t) for k, t, _, r3x in rows if r3x == r3x and r3x > 4.5 and t["sf0.3x"] > 1.0]
     print()
     print("superlinear on the 3x rung (ratio > 1.5x rows AND > 1s absolute):")
     for k, r, t in sorted(sup, key=lambda x: -x[1]):
