@@ -56,4 +56,83 @@ object Anf {
     }
     counters.select($"node", $"regs", GraftFunctions.hllCard($"regs").as("est"))
   }
+
+  /** QUOTIENT fast path for the 2-round ANF over the bidirectional
+    * (brand, size ± 1) part edit-graph — the KTruss/Mis/Jaccard/PPR
+    * pattern. In the class blow-up, the standard ball-union induction
+    * M_v^(t) = ∪_{d(u,v) ≤ t} unit(u) collapses class-level at t = 2:
+    * B(v, 2) = {v} ∪ members(adj(c)) ∪ members(adj(adj(c))), and
+    * since every node in [[run]]'s counter table has ≥ 1 neighbor,
+    * c ∈ adj(adj(c)) — so B(v, 2) is exactly the member set of the
+    * class 2-ball {c} ∪ adj(c) ∪ adj(adj(c)): a pure class function,
+    * v's own unit included. Register max-merge is associative,
+    * commutative and idempotent, so merging per class FIRST (the one
+    * fact-scale pass: a single V-sized groupBy of unit registers) and
+    * then merging the ≤ 5 class registers of each ball yields
+    * BIT-IDENTICAL register arrays to the 2-round propagation —
+    * hence identical estimates (est is a pure function of regs).
+    * The exact `ball2` verification anchor is the same class
+    * function (Σ member counts over the ball), so the |E|·deg wedge
+    * join the exact 2-ball needed — the 27×-growth term the SCALING
+    * ladder flagged — disappears with it. Spec-pinned against
+    * [[run]] + the exact ball on random class graphs and both
+    * shipped SFs (QuotientPropertySpec discipline).
+    *
+    * Emits the g_anf surface: (node, ball2, anf_ok) for sampled
+    * nodes, where anf_ok = |est − ball2| ≤ tol·ball2.
+    */
+  def quotientPartEdit(s: SparkSession, sfDir: String, sampleMod: Int,
+                       tol: Double): DataFrame = {
+    import s.implicits._
+    quotientBlowup(s, graft.Tables.part(s, sfDir)
+        .select($"p_partkey".cast("long").as("node"), $"p_brand".as("brand"),
+          $"p_size".cast("long").as("size")),
+      sampleMod, tol)
+  }
+
+  /** The class-ball computation over any (node, brand, size) blow-up
+    * vertex table — factored out for the property spec. */
+  private[graph] def quotientBlowup(s: SparkSession, parts: DataFrame,
+                                    sampleMod: Int, tol: Double): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
+    val classes = {
+      // Quotient.collectClasses reads the part table; this variant
+      // shares its guard but runs off the caller's vertex table so
+      // the spec can feed synthetic graphs
+      val rows = parts.groupBy($"brand", $"size").agg(count(lit(1)).as("cnt"))
+        .limit(Quotient.MAX_CLASSES + 1).collect()
+      require(rows.length <= Quotient.MAX_CLASSES,
+        s"class graph exceeds the ${Quotient.MAX_CLASSES} domain bound — not a dimension-bounded quotient")
+      rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    }
+    val present = classes.keySet
+    def adj(c: (String, Long)): Seq[(String, Long)] =
+      Seq(-1L, 1L).map(d => (c._1, c._2 + d)).filter(present)
+    // connected classes = the counter domain of [[run]] (nodes with
+    // ≥1 neighbor); their 2-balls only contain connected classes
+    val connected = present.filter(c => adj(c).nonEmpty)
+    val ballPairs = connected.toSeq.flatMap { c =>
+      val ball = (Seq(c) ++ adj(c) ++ adj(c).flatMap(adj)).distinct
+      ball.map(b => (c._1, c._2, b._1, b._2, classes(b)))
+    }
+    val pairDF = ballPairs.toDF("brand", "size", "bbrand", "bsize", "bcnt")
+    // THE fact-scale pass: per-class register merge of member units
+    val classRegs = parts
+      .join(broadcast(connected.toSeq.toDF("brand", "size")), Seq("brand", "size"), "left_semi")
+      .groupBy($"brand", $"size")
+      .agg(GraftFunctions.hllMerge(GraftFunctions.hllUnit(xxhash64($"node"))).as("regs"))
+    // class-ball registers + exact ball sizes: bounded-size agg
+    val ballStats = pairDF
+      .join(classRegs.select($"brand".as("bbrand"), $"size".as("bsize"), $"regs"),
+        Seq("bbrand", "bsize"))
+      .groupBy($"brand", $"size")
+      .agg(GraftFunctions.hllMerge($"regs").as("regs"), sum($"bcnt").as("ball2"))
+      .select($"brand", $"size", GraftFunctions.hllCard($"regs").as("est"), $"ball2")
+    parts.filter($"node" % sampleMod === 0)
+      .join(broadcast(ballStats), Seq("brand", "size"))
+      .select($"node", $"ball2",
+        (abs($"est" - $"ball2".cast("double")) <= lit(tol) * $"ball2".cast("double"))
+          .as("anf_ok"))
+  }
 }

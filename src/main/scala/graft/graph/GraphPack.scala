@@ -129,7 +129,6 @@ object GraphPack extends QueryPack {
     * the guarantee proves. m = 256 registers → rsd ≈ 6.5%; the bound is
     * ~6 sigma with linear-counting small-range headroom (measured
     * worst node at sf0.01/sf0.1 is well inside — see AnfSpec). */
-  private val ANF_ROUNDS = 2
   private val ANF_TOL = 0.4
 
   /** 1-in-N root sample for g_anf's EXACT verification anchor (the
@@ -657,31 +656,16 @@ object GraphPack extends QueryPack {
     // cross-engine column (the test-scale exact path shares the
     // 2-hop join the oracle runs), and anf_ok proves every node's
     // estimate inside the published relative-error bound.
+    // QUOTIENT fast path (round 8, flagged by the SCALING ladder —
+    // the exact-anchor wedge join grew 27× at the 3× rung): at
+    // t = 2 the ball-union induction collapses class-level, so ONE
+    // V-sized per-class register merge + a bounded class-ball merge
+    // reproduce the 2-round propagation's registers bit-for-bit
+    // (max-merge associativity) AND the exact ball2 anchor (Σ member
+    // counts) — see [[Anf.quotientPartEdit]]. [[Anf.run]] stays the
+    // general engine, spec-pinned and ladder-measured.
     "g_anf" -> { (s, d) =>
-      import s.implicits._
-      val e = GraphBuilder.partEdges(s, d).localCheckpoint(false) // ANF rounds + exact path
-      // the SKETCH runs over the whole graph (a sampled node's
-      // counter absorbs all its neighbors' counters regardless); only
-      // the exact verification anchor is sampled — a full exact
-      // 2-ball enumerates every wedge (|E|·deg rows), which is
-      // precisely the cost the sketch exists to avoid, and 1-in-16
-      // roots is still thousands of independently-checked nodes at
-      // bench scale
-      val est = Anf.run(s, e, ANF_ROUNDS).filter($"node" % ANF_SAMPLE === 0)
-      val seeds = e.select($"src").distinct()
-        .filter($"src" % ANF_SAMPLE === 0)
-      val hop1 = seeds.join(e, "src").select($"src", $"dst".as("member"))
-      val hop2 = hop1.join(e.select($"src".as("member"), $"dst".as("far")), "member")
-        .select($"src", $"far".as("member"))
-      val ball = hop1
-        .union(hop2)
-        .union(seeds.select($"src", $"src".as("member")))
-        .distinct()
-        .groupBy($"src".as("node")).agg(count(lit(1)).as("ball2"))
-      est.join(ball, "node")
-        .select($"node", $"ball2",
-          (abs($"est" - $"ball2".cast("double")) <= lit(ANF_TOL) * $"ball2".cast("double"))
-            .as("anf_ok"))
+      Anf.quotientPartEdit(s, d, ANF_SAMPLE, ANF_TOL)
     },
 
     // A13: node similarity — Jaccard over neighbor sets via

@@ -61,4 +61,28 @@ class RoundEightOpsSpec extends SparkSpec {
           s"degenerate rank spectrum at $d")
     }
   }
+
+  test("ANF: the class-ball quotient is identical to propagation + exact wedge ball") {
+    import spark.implicits._
+    for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
+      val e = graph.GraphBuilder.partEdges(spark, d)
+      val est = graph.Anf.run(spark, e, rounds = 2).filter($"node" % 16 === 0)
+      val seeds = e.select($"src").distinct().filter($"src" % 16 === 0)
+      val hop1 = seeds.join(e, "src").select($"src", $"dst".as("member"))
+      val hop2 = hop1.join(e.select($"src".as("member"), $"dst".as("far")), "member")
+        .select($"src", $"far".as("member"))
+      val ball = hop1.union(hop2)
+        .union(seeds.select($"src", $"src".as("member"))).distinct()
+        .groupBy($"src".as("node")).agg(count(lit(1)).as("ball2"))
+      val ref = est.join(ball, "node")
+        .select($"node", $"ball2",
+          (abs($"est" - $"ball2".cast("double")) <= lit(0.4) * $"ball2".cast("double"))
+            .as("anf_ok"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      val fast = graph.Anf.quotientPartEdit(spark, d, sampleMod = 16, tol = 0.4)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+      assert(fast === ref, s"ANF quotient diverges at $d")
+      assert(fast.nonEmpty && fast.forall(_._3), s"anf_ok must hold everywhere at $d")
+    }
+  }
 }

@@ -152,6 +152,46 @@ class QuotientPropertySpec extends SparkSpec {
     assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
   }
 
+  test("ANF class-ball quotient ≡ 2-round register propagation + exact ball on 6 random class graphs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rng = new scala.util.Random(20140826L)
+    var trialsRun = 0
+    for (trial <- 1 to 6) {
+      val sizes = randomClasses(rng)
+      val parts = partsOf(sizes)
+      val byClass = parts.groupBy(p => (p._2, p._3)).view.mapValues(_.map(_._1)).toMap
+      val up = for {
+        ((b, s), srcs) <- byClass.toSeq
+        dsts <- byClass.get((b, s + 1)).toSeq
+        u <- srcs; v <- dsts
+      } yield (u, v)
+      if (up.nonEmpty) {
+        trialsRun += 1
+        val e = (up ++ up.map(_.swap)).toDF("src", "dst")
+        // the g_anf reference composition: 2 propagation rounds +
+        // the exact wedge-join 2-ball, sampleMod 1 = every node
+        val est = Anf.run(spark, e, rounds = 2)
+        val hop1 = e.select($"src", $"dst".as("member"))
+        val hop2 = hop1.join(e.select($"src".as("member"), $"dst".as("far")), "member")
+          .select($"src", $"far".as("member"))
+        val ball = hop1.union(hop2)
+          .union(e.select($"src", $"src".as("member"))).distinct()
+          .groupBy($"src".as("node")).agg(count(lit(1)).as("ball2"))
+        val ref = est.join(ball, "node")
+          .select($"node", $"ball2",
+            (abs($"est" - $"ball2".cast("double")) <= lit(0.4) * $"ball2".cast("double"))
+              .as("anf_ok"))
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        val fast = Anf.quotientBlowup(spark,
+            parts.toDF("node", "brand", "size"), sampleMod = 1, tol = 0.4)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        assert(fast === ref, s"trial $trial: quotient diverges (sizes=$sizes)")
+      }
+    }
+    assert(trialsRun >= 3, s"only $trialsRun non-degenerate trials — property under-exercised")
+  }
+
   test("Luby MIS quotient ≡ edge-set loop on 6 random class graphs") {
     import spark.implicits._
     val rng = new scala.util.Random(8202614L)
