@@ -91,21 +91,24 @@ object Anf {
   }
 
   /** The class-ball computation over any (node, brand, size) blow-up
-    * vertex table — factored out for the property spec. */
-  private[graph] def quotientBlowup(s: SparkSession, parts: DataFrame,
-                                    sampleMod: Int, tol: Double): DataFrame = {
+    * vertex table — factored out for the property spec. Same surface
+    * as [[quotientPartEdit]]: (node, ball2, anf_ok). */
+  private[graft] def quotientBlowup(s: SparkSession, parts: DataFrame,
+                                    sampleMod: Int, tol: Double): DataFrame =
+    quotientBlowupEst(s, parts, sampleMod, tol).select("node", "ball2", "anf_ok")
+
+  /** [[quotientBlowup]] WITH the est column — the equivalence specs
+    * compare est doubles against [[run]]'s (est is a pure function of
+    * the registers, so est equality pins the claimed bit-identical
+    * register merge, not just the anf_ok booleans). */
+  private[graft] def quotientBlowupEst(s: SparkSession, parts: DataFrame,
+                                       sampleMod: Int, tol: Double): DataFrame = {
     import s.implicits._
     GraftFunctions.register(s)
-    val classes = {
-      // Quotient.collectClasses reads the part table; this variant
-      // shares its guard but runs off the caller's vertex table so
-      // the spec can feed synthetic graphs
-      val rows = parts.groupBy($"brand", $"size").agg(count(lit(1)).as("cnt"))
-        .limit(Quotient.MAX_CLASSES + 1).collect()
-      require(rows.length <= Quotient.MAX_CLASSES,
-        s"class graph exceeds the ${Quotient.MAX_CLASSES} domain bound — not a dimension-bounded quotient")
-      rows.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
-    }
+    // shares Quotient's guarded-collect discipline; runs off the
+    // caller's vertex table so the spec can feed synthetic graphs
+    val classes = Quotient.collectClasses(
+      parts.groupBy($"brand", $"size").agg(count(lit(1)).as("cnt")))
     val present = classes.keySet
     def adj(c: (String, Long)): Seq[(String, Long)] =
       Seq(-1L, 1L).map(d => (c._1, c._2 + d)).filter(present)
@@ -131,7 +134,33 @@ object Anf {
       .select($"brand", $"size", GraftFunctions.hllCard($"regs").as("est"), $"ball2")
     parts.filter($"node" % sampleMod === 0)
       .join(broadcast(ballStats), Seq("brand", "size"))
-      .select($"node", $"ball2",
+      .select($"node", $"ball2", $"est",
+        (abs($"est" - $"ball2".cast("double")) <= lit(tol) * $"ball2".cast("double"))
+          .as("anf_ok"))
+  }
+
+  /** The g_anf REFERENCE composition — 2-round register propagation
+    * ([[run]]) + the exact wedge-join 2-ball anchor over the same
+    * edge list, emitting (node, ball2, est, anf_ok) for every
+    * sampleMod-th node. Single-sourced here so EngineLadder measures
+    * and the equivalence specs (RoundEightOpsSpec,
+    * QuotientPropertySpec) verify EXACTLY the composition the
+    * quotient replaces — a sample or tolerance change propagates to
+    * all three by construction. */
+  private[graft] def propagationReference(s: SparkSession, edges: DataFrame,
+                                          sampleMod: Int, tol: Double): DataFrame = {
+    import s.implicits._
+    val e = edges.localCheckpoint(false)
+    val est = run(s, e, rounds = 2).filter($"node" % sampleMod === 0)
+    val seeds = e.select($"src").distinct().filter($"src" % sampleMod === 0)
+    val hop1 = seeds.join(e, "src").select($"src", $"dst".as("member"))
+    val hop2 = hop1.join(e.select($"src".as("member"), $"dst".as("far")), "member")
+      .select($"src", $"far".as("member"))
+    val ball = hop1.union(hop2)
+      .union(seeds.select($"src", $"src".as("member"))).distinct()
+      .groupBy($"src".as("node")).agg(count(lit(1)).as("ball2"))
+    est.join(ball, "node")
+      .select($"node", $"ball2", $"est",
         (abs($"est" - $"ball2".cast("double")) <= lit(tol) * $"ball2".cast("double"))
           .as("anf_ok"))
   }

@@ -129,11 +129,11 @@ object GraphPack extends QueryPack {
     * the guarantee proves. m = 256 registers → rsd ≈ 6.5%; the bound is
     * ~6 sigma with linear-counting small-range headroom (measured
     * worst node at sf0.01/sf0.1 is well inside — see AnfSpec). */
-  private val ANF_TOL = 0.4
+  private[graft] val ANF_TOL = 0.4
 
   /** 1-in-N root sample for g_anf's EXACT verification anchor (the
     * sketch itself runs over every node). */
-  private val ANF_SAMPLE = 16
+  private[graft] val ANF_SAMPLE = 16
 
   private val LP_ITERS = 4
   private[graft] val PPR_ITERS = 6

@@ -46,14 +46,10 @@ object LinkPrediction {
   def resourceAllocationQuotient(s: org.apache.spark.sql.SparkSession,
       parts: DataFrame, topK: Int): DataFrame = {
     import s.implicits._
-    val cls = parts
-      .groupBy(col("p_brand").as("brand"), col("p_size").cast("long").as("size"))
-      .agg(count(lit(1)).as("cnt"))
-      .limit(Quotient.MAX_CLASSES + 1).collect()
-    require(cls.length <= Quotient.MAX_CLASSES,
-      s"class graph exceeds the ${Quotient.MAX_CLASSES} domain bound")
     type C = (String, Long)
-    val sizes: Map[C, Long] = cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val sizes: Map[C, Long] = Quotient.collectClasses(parts
+      .groupBy(col("p_brand").as("brand"), col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("cnt")))
     def neighbors(c: C): Seq[C] = {
       val (b, sz) = c
       Seq(sz - 2, sz - 1, sz + 1, sz + 2).map(x => (b, x)).filter(sizes.contains)

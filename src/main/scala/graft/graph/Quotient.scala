@@ -28,10 +28,18 @@ object Quotient {
     * a caller lying about boundedness fails loudly. */
   def collectClasses(s: SparkSession, d: String): Map[(String, Long), Long] = {
     import s.implicits._
-    val cls = graft.Tables.part(s, d)
+    collectClasses(graft.Tables.part(s, d)
       .groupBy($"p_brand", $"p_size".cast("long").as("size"))
-      .agg(count(lit(1)).as("cnt"))
-      .limit(MAX_CLASSES + 1).collect()
+      .agg(count(lit(1)).as("cnt")))
+  }
+
+  /** The same guard over a caller-supplied class-count aggregate —
+    * columns (String class attr, Long class attr, Long member count)
+    * in that order. Serves the fast paths that run off an arbitrary
+    * vertex table (Anf's property-spec blow-ups, LinkPrediction's
+    * widened graph) so the guard discipline stays single-sourced. */
+  def collectClasses(classCounts: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] = {
+    val cls = classCounts.limit(MAX_CLASSES + 1).collect()
     require(cls.length <= MAX_CLASSES,
       s"class graph exceeds the $MAX_CLASSES domain bound — not a dimension-bounded quotient")
     cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap

@@ -53,25 +53,15 @@ object EngineLadder {
       }),
       "ppr_quotient" -> (() =>
         PersonalizedPageRank.quotientPartEdit(s, sfDir, GraphPack.PPR_ITERS)),
-      "anf_run" -> (() => {
-        // the g_anf reference composition: 2-round propagation + the
-        // exact wedge-join 2-ball anchor over the ±1 edit graph
-        import org.apache.spark.sql.functions.{abs, count, lit}
-        val e = GraphBuilder.partEdges(s, sfDir).localCheckpoint(false)
-        val est = Anf.run(s, e, rounds = 2).filter(col("node") % 16 === 0)
-        val seeds = e.select(col("src")).distinct().filter(col("src") % 16 === 0)
-        val hop1 = seeds.join(e, "src").select(col("src"), col("dst").as("member"))
-        val hop2 = hop1.join(e.select(col("src").as("member"), col("dst").as("far")), "member")
-          .select(col("src"), col("far").as("member"))
-        val ball = hop1.union(hop2)
-          .union(seeds.select(col("src"), col("src").as("member"))).distinct()
-          .groupBy(col("src").as("node")).agg(count(lit(1)).as("ball2"))
-        est.join(ball, "node")
-          .select(col("node"), col("ball2"),
-            (abs(col("est") - col("ball2").cast("double")) <=
-              lit(0.4) * col("ball2").cast("double")).as("anf_ok"))
-      }),
-      "anf_quotient" -> (() => Anf.quotientPartEdit(s, sfDir, sampleMod = 16, tol = 0.4)),
+      // the g_anf reference composition (2-round propagation + exact
+      // wedge-join 2-ball anchor), single-sourced in Anf so the
+      // ladder measures exactly what the quotient replaced — surface
+      // shape matched to the shipped key (est dropped)
+      "anf_run" -> (() => Anf.propagationReference(s,
+        GraphBuilder.partEdges(s, sfDir), GraphPack.ANF_SAMPLE, GraphPack.ANF_TOL)
+        .select(col("node"), col("ball2"), col("anf_ok"))),
+      "anf_quotient" -> (() =>
+        Anf.quotientPartEdit(s, sfDir, GraphPack.ANF_SAMPLE, GraphPack.ANF_TOL)),
       "ra_quotient" -> (() => LinkPrediction.resourceAllocationQuotient(s,
         graft.Tables.part(s, sfDir)
           .select(col("p_partkey"), col("p_brand"), col("p_size")), 100)))

@@ -64,25 +64,26 @@ class RoundEightOpsSpec extends SparkSpec {
 
   test("ANF: the class-ball quotient is identical to propagation + exact wedge ball") {
     import spark.implicits._
+    // the (node, ball2, EST, anf_ok) row set — est is a pure function
+    // of the HLL registers, so est equality pins the claimed
+    // bit-identical register merge, not just the anf_ok booleans;
+    // both sides come from the single-sourced compositions in Anf
+    def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Boolean)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
     for (d <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01")) {
-      val e = graph.GraphBuilder.partEdges(spark, d)
-      val est = graph.Anf.run(spark, e, rounds = 2).filter($"node" % 16 === 0)
-      val seeds = e.select($"src").distinct().filter($"src" % 16 === 0)
-      val hop1 = seeds.join(e, "src").select($"src", $"dst".as("member"))
-      val hop2 = hop1.join(e.select($"src".as("member"), $"dst".as("far")), "member")
-        .select($"src", $"far".as("member"))
-      val ball = hop1.union(hop2)
-        .union(seeds.select($"src", $"src".as("member"))).distinct()
-        .groupBy($"src".as("node")).agg(count(lit(1)).as("ball2"))
-      val ref = est.join(ball, "node")
-        .select($"node", $"ball2",
-          (abs($"est" - $"ball2".cast("double")) <= lit(0.4) * $"ball2".cast("double"))
-            .as("anf_ok"))
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-      val fast = graph.Anf.quotientPartEdit(spark, d, sampleMod = 16, tol = 0.4)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-      assert(fast === ref, s"ANF quotient diverges at $d")
-      assert(fast.nonEmpty && fast.forall(_._3), s"anf_ok must hold everywhere at $d")
+      val ref = asSet(graph.Anf.propagationReference(spark,
+        graph.GraphBuilder.partEdges(spark, d),
+        graph.GraphPack.ANF_SAMPLE, graph.GraphPack.ANF_TOL))
+      val fast = asSet(graph.Anf.quotientBlowupEst(spark,
+        Tables.part(spark, d).select($"p_partkey".cast("long").as("node"),
+          $"p_brand".as("brand"), $"p_size".cast("long").as("size")),
+        graph.GraphPack.ANF_SAMPLE, graph.GraphPack.ANF_TOL))
+      assert(fast === ref, s"ANF quotient diverges at $d (est compared bit-for-bit)")
+      assert(fast.nonEmpty && fast.forall(_._4), s"anf_ok must hold everywhere at $d")
+      // non-vacuous register check at the richer SF: estimates take
+      // many distinct values (sf0.001's %16 sample has just one)
+      if (d.endsWith("sf0.01"))
+        assert(fast.map(_._3).size > 5, s"degenerate est spectrum at $d")
     }
   }
 }

@@ -169,23 +169,15 @@ class QuotientPropertySpec extends SparkSpec {
       if (up.nonEmpty) {
         trialsRun += 1
         val e = (up ++ up.map(_.swap)).toDF("src", "dst")
-        // the g_anf reference composition: 2 propagation rounds +
-        // the exact wedge-join 2-ball, sampleMod 1 = every node
-        val est = Anf.run(spark, e, rounds = 2)
-        val hop1 = e.select($"src", $"dst".as("member"))
-        val hop2 = hop1.join(e.select($"src".as("member"), $"dst".as("far")), "member")
-          .select($"src", $"far".as("member"))
-        val ball = hop1.union(hop2)
-          .union(e.select($"src", $"src".as("member"))).distinct()
-          .groupBy($"src".as("node")).agg(count(lit(1)).as("ball2"))
-        val ref = est.join(ball, "node")
-          .select($"node", $"ball2",
-            (abs($"est" - $"ball2".cast("double")) <= lit(0.4) * $"ball2".cast("double"))
-              .as("anf_ok"))
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
-        val fast = Anf.quotientBlowup(spark,
-            parts.toDF("node", "brand", "size"), sampleMod = 1, tol = 0.4)
-          .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+        // the single-sourced g_anf reference composition (2
+        // propagation rounds + exact wedge-join 2-ball), sampleMod 1
+        // = every node; est compared too — a pure function of the
+        // registers, so est equality pins the bit-identical merge
+        def asSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double, Boolean)] =
+          df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))).toSet
+        val ref = asSet(Anf.propagationReference(spark, e, sampleMod = 1, tol = 0.4))
+        val fast = asSet(Anf.quotientBlowupEst(spark,
+          parts.toDF("node", "brand", "size"), sampleMod = 1, tol = 0.4))
         assert(fast === ref, s"trial $trial: quotient diverges (sizes=$sizes)")
       }
     }
