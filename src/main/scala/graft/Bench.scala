@@ -174,7 +174,14 @@ object Bench {
         s""""sentinel_sec":[${ms(sentinelStart)},${ms(sentinelEnd)}],""" +
         s""""stream_floor_sec":${ms(streamFloor)},"stream_share":$streamShare,""" +
         s""""queries":$qs,"samples":$sampleJson,"sf":${jsonStr(sfDir)}}"""
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // BENCH_LOCAL.json is the COMMITTED regression record (full suite,
+    // >= 3-rep medians, record SF): a filtered or single-rep dev-loop
+    // run must never clobber it (round-7 advice item). Such runs spill
+    // to /tmp instead unless SPARK_GRAFT_BENCH_OUT names a target.
+    val recordProtocol = only.isEmpty && reps >= 3
+    val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
+      if (recordProtocol) "BENCH_LOCAL.json" else "/tmp/graft_bench_dev.json")
+    System.err.println(s"[bench] ledger -> $outPath")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath).toAbsolutePath,
       (ledger + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case NonFatal(e) => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
