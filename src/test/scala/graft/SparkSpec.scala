@@ -8,7 +8,11 @@ import org.scalatest.funsuite.AnyFunSuite
   * a forked JVM per build.sbt, so getOrCreate dedups across suites). */
 trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+    // local[cores, maxFailures]: maxFailures=2 gives every task ONE
+    // retry, the knob TaskRetrySpec's fault injection needs (a real
+    // cluster defaults to 4). Engine mains keep local[N] (=1): in
+    // Verify/Bench a flaky task should fail LOUDLY, not be healed.
+    .master("local[4,2]")
     .config("spark.sql.shuffle.partitions", 4)
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
