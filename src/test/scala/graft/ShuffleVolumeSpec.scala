@@ -61,8 +61,10 @@ class ShuffleVolumeSpec extends SparkSpec {
     df.write.format("noop").mode("overwrite").save()
 
   test("ANF round shuffle is vertex-bounded (partial register merge engaged), not message-bounded") {
-    val sf01 = "/root/testdata/sf0.01"
-    val edges = graph.GraphBuilder.partEdges(spark, sf01)
+    // the WIDE sf0.1 edit graph: ~26 edges per vertex, dense enough
+    // that a message-bounded shuffle would dwarf the vertex bound
+    val edges = graph.GraphBuilder.partEdgesWide(spark, "/root/testdata/sf0.1")
+      .localCheckpoint(true) // materialized OUTSIDE the measurement
     val nV = edges.select("src").distinct().count()
     val nE = edges.count()
     // raw per-round message stream: E rows × ~264 B (node + regs);
@@ -87,6 +89,7 @@ class ShuffleVolumeSpec extends SparkSpec {
     val cap = 64
     val skewed = spark.range(400000).select(lit(1L).as("g"), $"id".as("v"))
       .repartition(4) // spread the one group over every map task
+      .localCheckpoint(true) // its shuffle happens OUTSIDE the measurement
     val bytes = shuffleWriteBytes(materialize(
       skewed.groupBy($"g").agg(expr(s"graft_collect_capped(v, $cap)").as("vs"))))
     // uncapped collect_list state would be ~400k × 8 B ≈ 3.2 MB on
@@ -103,6 +106,7 @@ class ShuffleVolumeSpec extends SparkSpec {
     val skewed = spark.range(400000)
       .select(lit(7L).as("q"), ($"id" % 9973).cast("double").as("score"), $"id".as("cand"))
       .repartition(4)
+      .localCheckpoint(true)
     val bytes = shuffleWriteBytes(materialize(
       skewed.groupBy($"q").agg(expr("graft_top_k(score, cand, 10)").as("top"))))
     val uncapped = 400000L * 16
