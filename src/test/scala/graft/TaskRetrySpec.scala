@@ -108,4 +108,35 @@ class TaskRetrySpec extends SparkSpec {
       e => graph.Mis.run(spark, parts, e),
       graph.GraphBuilder.partEdgesWide(spark, sfDir))
   }
+
+  test("streaming micro-batch task retry is seal-invariant (state-store abort + reload)") {
+    import spark.implicits._
+    // completes the fault matrix: StreamCrashRecoverySpec kills the
+    // QUERY mid-batch (restart path); this kills a TASK inside the
+    // micro-batch — the poison filter sits DOWNSTREAM of the
+    // watermarked windowed agg, i.e. in the same stage as the
+    // state-store commit, so the first attempt of every batch's
+    // partition-0 state task dies after touching the store and the
+    // retry must abort + reload the prior store version. The sealed
+    // output must equal the uninjected replay's.
+    val poison = udf { () =>
+      val tc = org.apache.spark.TaskContext.get()
+      if (tc != null && tc.partitionId() == 0 && tc.attemptNumber() == 0) {
+        fired.incrementAndGet()
+        throw new RuntimeException("graft: injected first-attempt task failure (streaming)")
+      }
+      true
+    }.asNondeterministic()
+    def run(inject: Boolean): Seq[String] = rows(
+      streaming.StreamReplay.replay(spark, sfDir) { ds =>
+        val agg = streaming.EventStreams.windowedCounts(ds.toDF())
+        if (inject) agg.filter(poison()) else agg
+      } { out => out.filter($"event_type" =!= streaming.StreamReplay.SENTINEL_TYPE) })
+    val clean = run(inject = false)
+    fired.set(0)
+    val faulted = run(inject = true)
+    assert(fired.get() >= 1, "the injected fault never fired — vacuous")
+    assert(faulted === clean, "micro-batch task retry changed the sealed output")
+    assert(clean.nonEmpty, "vacuous comparison (no sealed rows)")
+  }
 }
