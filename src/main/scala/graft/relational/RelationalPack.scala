@@ -227,6 +227,32 @@ object RelationalPack extends QueryPack {
           $"n_rows", $"mass")
     },
 
+    // C31: Z-order (Morton) clustering key — the multi-dimensional
+    // data-LAYOUT primitive (Delta/Iceberg OPTIMIZE ZORDER BY): bit-
+    // interleave (l_partkey, l_suppkey) so writing sorted by zkey
+    // gives every file a bounded min/max envelope in BOTH columns and
+    // parquet stats prune scans on EITHER predicate. The key emits
+    // every row's 62-bit interleave — any wrong bit anywhere flips
+    // the driver's hash — plus each row's quadrant ordering guarantee
+    // (zkey of the point vs its quadrant's base corner) as a boolean.
+    // Scale shape: pure per-row codegen'd bit math, no UDF, no
+    // shuffle beyond the clustered write's single range exchange
+    // (measured in ZOrderLayoutSpec via task bytesRead).
+    "q_zorder" -> { (s, d) =>
+      import s.implicits._
+      import graft.sources.ZOrder
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"))
+        .select($"l_orderkey", $"l_linenumber",
+          ZOrder.interleave($"x", $"y").as("zkey"),
+          // monotone-in-quadrant guarantee: clearing the low 5 bits of
+          // both coords (the 32×32 quadrant base) can only DECREASE
+          // the interleave — the property range pruning relies on
+          (ZOrder.interleave($"x".bitwiseAND(lit(~31L)), $"y".bitwiseAND(lit(~31L)))
+            <= ZOrder.interleave($"x", $"y")).as("quad_ok"))
+    },
+
     // C28: CDC log application with DELETE tombstones (the Delta/
     // Hudi MERGE compaction primitive C8's keep-latest doesn't
     // cover: a tombstone removes the key, a later upsert revives it,
@@ -713,6 +739,18 @@ object RelationalPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = Map(
+    // the unrolled bit-interleave twin is GENERATED from the same
+    // term table as the Spark expression (ZOrder.oracleSqlExpr), so
+    // engine and oracle cannot drift
+    "q_zorder" -> {
+      import graft.sources.ZOrder.oracleSqlExpr
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${oracleSqlExpr("l_partkey", "l_suppkey")} AS zkey,
+         | (${oracleSqlExpr("(l_partkey & -32)", "(l_suppkey & -32)")}
+         |  <= ${oracleSqlExpr("l_partkey", "l_suppkey")}) AS quad_ok
+         |FROM lineitem""".stripMargin
+    },
+
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
