@@ -175,10 +175,20 @@ object Bench {
         s""""stream_floor_sec":${ms(streamFloor)},"stream_share":$streamShare,""" +
         s""""queries":$qs,"samples":$sampleJson,"sf":${jsonStr(sfDir)}}"""
     // BENCH_LOCAL.json is the COMMITTED regression record (full suite,
-    // >= 3-rep medians, record SF): a filtered or single-rep dev-loop
-    // run must never clobber it (round-7 advice item). Such runs spill
-    // to /tmp instead unless SPARK_GRAFT_BENCH_OUT names a target.
-    val recordProtocol = only.isEmpty && reps >= 3
+    // >= 3-rep medians, record SF): a filtered, single-rep, or
+    // different-SF dev-loop run must never clobber it (round-7 advice
+    // item). The record SF is self-describing — the existing record's
+    // own "sf" field; a run at any other SF spills to /tmp instead,
+    // unless SPARK_GRAFT_BENCH_OUT names a target explicitly.
+    val recordSfMatches = {
+      val f = java.nio.file.Paths.get("BENCH_LOCAL.json")
+      !java.nio.file.Files.exists(f) || {
+        val prior = new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8)
+        prior.contains(s""""sf":${jsonStr(sfDir)}""")
+      }
+    }
+    val recordProtocol = only.isEmpty && reps >= 3 && recordSfMatches
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
       if (recordProtocol) "BENCH_LOCAL.json" else "/tmp/graft_bench_dev.json")
     System.err.println(s"[bench] ledger -> $outPath")

@@ -66,13 +66,24 @@ object ZOrder {
     * (zero pruning on the narrow dimension) before normalization. */
   val NORM_BITS = 16
 
-  /** v scaled onto [0, 2^NORM_BITS): exact for domains below 2^31
-    * (the product stays under 2^53, double-exact; [[interleave]]'s
-    * guard enforces the domain anyway). Degenerate hi == lo → 0. */
+  /** v scaled onto [0, 2^NORM_BITS): the product is computed in
+    * DECIMAL(38,0), safe for ANY long span (a LongType multiply
+    * would silently wrap at spans ≥ 2^63/65535 ≈ 1.4e14 — epoch
+    * microseconds overflow it; a double multiply loses bits past
+    * 2^53). Spark's decimal division rounds at scale 6, so a value
+    * sitting within 5e-7 of a bucket boundary may land one bucket
+    * over — layout blur of at most one cell, never a wrapped or
+    * out-of-range key. Note the normalized output always lands in
+    * [0, 2^NORM_BITS), so [[interleave]]'s domain guard never fires
+    * on writeClustered's behalf — this exactness is what stands in
+    * for it. Degenerate hi == lo → 0. */
   private def norm(v: Column, lo: Column, hi: Column): Column = {
+    val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
     val top = (1L << NORM_BITS) - 1
     when(hi === lo, lit(0L))
-      .otherwise(floor((v.cast("long") - lo) * lit(top) / (hi - lo)).cast("long"))
+      .otherwise(
+        floor((v.cast("long") - lo).cast(d38) * lit(top) / (hi - lo).cast(d38))
+          .cast("long"))
   }
 
   /** Write `df` z-clustered on (`x`, `y`) as `files` parquet files:

@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -30,32 +27,10 @@ import org.apache.spark.sql.functions._
   */
 class ShuffleVolumeSpec extends SparkSpec {
 
-  /** Total shuffle-write bytes across all tasks of `action`. Waits
-    * for the listener bus to quiesce (no public flush API): counter
-    * stable for 300 ms, 10 s cap. */
-  private def shuffleWriteBytes(action: => Unit): Long = {
-    val bytes = new AtomicLong(0)
-    val listener = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) bytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      action
-      var last = -1L
-      var stableSince = System.nanoTime()
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline &&
-             (System.nanoTime() - stableSince) < 300L * 1000 * 1000) {
-        val now = bytes.get()
-        if (now != last) { last = now; stableSince = System.nanoTime() }
-        Thread.sleep(50)
-      }
-      bytes.get()
-    } finally spark.sparkContext.removeSparkListener(listener)
-  }
+  /** Total shuffle-write bytes across all tasks of `action`
+    * (shared listener + quiesce accounting in [[TestMetrics]]). */
+  private def shuffleWriteBytes(action: => Unit): Long =
+    TestMetrics.taskMetricSum(spark)(_.shuffleWriteMetrics.bytesWritten)(action)
 
   private def materialize(df: DataFrame): Unit =
     df.write.format("noop").mode("overwrite").save()

@@ -38,6 +38,9 @@ object TaskRetrySpec {
 class TaskRetrySpec extends SparkSpec {
   import TaskRetrySpec.fired
 
+  // fault injection is the whole point here
+  override protected def allowsTaskFailures: Boolean = true
+
   /** Re-emit `df` through a stage whose partition-0 first attempt
     * always throws. Every downstream consumer sees the same rows —
     * after one Spark-internal retry of the failed task. */

@@ -8,6 +8,9 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 class IngestSpec extends SparkSpec {
 
+  // the FAILFAST malformed-row tests intentionally fail read tasks
+  override protected def allowsTaskFailures: Boolean = true
+
   private def tmpFile(name: String, content: String): String = {
     val p = Files.createTempDirectory("graft-ingest").resolve(name)
     Files.write(p, content.getBytes("UTF-8"))

@@ -1,8 +1,5 @@
 package graft.sources
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
@@ -22,29 +19,13 @@ import graft.SparkSpec
   * reference interleave. */
 class ZOrderLayoutSpec extends SparkSpec {
 
-  private def bytesRead(action: => Unit): Long = {
-    val bytes = new AtomicLong(0)
-    val listener = new SparkListener {
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
-        val m = t.taskMetrics
-        if (m != null) bytes.addAndGet(m.inputMetrics.bytesRead)
-      }
-    }
-    spark.sparkContext.addSparkListener(listener)
-    try {
-      action
-      var last = -1L
-      var stableSince = System.nanoTime()
-      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
-      while (System.nanoTime() < deadline &&
-             (System.nanoTime() - stableSince) < 300L * 1000 * 1000) {
-        val now = bytes.get()
-        if (now != last) { last = now; stableSince = System.nanoTime() }
-        Thread.sleep(50)
-      }
-      bytes.get()
-    } finally spark.sparkContext.removeSparkListener(listener)
-  }
+  // the domain-guard test intentionally fails a task via raise_error
+  override protected def allowsTaskFailures: Boolean = true
+
+  /** Total task input bytesRead during `action` (shared listener +
+    * quiesce accounting in [[graft.TestMetrics]]). */
+  private def bytesRead(action: => Unit): Long =
+    graft.TestMetrics.taskMetricSum(spark)(_.inputMetrics.bytesRead)(action)
 
   test("zkey interleave matches a plain-Scala reference bit-for-bit") {
     import spark.implicits._

@@ -59,6 +59,9 @@ object StreamCrashRecoverySpec {
 }
 
 class StreamCrashRecoverySpec extends SparkSpec {
+
+  // the poison record intentionally fails tasks (that is the crash)
+  override protected def allowsTaskFailures: Boolean = true
   import StreamCrashRecoverySpec.{poison, poisonArmed, poisonVia, POISON}
 
   /** Land a JSONL file with an explicit, strictly increasing mtime so
