@@ -16,12 +16,21 @@ object TestMetrics {
     * counter holding still for 300 ms (10 s cap). Includes failed
     * attempts' metrics — for byte CEILINGS that only widens the
     * measured value, never hides an overrun. */
-  def taskMetricSum(spark: SparkSession)(field: TaskMetrics => Long)(action: => Unit): Long = {
+  def taskMetricSum(spark: SparkSession)(field: TaskMetrics => Long)(action: => Unit): Long =
+    taskMetricAgg(spark)(field)(_ + _)(action)
+
+  /** Max of `field` over every task — the per-task BALANCE readout
+    * (a skewed reducer shows up here however flat the totals are). */
+  def taskMetricMax(spark: SparkSession)(field: TaskMetrics => Long)(action: => Unit): Long =
+    taskMetricAgg(spark)(field)(math.max)(action)
+
+  private def taskMetricAgg(spark: SparkSession)(field: TaskMetrics => Long)(
+      combine: (Long, Long) => Long)(action: => Unit): Long = {
     val total = new AtomicLong(0)
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
-        if (m != null) total.addAndGet(field(m))
+        if (m != null) total.getAndAccumulate(field(m), (a, b) => combine(a, b))
       }
     }
     spark.sparkContext.addSparkListener(listener)
