@@ -1,0 +1,54 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Directory-level partition pruning — the other half of the layout
+  * story next to ZOrderLayoutSpec's intra-file stats pruning. A
+  * 100 TB event corpus is written `partitionBy(day)`; a day-ranged
+  * query must read ONLY the matching directories, and that must be
+  * visible twice over: in the PLAN (PartitionFilters on the scan,
+  * the thing that proves Catalyst pruned at planning time, not a
+  * runtime filter discarding rows already read) and in the BYTES
+  * (task input bytesRead proportional to the selected days). */
+class PartitionPruningSpec extends SparkSpec {
+
+  private def bytesRead(action: => Unit): Long =
+    graft.TestMetrics.taskMetricSum(spark)(_.inputMetrics.bytesRead)(action)
+
+  test("a day-ranged scan over a partitionBy(day) table prunes directories, in plan and in bytes") {
+    import spark.implicits._
+    val root = graft.util.Scratch.dir("partition_pruning")
+    val path = s"$root/events_by_day"
+    val ev = graft.Tables.events(spark, "/root/testdata/sf0.01")
+      .select($"user_id", $"event_type", $"value", to_date($"ts").as("day"))
+    ev.write.mode("overwrite").partitionBy("day").parquet(path)
+    val allDays = ev.select($"day").distinct().count()
+    assert(allDays >= 8, s"corpus spans only $allDays days — probe not meaningful")
+
+    val table = spark.read.parquet(path)
+    val twoDays = table.filter($"day".between("2024-01-02", "2024-01-03"))
+
+    // plan evidence: the day predicate is a PartitionFilter on the
+    // scan node — pruning happened at planning time
+    val planText = twoDays.queryExecution.executedPlan.toString
+    assert(planText.contains("PartitionFilters: ["),
+      s"no PartitionFilters section on the scan:\n$planText")
+    assert(planText.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*day[^\\]]*\\].*"),
+      s"day predicate did not reach PartitionFilters:\n$planText")
+
+    // byte evidence: two days cost a fraction of the full scan
+    def scan(df: org.apache.spark.sql.DataFrame): Long =
+      df.agg(count(lit(1)), sum($"value")).collect()(0).getLong(0)
+    val nTwo = scan(twoDays)
+    assert(nTwo > 0, "probe days are empty — vacuous")
+    val bAll = bytesRead(scan(table))
+    val bTwo = bytesRead(scan(twoDays))
+    assert(bAll > 0 && bTwo > 0, s"vacuous: no input bytes measured ($bAll, $bTwo)")
+    // generous ceiling: 2 of >= 8 days, allow 2x slack for footer and
+    // uneven day sizes — still impossible if every directory was read
+    assert(bTwo * 2 < bAll,
+      s"two-day scan read $bTwo B of $bAll B — directory pruning not engaged")
+  }
+}
