@@ -180,17 +180,24 @@ object Bench {
     // item). The record SF is self-describing — the existing record's
     // own "sf" field; a run at any other SF spills to /tmp instead,
     // unless SPARK_GRAFT_BENCH_OUT names a target explicitly.
-    val recordSfMatches = {
-      val f = java.nio.file.Paths.get("BENCH_LOCAL.json")
-      !java.nio.file.Files.exists(f) || {
-        val prior = new String(java.nio.file.Files.readAllBytes(f),
-          java.nio.charset.StandardCharsets.UTF_8)
-        prior.contains(s""""sf":${jsonStr(sfDir)}""")
+    // lazy + guarded: the read only happens when no explicit target
+    // overrides it, and an unreadable record must divert to /tmp, not
+    // crash the whole measured suite after the fact
+    def recordSfMatches: Boolean =
+      try {
+        val f = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        !java.nio.file.Files.exists(f) || {
+          val prior = new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8)
+          prior.contains(s""""sf":${jsonStr(sfDir)}""")
+        }
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] record guard read failed (${e.getMessage}) — diverting")
+        false
       }
-    }
-    val recordProtocol = only.isEmpty && reps >= 3 && recordSfMatches
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
-      if (recordProtocol) "BENCH_LOCAL.json" else "/tmp/graft_bench_dev.json")
+      if (only.isEmpty && reps >= 3 && recordSfMatches) "BENCH_LOCAL.json"
+      else "/tmp/graft_bench_dev.json")
     System.err.println(s"[bench] ledger -> $outPath")
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath).toAbsolutePath,
       (ledger + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))

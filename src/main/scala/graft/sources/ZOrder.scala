@@ -79,11 +79,16 @@ object ZOrder {
     * for it. Degenerate hi == lo → 0. */
   private def norm(v: Column, lo: Column, hi: Column): Column = {
     val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    // cast BEFORE subtracting: a LongType (v - lo) or (hi - lo)
+    // itself wraps when the span reaches 2^63 (lo near Long.MinValue,
+    // hi near Long.MaxValue) — the decimal domain has to start at the
+    // leaves for the any-span claim to hold
+    val vd = v.cast("long").cast(d38)
+    val lod = lo.cast("long").cast(d38)
+    val hid = hi.cast("long").cast(d38)
     val top = (1L << NORM_BITS) - 1
     when(hi === lo, lit(0L))
-      .otherwise(
-        floor((v.cast("long") - lo).cast(d38) * lit(top) / (hi - lo).cast(d38))
-          .cast("long"))
+      .otherwise(floor((vd - lod) * lit(top) / (hid - lod)).cast("long"))
   }
 
   /** Write `df` z-clustered on (`x`, `y`) as `files` parquet files:

@@ -27,9 +27,15 @@ object TestMetrics {
   private def taskMetricAgg(spark: SparkSession)(field: TaskMetrics => Long)(
       combine: (Long, Long) => Long)(action: => Unit): Long = {
     val total = new AtomicLong(0)
+    // quiesce watches the EVENT COUNT, not the aggregate: for max (and
+    // zero-valued tasks under sum) a delivery that doesn't move the
+    // aggregate must still reset the stability clock, or the loop can
+    // return before the largest/last task's event drains off the bus
+    val events = new AtomicLong(0)
     val listener = new SparkListener {
       override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
         val m = t.taskMetrics
+        events.incrementAndGet()
         if (m != null) total.getAndAccumulate(field(m), (a, b) => combine(a, b))
       }
     }
@@ -41,7 +47,7 @@ object TestMetrics {
       val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
       while (System.nanoTime() < deadline &&
              (System.nanoTime() - stableSince) < 300L * 1000 * 1000) {
-        val now = total.get()
+        val now = events.get()
         if (now != last) { last = now; stableSince = System.nanoTime() }
         Thread.sleep(50)
       }

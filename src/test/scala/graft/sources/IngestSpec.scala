@@ -8,9 +8,6 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
 
 class IngestSpec extends SparkSpec {
 
-  // the FAILFAST malformed-row tests intentionally fail read tasks
-  override protected def allowsTaskFailures: Boolean = true
-
   private def tmpFile(name: String, content: String): String = {
     val p = Files.createTempDirectory("graft-ingest").resolve(name)
     Files.write(p, content.getBytes("UTF-8"))
@@ -27,9 +24,10 @@ class IngestSpec extends SparkSpec {
       Set((1L, "alpha"), (2L, "beta")))
 
     val bad = tmpFile("bad.csv", "id,name\n1,alpha\nnot_a_number,beta\n")
-    intercept[SparkException] {
+    // scoped: only this FAILFAST read's task failure is expected
+    expectTaskFailures(intercept[SparkException] {
       Ingest.csv(spark, bad, schema).collect()
-    }
+    })
   }
 
   test("jsonl reads schema-explicit and fails fast on malformed rows") {
@@ -39,9 +37,10 @@ class IngestSpec extends SparkSpec {
       Set((1L, "alpha"), (2L, "beta")))
 
     val bad = tmpFile("bad.jsonl", """{"id":1,"name":"alpha"}""" + "\n" + "{broken\n")
-    intercept[SparkException] {
+    // scoped: only this FAILFAST read's task failure is expected
+    expectTaskFailures(intercept[SparkException] {
       Ingest.jsonl(spark, bad, schema).collect()
-    }
+    })
   }
 
   test("orc round-trips with an explicit schema") {

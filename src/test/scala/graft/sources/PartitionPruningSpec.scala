@@ -27,8 +27,14 @@ class PartitionPruningSpec extends SparkSpec {
     val allDays = ev.select($"day").distinct().count()
     assert(allDays >= 8, s"corpus spans only $allDays days — probe not meaningful")
 
+    // probe window derived from the data (2nd and 3rd distinct days),
+    // not a hardcoded epoch the generator could move from under us
+    val days = ev.select($"day").distinct().orderBy($"day")
+      .collect().map(_.getDate(0).toString)
+    val (dayLo, dayHi) = (days(1), days(2))
+
     val table = spark.read.parquet(path)
-    val twoDays = table.filter($"day".between("2024-01-02", "2024-01-03"))
+    val twoDays = table.filter($"day".between(dayLo, dayHi))
 
     // plan evidence: the day predicate is a PartitionFilter on the
     // scan node — pruning happened at planning time
