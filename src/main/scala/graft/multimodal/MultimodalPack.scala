@@ -571,7 +571,9 @@ object Decode {
         case m if (m >= 0xd0 && m <= 0xd9) || m == 0x01 => i = j + 1 // standalone
         case 0xda => return None // SOS before any SOF: not decodable
         case m if (m >= 0xc0 && m <= 0xcf) && m != 0xc4 && m != 0xc8 && m != 0xcc =>
-          if (j + 9 >= p.length) return None
+          // highest index read is j+8 (component count), so only
+          // require the payload to reach it
+          if (j + 8 >= p.length) return None
           val depth = u8(p, j + 3)
           val h = u16(p, j + 4)
           val w = u16(p, j + 6)

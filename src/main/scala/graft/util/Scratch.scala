@@ -7,23 +7,20 @@ import java.nio.file.{Files, Path}
   * GraphStore snapshots per execution). A bare
   * `Files.createTempDirectory` per invocation accrues unbounded /tmp
   * disk across bench reps and rounds (the round-7 advice finding);
-  * this registry caps that two ways:
+  * every issued directory is deleted on JVM exit (shutdown hook), so
+  * no run leaves orphans behind.
   *
-  *   - every issued directory is deleted on JVM exit (shutdown hook),
-  *     so no run leaves orphans behind;
-  *   - within one long-lived JVM (bench: warmup + 3 reps × 165 keys),
-  *     only the most recent [[KEEP]] directories are kept — older ones
-  *     are deleted eagerly when a new one is issued. Callers consume
-  *     the store synchronously before requesting the next one (bench,
-  *     verify and the specs are all sequential per key), so a
-  *     several-generations-old dir is always dead.
+  * ALL deletion is deferred to the hook. An earlier revision eagerly
+  * reclaimed dirs more than 8 generations old, relying on an
+  * UNENFORCED contract that callers consume each store before
+  * requesting the next — a lazily-evaluated DataFrame over an evicted
+  * store would have read a vanished directory (the round-8 advice
+  * finding). Exit-time-only cleanup keeps every issued dir readable
+  * for the JVM's life; the disk bound is the per-process store count
+  * (g_store_diff: 3 small snapshots per execution), which the
+  * shutdown hook reclaims in full.
   */
 object Scratch {
-
-  /** Outstanding dirs kept before eager reclaim of the oldest. Wide
-    * enough that a handful of lazily-held DataFrames over the most
-    * recent stores stay readable. */
-  private val KEEP = 8
 
   private val issued = new java.util.ArrayDeque[Path]()
 
@@ -46,12 +43,10 @@ object Scratch {
   }
 
   /** A fresh scratch directory under java.io.tmpdir, registered for
-    * exit-time cleanup; issuing it reclaims any dir more than [[KEEP]]
-    * generations old. */
+    * exit-time cleanup. */
   def dir(prefix: String): Path = issued.synchronized {
     val p = Files.createTempDirectory(prefix)
     issued.addLast(p)
-    while (issued.size() > KEEP) deleteRecursively(issued.pollFirst())
     p
   }
 }

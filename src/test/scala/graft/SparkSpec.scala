@@ -16,21 +16,47 @@ object SparkSpec {
     * afterAll asserts no task attempt failed during the suite unless
     * the suite explicitly opts in (`allowsTaskFailures`). */
   val failedTaskAttempts = new AtomicLong(0)
+
+  /** EVERY task-end event, not just failures — the quiesce signal.
+    * The failure counter alone can't detect a drained bus (a healthy
+    * suite never moves it), so bus-drain is detected the TestMetrics
+    * way: the total event count holding still. */
+  private val taskEndEvents = new AtomicLong(0)
   @volatile private var installedOn: SparkSession = null
 
   private[graft] def installFailureCounter(s: SparkSession): Unit = synchronized {
     if (installedOn ne s) {
       s.sparkContext.addSparkListener(new SparkListener {
-        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = t.reason match {
-          // exactly the reasons that consume a maxFailures retry —
-          // TaskKilled (job cancellation racing in-flight tasks) and
-          // Resubmitted are normal operation, not healed failures
-          case f: org.apache.spark.TaskFailedReason if f.countTowardsTaskFailures =>
-            failedTaskAttempts.incrementAndGet()
-          case _ =>
+        override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+          taskEndEvents.incrementAndGet()
+          t.reason match {
+            // exactly the reasons that consume a maxFailures retry —
+            // TaskKilled (job cancellation racing in-flight tasks) and
+            // Resubmitted are normal operation, not healed failures
+            case f: org.apache.spark.TaskFailedReason if f.countTowardsTaskFailures =>
+              failedTaskAttempts.incrementAndGet()
+            case _ =>
+          }
         }
       })
       installedOn = s
+    }
+  }
+
+  /** Wait until the listener bus has drained its task-end backlog:
+    * the event counter stable for `stableMs` (deadline-capped) — the
+    * TestMetrics quiesce discipline. Replaces the fixed sleeps whose
+    * late-landing TaskEnd could fail an innocent suite or leak an
+    * expected failure into the next suite's baseline. */
+  private[graft] def quiesceTaskEnds(stableMs: Long, deadlineMs: Long): Unit = {
+    var last = -1L
+    var stableSince = System.nanoTime()
+    val deadline = System.nanoTime() + deadlineMs * 1000000L
+    while (System.nanoTime() < deadline &&
+           (System.nanoTime() - stableSince) < stableMs * 1000000L) {
+      val now = taskEndEvents.get()
+      if (now != last) { last = now; stableSince = System.nanoTime() }
+      Thread.sleep(10)
     }
   }
 }
@@ -70,7 +96,9 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
   protected def expectTaskFailures[T](body: => T): T = {
     val before = SparkSpec.failedTaskAttempts.get()
     val result = body
-    Thread.sleep(200) // let the block's failure events land
+    // let the block's failure events land: bus-drain quiesce, not a
+    // fixed sleep (a late TaskEnd must fold into THIS baseline)
+    SparkSpec.quiesceTaskEnds(stableMs = 150, deadlineMs = 5000)
     failuresAtStart += SparkSpec.failedTaskAttempts.get() - before
     result
   }
@@ -83,11 +111,11 @@ trait SparkSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   override protected def afterAll(): Unit = {
     // Session is shared across suites; don't stop it here.
-    // Brief grace so this suite's own straggling task-end events land
-    // in THIS suite's window, not the next suite's baseline (tests
-    // end on blocking actions, so listener lag is small; 50 ms × 57
-    // suites is the whole cost).
-    Thread.sleep(50)
+    // Drain straggling task-end events into THIS suite's window, not
+    // the next suite's baseline: quiesce on the event counter (tests
+    // end on blocking actions, so the bus drains in ~one stability
+    // window; the deadline caps a pathological backlog).
+    SparkSpec.quiesceTaskEnds(stableMs = 100, deadlineMs = 2000)
     val delta = SparkSpec.failedTaskAttempts.get() - failuresAtStart
     if (!allowsTaskFailures && delta != 0)
       fail(s"$delta task attempt(s) failed and were silently retried during this suite " +

@@ -29,8 +29,14 @@ def main():
     rows = []
     for k in keys:
         t = {sf: led[sf]["queries"].get(k, -1) for sf in led}
-        r01 = t["sf0.1"] / t["sf0.01"] if t["sf0.01"] > 0 else float("nan")
-        r3x = t["sf0.3x"] / t["sf0.1"] if t["sf0.1"] > 0 else float("nan")
+        # a failed key carries a -1 sentinel; ANY non-positive sample
+        # (numerator or denominator) poisons the ratio to NaN so it
+        # can't print a misleading negative number or silently escape
+        # the superlinear bucket
+        def ratio(hi, lo):
+            return t[hi] / t[lo] if t[hi] > 0 and t[lo] > 0 else float("nan")
+        r01 = ratio("sf0.1", "sf0.01")
+        r3x = ratio("sf0.3x", "sf0.1")
         rows.append((k, t, r01, r3x))
     print("| key | sf0.001 | sf0.01 | sf0.1 | sf0.3x | x(0.01->0.1) /10x rows | x(0.1->0.3x) /3x rows |")
     print("|---|---|---|---|---|---|---|")
