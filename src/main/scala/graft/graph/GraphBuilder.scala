@@ -139,4 +139,28 @@ object GraphBuilder {
     val up = sizeUpEdges(s, d, Seq(1, 2))
     up.union(up.select($"dst".as("src"), $"src".as("dst")))
   }
+
+  /** The size-edit blow-up edge list of an ARBITRARY `(node, brand,
+    * size)` vertex table — the fallback route of [[Dispatch]]: when
+    * the class-count probe refuses the quotient, the general engines
+    * run over exactly this materialization of the same edit rule.
+    * Identical scale shape to the sf-table variants above: one
+    * equi-join on the composite `(brand, size + delta)` key per
+    * offset (never a range join, never a cartesian), unioned, with
+    * the reverse orientation derived by swapping — so the edge build
+    * itself stays shuffle-bounded however unstructured the classes
+    * are. */
+  def blowupEdges(parts: DataFrame, deltas: Seq[Long],
+                  symmetric: Boolean): DataFrame = {
+    val p = parts.select(col("node"), col("brand"), col("size"))
+    val b = p.select(col("node").as("dst"), col("brand").as("brand_b"),
+      col("size").as("size_b"))
+    val up = deltas.map { delta =>
+      p.join(b, col("brand") === col("brand_b") &&
+          col("size_b") === col("size") + lit(delta))
+        .select(col("node").as("src"), col("dst"))
+    }.reduce(_ union _)
+    if (symmetric) up.union(up.select(col("dst").as("src"), col("src").as("dst")))
+    else up
+  }
 }

@@ -260,7 +260,10 @@ object GraphPack extends QueryPack {
     // [[Mis.quotientPartEdit]]); the general edge-set engine
     // [[Mis.run]] is its spec-pinned bit-identical twin
     // (QuotientPropertySpec discipline, mis_round included).
-    "g_mis" -> { (s, d) => Mis.quotientPartEdit(s, d) },
+    // ROUTED through [[Dispatch]] (round 9): the class-count probe
+    // picks the quotient here; an unbounded class domain would fall
+    // back to the edge-set engine instead of throwing.
+    "g_mis" -> { (s, d) => Dispatch.mis(s, Dispatch.partVertices(s, d)) },
 
     // A28: harmonic centrality — H(u) = Σ_{v≠u reachable} 1/d(u,v),
     // the disconnected-robust closeness variant (isolated pairs
@@ -293,7 +296,10 @@ object GraphPack extends QueryPack {
     // + one broadcast stamp join — see [[KTruss.quotientPartEdit]]);
     // the general incremental-peel engine [[KTruss.run]] is its
     // spec-pinned distributed twin (QuotientPropertySpec discipline).
-    "g_ktruss" -> { (s, d) => KTruss.quotientPartEdit(s, d, k = KTRUSS_K) },
+    // ROUTED through [[Dispatch]] (round 9).
+    "g_ktruss" -> { (s, d) =>
+      Dispatch.ktruss(s, Dispatch.partVertices(s, d), k = KTRUSS_K)
+    },
 
     // A27: deterministic random-walk sampling over the widened part
     // edit-graph — DeepWalk-style embedding-corpus generation with an
@@ -394,7 +400,10 @@ object GraphPack extends QueryPack {
     // Hits.run twin is spec-pinned bit-identical. Parts grow with
     // SF, classes don't: 8 rounds × 4 shuffles of a fact-scaled
     // graph become one distinct + one broadcast join.
-    "g_hits" -> { (s, d) => Hits.classHits(s, d, HITS_ITERS) },
+    // ROUTED through [[Dispatch]] (round 9).
+    "g_hits" -> { (s, d) =>
+      Dispatch.hits(s, Dispatch.partVertices(s, d), HITS_ITERS)
+    },
 
     // A31: link prediction by the Resource-Allocation index (the
     // Adamic–Adar family: score(u,v) = Σ_{w ∈ N(u)∩N(v)} 1/deg(w);
@@ -417,9 +426,9 @@ object GraphPack extends QueryPack {
     // candidate class-pairs. The general fact-level operator
     // (LinkPrediction.resourceAllocation) remains the arbitrary-graph
     // path; a spec pins the two bit-identical on the edit graph.
+    // ROUTED through [[Dispatch]] (round 9).
     "g_adamic_adar" -> { (s, d) =>
-      LinkPrediction.resourceAllocationQuotient(s,
-        Tables.part(s, d).select(col("p_partkey"), col("p_brand"), col("p_size")), AA_TOP)
+      Dispatch.resourceAllocation(s, Dispatch.partVertices(s, d), AA_TOP)
     },
 
     // A32: degree assortativity over the widened part edit-graph —
@@ -604,8 +613,13 @@ object GraphPack extends QueryPack {
     // + one broadcast stamp. [[PersonalizedPageRank.run]]'s
     // distributed loop is the general engine, spec-pinned
     // bit-identical (QuotientPropertySpec with random seed flags).
+    // ROUTED through [[Dispatch]] (round 9); the shipped seed rule
+    // (every 100th part) rides the vertex table as the is_seed flag.
     "g_ppr" -> { (s, d) =>
-      PersonalizedPageRank.quotientPartEdit(s, d, PPR_ITERS)
+      Dispatch.ppr(s,
+        Dispatch.partVertices(s, d)
+          .withColumn("is_seed", col("node") % 100 === 0),
+        PPR_ITERS)
     },
 
     // A19: community detection — synchronous label propagation over
@@ -664,8 +678,9 @@ object GraphPack extends QueryPack {
     // (max-merge associativity) AND the exact ball2 anchor (Σ member
     // counts) — see [[Anf.quotientPartEdit]]. [[Anf.run]] stays the
     // general engine, spec-pinned and ladder-measured.
+    // ROUTED through [[Dispatch]] (round 9).
     "g_anf" -> { (s, d) =>
-      Anf.quotientPartEdit(s, d, ANF_SAMPLE, ANF_TOL)
+      Dispatch.anf(s, Dispatch.partVertices(s, d), ANF_SAMPLE, ANF_TOL)
     },
 
     // A13: node similarity — Jaccard over neighbor sets via
@@ -684,8 +699,9 @@ object GraphPack extends QueryPack {
     // sf0.3x rung; 120 s there, the scale ladder's worst key)
     // disappears. [[NodeSimilarity.jaccard]] is the general engine,
     // spec-pinned bit-identical (QuotientPropertySpec discipline).
+    // ROUTED through [[Dispatch]] (round 9).
     "g_jaccard_nodes" -> { (s, d) =>
-      NodeSimilarity.jaccardQuotientPartEdit(s, d)
+      Dispatch.jaccard(s, Dispatch.partVertices(s, d))
     },
 
     // A11: neighborhood feature aggregation — per-node degree, mean

@@ -37,17 +37,24 @@ object Hits {
     * size-up class edges, [[quotientScores]], one broadcast-join
     * stamp onto parts. Lives here (not inline in the pack) so the
     * spec and the query pin ONE implementation. */
-  def classHits(s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame = {
-    val sizes = Quotient.collectClasses(s, d)
+  def classHits(s: org.apache.spark.sql.SparkSession, d: String, iters: Int): DataFrame =
+    classBlowup(s, Quotient.collectClasses(s, d),
+      graft.Tables.part(s, d)
+        .select(col("p_partkey").as("node"), col("p_brand").as("brand"),
+          col("p_size").cast("long").as("size")), iters)
+
+  /** The class-level rounds + stamp over any class map and matching
+    * `(node, brand, size)` vertex table — factored out so [[Dispatch]]
+    * can reuse the probe's class collect. */
+  private[graph] def classBlowup(s: org.apache.spark.sql.SparkSession,
+      sizes: Map[(String, Long), Long], parts: DataFrame, iters: Int): DataFrame = {
     val edges = sizes.keys.toSeq
       .filter { case (b, sz) => sizes.contains((b, sz + 1)) }
       .map { case (b, sz) => ((b, sz), (b, sz + 1)) }
     val scores = quotientScores(sizes, edges, iters)
     val rows = scores.toSeq.map { case ((b, sz), (hub, auth)) => (b, sz, hub, auth) }
     val classDF = s.createDataFrame(rows).toDF("brand", "size", "hub", "authority")
-    graft.Tables.part(s, d)
-      .select(col("p_partkey").as("node"), col("p_brand").as("brand"),
-        col("p_size").cast("long").as("size"))
+    parts
       .join(broadcast(classDF), Seq("brand", "size"))
       .select(col("node"), col("hub"), col("authority"))
   }

@@ -195,8 +195,20 @@ object KTruss {
     */
   def quotientPartEdit(s: SparkSession, sfDir: String, k: Int): DataFrame = {
     import s.implicits._
+    val parts = graft.Tables.part(s, sfDir)
+      .select($"p_partkey".cast("long").as("node"), $"p_brand".as("brand"),
+        $"p_size".cast("long").as("size"))
+    quotientBlowup(s, Quotient.collectClasses(s, sfDir), parts, k)
+  }
+
+  /** The in-process weighted peel + stamp over any class map and
+    * matching `(node, brand, size)` vertex table — factored out so
+    * [[Dispatch]] can reuse the probe's class collect and the specs
+    * can drive synthetic graphs through it. */
+  private[graph] def quotientBlowup(s: SparkSession,
+      classes: Map[(String, Long), Long], parts: DataFrame, k: Int): DataFrame = {
+    import s.implicits._
     require(k >= 3, s"k-truss needs k >= 3, got $k")
-    val classes = Quotient.collectClasses(s, sfDir) // (brand, size) -> count
     val present = classes.keySet
     // class edges: same brand, size differing by exactly 1 or 2
     var alive: Set[(String, Long, Long)] = present.flatMap { case (b, sz) =>
@@ -232,12 +244,10 @@ object KTruss {
       StructField("slo", LongType), StructField("shi", LongType),
       StructField("tsup", LongType)))
     val classEdges = s.createDataFrame(rows.asJava, schema)
-    val p = graft.Tables.part(s, sfDir)
-      .select($"p_partkey".cast("long").as("uid"), $"p_brand".as("ubrand"),
-        $"p_size".cast("long").as("usize"))
-    val q = graft.Tables.part(s, sfDir)
-      .select($"p_partkey".cast("long").as("vid"), $"p_brand".as("vbrand"),
-        $"p_size".cast("long").as("vsize"))
+    val p = parts
+      .select($"node".as("uid"), $"brand".as("ubrand"), $"size".as("usize"))
+    val q = parts
+      .select($"node".as("vid"), $"brand".as("vbrand"), $"size".as("vsize"))
     // stamp: u ranges over the lo class, v over the hi class — the
     // classes are disjoint, so each unordered fact pair appears once
     p.join(broadcast(classEdges), $"ubrand" === $"brand" && $"usize" === $"slo")

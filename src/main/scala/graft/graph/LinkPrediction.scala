@@ -10,15 +10,19 @@ import org.apache.spark.sql.functions._
   * transcendental ln has no cross-engine bit contract while ONE IEEE
   * division does — same family, same ranking intent, engine-exact.
   *
-  * Scale shape: wedge enumeration is the triangle-count join (Σdeg²
-  * work — fine under a structural degree cap like the part
-  * edit-graph's; a celebrity-skewed graph would need
-  * NodeSimilarity's positional-block decomposition instead), the
-  * known-edge exclusion is a left-anti equi-join, per-wedge
-  * contributions are DECIMAL(28,12)-quantized before the exact
-  * order-independent sum, and the global top-k is Spark's
-  * TakeOrderedAndProject (map-side k per partition, never a full
-  * sort); the rank stamp then windows over only those k rows.
+  * Scale shape: wedge enumeration uses NodeSimilarity's
+  * POSITIONAL-BLOCK decomposition (not the naive Σdeg² edge
+  * self-join): neighbors of each witness w are ranked into blocks of
+  * ≤ τ, single-block witnesses stream their C(deg,2) pairs map-side
+  * through chained generators, and a celebrity witness's d² wedges
+  * spread over ⌈d/τ⌉² bounded tasks — with deg(w) riding each block
+  * row so the per-wedge 1/deg(w) contribution needs no extra join.
+  * The known-edge exclusion is a left-anti equi-join AFTER the pair
+  * aggregation (pair-sized, not wedge-sized), per-wedge contributions
+  * are DECIMAL(28,12)-quantized before the exact order-independent
+  * sum, and the global top-k is Spark's TakeOrderedAndProject
+  * (map-side k per partition, never a full sort); the rank stamp then
+  * windows over only those k rows.
   */
 object LinkPrediction {
   private val M = org.apache.spark.sql.types.DecimalType(28, 12)
@@ -44,12 +48,18 @@ object LinkPrediction {
     * @return same schema/semantics as [[resourceAllocation]] on the
     *         widened symmetric edit graph of `parts`. */
   def resourceAllocationQuotient(s: org.apache.spark.sql.SparkSession,
-      parts: DataFrame, topK: Int): DataFrame = {
+      parts: DataFrame, topK: Int): DataFrame =
+    quotientWithClasses(s, Quotient.collectClasses(parts
+      .groupBy(col("p_brand").as("brand"), col("p_size").cast("long").as("size"))
+      .agg(count(lit(1)).as("cnt"))), parts, topK)
+
+  /** The class sweep + candidate-tier stamp over a precomputed class
+    * map — factored out so [[Dispatch]] can reuse the probe's class
+    * collect instead of aggregating twice. */
+  private[graph] def quotientWithClasses(s: org.apache.spark.sql.SparkSession,
+      sizes: Map[(String, Long), Long], parts: DataFrame, topK: Int): DataFrame = {
     import s.implicits._
     type C = (String, Long)
-    val sizes: Map[C, Long] = Quotient.collectClasses(parts
-      .groupBy(col("p_brand").as("brand"), col("p_size").cast("long").as("size"))
-      .agg(count(lit(1)).as("cnt")))
     def neighbors(c: C): Seq[C] = {
       val (b, sz) = c
       Seq(sz - 2, sz - 1, sz + 1, sz + 2).map(x => (b, x)).filter(sizes.contains)
@@ -113,24 +123,67 @@ object LinkPrediction {
       .select(col("rank"), col("u"), col("v"), col("n_common"), col("score"))
   }
 
+  /** All witnessed pairs (u, v) with u's sort rank before v's within
+    * one block row, each tagged with the witness's degree — the RA
+    * variant of NodeSimilarity's chained-generator pair stream (the
+    * sorted positional blocks guarantee u ≤ v; u = v ties from
+    * parallel edges are filtered by the caller). */
+  private def wedgePairs(df: DataFrame): DataFrame =
+    df.select(col("part"), col("degw"), posexplode(col("part")).as(Seq("i", "u")))
+      .select(col("u"), explode(expr("slice(part, i + 2, size(part))")).as("v"),
+        col("degw"))
+
   /** @param edges SYMMETRIC (src, dst) edge list (both directions
     *              present), no self-loops.
     * @param topK  rows to return.
+    * @param tau   positional-block cap: every aggregation buffer and
+    *              every generator input holds ≤ τ neighbor ids, and a
+    *              degree-d witness's d² wedges spread over ⌈d/τ⌉²
+    *              tasks. Output is τ-invariant (spec-pinned).
     * @return (rank, u, v, n_common, score) for the topK non-adjacent
     *         pairs u < v by (score DESC, u ASC, v ASC). */
-  def resourceAllocation(edges: DataFrame, topK: Int): DataFrame = {
+  def resourceAllocation(edges: DataFrame, topK: Int, tau: Int = 256): DataFrame = {
+    require(tau >= 2, s"block cap tau must be >= 2, got $tau")
     val e = edges.select(col("src"), col("dst"))
-    val deg = e.groupBy(col("src").as("w")).agg(count(lit(1)).as("degw"))
-    val x = e.select(col("src").as("w"), col("dst").as("u"))
-    val y = e.select(col("src").as("w"), col("dst").as("v"))
+    // Positional blocks, exactly NodeSimilarity.jaccard's shape: ONE
+    // shuffle on the witness vertex; rank and degree ride the same
+    // exchange; the bounded per-(mid, blk) collect reuses the
+    // partitioning. deg(w) is stored on the block row — the wedge
+    // stream never joins a degree table.
+    val byMid = Window.partitionBy(col("src")).orderBy(col("dst"))
+    val blocks = e
+      .withColumn("rank", row_number().over(byMid) - 1)
+      .withColumn("degw", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .groupBy(col("src").as("mid"), expr(s"rank div $tau").as("blk"))
+      .agg(sort_array(collect_list(col("dst"))).as("part"),
+        first(col("degw")).as("degw"))
+      .localCheckpoint(false)
+
+    // single-block witnesses: all pairs are within the one block
+    val cold = wedgePairs(blocks.filter(col("degw") <= tau))
+
+    val hot = blocks.filter(col("degw") > tau)
+    // within-block pairs, spread across tasks before the explode
+    val hotWithin = wedgePairs(hot.repartition(col("mid"), col("blk")))
+    // cross-block pairs: block self-join (bi < bj), re-hashed on
+    // (mid, bi, bj) so one celebrity's block pairs spread cluster-wide
+    val hotCross = hot.as("x")
+      .join(hot.as("y"),
+        col("x.mid") === col("y.mid") && col("x.blk") < col("y.blk"))
+      .select(col("x.mid").as("mid"), col("x.blk").as("bx"), col("y.blk").as("by"),
+        col("x.part").as("nx"), col("y.part").as("ny"), col("x.degw").as("degw"))
+      .repartition(col("mid"), col("bx"), col("by"))
+      .select(col("ny"), col("degw"), explode(col("nx")).as("u"))
+      .select(col("u"), explode(col("ny")).as("v"), col("degw"))
+
     val canon = e.filter(col("src") < col("dst"))
       .select(col("src").as("u"), col("dst").as("v"))
-    x.join(y, "w").filter(col("u") < col("v"))
-      .join(canon, Seq("u", "v"), "left_anti")
-      .join(deg, "w")
+    cold.union(hotWithin).union(hotCross)
+      .filter(col("u") =!= col("v")) // parallel-edge guard: the wedge join never paired an edge with itself
       .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"),
         sum((lit(1.0) / col("degw").cast("double")).cast(M)).as("sc"))
+      .join(canon, Seq("u", "v"), "left_anti")
       .select(col("u"), col("v"), col("n_common"),
         col("sc").cast("double").as("score"))
       .orderBy(col("score").desc, col("u").asc, col("v").asc).limit(topK)

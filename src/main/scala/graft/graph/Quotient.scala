@@ -38,10 +38,19 @@ object Quotient {
     * in that order. Serves the fast paths that run off an arbitrary
     * vertex table (Anf's property-spec blow-ups, LinkPrediction's
     * widened graph) so the guard discipline stays single-sourced. */
-  def collectClasses(classCounts: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] = {
-    val cls = classCounts.limit(MAX_CLASSES + 1).collect()
-    require(cls.length <= MAX_CLASSES,
-      s"class graph exceeds the $MAX_CLASSES domain bound — not a dimension-bounded quotient")
-    cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+  def collectClasses(classCounts: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
+    probeClasses(classCounts, MAX_CLASSES).getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: class graph exceeds the $MAX_CLASSES domain bound — not a dimension-bounded quotient"))
+
+  /** The NON-THROWING form of the guard — [[Dispatch]]'s probe. Same
+    * bounded collect (the limit INSIDE, ≤ bound + 1 rows ever reach
+    * the driver); a class graph past the bound answers None (route to
+    * the general engine) where [[collectClasses]] throws (a caller
+    * that HARD-ASSERTED boundedness was lying). */
+  def probeClasses(classCounts: org.apache.spark.sql.DataFrame,
+                   bound: Int): Option[Map[(String, Long), Long]] = {
+    val cls = classCounts.limit(bound + 1).collect()
+    if (cls.length > bound) None
+    else Some(cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap)
   }
 }

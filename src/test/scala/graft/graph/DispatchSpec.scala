@@ -1,0 +1,130 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** The round-9 dispatcher contract, for all seven routed operators:
+  *
+  *   1. PROBE — Some(exact class map) within the bound, None past it.
+  *   2. ROUTING AGREEMENT — on the same dimension-bounded blow-up
+  *      graph, the default-bound route (quotient) and a
+  *      forced-fallback route (injected bound below the class count →
+  *      general engine) produce BIT-IDENTICAL results. This subsumes
+  *      "fallback still answers": the general engine runs to
+  *      completion and agrees row-for-row.
+  *   3. UNSTRUCTURED FALLBACK — a graph where every node is its own
+  *      class (class count ≫ any useful bound) routes to the general
+  *      engine through the dispatcher and answers; the direct
+  *      quotient guard would have thrown.
+  *
+  * Same seeded-RNG random-class-graph discipline as
+  * QuotientPropertySpec (whose per-engine twins pin the arithmetic;
+  * this spec pins the ROUTING). */
+class DispatchSpec extends SparkSpec {
+
+  private def randomClasses(rng: scala.util.Random): Map[(String, Long), Long] = {
+    val brands = 2 + rng.nextInt(3)
+    (for {
+      b <- 1 to brands
+      s <- 1L to 8L
+      if rng.nextDouble() < 0.6
+    } yield (s"B$b", s) -> (1L + rng.nextInt(4))).toMap
+  }
+
+  private def partsOf(sizes: Map[(String, Long), Long]): Seq[(Long, String, Long)] = {
+    var id = 0L
+    sizes.toSeq.sortBy(_._1).flatMap { case ((b, s), n) =>
+      (1L to n).map { _ => id += 1; (id, b, s) }
+    }
+  }
+
+  private def asRows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
+    df.collect().map(_.toSeq).toSet
+
+  /** Both routes of one dispatch entry on one graph: default bound
+    * (quotient) vs a bound of 1 (always below any non-empty class
+    * count → general engine). */
+  private def bothRoutes(f: Int => org.apache.spark.sql.DataFrame,
+                         what: String): Unit = {
+    val quotient = f(Quotient.MAX_CLASSES)
+    val general = f(1)
+    assert(quotient.schema.fieldNames.toSeq === general.schema.fieldNames.toSeq,
+      s"$what: route schemas diverge")
+    assert(asRows(quotient) === asRows(general), s"$what: routes diverge")
+  }
+
+  test("probe: exact class map within bound, None past it") {
+    import spark.implicits._
+    val sizes = Map(("B1", 1L) -> 2L, ("B1", 2L) -> 3L, ("B2", 5L) -> 1L)
+    val parts = partsOf(sizes).toDF("node", "brand", "size")
+    assert(Dispatch.probe(parts) === Some(sizes))
+    assert(Dispatch.probe(parts, bound = 3) === Some(sizes))
+    assert(Dispatch.probe(parts, bound = 2) === None)
+  }
+
+  test("routing agreement: quotient and forced-general routes bit-identical on random class graphs (all 7 operators)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(20260815L)
+    var trialsRun = 0
+    for (trial <- 1 to 3) {
+      val sizes = randomClasses(rng)
+      val flagged = partsOf(sizes).map(p => (p._1, p._2, p._3, rng.nextDouble() < 0.3))
+      val hasWideEdge = sizes.keys.exists { case (b, s) =>
+        Seq(1L, 2L).exists(d => sizes.contains((b, s + d))) }
+      val hasUpEdge = sizes.keys.exists { case (b, s) => sizes.contains((b, s + 1)) }
+      if (hasWideEdge && hasUpEdge && flagged.exists(_._4)) {
+        trialsRun += 1
+        val parts = flagged.map(p => (p._1, p._2, p._3)).toDF("node", "brand", "size")
+        val partsSeeded = flagged.toDF("node", "brand", "size", "is_seed")
+        bothRoutes(b => Dispatch.mis(spark, parts, bound = b), s"trial $trial mis")
+        bothRoutes(b => Dispatch.ktruss(spark, parts, k = 4, bound = b), s"trial $trial ktruss")
+        bothRoutes(b => Dispatch.hits(spark, parts, iters = 3, bound = b), s"trial $trial hits")
+        bothRoutes(b => Dispatch.resourceAllocation(spark, parts, topK = 50, bound = b),
+          s"trial $trial ra")
+        bothRoutes(b => Dispatch.ppr(spark, partsSeeded, iters = 4, bound = b),
+          s"trial $trial ppr")
+        bothRoutes(b => Dispatch.anf(spark, parts, sampleMod = 1, tol = 0.4, bound = b),
+          s"trial $trial anf")
+        bothRoutes(b => Dispatch.jaccard(spark, parts, bound = b), s"trial $trial jaccard")
+      }
+    }
+    assert(trialsRun >= 2, s"only $trialsRun non-degenerate trials — routing under-exercised")
+  }
+
+  test("unstructured graph: class count past the bound falls back to the general engine and answers") {
+    import spark.implicits._
+    // every node its own class — a 40-node path per the ±1 rule, with
+    // ±2 chords under the wide rule; 40 classes > bound 8. The direct
+    // quotient guard throws on this; the dispatcher must route to the
+    // general engine instead and produce a real answer.
+    val parts = (1L to 40L).map(i => (i, "B", i)).toDF("node", "brand", "size")
+    assert(Dispatch.probe(parts, bound = 8) === None)
+    // the guard pair: the same bounded collect that answers None here
+    // is what collectClasses turns into a throw — single-sourced, so
+    // probe-None ⇔ direct-quotient-throw at the same bound
+    intercept[IllegalArgumentException] {
+      val agg = parts.groupBy($"brand", $"size".cast("long").as("size"))
+        .agg(count(lit(1)).as("cnt"))
+      Quotient.probeClasses(agg, 8).getOrElse(throw new IllegalArgumentException(
+        "class graph exceeds the domain bound"))
+    }
+
+    val mis = Dispatch.mis(spark, parts, bound = 8).collect()
+    assert(mis.length === 40)
+    val chosen = mis.filter(_.getBoolean(1)).map(_.getLong(0)).toSet
+    // a maximal independent set on the ±1/±2-chord path: no two
+    // chosen nodes within distance 2, and every node within 2 of one
+    assert(chosen.nonEmpty)
+    assert(!chosen.exists(n => (1L to 2L).exists(d => chosen(n + d))))
+    assert((1L to 40L).forall(n => (-2L to 2L).exists(d => chosen(n + d))))
+
+    val ppr = Dispatch.ppr(spark,
+      parts.withColumn("is_seed", $"node" % 10 === 0), iters = 3, bound = 8)
+    assert(ppr.count() === 40) // every path node has a neighbor
+    assert(ppr.agg(sum($"rank")).head.getDouble(0) > 0.0)
+
+    val jac = Dispatch.jaccard(spark, parts, bound = 8)
+    // path+chords: interior nodes at distance ≤ 4 share a neighbor
+    assert(jac.count() > 0)
+  }
+}

@@ -54,6 +54,26 @@ class LinkPredictionSpec extends SparkSpec {
     assert(quot.toSeq === facts.toSeq)
   }
 
+  test("positional-block decomposition is tau-invariant (hot path ≡ cold path) on a hot-hub graph") {
+    // one celebrity witness of degree 60 (past tau=8: within-block AND
+    // cross-block pairs exercise), plus low-degree structure so scores
+    // differ across pairs; tau=1000 keeps every witness single-block.
+    val hub = (1L to 60L).map(i => (100L + i, 1L))
+    val extra = Seq((101L, 102L), (103L, 104L), (103L, 105L), (200L, 101L), (200L, 103L))
+    val e = sym(hub ++ extra: _*)
+    val coarse = LinkPrediction.resourceAllocation(e, 500, tau = 1000).collect().toSeq
+    val fine = LinkPrediction.resourceAllocation(e, 500, tau = 8).collect().toSeq
+    assert(coarse.nonEmpty)
+    assert(fine === coarse, "hot-path block split must be bit-identical to the single-block path")
+  }
+
+  test("parallel edges weight wedges like the wedge join (duplicate edge = duplicate witness slot)") {
+    // witness 10 connects u=1 twice (parallel) and v=2 once: the pair
+    // (1,2) gets TWO wedges through deg-3 witness 10 → n_common 2.
+    val out = scores(sym((1L, 10L), (1L, 10L), (2L, 10L)))
+    assert(out((1L, 2L))._1 === 2L)
+  }
+
   test("topK truncates by (score DESC, u, v) with contiguous ranks") {
     val e = GraphBuilder.partEdgesWide(spark, sfDir)
     val rows = LinkPrediction.resourceAllocation(e, 12).collect()
