@@ -40,7 +40,8 @@ import scala.util.control.NonFatal
   * unit/queries/sf, per-key medians). The LAST line is a compact
   * summary (total, reps, sentinel, stream floor, per-stream-key
   * operator share = median − floor, per-pack sums, the 15 slowest
-  * keys) sized well under the driver's 2000-char stdout-tail
+  * keys, [rep1, median] for memoized keys whose first rep dwarfs
+  * their median) sized well under the driver's 2000-char stdout-tail
   * capture, so the round artifact parses complete even when line 1 is
   * truncated. BENCH_LOCAL.json carries line 1 plus the per-rep
   * samples.
@@ -213,13 +214,32 @@ object Bench {
     val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
       .map { case (k, v) => jsonStr(k) + ":" + ms(v) }
       .mkString("{", ",", "}")
+    // memoized keys (SessionCache or any other intra-suite reuse) pay
+    // their compute on rep 1 and read a cache on reps 2+, so the
+    // MEDIAN under-reports what the key costs cold; surface
+    // [rep1, median] for every key whose first rep dwarfs its median
+    // so compute cost stays visible across rounds without parsing the
+    // ledger. Data-driven (not a static key list): any memoization
+    // source qualifies, and a non-memoized key only appears under a
+    // one-off scheduling hiccup — which [rep1, median] reports
+    // honestly too. Top 15 by gap keeps the tail under the driver's
+    // 2000-char capture.
+    val rep1Gap = samples
+      .collect { case (k, xs) if xs.nonEmpty =>
+        (k, xs.head, median(xs)) }
+      .filter { case (_, r1, med) => r1 >= 2 * med && r1 - med >= 0.3 }
+      .sortBy { case (_, r1, med) => med - r1 }
+      .take(15)
+      .map { case (k, r1, med) => jsonStr(k) + s":[${ms(r1)},${ms(med)}]" }
+      .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => jsonStr(k) }
       .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"sentinel_sec":[${ms(sentinelStart)},${ms(sentinelEnd)}],""" +
         s""""stream_floor_sec":${ms(streamFloor)},"stream_share":$streamShare,""" +
-        s""""packs":$packs,"slowest":$slowest,"failed":$failed,"sf":${jsonStr(sfDir)}}""")
+        s""""packs":$packs,"slowest":$slowest,"rep1_gap":$rep1Gap,""" +
+        s""""failed":$failed,"sf":${jsonStr(sfDir)}}""")
     spark.stop()
   }
 }

@@ -110,7 +110,15 @@ object KTruss {
         greatest(col("src"), col("dst")).cast("long").as("b"))
       .filter($"a" =!= $"b")
       .distinct()
-    val tri = triangles(s, edges).localCheckpoint()
+    // The triangle table is the one WEDGE-LAW-sized artifact of the
+    // peel (≈135M rows at the 4.7M-edge ladder rung, vs edge-sized
+    // alive/dropped): checkpoint it DISK_ONLY so its storage never
+    // squeezes the unified pool's execution side — at default 16g the
+    // MEMORY_AND_DISK blocks pinned ~half the pool and the wedge
+    // join's 32 concurrent tasks died UNABLE_TO_ACQUIRE_MEMORY.
+    // Each peel round reads it once, sequentially — disk-friendly.
+    val tri = triangles(s, edges)
+      .localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     // initial supports; edges in no triangle have support 0 < k−2 and
     // cannot affect any other edge's support, so they are peeled at
     // initialization by never entering the alive set

@@ -253,6 +253,28 @@ object RelationalPack extends QueryPack {
             <= ZOrder.interleave($"x", $"y")).as("quad_ok"))
     },
 
+    // C31 (k-dim): 3-column Z-order key — Delta/Iceberg ZORDER BY
+    // takes k columns; the generalized interleave gives each of k
+    // dims ⌊62/k⌋ bits (20 at k = 3, bit i of dim j at i·k + j).
+    // Same discipline as q_zorder: every row's full interleave (any
+    // wrong bit flips the driver's hash) + the monotone-in-octant
+    // guarantee (clearing the low 5 bits of all three coords can
+    // only decrease the key — the property range pruning relies on).
+    // Scale shape: pure per-row codegen'd bit math, no UDF.
+    "q_zorder3" -> { (s, d) =>
+      import s.implicits._
+      import graft.sources.ZOrder
+      Tables.lineitem(s, d)
+        .select($"l_orderkey", $"l_linenumber",
+          $"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"),
+          $"l_quantity".cast("long").as("w"))
+        .select($"l_orderkey", $"l_linenumber",
+          ZOrder.interleaveN(Seq($"x", $"y", $"w")).as("zkey3"),
+          (ZOrder.interleaveN(Seq($"x".bitwiseAND(lit(~31L)),
+            $"y".bitwiseAND(lit(~31L)), $"w".bitwiseAND(lit(~31L))))
+            <= ZOrder.interleaveN(Seq($"x", $"y", $"w"))).as("oct_ok"))
+    },
+
     // C28: CDC log application with DELETE tombstones (the Delta/
     // Hudi MERGE compaction primitive C8's keep-latest doesn't
     // cover: a tombstone removes the key, a later upsert revives it,
@@ -748,6 +770,15 @@ object RelationalPack extends QueryPack {
          | ${oracleSqlExpr("l_partkey", "l_suppkey")} AS zkey,
          | (${oracleSqlExpr("(l_partkey & -32)", "(l_suppkey & -32)")}
          |  <= ${oracleSqlExpr("l_partkey", "l_suppkey")}) AS quad_ok
+         |FROM lineitem""".stripMargin
+    },
+    "q_zorder3" -> {
+      import graft.sources.ZOrder.oracleSqlExprN
+      val raw = Seq("l_partkey", "l_suppkey", "CAST(l_quantity AS BIGINT)")
+      val oct = raw.map(c => s"($c & -32)")
+      s"""SELECT l_orderkey, l_linenumber,
+         | ${oracleSqlExprN(raw)} AS zkey3,
+         | (${oracleSqlExprN(oct)} <= ${oracleSqlExprN(raw)}) AS oct_ok
          |FROM lineitem""".stripMargin
     },
 

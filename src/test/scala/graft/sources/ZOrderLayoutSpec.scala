@@ -46,6 +46,73 @@ class ZOrderLayoutSpec extends SparkSpec {
     assert(err.getMessage.contains("zorder domain"), s"wrong guard error: ${err.getMessage}")
   }
 
+  test("k-dim interleave matches a plain-Scala reference bit-for-bit (k = 3) and bounds the sign bit") {
+    import spark.implicits._
+    val k = 3
+    val bits = ZOrder.bitsPerDim(k)
+    assert(bits === 20)
+    assert(ZOrder.bitsPerDim(2) === ZOrder.BITS, "k = 2 must reproduce the shipped 2-D layout")
+    def ref(vs: Seq[Long]): Long =
+      (for { i <- 0 until bits; j <- vs.indices } yield
+        (vs(j) & (1L << i)) << (i * (k - 1) + j)).reduce(_ | _)
+    val top = (1L << bits) - 1
+    val probe = Seq(Seq(0L, 0L, 0L), Seq(1L, 0L, 0L), Seq(0L, 1L, 0L), Seq(0L, 0L, 1L),
+      Seq(1999L, 99L, 7L), Seq(top, top, top))
+    val got = probe.map(p => (p(0), p(1), p(2))).toDF("x", "y", "w")
+      .select($"x", $"y", $"w", ZOrder.interleaveN(Seq($"x", $"y", $"w")).as("z"))
+      .collect().map(r => Seq(r.getLong(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    probe.foreach { p =>
+      assert(got(p) === ref(p), s"interleaveN($p)")
+      assert(got(p) >= 0, s"sign overflow at $p")
+    }
+    // octant monotonicity: clearing low bits of every coord never
+    // increases the key (the property range pruning relies on)
+    probe.foreach { p =>
+      assert(ref(p.map(_ & ~31L)) <= ref(p), s"octant base above point at $p")
+    }
+    // the k-dim domain guard is loud at the SHRUNKEN per-dim bound
+    val err = expectTaskFailures(intercept[Exception] {
+      Seq((1L << bits, 0L, 0L)).toDF("x", "y", "w")
+        .select(ZOrder.interleaveN(Seq($"x", $"y", $"w"))).collect()
+    })
+    assert(err.getMessage.contains("zorder domain"), s"wrong guard error: ${err.getMessage}")
+  }
+
+  test("a 3rd-dimension probe reads a fraction of the bytes off the 3-D z-layout vs the partkey-sorted layout") {
+    import spark.implicits._
+    val sf01 = "/root/testdata/sf0.01"
+    val li = graft.Tables.lineitem(spark, sf01)
+      .select($"l_partkey", $"l_suppkey", $"l_quantity".cast("long").as("l_quantity"))
+    val root = graft.util.Scratch.dir("zorder3_layout")
+    val linearPath = s"$root/linear"
+    val zPath = s"$root/zorder3"
+    li.repartitionByRange(16, $"l_partkey").sortWithinPartitions("l_partkey")
+      .write.mode("overwrite").parquet(linearPath)
+    ZOrder.writeClusteredN(li.toDF(), Seq("l_partkey", "l_suppkey", "l_quantity"),
+      zPath, files = 16)
+
+    // probe the THIRD clustered dimension — invisible to the 1-D sort
+    def probe(path: String): (Long, Long) = {
+      val r = spark.read.parquet(path)
+        .filter($"l_quantity".between(1L, 4L))
+        .agg(count(lit(1)).as("n"), sum($"l_suppkey").as("s"))
+        .collect()(0)
+      (r.getLong(0), r.getLong(1))
+    }
+    val ansLinear = probe(linearPath)
+    val ansZ = probe(zPath)
+    assert(ansZ === ansLinear, "layout changed the query answer")
+    assert(ansLinear._1 > 100, s"probe too selective to be meaningful: ${ansLinear._1} rows")
+
+    val bLinear = bytesRead(probe(linearPath))
+    val bZ = bytesRead(probe(zPath))
+    assert(bLinear > 0 && bZ > 0, s"vacuous: no input bytes measured ($bLinear, $bZ)")
+    assert(bZ * 4 < bLinear * 3,
+      s"3-D z-layout read $bZ B vs linear $bLinear B — expected a measurable " +
+        "reduction: each z-file bounds the quantity domain at 20-bit resolution, " +
+        "the partkey-sorted files all span it")
+  }
+
   test("a suppkey probe reads a fraction of the bytes off the z-layout vs the partkey-sorted layout") {
     import spark.implicits._
     val sf01 = "/root/testdata/sf0.01"
