@@ -48,18 +48,26 @@ object RandomWalks {
     * (seed, step, node) for step 0..steps, one walk per seed. */
   def run(s: SparkSession, edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     require(steps >= 0, s"steps must be >= 0, got $steps")
-    val norm = edges
-      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
-      .localCheckpoint(false)
     // positional adjacency: pos is 0-based rank of dst among the
     // node's (distinct) neighbors sorted ascending — element pos of
-    // the sorted neighbor list, without ever materializing the list
-    val adj = norm
+    // the sorted neighbor list, without ever materializing the list.
+    // ONE edge-sized checkpoint, on DISK (the KTruss/KCore peel
+    // discipline): it is read once per hop, and at the 52M-edge sf1x
+    // rung the previous three in-memory checkpoints (raw distinct +
+    // adjacency + degrees) crowded the unified pool and starved the
+    // dedup aggregation (UNABLE_TO_ACQUIRE_MEMORY). deg derives FROM
+    // the checkpoint (row count per src ≡ the distinct-neighbor
+    // count that positions are ranked over), so the raw distinct and
+    // the degree table no longer hold storage at all.
+    val adj = edges
+      .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+      .distinct()
       .withColumn("pos",
         row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
-      .localCheckpoint(false)
-    val deg = norm.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    // vertex-sized (not edge-sized): fine to keep in memory, and the
+    // checkpoint stops each hop re-aggregating the disk blocks
+    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(false)
     // uniquely-named projections: the loop joins cur (whose lineage
     // already contains adj/deg from earlier hops) back against them,

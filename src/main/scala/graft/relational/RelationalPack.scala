@@ -260,14 +260,22 @@ object RelationalPack extends QueryPack {
     // wrong bit flips the driver's hash) + the monotone-in-octant
     // guarantee (clearing the low 5 bits of all three coords can
     // only decrease the key — the property range pruning relies on).
+    // The three dims are STRUCTURALLY bounded at any SF (ship-day
+    // since 1992 < 2^20 for ~2,800 years; quantity 1–50; linenumber
+    // 1–7) — the scale ladder's first sf0.3x run caught raw entity
+    // keys here blowing the 20-bit domain (ScaleUp offsets them by
+    // replica·1e8; a raw surrogate key outgrows ⌊62/k⌋ bits at scale,
+    // which is exactly what the loud guard exists to refuse — a
+    // production k-dim key normalizes first, as writeClusteredN does).
     // Scale shape: pure per-row codegen'd bit math, no UDF.
     "q_zorder3" -> { (s, d) =>
       import s.implicits._
       import graft.sources.ZOrder
       Tables.lineitem(s, d)
         .select($"l_orderkey", $"l_linenumber",
-          $"l_partkey".cast("long").as("x"), $"l_suppkey".cast("long").as("y"),
-          $"l_quantity".cast("long").as("w"))
+          datediff($"l_shipdate", lit("1992-01-01")).cast("long").as("x"),
+          $"l_quantity".cast("long").as("y"),
+          $"l_linenumber".cast("long").as("w"))
         .select($"l_orderkey", $"l_linenumber",
           ZOrder.interleaveN(Seq($"x", $"y", $"w")).as("zkey3"),
           (ZOrder.interleaveN(Seq($"x".bitwiseAND(lit(~31L)),
@@ -774,7 +782,8 @@ object RelationalPack extends QueryPack {
     },
     "q_zorder3" -> {
       import graft.sources.ZOrder.oracleSqlExprN
-      val raw = Seq("l_partkey", "l_suppkey", "CAST(l_quantity AS BIGINT)")
+      val raw = Seq("date_diff('day', DATE '1992-01-01', l_shipdate)",
+        "CAST(l_quantity AS BIGINT)", "CAST(l_linenumber AS BIGINT)")
       val oct = raw.map(c => s"($c & -32)")
       s"""SELECT l_orderkey, l_linenumber,
          | ${oracleSqlExprN(raw)} AS zkey3,

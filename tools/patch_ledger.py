@@ -1,0 +1,38 @@
+#!/usr/bin/env python3
+"""DEV-ONLY: fold healed per-key re-measurements into a scaling
+ledger (the round-8 'keys healed mid-round' protocol, scripted):
+replaces the named keys' median + samples with the heal run's and
+recomputes the total as the sum of positive medians. The heal run
+used the same Bench protocol (same reps as the target ledger's rung,
+same warmup/cooldown/noop-sink).
+
+Usage: patch_ledger.py <target_ledger> <heal_ledger> [key ...]
+       (no keys -> every key present in the heal ledger)
+"""
+import json, sys
+
+
+def main():
+    target_p, heal_p, keys = sys.argv[1], sys.argv[2], sys.argv[3:]
+    with open(target_p) as f:
+        target = json.load(f)
+    with open(heal_p) as f:
+        heal = json.load(f)
+    keys = keys or sorted(heal["queries"])
+    for k in keys:
+        v = heal["queries"][k]
+        if v < 0:
+            raise SystemExit(f"refusing to fold a FAILED heal value for {k}")
+        target["queries"][k] = v
+        if "samples" in target and "samples" in heal:
+            target["samples"][k] = heal["samples"][k]
+    target["value"] = round(sum(v for v in target["queries"].values() if v >= 0), 3)
+    healed = sorted(set(target.get("healed", [])) | set(keys))
+    target["healed"] = healed
+    with open(target_p, "w") as f:
+        f.write(json.dumps(target) + "\n")
+    print(f"{target_p}: folded {keys}; total={target['value']}")
+
+
+if __name__ == "__main__":
+    main()
