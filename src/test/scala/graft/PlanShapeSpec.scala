@@ -101,6 +101,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Join"), s"q_asof must not contain a join:\n$plan")
   }
 
+  test("the general RA engine (Dispatch fallback route) keeps the skew-proof block shape") {
+    // the shipped g_adamic_adar key routes to the quotient at any
+    // class-bounded SF, so the FALLBACK engine's plan isn't covered
+    // by the all-keys sweep above — force it through the dispatcher
+    // with a bound of 1 and assert the scale-critical shape: no
+    // cartesian, no nested-loop join (every join is the equi block/
+    // canon/anti join), and no full global sort (top-k must stay
+    // TakeOrdered, map-side k per partition)
+    import org.apache.spark.sql.functions.col
+    val parts = graft.Tables.part(spark, sfDir)
+      .select(col("p_partkey").cast("long").as("node"),
+        col("p_brand").as("brand"), col("p_size").cast("long").as("size"))
+    val plan = graph.Dispatch.resourceAllocation(spark, parts, topK = 50, bound = 1)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"general RA has a cartesian:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"general RA has a nested-loop join:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"general RA's top-k must be TakeOrdered, not a global sort:\n$plan")
+  }
+
   test("q_skyline's only unpartitioned window runs over the domain-bounded band summary") {
     // The strictly-cheaper running max decomposes by price band so the
     // fact-scaled (price, size) grid never funnels through a single
