@@ -224,8 +224,11 @@ object Bench {
     // one-off scheduling hiccup — which [rep1, median] reports
     // honestly too. Top 15 by gap keeps the tail under the driver's
     // 2000-char capture.
+    // only keys where EVERY rep succeeded: timeIt drops failed reps,
+    // so with a failure xs.head would be the first SUCCESSFUL rep —
+    // a warm rep-2 mislabeled as the cold cost
     val rep1Gap = samples
-      .collect { case (k, xs) if xs.nonEmpty =>
+      .collect { case (k, xs) if xs.length == reps =>
         (k, xs.head, median(xs)) }
       .filter { case (_, r1, med) => r1 >= 2 * med && r1 - med >= 0.3 }
       .sortBy { case (_, r1, med) => med - r1 }

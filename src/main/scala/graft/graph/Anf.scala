@@ -97,6 +97,15 @@ object Anf {
                                     sampleMod: Int, tol: Double): DataFrame =
     quotientBlowupEst(s, parts, sampleMod, tol).select("node", "ball2", "anf_ok")
 
+  /** [[quotientBlowup]] over a PRECOMPUTED class map — so [[Dispatch]]
+    * can reuse its probe's collect instead of aggregating the vertex
+    * table twice per call (the KTruss.quotientBlowup pattern). */
+  private[graph] def quotientBlowup(s: SparkSession,
+      classes: Map[(String, Long), Long], parts: DataFrame,
+      sampleMod: Int, tol: Double): DataFrame =
+    quotientBlowupEst(s, classes, parts, sampleMod, tol)
+      .select("node", "ball2", "anf_ok")
+
   /** [[quotientBlowup]] WITH the est column — the equivalence specs
     * compare est doubles against [[run]]'s (est is a pure function of
     * the registers, so est equality pins the claimed bit-identical
@@ -104,11 +113,18 @@ object Anf {
   private[graft] def quotientBlowupEst(s: SparkSession, parts: DataFrame,
                                        sampleMod: Int, tol: Double): DataFrame = {
     import s.implicits._
-    GraftFunctions.register(s)
     // shares Quotient's guarded-collect discipline; runs off the
     // caller's vertex table so the spec can feed synthetic graphs
-    val classes = Quotient.collectClasses(
-      parts.groupBy($"brand", $"size").agg(count(lit(1)).as("cnt")))
+    quotientBlowupEst(s, Quotient.collectClasses(
+      parts.groupBy($"brand", $"size").agg(count(lit(1)).as("cnt"))),
+      parts, sampleMod, tol)
+  }
+
+  private def quotientBlowupEst(s: SparkSession,
+      classes: Map[(String, Long), Long], parts: DataFrame,
+      sampleMod: Int, tol: Double): DataFrame = {
+    import s.implicits._
+    GraftFunctions.register(s)
     val present = classes.keySet
     def adj(c: (String, Long)): Seq[(String, Long)] =
       Seq(-1L, 1L).map(d => (c._1, c._2 + d)).filter(present)

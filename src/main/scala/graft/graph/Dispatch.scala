@@ -20,7 +20,10 @@ import org.apache.spark.sql.functions._
   *     the driver) — fact-linear, map-side combinable, one job;
   *   - within the bound, the collected class map feeds the quotient
   *     path directly (the probe IS the quotient's class collect — no
-  *     second aggregation for the engines that consume the map);
+  *     second aggregation for ktruss/hits/ra/anf/jaccard, which
+  *     consume the plain map; MIS's per-round undecided collect and
+  *     PPR's seed-refined classes genuinely cannot reuse it, so for
+  *     those two the probe is the routing cost alone);
   *   - past the bound, the general engine runs over
   *     [[GraphBuilder.blowupEdges]] of the same vertex table — the
   *     same edit rule materialized as equi-joins, so the fallback is
@@ -41,13 +44,21 @@ object Dispatch {
 
   /** The probe: Some(class map) when the `(brand, size)` domain of
     * `parts` is within `bound`, None past it. One bounded collect,
-    * shared guard discipline with [[Quotient.collectClasses]]. */
+    * shared guard discipline with [[Quotient.collectClasses]].
+    *
+    * The effective bound is capped at [[Quotient.MAX_CLASSES]]: the
+    * quotient engines re-guard their own internal collects at that
+    * hard limit, so routing a larger class graph to them would trade
+    * the documented fall-back for their throw. Clamping keeps the
+    * contract — ANY bound routes, never raises — at the cost of a
+    * larger-than-MAX_CLASSES request falling back earlier than
+    * asked. */
   def probe(parts: DataFrame,
             bound: Int = Quotient.MAX_CLASSES): Option[Map[(String, Long), Long]] =
     Quotient.probeClasses(
       parts.groupBy(col("brand"), col("size").cast("long").as("size"))
         .agg(count(lit(1)).as("cnt")),
-      bound)
+      math.min(bound, Quotient.MAX_CLASSES))
 
   /** The shipped part-table vertex set in the dispatch contract's
     * column shape. */
@@ -116,7 +127,7 @@ object Dispatch {
   def anf(s: SparkSession, parts: DataFrame, sampleMod: Int, tol: Double,
           bound: Int = Quotient.MAX_CLASSES): DataFrame =
     probe(parts, bound) match {
-      case Some(_) => Anf.quotientBlowup(s, parts, sampleMod, tol)
+      case Some(classes) => Anf.quotientBlowup(s, classes, parts, sampleMod, tol)
       case None => Anf.propagationReference(s,
           GraphBuilder.blowupEdges(parts, Seq(1L), symmetric = true),
           sampleMod, tol)

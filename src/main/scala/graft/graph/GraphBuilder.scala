@@ -108,18 +108,15 @@ object GraphBuilder {
   }
 
   /** Shared size-rule scaffolding: directed up-edges src → dst where
-    * dst is the same brand, `delta` sizes up — one EQUI-join per
-    * offset (never a range join), unioned. The three part edit-graph
-    * variants below differ only in offsets and symmetrization. */
-  private def sizeUpEdges(s: SparkSession, d: String, deltas: Seq[Int]): DataFrame = {
-    import s.implicits._
-    val p = Tables.part(s, d).select($"p_partkey", $"p_brand", $"p_size")
-    val b = p.select($"p_partkey".as("dst"), $"p_brand".as("brand_b"), $"p_size".as("size_b"))
-    deltas.map { delta =>
-      p.join(b, $"p_brand" === $"brand_b" && $"size_b" === $"p_size" + delta)
-        .select($"p_partkey".as("src"), $"dst")
-    }.reduce(_ union _)
-  }
+    * dst is the same brand, `delta` sizes up — ONE implementation,
+    * [[blowupEdges]], over the part table's vertex projection, so the
+    * shipped derived graphs and the Dispatch fallback graphs cannot
+    * drift (they materialize the identical edit rule). */
+  private def sizeUpEdges(s: SparkSession, d: String, deltas: Seq[Int]): DataFrame =
+    blowupEdges(
+      Tables.part(s, d).select(col("p_partkey").as("node"),
+        col("p_brand").as("brand"), col("p_size").as("size")),
+      deltas.map(_.toLong), symmetric = false)
 
   /** DIRECTED size-up part graph: the non-symmetrized orientation of
     * [[partEdges]] (src → dst where dst is the same brand one size

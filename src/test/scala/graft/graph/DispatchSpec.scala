@@ -38,8 +38,10 @@ class DispatchSpec extends SparkSpec {
     }
   }
 
-  private def asRows(df: org.apache.spark.sql.DataFrame): Set[Seq[Any]] =
-    df.collect().map(_.toSeq).toSet
+  /** MULTISET of rows (row -> count): a Set would collapse duplicate
+    * rows, letting one route emit extra copies undetected. */
+  private def asRows(df: org.apache.spark.sql.DataFrame): Map[Seq[Any], Int] =
+    df.collect().map(_.toSeq).groupBy(identity).view.mapValues(_.length).toMap
 
   /** Both routes of one dispatch entry on one graph: default bound
     * (quotient) vs a bound of 1 (always below any non-empty class

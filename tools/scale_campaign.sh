@@ -22,8 +22,18 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 R=$(pwd)
 
+# corpus guard: require the LAST table ScaleUp writes to carry
+# Spark's _SUCCESS marker — a bare directory check would accept a
+# partial corpus left by an aborted run and silently bench it
+have_corpus() { [ -f "$1/embeddings.parquet/_SUCCESS" ]; }
+
+echo "== scaleup sf0.3x (3x sf0.1)"
+have_corpus /tmp/scale/sf0.3x || \
+  sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/scale/sf0.3x 3" \
+    > /tmp/campaign_scaleup_3x.log 2>&1
+
 echo "== scaleup sf1x (10x sf0.1)"
-[ -d /tmp/scale/sf1x/lineitem.parquet ] || \
+have_corpus /tmp/scale/sf1x || \
   sbt -batch "runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/scale/sf1x 10" \
     > /tmp/campaign_scaleup.log 2>&1
 

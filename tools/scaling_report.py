@@ -25,6 +25,13 @@ def main():
     d = sys.argv[1]
     rungs = ["sf0.001", "sf0.01", "sf0.1", "sf0.3x", "sf1x"]
     led = {sf: j for sf in rungs if (j := load(d, sf)) is not None}
+    # the four base rungs are REQUIRED (the table formats their cells
+    # unconditionally); only the sf1x bonus column is optional — fail
+    # loudly on a partial campaign instead of a KeyError mid-table
+    missing = [sf for sf in rungs[:4] if sf not in led]
+    if missing:
+        raise SystemExit(f"missing required ledger(s): {missing} in {d} "
+                         "(run tools/scale_campaign.sh to completion first)")
     have1x = "sf1x" in led
     keys = sorted(led["sf0.1"]["queries"])
     rows = []
