@@ -30,7 +30,10 @@ def main():
     healed = sorted(set(target.get("healed", [])) | set(keys))
     target["healed"] = healed
     with open(target_p, "w") as f:
-        f.write(json.dumps(target) + "\n")
+        # compact separators: Bench's BENCH_LOCAL record guard matches
+        # the literal '"sf":<value>' (no space) — default json.dumps
+        # spacing would silently divert the next full-suite record
+        f.write(json.dumps(target, separators=(",", ":")) + "\n")
     print(f"{target_p}: folded {keys}; total={target['value']}")
 
 
