@@ -131,11 +131,11 @@ object GraphBuilder {
     * partEdges' deletion analog). Interior parts of a brand's size
     * range reach up to 4 neighbors, which gives the graph genuine
     * core structure for [[KCore]]. */
-  def partEdgesWide(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val up = sizeUpEdges(s, d, Seq(1, 2))
-    up.union(up.select($"dst".as("src"), $"src".as("dst")))
-  }
+  def partEdgesWide(s: SparkSession, d: String): DataFrame =
+    blowupEdges(
+      Tables.part(s, d).select(col("p_partkey").as("node"),
+        col("p_brand").as("brand"), col("p_size").as("size")),
+      Seq(1L, 2L), symmetric = true)
 
   /** The size-edit blow-up edge list of an ARBITRARY `(node, brand,
     * size)` vertex table — the fallback route of [[Dispatch]]: when

@@ -27,6 +27,14 @@ def main():
         if "samples" in target and "samples" in heal:
             target["samples"][k] = heal["samples"][k]
     target["value"] = round(sum(v for v in target["queries"].values() if v >= 0), 3)
+    # a healed e_stream key's operator share (median - harness floor)
+    # must track its new median, or the record's share breakdown goes
+    # silently stale for exactly the folded key
+    floor = target.get("stream_floor_sec", -1)
+    if isinstance(target.get("stream_share"), dict) and floor >= 0:
+        for k in keys:
+            if k in target["stream_share"]:
+                target["stream_share"][k] = round(max(0.0, target["queries"][k] - floor), 3)
     healed = sorted(set(target.get("healed", [])) | set(keys))
     target["healed"] = healed
     with open(target_p, "w") as f:

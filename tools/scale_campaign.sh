@@ -22,10 +22,15 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 R=$(pwd)
 
-# corpus guard: require the LAST table ScaleUp writes to carry
-# Spark's _SUCCESS marker — a bare directory check would accept a
-# partial corpus left by an aborted run and silently bench it
-have_corpus() { [ -f "$1/embeddings.parquet/_SUCCESS" ]; }
+# corpus guard: require EVERY table's _SUCCESS marker — checking only
+# the last-written table would accept a torn corpus where an aborted
+# REgeneration overwrote early tables but died before reaching the
+# late ones (whose stale markers survive)
+have_corpus() {
+  for t in region nation customer supplier part orders lineitem events documents embeddings; do
+    [ -f "$1/$t.parquet/_SUCCESS" ] || return 1
+  done
+}
 
 echo "== scaleup sf0.3x (3x sf0.1)"
 have_corpus /tmp/scale/sf0.3x || \
