@@ -20,13 +20,25 @@ object EngineLadder {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-    val (reps, only) = {
-      val i = args.indexOf("--reps")
-      if (i >= 0) {
-        require(i + 1 < args.length, "--reps given without a value")
-        (args(i + 1).toInt, (args.take(i) ++ args.drop(i + 2)).toSet)
-      } else (3, args.toSet)
+    def flagValue(as: Seq[String], flag: String): (Option[String], Seq[String]) = {
+      val i = as.indexOf(flag)
+      if (i < 0) (None, as)
+      else {
+        require(i + 1 < as.length, s"$flag given without a value")
+        (Some(as(i + 1)), as.take(i) ++ as.drop(i + 2))
+      }
     }
+    val (repsV, rest1) = flagValue(args.toSeq, "--reps")
+    // --exclude a,b,c: run EVERYTHING BUT the named engines — derived
+    // from the registry, so an engine added later is measured by
+    // default instead of silently vanishing from an include-list
+    val (exclV, rest2) = flagValue(rest1, "--exclude")
+    val reps = repsV.map(_.toInt).getOrElse(3)
+    val excluded = exclV.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val only = rest2.toSet
+    require(excluded.isEmpty || only.isEmpty,
+      "--exclude and an include-list are mutually exclusive")
     val s = graft.GraftSession.local(defaultCpus = "32")
     import graft.graph._
 
@@ -65,10 +77,11 @@ object EngineLadder {
       "ra_quotient" -> (() => LinkPrediction.resourceAllocationQuotient(s,
         graft.Tables.part(s, sfDir)
           .select(col("p_partkey"), col("p_brand"), col("p_size")), 100)))
-    val unknown = only -- allEngines.map(_._1).toSet
+    val unknown = (only ++ excluded) -- allEngines.map(_._1).toSet
     require(unknown.isEmpty,
       s"unknown engine name(s) ${unknown.mkString(", ")} — known: ${allEngines.map(_._1).mkString(", ")}")
-    val engines = allEngines.filter { case (n, _) => only.isEmpty || only(n) }
+    val engines = allEngines.filter { case (n, _) =>
+      if (excluded.nonEmpty) !excluded(n) else only.isEmpty || only(n) }
 
     // one untimed warmup each (codegen + classloading out of band)
     engines.foreach { case (n, f) =>

@@ -102,14 +102,14 @@ class DispatchSpec extends SparkSpec {
     val parts = (1L to 40L).map(i => (i, "B", i)).toDF("node", "brand", "size")
     assert(Dispatch.probe(parts, bound = 8) === None)
     // the guard pair: the same bounded collect that answers None here
-    // is what collectClasses turns into a throw — single-sourced, so
-    // probe-None ⇔ direct-quotient-throw at the same bound
-    intercept[IllegalArgumentException] {
-      val agg = parts.groupBy($"brand", $"size".cast("long").as("size"))
-        .agg(count(lit(1)).as("cnt"))
-      Quotient.probeClasses(agg, 8).getOrElse(throw new IllegalArgumentException(
-        "class graph exceeds the domain bound"))
-    }
+    // is what collectClasses turns into a throw — exercise THAT path
+    // directly with a class domain past the hard MAX_CLASSES bound
+    // (the probe's injected bound of 8 doesn't reach collectClasses,
+    // whose bound is the hard limit)
+    val past = spark.range(Quotient.MAX_CLASSES + 1)
+      .select(lit("B").as("brand"), $"id".as("size"), lit(1L).as("cnt"))
+    val ex = intercept[IllegalArgumentException] { Quotient.collectClasses(past) }
+    assert(ex.getMessage.contains("domain bound"))
 
     val mis = Dispatch.mis(spark, parts, bound = 8).collect()
     assert(mis.length === 40)

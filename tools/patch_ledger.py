@@ -18,6 +18,16 @@ def main():
         target = json.load(f)
     with open(heal_p) as f:
         heal = json.load(f)
+    # the docstring's protocol ("same Bench protocol, same reps") is a
+    # precondition, not a promise: folding a wrong-SF or wrong-reps
+    # heal would silently corrupt the regression record — exactly the
+    # failure class Bench's record-SF guard exists to prevent
+    if heal.get("sf") != target.get("sf"):
+        raise SystemExit(
+            f"refusing to fold: heal sf={heal.get('sf')!r} != target sf={target.get('sf')!r}")
+    if heal.get("reps") != target.get("reps"):
+        raise SystemExit(
+            f"refusing to fold: heal reps={heal.get('reps')!r} != target reps={target.get('reps')!r}")
     keys = keys or sorted(heal["queries"])
     for k in keys:
         v = heal["queries"][k]

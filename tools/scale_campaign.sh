@@ -74,6 +74,9 @@ ladder sf0.001 /root/testdata/sf0.001 3 ""
 ladder sf0.01  /root/testdata/sf0.01  3 ""
 ladder sf0.1   /root/testdata/sf0.1   3 ""
 ladder sf0.3x  /tmp/scale/sf0.3x     3 ""
-ladder sf1x    /tmp/scale/sf1x       1 "mis_run mis_quotient hits_run hits_quotient ppr_run ppr_quotient anf_run anf_quotient ktruss_quotient ra_quotient jaccard_quotient"
+# --exclude derives the sf1x set from EngineLadder's registry minus
+# the three wedge-law engines — an engine added to the registry later
+# is measured here by default instead of silently dropped
+ladder sf1x    /tmp/scale/sf1x       1 "--exclude ktruss_run,ra_run,jaccard_run"
 
 echo "== campaign done"
