@@ -133,11 +133,23 @@ object RelationalPack extends QueryPack {
         .select($"c_custkey", $"c_name")
     },
 
-    // C6: anti-join — customers with no orders at all (NOT EXISTS)
+    // C6: anti-join — customers with no 1995 orders (NOT EXISTS).
+    // Anti-joining a bounded RECENT WINDOW of the fact table (not the
+    // whole of it) keeps the result non-degenerate at every SF: the
+    // generated data gives every customer SOME order, so the no-
+    // orders-at-all shape hash-matched an EMPTY set for nine rounds —
+    // a weak signal for the operator (round-9 verdict #4). The
+    // windowed shape has guaranteed survivors (most customers skip
+    // any given year) AND guaranteed non-survivors, so rows/hash
+    // exercise actual anti-join semantics.
     "q_anti" -> { (s, d) =>
       import s.implicits._
+      val o95 = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .select($"o_custkey")
       Tables.customer(s, d)
-        .join(Tables.orders(s, d).select($"o_custkey"), $"c_custkey" === $"o_custkey", "left_anti")
+        .join(o95, $"c_custkey" === $"o_custkey", "left_anti")
         .select($"c_custkey", $"c_acctbal")
     },
 
@@ -836,7 +848,8 @@ object RelationalPack extends QueryPack {
         |  AND o_orderpriority = '1-URGENT' AND o_orderstatus = 'O')""".stripMargin,
     "q_anti" ->
       """SELECT c_custkey, c_acctbal FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01')""".stripMargin,
     "q_window_topn" ->
       """SELECT p_brand, rank_in_brand, p_partkey, p_retailprice FROM (
         | SELECT p_brand, p_partkey, p_retailprice,
