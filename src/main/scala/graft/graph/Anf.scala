@@ -26,6 +26,16 @@ import graft.functions.GraftFunctions
   */
 object Anf {
 
+  /** Round-loop storage discipline (KCore/KTruss, round-10): counters
+    * checkpoint EAGERLY on DISK each round and the previous round's
+    * blocks are freed as soon as the successor materializes. The
+    * per-node 256-byte registers make the counter table the heaviest
+    * vertex state of any iterative engine here — non-eager in-memory
+    * checkpoints piled every round's generation into the unified pool
+    * at the final action, the sf1x 48g-driver failure (SCALING.md
+    * footnote ³). */
+  private val ROUND_LEVEL = org.apache.spark.storage.StorageLevel.DISK_ONLY
+
   /** Per-node counters after `rounds` propagation steps over the
     * bidirectional edge list: (node, regs binary, est double). */
   def run(s: SparkSession, edges: DataFrame, rounds: Int): DataFrame = {
@@ -35,10 +45,10 @@ object Anf {
     // the slim 2-column edge list, checkpointed once hash-partitioned
     // on the join key (the other iterative vertex programs' contract)
     val e = edges.select($"src", $"dst")
-      .repartition($"src").localCheckpoint(false)
+      .repartition($"src").localCheckpoint(false, ROUND_LEVEL)
     var counters = e.select($"src".as("node")).distinct()
       .select($"node", GraftFunctions.hllUnit(xxhash64($"node")).as("regs"))
-      .localCheckpoint(false)
+      .localCheckpoint(true, ROUND_LEVEL)
     for (_ <- 1 to rounds) {
       // shuffle_hash: build the vertex-sized counter table, STREAM
       // the edges — no per-round sort of the edge list, no exchange
@@ -47,13 +57,16 @@ object Anf {
       // caps it at O(V × 256 B) per partition
       val msgs = e.join(counters.hint("shuffle_hash"), e("src") === counters("node"))
         .select(e("dst").as("node"), $"regs")
-      counters = msgs.union(counters)
+      val next = msgs.union(counters)
         .groupBy($"node")
         .agg(GraftFunctions.hllMerge($"regs").as("regs"))
-        // truncate the per-round lineage (same contract as the other
-        // iterative vertex programs); lazy, so no extra job
-        .localCheckpoint(false)
+        .localCheckpoint(true, ROUND_LEVEL)
+      KTruss.freeCheckpoint(counters) // previous round: dead
+      counters = next
     }
+    // the final counters checkpoint underlies the returned plan — the
+    // caller's action streams it from disk; e stays pinned only until
+    // then, and a 2-column edge list on disk is not pool pressure
     counters.select($"node", $"regs", GraftFunctions.hllCard($"regs").as("est"))
   }
 
@@ -166,7 +179,10 @@ object Anf {
   private[graft] def propagationReference(s: SparkSession, edges: DataFrame,
                                           sampleMod: Int, tol: Double): DataFrame = {
     import s.implicits._
-    val e = edges.localCheckpoint(false)
+    // DISK: read by the propagation AND the 3-way exact-ball wedge
+    // join — an in-memory copy competed with the wedge shuffle for
+    // the pool at the 52M-edge rung
+    val e = edges.localCheckpoint(false, ROUND_LEVEL)
     val est = run(s, e, rounds = 2).filter($"node" % sampleMod === 0)
     val seeds = e.select($"src").distinct().filter($"src" % sampleMod === 0)
     val hop1 = seeds.join(e, "src").select($"src", $"dst".as("member"))

@@ -104,6 +104,17 @@ object Hits {
     }.toMap
   }
 
+  /** Round-loop storage discipline (the KCore/KTruss one, round-10):
+    * per-round score checkpoints are EAGER on DISK and the previous
+    * round's blocks are freed as soon as the successor materializes.
+    * Non-eager in-memory checkpoints deferred every round's
+    * materialization to the final action, at which point iters
+    * generations of vertex-sized blocks coexisted in the unified pool
+    * — the sf1x 48g-driver failure (SCALING.md footnote ³). The
+    * eager checkpoint costs one job per half-round; the loop is now
+    * memory-bounded at any graph size. */
+  private val ROUND_LEVEL = org.apache.spark.storage.StorageLevel.DISK_ONLY
+
   /** @param edges directed (src, dst); duplicates allowed (multi-edges
     *              count multiply, same as the oracle).
     * @param iters full hub+authority update rounds (K).
@@ -111,7 +122,8 @@ object Hits {
     *         dst; sinks have hub 0.0, sources authority 0.0. */
   def run(edges: DataFrame, iters: Int): DataFrame = {
     require(iters >= 1, s"HITS needs at least one round, got $iters")
-    val e = edges.select(col("src"), col("dst")).persist()
+    val e = edges.select(col("src"), col("dst"))
+      .persist(ROUND_LEVEL)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(eager = false)
@@ -120,27 +132,36 @@ object Hits {
     // contribute a message, so they join back once at the end.
     var h = e.select(col("src").as("node")).distinct()
       .select(col("node"), lit(1.0).as("h"))
-      .localCheckpoint(eager = false)
+      .localCheckpoint(true, ROUND_LEVEL)
     var a: DataFrame = null
     for (_ <- 1 to iters) {
+      // aRaw checkpoints lazily (its blocks are written while the
+      // eager `a` below materializes); `a` reads it once more inside
+      // the same job via the broadcast total, then it is dead
       val aRaw = e.join(h, e("src") === h("node"))
         .select(e("dst"), col("h").cast(M).as("c"))
         .groupBy(col("dst").as("anode")).agg(sum(col("c")).cast(S).as("araw"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(false, ROUND_LEVEL)
       val aTot = aRaw.agg(sum(col("araw")).cast(S).as("atot"))
-      a = aRaw.crossJoin(broadcast(aTot))
+      val aNext = aRaw.crossJoin(broadcast(aTot))
         .select(col("anode").as("node"),
           (col("araw").cast("double") / col("atot").cast("double")).as("a"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(true, ROUND_LEVEL)
+      KTruss.freeCheckpoint(aRaw)
+      if (a != null) KTruss.freeCheckpoint(a) // previous round's a: dead
+      a = aNext
       val hRaw = e.join(a, e("dst") === a("node"))
         .select(e("src"), col("a").cast(M).as("c"))
         .groupBy(col("src").as("hnode")).agg(sum(col("c")).cast(S).as("hraw"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(false, ROUND_LEVEL)
       val hTot = hRaw.agg(sum(col("hraw")).cast(S).as("htot"))
-      h = hRaw.crossJoin(broadcast(hTot))
+      val hNext = hRaw.crossJoin(broadcast(hTot))
         .select(col("hnode").as("node"),
           (col("hraw").cast("double") / col("htot").cast("double")).as("h"))
-        .localCheckpoint(eager = false)
+        .localCheckpoint(true, ROUND_LEVEL)
+      KTruss.freeCheckpoint(hRaw)
+      KTruss.freeCheckpoint(h) // previous round's h: dead
+      h = hNext
     }
     val out = nodes
       .join(h, Seq("node"), "left")
@@ -150,6 +171,9 @@ object Hits {
         coalesce(col("a"), lit(0.0)).as("authority"))
       .localCheckpoint()
     e.unpersist()
+    KTruss.freeCheckpoint(h)
+    KTruss.freeCheckpoint(a)
+    KTruss.freeCheckpoint(nodes)
     out
   }
 }

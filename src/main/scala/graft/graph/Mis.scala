@@ -28,6 +28,15 @@ import org.apache.spark.sql.functions._
   */
 object Mis {
 
+  /** Round-loop checkpoints live on DISK with eager per-round frees
+    * (the KCore/KTruss discipline): the loop's working state is
+    * edge-sized, two generations coexist at every round boundary, and
+    * each is read at most twice per round — in-memory copies starved
+    * the unified pool at the 52M-edge sf1x rung on a 16g driver
+    * (SCALING.md footnote ³); on disk the loop is memory-bounded at
+    * any edge count. */
+  private val ROUND_LEVEL = org.apache.spark.storage.StorageLevel.DISK_ONLY
+
   /** `vertices(id)`, `edges(src, dst)` bidirectional; returns every
     * vertex with its membership flag and joining round (null for
     * non-members). */
@@ -36,14 +45,23 @@ object Mis {
     import s.implicits._
     val verts = vertices.select(col("id").cast("long").as("node")).distinct()
       .localCheckpoint(false)
-    var u = verts.localCheckpoint()
+    var u = verts.localCheckpoint(true, ROUND_LEVEL)
     var e = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .filter($"src" =!= $"dst")
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(true, ROUND_LEVEL)
     var nU = u.count()
     var members = Seq.empty[DataFrame]
+    // any abnormal exit must free every live checkpoint (the KCore
+    // contract); winners checkpoints underlie the RESULT on success,
+    // so they are freed only on the throw path
+    def freeAndThrow(msg: String): Nothing = {
+      KTruss.freeCheckpoint(u)
+      KTruss.freeCheckpoint(e)
+      members.foreach(KTruss.freeCheckpoint)
+      throw new IllegalStateException(msg)
+    }
     var iter = 0
     while (nU > 0L && iter < maxIter) {
       iter += 1
@@ -57,21 +75,33 @@ object Mis {
         .filter(md5(concat(lit(s"${r}_"), $"node".cast("string"))) <
           coalesce($"mh", lit("g"))) // 'g' sorts above every hex digest
         .select($"node")
-        .localCheckpoint()
+        .localCheckpoint(true, ROUND_LEVEL)
       members = members :+ winners.withColumn("mis_round", lit(r.toLong))
       val removed = winners
         .union(e.join(winners.select($"node".as("src")), Seq("src"), "left_semi")
           .select($"dst".as("node")))
         .distinct()
-      u = u.join(removed, Seq("node"), "left_anti").localCheckpoint()
-      nU = u.count()
-      e = e.join(u.select($"node".as("src")), Seq("src"), "left_semi")
-        .join(u.select($"node".as("dst")), Seq("dst"), "left_semi")
+      val nextU = u.join(removed, Seq("node"), "left_anti")
+        .localCheckpoint(true, ROUND_LEVEL)
+      nU = nextU.count()
+      val nextE = e.join(nextU.select($"node".as("src")), Seq("src"), "left_semi")
+        .join(nextU.select($"node".as("dst")), Seq("dst"), "left_semi")
         .select($"src", $"dst")
-        .localCheckpoint()
+        .localCheckpoint(true, ROUND_LEVEL)
+      // both successors are materialized — the previous generation's
+      // blocks are dead, free them NOW (leaking one edge-sized
+      // checkpoint per round is what pinned the pool at sf1x)
+      KTruss.freeCheckpoint(u)
+      KTruss.freeCheckpoint(e)
+      u = nextU
+      e = nextE
     }
-    if (nU > 0L) throw new IllegalStateException(
+    if (nU > 0L) freeAndThrow(
       s"Luby MIS did not converge within $maxIter rounds ($nU nodes undecided)")
+    // converged: the final u is empty and e with it — their blocks
+    // don't underlie the result (built from verts + winners), free now
+    KTruss.freeCheckpoint(u)
+    KTruss.freeCheckpoint(e)
     val mis = members.reduceOption(_ union _)
       .getOrElse(verts.limit(0).withColumn("mis_round", lit(0L)))
     verts.join(mis, Seq("node"), "left")

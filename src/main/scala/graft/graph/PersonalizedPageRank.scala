@@ -54,6 +54,17 @@ object PersonalizedPageRank {
     else runDistributed(s, edges, seeds, iters)
   }
 
+  /** Round-loop storage discipline (KCore/KTruss, round-10): the
+    * per-round rank checkpoint is EAGER on DISK and the previous
+    * round's blocks are freed as soon as the successor materializes —
+    * non-eager in-memory checkpoints let iters generations of
+    * vertex-sized blocks (plus the edge checkpoint) pile into the
+    * unified pool at the final action, the sf1x 48g-driver failure
+    * (SCALING.md footnote ³). The loop-long tables (edges, teleport
+    * rows) sit on DISK too: each is streamed once per round, so disk
+    * I/O trades for pool headroom at any edge count. */
+  private val ROUND_LEVEL = org.apache.spark.storage.StorageLevel.DISK_ONLY
+
   private def runDistributed(s: SparkSession, edges: DataFrame, seeds: DataFrame,
                              iters: Int): DataFrame = {
     // The SLIM 2-column edge list is the only big table, checkpointed
@@ -63,7 +74,7 @@ object PersonalizedPageRank {
     // re-derived each round by the same aggregation that sums the
     // messages (max over the teleport rows, which carry it).
     val e = edges.select(col("src"), col("dst"))
-      .repartition(col("src")).localCheckpoint(false)
+      .repartition(col("src")).localCheckpoint(false, ROUND_LEVEL)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
     val sd = seeds.select(col("node").cast("long").as("node")).distinct()
       .localCheckpoint(false)
@@ -75,15 +86,15 @@ object PersonalizedPageRank {
       .select(col("node"), col("outdeg"),
         when(col("__seed").isNotNull, lit(base)).otherwise(lit(0.0)).as("teleport"))
       .repartition(col("node"))
-      .localCheckpoint(false)
+      .localCheckpoint(false, ROUND_LEVEL)
     // static teleport contribution rows (p(v)/α, quantized like any
     // other contribution), carrying each node's outdeg through the
     // round aggregation
     val tpRows = vstate.select(col("node").as("dst"),
         (col("teleport") / lit(0.85)).cast(M).as("contrib"), col("outdeg"))
-      .localCheckpoint(false)
+      .localCheckpoint(false, ROUND_LEVEL)
     var ranks = vstate.select(col("node"), col("outdeg"), col("teleport").as("rank"))
-      .localCheckpoint(false)
+      .localCheckpoint(true, ROUND_LEVEL)
     for (_ <- 1 to iters) {
       // shuffle_hash: build the vertex-sized side, STREAM the edges —
       // no per-round sort of the edge table (sort-merge re-sorted it
@@ -92,7 +103,7 @@ object PersonalizedPageRank {
       // exchange either. The single shuffle per round is the message
       // aggregation, and the union makes it compute teleport + rank
       // + outdeg in one pass.
-      ranks = e.join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
+      val next = e.join(ranks.hint("shuffle_hash"), e("src") === ranks("node"))
         .select(e("dst"), (ranks("rank") / ranks("outdeg")).cast(M).as("contrib"),
           lit(null).cast("long").as("outdeg"))
         .union(tpRows)
@@ -100,9 +111,17 @@ object PersonalizedPageRank {
         .agg(sum(col("contrib")).as("ms"), max(col("outdeg")).as("outdeg"))
         .select(col("dst").as("node"), col("outdeg"),
           (lit(0.85) * col("ms").cast("double")).as("rank"))
-        .localCheckpoint(false)
+        .localCheckpoint(true, ROUND_LEVEL)
+      KTruss.freeCheckpoint(ranks) // previous round: dead once next exists
+      ranks = next
     }
-    ranks.select(col("node"), col("rank")).localCheckpoint()
+    val out = ranks.select(col("node"), col("rank")).localCheckpoint()
+    KTruss.freeCheckpoint(ranks)
+    KTruss.freeCheckpoint(e)
+    KTruss.freeCheckpoint(tpRows)
+    KTruss.freeCheckpoint(vstate)
+    KTruss.freeCheckpoint(sd)
+    out
   }
 
   /** Dimension-bounded fast path: ONE distributed job derives the
