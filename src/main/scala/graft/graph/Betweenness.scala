@@ -14,13 +14,16 @@ import org.apache.spark.sql.types.{DecimalType, LongType, StructField, StructTyp
   *
   * Two stages with different execution homes:
   *
-  *  1. `sigmaBounded` — per-root BFS distances AND shortest-path
-  *     counts σ(root, node). Integer arithmetic, computed on the
-  *     driver over a collect-guarded edge list (the same
-  *     dim-bounded contract and 2²⁰ guard as [[Bfs.bfsBounded]]:
-  *     a fact-sized graph is refused, not collected). At 100 TB the
-  *     analytics graph this runs on is a dimension (nations,
-  *     categories); the fact tables only ever DERIVE its edges.
+  *  1. The σ stage — per-root BFS distances AND shortest-path
+  *     counts σ(root, node). ROUTED on a bounded probe (round-10,
+  *     the Dispatch discipline): within the 2²⁰ bound the probe's
+  *     collected edge list feeds an in-process integer sweep — at
+  *     100 TB the analytics graph this runs on is a dimension
+  *     (nations, categories); the fact tables only ever DERIVE its
+  *     edges. Past the bound, [[sigmaDistributed]]'s root-tagged
+  *     frontier loop computes the same rows distributed instead of
+  *     throwing. [[sigmaBounded]] keeps the old hard-assert contract
+  *     for callers that CLAIM boundedness.
   *
   *  2. The pair-dependency aggregation δ_st(v) = σ_sv·σ_vt / σ_st
   *     summed over all (s, t) pairs — executed IN SPARK SQL as two
@@ -39,15 +42,22 @@ object Betweenness {
     * of distinct shortest paths from root, for every reachable pair.
     * Collect-guarded driver computation — see class doc. */
   def sigmaBounded(edges: DataFrame): DataFrame = {
+    val limit = 1 << 20
+    val e = Quotient.probeRows(normEdges(edges), limit).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: sigmaBounded edge set exceeds $limit rows — not dimension-bounded"))
+    sigmaSweep(edges.sparkSession, e)
+  }
+
+  private def normEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
+      .filter(col("src").isNotNull && col("dst").isNotNull)
+
+  /** The in-process σ sweep over probed edge rows. */
+  private def sigmaSweep(spark: SparkSession,
+                         e: Array[Row]): DataFrame = {
     import scala.collection.mutable
     import scala.jdk.CollectionConverters._
-    val spark = edges.sparkSession
-    val limit = 1 << 20
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
-      .filter(col("src").isNotNull && col("dst").isNotNull)
-      .limit(limit + 1).collect()
-    require(e.length <= limit,
-      s"sigmaBounded edge set exceeds $limit rows — not dimension-bounded")
     val adj = mutable.HashMap.empty[Long, mutable.LinkedHashSet[Long]]
     e.foreach(r => adj.getOrElseUpdate(r.getLong(0), mutable.LinkedHashSet.empty) += r.getLong(1))
     val nodes = adj.keySet.toSeq.sorted
@@ -83,11 +93,63 @@ object Betweenness {
       out.sortBy(r => (r.getLong(0), r.getLong(1))).asJava, schema)
   }
 
-  /** Per-node exact betweenness over a bidirectional dim-bounded
-    * edge set: (node, btw) with zero-centrality nodes included. */
-  def run(spark: SparkSession, edges: DataFrame): DataFrame = {
+  /** DISTRIBUTED σ — the general engine behind [[run]]'s fallback
+    * route (round-10: the Dispatch discipline applied to the σ stage).
+    * Root-tagged frontier BFS where each newly-reached node's σ is the
+    * SUM of its wave-(w−1) predecessors' σ — one co-partitioned join +
+    * one partial-aggregable sum + one anti-join per wave, the [[Bfs]]
+    * loop with path counting riding the aggregation. State is
+    * all-pairs-sized, so the per-wave checkpoints take the KCore
+    * DISK discipline (eager, previous generation freed per wave).
+    * Emits the same (root, node, wave, sigma) rows as [[sigmaBounded]]
+    * (FallbackRoutingSpec pins the multiset). */
+  private[graph] def sigmaDistributed(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    // distinct: the in-process sweep's adjacency is a SET (a parallel
+    // edge contributes one path, not two) — σ must count the same
+    val e = normEdges(edges).distinct().repartition(col("src"))
+      .localCheckpoint(false, lvl)
+    var frontier = e.select(col("src").as("root")).distinct()
+      .select(col("root"), col("root").as("node"),
+        lit(1L).as("wave"), lit(1L).as("sigma"))
+      .localCheckpoint(true, lvl)
+    var visited = frontier
+    var wave = 1L
+    var n = frontier.count()
+    while (n > 0L) {
+      wave += 1
+      val next = frontier.join(e, frontier("node") === e("src"))
+        .groupBy(frontier("root"), e("dst").as("node"))
+        .agg(sum(frontier("sigma")).as("sigma"))
+        .join(visited.select("root", "node"), Seq("root", "node"), "left_anti")
+        .select(col("root"), col("node"), lit(wave).as("wave"), col("sigma"))
+        .localCheckpoint(true, lvl)
+      val nextVisited = visited.union(next).localCheckpoint(true, lvl)
+      n = next.count()
+      KTruss.freeCheckpoint(frontier)
+      KTruss.freeCheckpoint(visited)
+      frontier = next
+      visited = nextVisited
+    }
+    KTruss.freeCheckpoint(frontier) // the empty final frontier
+    visited
+  }
+
+  /** Per-node exact betweenness over a bidirectional edge set:
+    * (node, btw) with zero-centrality nodes included. The σ stage is
+    * ROUTED (round-10): within `bound`, the probe's collected edge
+    * rows feed the in-process sweep (the probe IS the collect — no
+    * second job); past it, [[sigmaDistributed]] runs instead of
+    * throwing — an unstructured fact-sized graph gets the measured
+    * distributed engine, not an exception. The pair-dependency SQL
+    * stage downstream is shared by both routes. */
+  def run(spark: SparkSession, edges: DataFrame,
+          bound: Int = 1 << 20): DataFrame = {
     import spark.implicits._
-    val sig = sigmaBounded(edges).localCheckpoint(false)
+    val sig = Quotient.probeRows(normEdges(edges), bound)
+      .map(sigmaSweep(spark, _))
+      .getOrElse(sigmaDistributed(edges))
+      .localCheckpoint(false)
     val sv = sig.select($"root".as("s"), $"node".as("v"),
       $"wave".as("wsv"), $"sigma".as("ssv"))
     val vt = sig.select($"root".as("t"), $"node".as("v"),

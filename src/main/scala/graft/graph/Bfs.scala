@@ -74,11 +74,6 @@ object Bfs {
     * join+distinct+anti-join shuffles per wave to move a few hundred
     * rows. Guarded: refuses fact-sized inputs. */
   def bfsBounded(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
-    import scala.collection.mutable
-    import scala.jdk.CollectionConverters._
-    val spark = edges.sparkSession
     val limit = 1 << 20
     // Node ids normalize to BIGINT — the same coercion the distributed
     // path's seed∪frontier union applies, and the graph contract
@@ -87,17 +82,52 @@ object Bfs {
     // shipping at most limit+1 rows, not after an OOM-sized collect.
     // Null ids never join in the distributed path — drop them here so
     // the fast path matches instead of NPE-ing in getLong.
-    val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
+    val e = Quotient.probeRows(normEdges(edges), limit).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: bfsBounded edge set exceeds $limit rows — not dimension-bounded; use bfs"))
+    val seedRows = Quotient.probeRows(normSeeds(seeds), limit).getOrElse(
+      throw new IllegalArgumentException(
+        s"requirement failed: bfsBounded seed set exceeds $limit rows — not dimension-bounded; use bfs"))
+    boundedSweep(edges.sparkSession, e, seedRows, maxWaves)
+  }
+
+  /** ROUTED multi-root BFS (round-10: the Dispatch discipline applied
+    * to the all-pairs spine) — same contract as [[bfs]]/[[bfsBounded]],
+    * but the dimension bound is a ROUTING decision, not a guard:
+    * within `bound`, the probe's collected edge/seed rows feed the
+    * in-process sweep directly (the probe IS the fast path's collect —
+    * no second job); past it, the distributed frontier-join loop runs
+    * instead of throwing. Both routes emit identical (root, node,
+    * wave) multisets on long-typed inputs (FallbackRoutingSpec). */
+  def bfsAuto(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100,
+              bound: Int = 1 << 20): DataFrame = {
+    val routed = for {
+      e <- Quotient.probeRows(normEdges(edges), bound)
+      sd <- Quotient.probeRows(normSeeds(seeds), bound)
+    } yield boundedSweep(edges.sparkSession, e, sd, maxWaves)
+    routed.getOrElse(bfs(edges, seeds, maxWaves))
+  }
+
+  private def normEdges(edges: DataFrame): DataFrame =
+    edges.select(col("src").cast("long"), col("dst").cast("long"))
       .filter(col("src").isNotNull && col("dst").isNotNull)
-      .limit(limit + 1).collect()
-    require(e.length <= limit,
-      s"bfsBounded edge set exceeds $limit rows — not dimension-bounded; use bfs")
-    val seedRows = seeds.select(col("root").cast("long"), col("node").cast("long"))
+
+  private def normSeeds(seeds: DataFrame): DataFrame =
+    seeds.select(col("root").cast("long"), col("node").cast("long"))
       .filter(col("root").isNotNull && col("node").isNotNull)
       .distinct() // same multiplicity contract as bfs (which dedups seeds too)
-      .limit(limit + 1).collect()
-    require(seedRows.length <= limit,
-      s"bfsBounded seed set exceeds $limit rows — not dimension-bounded; use bfs")
+
+  /** The in-process multi-root sweep both bounded entry points share:
+    * one adjacency map, one frontier loop per root, (root, node, wave)
+    * rows out — wave semantics identical to [[bfs]]. */
+  private def boundedSweep(spark: org.apache.spark.sql.SparkSession,
+                           e: Array[org.apache.spark.sql.Row],
+                           seedRows: Array[org.apache.spark.sql.Row],
+                           maxWaves: Int): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import scala.collection.mutable
+    import scala.jdk.CollectionConverters._
     val adj = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
     e.foreach(r => adj.getOrElseUpdate(r.getLong(0), mutable.ArrayBuffer.empty) += r.getLong(1))
     val out = mutable.ArrayBuffer.empty[Row]

@@ -80,18 +80,135 @@ object Bridges {
 
   /** Bridge classification of the widened (±1, ±2) part edit rule's
     * class graph: one row per canonical class edge
-    * (brand, size_lo, size_hi, is_bridge). */
-  def classEdgeBridges(s: SparkSession, d: String): DataFrame = {
-    val cls = Quotient.collectClasses(s, d).keys.toSeq
-    val bySize = cls.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
-    // canonical up-edges under the widened rule
-    val edges = for {
-      (brand, sizes) <- bySize.toSeq
-      a <- sizes.toSeq
-      delta <- Seq(1L, 2L)
-      if sizes.contains(a + delta)
-    } yield (brand, a, a + delta)
-    s.createDataFrame(bridgesOf(edges))
-      .toDF("brand", "size_lo", "size_hi", "is_bridge")
+    * (brand, size_lo, size_hi, is_bridge). ROUTED (round-10: the
+    * Dispatch discipline — round 9's collectClasses THREW past the
+    * domain bound): within `bound` the probe's class rows feed the
+    * in-process Tarjan pass; past it, the distributed definitional
+    * engine ([[edgeBridgesDistributed]]) answers instead. */
+  def classEdgeBridges(s: SparkSession, d: String,
+                       bound: Int = Quotient.MAX_CLASSES): DataFrame = {
+    import s.implicits._
+    classBridgesOf(s, graft.Tables.part(s, d)
+      .select($"p_brand".as("brand"), $"p_size".cast("long").as("size")), bound)
+  }
+
+  /** The routed engine over any `(brand, size)` class-source table —
+    * factored out so the routing spec can drive synthetic tables. */
+  private[graph] def classBridgesOf(s: SparkSession, classSrc: DataFrame,
+                                    bound: Int = Quotient.MAX_CLASSES): DataFrame = {
+    val classes = classSrc.select(col("brand"), col("size").cast("long").as("size"))
+      .distinct()
+    Quotient.probeRows(classes, math.min(bound, Quotient.MAX_CLASSES)) match {
+      case Some(rows) =>
+        val cls = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
+        val bySize = cls.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        // canonical up-edges under the widened rule
+        val edges = for {
+          (brand, sizes) <- bySize.toSeq
+          a <- sizes.toSeq
+          delta <- Seq(1L, 2L)
+          if sizes.contains(a + delta)
+        } yield (brand, a, a + delta)
+        s.createDataFrame(bridgesOf(edges))
+          .toDF("brand", "size_lo", "size_hi", "is_bridge")
+      case None => edgeBridgesDistributed(s, classes)
+    }
+  }
+
+  /** The general engine: the DEFINITION of 2-edge-connectivity run
+    * distributed — for every class edge, a reachability flood from
+    * its low endpoint that avoids (both directions of) that edge;
+    * bridge ⟺ the far endpoint is never reached. This is the same
+    * characterization the DuckDB oracle replays (per-edge deletion
+    * CTE), expressed as ONE edge-tagged frontier loop: every open
+    * edge's flood shares each wave's join + distinct + anti-join, an
+    * edge stops flooding the moment its far endpoint is reached
+    * (non-bridge, the common case), and per-wave state takes the
+    * KCore DISK checkpoint discipline. Work is Σ_e |component(e)| —
+    * the definitional engine for the out-of-contract route, not the
+    * per-key fast path (the shipped graphs probe into the Tarjan
+    * pass; two different algorithms pinned equal by
+    * FallbackRoutingSpec where both run). */
+  private[graph] def edgeBridgesDistributed(s: SparkSession,
+                                            classes: DataFrame): DataFrame = {
+    // constraint propagation OFF for the flood's scope: the loop-
+    // carried checkpoints (LogicalRDD) bake the anti-join conditions
+    // into their origin constraints, and a later Union's constraint
+    // rewrite then dereferences attributes no child outputs
+    // (key-not-found at optimization). The loop is equi-joins over
+    // synthetic non-null keys — inferred filters add nothing here.
+    // The result materializes INSIDE the scope (eager checkpoint), so
+    // no constraint from these plans escapes to caller analysis.
+    val key = "spark.sql.constraintPropagation.enabled"
+    val prev = s.conf.get(key, "true")
+    s.conf.set(key, "false")
+    try edgeBridgesFlood(s, classes)
+    finally s.conf.set(key, prev)
+  }
+
+  private def edgeBridgesFlood(s: SparkSession, classes: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val cls = classes.localCheckpoint(false, lvl)
+    val edges = cls.select(col("brand"), col("size").as("lo"))
+      .join(cls.select(col("brand"), col("size").as("hi")), Seq("brand"))
+      .filter(col("hi") - col("lo") === 1 || col("hi") - col("lo") === 2)
+      .localCheckpoint(false, lvl)
+    val adj = edges.select(col("brand"), col("lo").as("u"), col("hi").as("v"))
+      .union(edges.select(col("brand"), col("hi").as("u"), col("lo").as("v")))
+      .localCheckpoint(false, lvl)
+    var frontier = edges.select(col("brand"), col("lo"), col("hi"),
+        col("lo").as("node"))
+      .localCheckpoint(true, lvl)
+    var visited = frontier
+    // explicit empty frame (not a checkpointed limit(0) of edges —
+    // whose inherited constraints trip Union's constraint rewrite)
+    var reached = s.createDataFrame(
+      s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("brand", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lo", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("hi", org.apache.spark.sql.types.LongType))))
+    var n = frontier.count()
+    while (n > 0L) {
+      // qualified aliases: the loop-carried frontier inherits adj's
+      // attribute ids through the checkpoints (localCheckpoint
+      // preserves exprIds), so an unqualified self-join is ambiguous
+      val next = frontier.as("f")
+        .join(adj.as("g"), col("f.brand") === col("g.brand") && col("f.node") === col("g.u"))
+        // skip the excluded edge in either direction
+        .filter(!(col("f.node") === col("f.lo") && col("g.v") === col("f.hi")) &&
+          !(col("f.node") === col("f.hi") && col("g.v") === col("f.lo")))
+        .select(col("f.brand").as("brand"), col("f.lo").as("lo"),
+          col("f.hi").as("hi"), col("g.v").as("node"))
+        .distinct()
+        .join(visited, Seq("brand", "lo", "hi", "node"), "left_anti")
+        .localCheckpoint(true, lvl)
+      val newReached = reached.union(
+          next.filter(col("node") === col("hi")).select(col("brand"), col("lo"), col("hi")))
+        .localCheckpoint(true, lvl)
+      // resolved edges stop flooding (their remaining frontier is dead
+      // work); earlier-resolved edges cannot re-enter — their frontier
+      // rows were dropped the wave they resolved
+      val nextFrontier = next.join(newReached, Seq("brand", "lo", "hi"), "left_anti")
+        .localCheckpoint(true, lvl)
+      val nextVisited = visited.union(next).localCheckpoint(true, lvl)
+      n = nextFrontier.count()
+      KTruss.freeCheckpoint(frontier)
+      KTruss.freeCheckpoint(visited)
+      KTruss.freeCheckpoint(reached)
+      KTruss.freeCheckpoint(next)
+      frontier = nextFrontier
+      visited = nextVisited
+      reached = newReached
+    }
+    KTruss.freeCheckpoint(frontier)
+    KTruss.freeCheckpoint(visited)
+    val out = edges
+      .join(reached.withColumn("hit", lit(true)), Seq("brand", "lo", "hi"), "left")
+      .select(col("brand"), col("lo").as("size_lo"), col("hi").as("size_hi"),
+        col("hit").isNull.as("is_bridge"))
+      .localCheckpoint(true, lvl)
+    KTruss.freeCheckpoint(reached)
+    out
   }
 }

@@ -479,13 +479,16 @@ object GraphPack extends QueryPack {
     },
 
     // A10: all-pairs BFS wave matrix (batch analogue of repeatedly
-    // calling query(), main.py:272) — reachable pairs only.
+    // calling query(), main.py:272) — reachable pairs only. ROUTED
+    // (round-10): the dim-bounded trade graph probes into the
+    // in-process sweep; an out-of-contract fact-sized graph would
+    // route to the distributed frontier loop instead of throwing.
     "g_bfs_allpairs" -> { (s, d) =>
       import s.implicits._
       val edges = GraphBuilder.tradeEdges(s, d)
       val seeds = edges.select($"src".as("node")).distinct()
         .select($"node".as("root"), $"node")
-      Bfs.bfsBounded(edges, seeds)
+      Bfs.bfsAuto(edges, seeds)
     },
 
     // A24: minimum spanning forest — distributed Borůvka over the
@@ -521,8 +524,9 @@ object GraphPack extends QueryPack {
     // A22: eccentricity / diameter / radius — per-node max BFS
     // distance (wave − 1) within the reachable set, plus the graph
     // diameter (max ecc) and radius (min ecc) and the derived
-    // peripheral/central flags. Rides the same dim-bounded all-pairs
-    // BFS as A10 (guarded: refuses fact-sized edge sets); the global
+    // peripheral/central flags. Rides the same ROUTED all-pairs
+    // BFS as A10 (round-10: fact-sized edge sets fall back to the
+    // distributed loop instead of throwing); the global
     // extrema are a one-row aggregate broadcast back over the
     // vertex-sized result — no extra pass over the edges.
     "g_eccentricity" -> { (s, d) =>
@@ -530,7 +534,7 @@ object GraphPack extends QueryPack {
       val edges = GraphBuilder.tradeEdges(s, d)
       val seeds = edges.select($"src".as("node")).distinct()
         .select($"node".as("root"), $"node")
-      val per = Bfs.bfsBounded(edges, seeds)
+      val per = Bfs.bfsAuto(edges, seeds)
         .groupBy($"root".as("node"))
         .agg((max($"wave") - 1L).as("ecc"), count(lit(1)).as("n_reachable"))
       val glob = per.agg(max($"ecc").as("diameter"), min($"ecc").as("radius"))

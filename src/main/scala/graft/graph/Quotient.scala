@@ -48,9 +48,20 @@ object Quotient {
     * the general engine) where [[collectClasses]] throws (a caller
     * that HARD-ASSERTED boundedness was lying). */
   def probeClasses(classCounts: org.apache.spark.sql.DataFrame,
-                   bound: Int): Option[Map[(String, Long), Long]] = {
-    val cls = classCounts.limit(bound + 1).collect()
-    if (cls.length > bound) None
-    else Some(cls.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap)
+                   bound: Int): Option[Map[(String, Long), Long]] =
+    probeRows(classCounts, bound)
+      .map(_.map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap)
+
+  /** The generic bounded probe every routed operator shares: Some(the
+    * collected rows) when `df` is within `bound`, None past it. The
+    * limit sits INSIDE the collect — at most bound + 1 rows ever
+    * reach the driver, whatever the input size — and the rows ARE the
+    * fast path's input, so routing costs no second job. Single-sourced
+    * here so the in-process fast paths (class maps, bounded BFS edge
+    * lists, σ sweeps) cannot drift apart in guard discipline. */
+  def probeRows(df: org.apache.spark.sql.DataFrame,
+                bound: Int): Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = df.limit(bound + 1).collect()
+    if (rows.length > bound) None else Some(rows)
   }
 }
