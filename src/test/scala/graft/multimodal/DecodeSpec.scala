@@ -88,4 +88,153 @@ class DecodeSpec extends SparkSpec {
     assert(formats === Set("raw"),
       s"document payloads unexpectedly parse as image containers: $formats")
   }
+
+  // ---- round-10: the REAL PNG pixel path (verdict #3) ----
+
+  /** Interleaved 8-bit samples of an image, channel order R,G,B[,A]
+    * (or gray[, alpha]) — the PNG sample stream, read back through
+    * ImageIO's raster: the independent reference decoder. */
+  private def rasterSamples(png: Array[Byte]): Array[Byte] = {
+    val im = ImageIO.read(new java.io.ByteArrayInputStream(png))
+    val r = im.getRaster
+    val bands = r.getNumBands
+    val out = new Array[Byte]((im.getWidth * im.getHeight * bands).toInt)
+    var i = 0
+    for (y <- 0 until im.getHeight; x <- 0 until im.getWidth; b <- 0 until bands) {
+      out(i) = r.getSample(x, y, b).toByte; i += 1
+    }
+    out
+  }
+
+  test("PNG pixels: IDAT inflate + unfilter matches ImageIO's raster byte-for-byte") {
+    for (t <- Seq(BufferedImage.TYPE_INT_RGB, BufferedImage.TYPE_BYTE_GRAY,
+      BufferedImage.TYPE_INT_ARGB)) {
+      // gradient + mod pattern: non-constant rows so the encoder's
+      // per-row filter heuristic emits real filter diversity
+      val b = new BufferedImage(23, 17, t)
+      for (x <- 0 until 23; y <- 0 until 17)
+        b.setRGB(x, y, ((x * 31 + y * 97) & 0xffffff) | ((x * y % 255) << 24))
+      val png = encode(b, "png")
+      val got = Decode.pngPixels(png)
+      assert(got.isDefined, s"type $t: real PNG failed to decode")
+      assert(got.get.toSeq === rasterSamples(png).toSeq, s"type $t: pixel mismatch")
+    }
+  }
+
+  /** Hand-assembled PNG: known pixels, CHOSEN per-row filter types —
+    * the only way to force all five unfilter paths (encoders pick
+    * their own). Cross-checked against ImageIO below, so the fixture
+    * can't just mirror the decoder's bugs. */
+  private def buildPng(w: Int, h: Int, colorType: Int, pixels: Array[Byte],
+                       filterOf: Int => Int): Array[Byte] = {
+    val ch = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+    val rowBytes = w * ch
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new Array[Byte](h * (1 + rowBytes))
+    for (y <- 0 until h) {
+      val f = filterOf(y)
+      raw(y * (1 + rowBytes)) = f.toByte
+      for (x <- 0 until rowBytes) {
+        val cur = pixels(y * rowBytes + x) & 0xff
+        val left = if (x >= ch) pixels(y * rowBytes + x - ch) & 0xff else 0
+        val up = if (y > 0) pixels((y - 1) * rowBytes + x) & 0xff else 0
+        val ul = if (y > 0 && x >= ch) pixels((y - 1) * rowBytes + x - ch) & 0xff else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        raw(y * (1 + rowBytes) + 1 + x) = ((cur - pred) & 0xff).toByte
+      }
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val bos = new ByteArrayOutputStream()
+      while (!d.finished()) bos.write(buf, 0, d.deflate(buf))
+      d.end(); bos.toByteArray
+    }
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val bos = new ByteArrayOutputStream()
+      def be32(v: Long): Unit =
+        Seq(24, 16, 8, 0).foreach(s => bos.write(((v >> s) & 0xff).toInt))
+      be32(data.length.toLong)
+      bos.write(typ.getBytes("US-ASCII")); bos.write(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+      be32(crc.getValue)
+      bos.toByteArray
+    }
+    val ihdr = {
+      val bos = new ByteArrayOutputStream()
+      Seq(24, 16, 8, 0).foreach(s => bos.write((w >> s) & 0xff))
+      Seq(24, 16, 8, 0).foreach(s => bos.write((h >> s) & 0xff))
+      bos.write(8); bos.write(colorType); bos.write(0); bos.write(0); bos.write(0)
+      bos.toByteArray
+    }
+    val out = new ByteArrayOutputStream()
+    out.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("IDAT", deflated))
+    out.write(chunk("IEND", Array.empty[Byte]))
+    out.toByteArray
+  }
+
+  test("PNG pixels: all five filter types unfilter exactly (hand-built, ImageIO-cross-checked)") {
+    val rng = new scala.util.Random(42)
+    for (colorType <- Seq(0, 2, 4, 6)) {
+      val ch = Map(0 -> 1, 2 -> 3, 4 -> 2, 6 -> 4)(colorType)
+      val (w, h) = (9, 10) // 10 rows: every filter type twice
+      val pixels = Array.fill[Byte](w * h * ch)(rng.nextInt(256).toByte)
+      val png = buildPng(w, h, colorType, pixels, y => y % 5)
+      assert(Decode.pngPixels(png).map(_.toSeq) === Some(pixels.toSeq),
+        s"colorType $colorType: unfilter mismatch")
+      assert(rasterSamples(png).toSeq === pixels.toSeq,
+        s"colorType $colorType: ImageIO disagrees with the fixture itself")
+    }
+  }
+
+  test("PNG pixels: corrupt IDAT, truncation and unsupported shapes fall back, never throw") {
+    val png = encode(img(16, 16, BufferedImage.TYPE_INT_RGB), "png")
+    assert(Decode.pngPixels(png).isDefined)
+    val flip = png.clone()
+    flip(flip.length / 2) = (flip(flip.length / 2) ^ 0x5a).toByte // inside IDAT
+    Decode.pngPixels(flip) // garbage inflate → None or wrong bytes, NEVER a throw
+    assert(Decode.pngPixels(png.take(png.length / 2)) === None) // truncated
+    assert(Decode.pngPixels("not a png".getBytes("UTF-8")) === None)
+    // interlaced flag → fallback (Adam7 weave unsupported by contract)
+    val inter = png.clone(); inter(28) = 1
+    assert(Decode.pngPixels(inter) === None)
+    // JPEG has no pure-JVM pixel path — stub branch by contract
+    val jpg = encode(img(16, 16, BufferedImage.TYPE_INT_RGB), "jpg")
+    assert(Decode.pngPixels(jpg) === None)
+  }
+
+  test("feature seam: PNG features come from decoded pixels, JPEG/raw from payload bytes") {
+    val png = encode(img(31, 19, BufferedImage.TYPE_INT_RGB), "png")
+    val pix = Decode.pngPixels(png).get
+    assert(Decode.featureSeam(png) === Decode.featuresOf(pix))
+    assert(Decode.featureSeam(png) !== Decode.featuresOf(png),
+      "pixel features indistinguishable from container-byte features — test image too bland")
+    val jpg = encode(img(31, 19, BufferedImage.TYPE_INT_RGB), "jpg")
+    assert(Decode.featureSeam(jpg) === Decode.featuresOf(jpg))
+    val raw = "plain text".getBytes("UTF-8")
+    assert(Decode.featureSeam(raw) === Decode.featuresOf(raw))
+  }
+
+  test("downstream G4/G5 consumers see pixel-real features for PNG payloads through the seam") {
+    import spark.implicits._
+    val png = encode(img(40, 30, BufferedImage.TYPE_INT_RGB), "png")
+    val ds = Seq(1L -> png).toDS()
+    val feats = MultimodalPack.featureVectorsOf(spark, ds)
+      .select($"features").head().getSeq[Float](0)
+    assert(feats === Decode.featuresOf(Decode.pngPixels(png).get))
+  }
 }
