@@ -114,4 +114,75 @@ class GraphDB(s: SparkSession, root: String) {
     * ([[KTruss.run]]): canonical surviving edges with support. */
   def ktruss(k: Int): DataFrame =
     KTruss.run(s, edges.select(col("src"), col("dst")), k)
+
+  // ---- probe-routed analytics (round-10: Dispatch behind the one
+  // front door, verdict #8) -------------------------------------
+  //
+  // The class-structured operators run on the EDIT-RULE BLOW-UP of an
+  // attribute-classed vertex table, not on the stored edge snapshot.
+  // Vertex-table contract ([[Dispatch]]): columns
+  //   (node LONG, brand STRING, size LONG)   — plus
+  //   (is_seed BOOLEAN)                      — for [[pprClasses]].
+  // Per-operator edit rules match the shipped derived graphs: wide
+  // symmetric (±1, ±2) for MIS / k-truss / RA / node-Jaccard, narrow
+  // symmetric (±1) for PPR / ANF, directed size-up (+1) for HITS.
+  // Every call makes ONE bounded class-count probe and routes to the
+  // in-process quotient path (dimension-bounded class graph) or the
+  // measured distributed engine over the materialized blow-up — the
+  // caller never sees the routing, only the answer.
+
+  /** A28 Luby maximal independent set over the wide blow-up. */
+  def misClasses(vertices: DataFrame, maxIter: Int = 25): DataFrame =
+    Dispatch.mis(s, vertices, maxIter)
+
+  /** A26 k-truss over the wide blow-up of a vertex table. */
+  def ktrussClasses(vertices: DataFrame, k: Int): DataFrame =
+    Dispatch.ktruss(s, vertices, k)
+
+  /** A30 HITS over the directed size-up blow-up. */
+  def hitsClasses(vertices: DataFrame, iters: Int): DataFrame =
+    Dispatch.hits(s, vertices, iters)
+
+  /** A31 Resource-Allocation link prediction over the wide blow-up. */
+  def linkPrediction(vertices: DataFrame, topK: Int): DataFrame =
+    Dispatch.resourceAllocation(s, vertices, topK)
+
+  /** A20 personalized PageRank over the narrow blow-up
+    * (vertex table carries `is_seed`). */
+  def pprClasses(vertices: DataFrame, iters: Int): DataFrame =
+    Dispatch.ppr(s, vertices, iters)
+
+  /** A21 2-round HyperANF + exact-ball anchor over the narrow blow-up. */
+  def anfClasses(vertices: DataFrame, sampleMod: Int, tol: Double): DataFrame =
+    Dispatch.anf(s, vertices, sampleMod, tol)
+
+  /** A13 neighbor-set Jaccard over the wide blow-up. */
+  def jaccardClasses(vertices: DataFrame): DataFrame =
+    Dispatch.jaccard(s, vertices)
+
+  /** A29 DAG longest-path depth of a `(part, brand, size)` vertex
+    * table under the directed size-up rule — routed ([[DagDepth]]). */
+  def dagDepth(vertices: DataFrame): DataFrame =
+    DagDepth.depthOf(s, vertices)
+
+  /** A33 bridge detection on the widened edit rule's class graph of a
+    * `(brand, size)` class source — routed ([[Bridges]]). */
+  def classBridges(classSrc: DataFrame): DataFrame =
+    Bridges.classBridgesOf(s, classSrc)
+
+  // These two run on the STORED edge snapshot and route on the same
+  // probe discipline (in-process sweep within the 2²⁰ bound, the
+  // distributed engine past it):
+
+  /** A10 all-pairs BFS wave matrix of the current snapshot. */
+  def bfsAllPairs(maxWaves: Int = 100): DataFrame = {
+    val e = edges.select(col("src"), col("dst"))
+    val seeds = e.select(col("src").as("node")).distinct()
+      .select(col("node").as("root"), col("node"))
+    Bfs.bfsAuto(e, seeds, maxWaves)
+  }
+
+  /** A23 exact betweenness centrality of the current snapshot. */
+  def betweenness(): DataFrame =
+    Betweenness.run(s, edges.select(col("src"), col("dst")))
 }

@@ -111,4 +111,30 @@ class GraphDBSpec extends SparkSpec {
     val deg = db.degrees().collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(deg === Map(0L -> 1L, 1L -> 2L, 2L -> 1L))
   }
+
+  test("probe-routed front door: facade calls ARE the Dispatch/routed engines") {
+    import spark.implicits._
+    val db = freshDb()
+    db.init(chain(3))
+    // class-structured ops over a vertex table (the documented contract)
+    val verts = Seq((1L, "B1", 1L), (2L, "B1", 2L), (3L, "B1", 2L), (4L, "B2", 5L))
+      .toDF("node", "brand", "size")
+    assert(db.misClasses(verts).collect().toSet ===
+      Dispatch.mis(spark, verts).collect().toSet)
+    assert(db.jaccardClasses(verts).collect().toSet ===
+      Dispatch.jaccard(spark, verts).collect().toSet)
+    assert(db.hitsClasses(verts, iters = 2).collect().toSet ===
+      Dispatch.hits(spark, verts, iters = 2).collect().toSet)
+    val parts = verts.select($"node".as("part"), $"brand", $"size".cast("int").as("size"))
+    assert(db.dagDepth(parts).collect().toSet ===
+      DagDepth.depthOf(spark, parts).collect().toSet)
+    assert(db.classBridges(verts.select($"brand", $"size")).collect().toSet ===
+      Bridges.classBridgesOf(spark, verts.select($"brand", $"size")).collect().toSet)
+    // snapshot-edge ops route on the same probe discipline
+    val ap = db.bfsAllPairs().collect()
+    assert(ap.count(r => r.getLong(0) === 0L) === 4) // chain(3): 0 reaches all
+    val btw = db.betweenness().collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(btw(0L) === 0.0 && btw(3L) === 0.0) // chain endpoints carry nothing
+    assert(btw(1L) === btw(2L) && btw(1L) > 0.0)
+  }
 }
