@@ -67,6 +67,10 @@ object DedupPack extends QueryPack {
   private val NGRAM_MIN_JACCARD = 0.5
   // D8: emit pairs whose smaller shingle set is ≥ 80% inside the other
   private val CONTAIN_MIN = 0.8
+  // D13: sorted-neighborhood window (compare rows ≤ 3 positions apart
+  // in the global sort-key order) and the sort-key prefix length
+  private val SNM_WINDOW = 4
+  private val SNM_KEY_LEN = 24
   private val EMBED_PLANES = 16
   private val EMBED_BANDS = 4
   private val EMBED_MIN_COSINE = 0.35
@@ -355,6 +359,42 @@ object DedupPack extends QueryPack {
         .select($"da".as("doc_a"), $"db".as("doc_b"), $"jaccard")
     },
 
+    // D13: sorted-neighborhood dedup — the THIRD candidate-generation
+    // family next to LSH banding (D2) and rare-shingle blocking (D4):
+    // order the corpus by a similarity-preserving sort key (first
+    // SNM_KEY_LEN chars of the normalized text) and verify only pairs
+    // within SNM_WINDOW positions of each other, O(n·w) candidates at
+    // any corpus size. The global order is realized DISTRIBUTED
+    // (range partitions + per-partition sliding buffers + a bounded
+    // edge-row pass for boundary-straddling pairs — see
+    // [[SortedNeighborhood]]); the oracle computes the same pair set
+    // with one global row_number, an independent formulation.
+    // Verification is D4's shingle-Jaccard contract on the candidate
+    // pairs.
+    "d_sorted_nbr" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val docs = Tables.fanOut(s, Tables.documents(s, d))
+      val keyed = docs.select(
+        substring(TextOps.norm($"text"), 1, SNM_KEY_LEN).as("sk"),
+        $"doc_id".as("id"))
+      val pairs = SortedNeighborhood.windowPairs(s, keyed, SNM_WINDOW)
+        .select(least($"a", $"b").as("da"), greatest($"a", $"b").as("db"))
+        .distinct()
+      val sets = docs
+        .select($"doc_id", Signatures.shingleSet(TextOps.words($"text")).as("set"))
+        .filter(size($"set") > 0)
+        .localCheckpoint(false)
+      pairs
+        .join(sets.select($"doc_id".as("da"), $"set".as("seta")), "da")
+        .join(sets.select($"doc_id".as("db"), $"set".as("setb")), "db")
+        .withColumn("i", size(array_intersect($"seta", $"setb")).cast("long"))
+        .withColumn("jaccard",
+          $"i".cast("double") / (size($"seta") + size($"setb") - $"i").cast("double"))
+        .filter($"jaccard" >= NGRAM_MIN_JACCARD)
+        .select($"da".as("doc_a"), $"db".as("doc_b"), $"jaccard")
+    },
+
     // D8: CONTAINMENT dedup — the asymmetric companion of D4: score
     // |A∩B| / min(|A|,|B|), which stays near 1 when a small document
     // is (mostly) included in a large one (boilerplate wrapping,
@@ -606,6 +646,26 @@ object DedupPack extends QueryPack {
          |cand AS (SELECT a.doc_id AS da, b.doc_id AS db
          |         FROM rare a JOIN rare b USING (shingle) WHERE a.doc_id < b.doc_id
          |         GROUP BY 1, 2 HAVING COUNT(*) >= $NGRAM_MIN_COMMON),
+         |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.da, c.db, COUNT(*) AS i
+         |          FROM cand c JOIN sh s1 ON s1.doc_id = c.da
+         |           JOIN sh s2 ON s2.doc_id = c.db AND s2.shingle = s1.shingle
+         |          GROUP BY c.da, c.db)
+         |SELECT da AS doc_a, db AS doc_b,
+         | CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) AS jaccard
+         |FROM inter JOIN sz za ON za.doc_id = da JOIN sz zb ON zb.doc_id = db
+         |WHERE CAST(i AS DOUBLE) / CAST(za.n + zb.n - i AS DOUBLE) >= $NGRAM_MIN_JACCARD""".stripMargin,
+    // Independent formulation: ONE global row_number realizes the
+    // sort order the engine builds from range partitions + seam pass.
+    "d_sorted_nbr" ->
+      s"""WITH keyed AS (
+         | SELECT doc_id, substr(regexp_replace(lower(trim(text)),'\\s+',' ','g'), 1, $SNM_KEY_LEN) AS sk
+         | FROM documents),
+         |rn AS (SELECT doc_id, row_number() OVER (ORDER BY sk, doc_id) AS rn FROM keyed),
+         |cand0 AS (SELECT a.doc_id AS x, b.doc_id AS y
+         |          FROM rn a JOIN rn b ON b.rn - a.rn BETWEEN 1 AND ${SNM_WINDOW - 1}),
+         |cand AS (SELECT DISTINCT LEAST(x, y) AS da, GREATEST(x, y) AS db FROM cand0),
+         |$shSql,
          |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
          |inter AS (SELECT c.da, c.db, COUNT(*) AS i
          |          FROM cand c JOIN sh s1 ON s1.doc_id = c.da

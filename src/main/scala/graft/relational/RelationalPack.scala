@@ -747,6 +747,26 @@ object RelationalPack extends QueryPack {
           ($"ts_us" - $"click_us").as("gap_us"))
     },
 
+    // C32: NEAREST-event temporal join — the bidirectional companion
+    // of C11: each purchase attached to the click closest in time in
+    // EITHER direction (ties backward, the ASOF convention). Same
+    // no-join union-stream shape — one shuffle on user_id, one sort,
+    // both direction candidates read off the same window pass (see
+    // NearestJoin.nearest); the oracle is an independent correlated
+    // LATERAL formulation ordering by absolute gap.
+    "q_asof_nearest" -> { (s, d) =>
+      import s.implicits._
+      val e = Tables.events(s, d).withColumn("ts_us", unix_micros($"ts"))
+      val purchases = e.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id", $"ts_us")
+      val clicks = e.filter($"event_type" === "click")
+        .select($"user_id", $"ts_us".as("click_us"))
+      NearestJoin.nearest(purchases, clicks,
+          key = "user_id", leftTs = "ts_us", rightTs = "click_us")
+        .select($"user_id", $"event_id", $"ts_us",
+          $"near_ts".as("near_us"), $"gap".as("gap_us"), $"direction")
+    },
+
     // C13: semi-structured extraction — JSON path into the events
     // `props` column, then a plain grouped aggregate over the
     // extracted value. get_json_object is a codegen'd Catalyst
@@ -1111,6 +1131,16 @@ object RelationalPack extends QueryPack {
         |c AS (SELECT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click')
         |SELECT p.user_id, p.event_id, p.ts_us, c.click_us, p.ts_us - c.click_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.click_us""".stripMargin,
+    "q_asof_nearest" ->
+      """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
+        |c AS (SELECT DISTINCT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click')
+        |SELECT p.user_id, p.event_id, p.ts_us, n.click_us AS near_us,
+        | ABS(p.ts_us - n.click_us) AS gap_us,
+        | CASE WHEN n.click_us <= p.ts_us THEN 'back' ELSE 'fwd' END AS direction
+        |FROM p, LATERAL (
+        |  SELECT c.click_us FROM c WHERE c.user_id = p.user_id
+        |  ORDER BY ABS(c.click_us - p.ts_us) ASC, (c.click_us <= p.ts_us) DESC
+        |  LIMIT 1) n""".stripMargin,
     "q_json" ->
       """SELECT event_type, COUNT(*) AS n,
         | CAST(SUM(CAST(props->>'$.k' AS BIGINT)) AS BIGINT) AS sum_k,

@@ -82,6 +82,68 @@ object AsofJoin {
   }
 }
 
+object NearestJoin {
+
+  /** NEAREST-event temporal join (SURVEY §2 C32): for each left row,
+    * the right timestamp (same key) closest in time in EITHER
+    * direction — the sensor-alignment / context-attachment primitive
+    * where AS-OF's latest-prior is wrong for events that can precede
+    * OR follow (a click just after the purchase beats one hours
+    * before). Ties break BACKWARD (the AS-OF convention).
+    *
+    * Shape: [[AsofJoin.lastPrior]]'s no-join union stream, shuffled
+    * ONCE on the key and sorted by (ts, side) — then BOTH directions
+    * read off the same sorted pass: the backward candidate is the
+    * running `last` of right timestamps (right sorts before left at
+    * equal ts, so same-instant matches backward — that is the tie),
+    * the forward candidate the `first` right timestamp from the
+    * current row on (same-instant right rows sort BEFORE the left
+    * row, so forward is strictly-after by construction). No pair
+    * explosion, no per-key history blowup, one shuffle + one sort.
+    *
+    * Determinism: right rows are deduplicated to distinct (key, ts)
+    * here — with duplicates the nearest TIMESTAMP is still unique,
+    * so no payload-carry ambiguity exists at all.
+    *
+    * @return left columns + `near_ts` (the nearest right ts),
+    *         `gap` (absolute distance, same unit as the inputs) and
+    *         `direction` ('back' | 'fwd'). Inner semantics: left
+    *         rows whose key has no right row at all are dropped.
+    */
+  def nearest(left: DataFrame, right: DataFrame, key: String,
+              leftTs: String, rightTs: String): DataFrame = {
+    val lPrep = left.select(
+      col(key).as("__k"), col(leftTs).cast("long").as("__ts"), lit(1).as("__side"),
+      struct(left.columns.map(col).toSeq: _*).as("__l"))
+    val rPrep = right
+      .filter(col(key).isNotNull && col(rightTs).isNotNull)
+      .select(col(key).as("__k"), col(rightTs).cast("long").as("__ts"),
+        lit(0).as("__side"))
+      .distinct()
+      .withColumn("__l", lit(null).cast(lPrep.schema("__l").dataType))
+    val unioned = lPrep.unionByName(rPrep)
+    val ord = Window.partitionBy(col("__k")).orderBy(col("__ts").asc, col("__side").asc)
+    val back = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val rightTsCol = when(col("__side") === 0, col("__ts"))
+    val matched = unioned
+      .withColumn("__b", last(rightTsCol, ignoreNulls = true).over(back))
+      .withColumn("__f", first(rightTsCol, ignoreNulls = true).over(fwd))
+      .filter(col("__side") === 1)
+      .filter(col("__b").isNotNull || col("__f").isNotNull)
+      .withColumn("__takeBack",
+        col("__f").isNull ||
+          (col("__b").isNotNull && col("__ts") - col("__b") <= col("__f") - col("__ts")))
+    val out: Seq[Column] =
+      left.columns.toSeq.map(c => col(s"__l.$c").as(c)) :+
+        when(col("__takeBack"), col("__b")).otherwise(col("__f")).as("near_ts") :+
+        when(col("__takeBack"), col("__ts") - col("__b"))
+          .otherwise(col("__f") - col("__ts")).as("gap") :+
+        when(col("__takeBack"), lit("back")).otherwise(lit("fwd")).as("direction")
+    matched.select(out: _*)
+  }
+}
+
 object RangeJoin {
 
   /** Point-in-interval COUNT join: for each interval `[lo, hi)` over a

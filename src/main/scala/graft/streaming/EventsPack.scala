@@ -184,6 +184,36 @@ object EventsPack extends QueryPack {
           $"n", $"ewma")
     },
 
+    // H25: day-of-week seasonality index — per (type, dow), the mean
+    // daily event count relative to the type's overall mean daily
+    // count (the capacity-planning / anomaly-baseline primitive: a
+    // Monday index of 1.4 says Mondays run 40% hot). Scale shape:
+    // one partial-aggregable rollup to the (type, day) bucket table,
+    // then two aggregates on the DOMAIN-bounded buckets — |types| ×
+    // |days| rows at any event volume, broadcast-joined back. The
+    // index is ONE IEEE division of two exact long products
+    // (sum_dow·days_all) / (days_dow·sum_all) — algebraically
+    // avg_dow / avg_all with no intermediate double, so both engines
+    // emit identical bits before the round. dow alignment: Spark
+    // dayofweek() is 1(Sun)..7, DuckDB dayofweek() 0(Sun)..6 —
+    // normalized to the 0-based form on the Spark side.
+    "e_seasonality" -> { (s, d) =>
+      import s.implicits._
+      val daily = Tables.events(s, d)
+        .groupBy($"event_type", to_date($"ts").as("day"))
+        .agg(count(lit(1)).as("n"))
+      val byDow = daily
+        .withColumn("dow", (dayofweek($"day") - 1).cast("long"))
+        .groupBy($"event_type", $"dow")
+        .agg(sum($"n").as("s_dow"), count(lit(1)).as("d_dow"))
+      val overall = byDow.groupBy($"event_type")
+        .agg(sum($"s_dow").as("s_all"), sum($"d_dow").as("d_all"))
+      byDow.join(broadcast(overall), Seq("event_type"))
+        .select($"event_type", $"dow", $"s_dow", $"d_dow",
+          round(($"s_dow" * $"d_all").cast("double") /
+            ($"d_dow" * $"s_all").cast("double"), 6).as("season_idx"))
+    },
+
     // H13: windowed distinct users — the batch-parity twin of the
     // streaming HLL sketch (EventStreams.windowedDistinctUsers),
     // putting the graft_hll_* register family on the hard signal:
@@ -872,6 +902,21 @@ object EventsPack extends QueryPack {
 
   override def oracles: Map[String, String] = Map(
     "e_ewma" -> ewmaSql,
+    "e_seasonality" ->
+      """WITH daily AS (
+        | SELECT event_type, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        | FROM events GROUP BY 1, 2),
+        |dw AS (
+        | SELECT event_type, CAST(dayofweek(day) AS BIGINT) AS dow,
+        |  CAST(SUM(n) AS BIGINT) AS s_dow, CAST(COUNT(*) AS BIGINT) AS d_dow
+        | FROM daily GROUP BY 1, 2),
+        |o AS (
+        | SELECT event_type, CAST(SUM(s_dow) AS BIGINT) AS s_all,
+        |  CAST(SUM(d_dow) AS BIGINT) AS d_all
+        | FROM dw GROUP BY 1)
+        |SELECT dw.event_type, dw.dow, dw.s_dow, dw.d_dow,
+        | round(CAST(dw.s_dow * o.d_all AS DOUBLE) / CAST(dw.d_dow * o.s_all AS DOUBLE), 6) AS season_idx
+        |FROM dw JOIN o ON o.event_type = dw.event_type""".stripMargin,
     // the streaming replays promise EQUALITY with their batch twins,
     // so they share the twins' oracle SQL verbatim
     "e_stream_ewma" -> ewmaSql,

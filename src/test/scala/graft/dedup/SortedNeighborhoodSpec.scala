@@ -1,0 +1,53 @@
+package graft.dedup
+
+import graft.SparkSpec
+
+/** D13's distributed sorted-neighborhood generator vs the DEFINITION:
+  * the pair set of all rows within w positions under the global
+  * (sk, id) order, computed here by an in-memory sort. The interesting
+  * machinery is the partition-boundary seam pass — exercised by
+  * forcing MANY partitions relative to the data (boundary pairs
+  * dominate, some partitions empty or shorter than the window). */
+class SortedNeighborhoodSpec extends SparkSpec {
+
+  private def reference(rows: Seq[(String, Long)], w: Int): Set[(Long, Long)] = {
+    val ordered = rows.sortBy(identity).map(_._2)
+    (for {
+      i <- ordered.indices
+      j <- (i + 1) until math.min(i + w, ordered.length)
+    } yield (ordered(i), ordered(j))).toSet
+  }
+
+  private def run(rows: Seq[(String, Long)], w: Int, parts: Int): Set[(Long, Long)] = {
+    import spark.implicits._
+    SortedNeighborhood.windowPairs(spark, rows.toDF("sk", "id"), w, parts)
+      .as[(Long, Long)].collect().toSet
+  }
+
+  test("window pairs equal the global-order definition with many boundary seams") {
+    val rnd = new scala.util.Random(31)
+    // few distinct prefixes → long runs of near-equal keys straddling
+    // partition bounds; unique ids keep the order total
+    val rows = Seq.tabulate(200)(i =>
+      (s"k${rnd.nextInt(12)}%03d", i.toLong))
+    for (parts <- Seq(1, 4, 16); w <- Seq(2, 4)) {
+      assert(run(rows, w, parts) === reference(rows, w),
+        s"parts=$parts w=$w diverged from the definition")
+    }
+  }
+
+  test("partitions shorter than the window chain seams across them") {
+    // 10 rows over 32 partitions: most partitions hold 0 or 1 rows,
+    // so window pairs must chain through multiple seams
+    val rows = Seq.tabulate(10)(i => (f"s$i%02d", (100 + i).toLong))
+    assert(run(rows, 4, 32) === reference(rows, 4))
+  }
+
+  test("duplicate sort keys order by id; empty input yields no pairs") {
+    import spark.implicits._
+    val rows = Seq(("same", 3L), ("same", 1L), ("same", 2L))
+    assert(run(rows, 2, 8) === Set((1L, 2L), (2L, 3L)))
+    assert(SortedNeighborhood.windowPairs(spark,
+      Seq.empty[(String, Long)].toDF("sk", "id"), 4, 8).count() === 0L)
+  }
+}

@@ -144,4 +144,48 @@ class TemporalJoinsSpec extends SparkSpec {
     val want = ivs.map { case (id, lo, hi) => id -> pts.count(p => p >= lo && p < hi).toLong }.toMap
     assert(got === want)
   }
+
+  // ---- C32 nearest-event join ----
+
+  private def nearestOf(l: DataFrame, r: DataFrame): Map[String, (Long, Long, String)] =
+    NearestJoin.nearest(l, r, "k", "ts", "rts")
+      .select("tag", "near_ts", "gap", "direction").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getString(3)))).toMap
+
+  test("nearest picks the closer side, breaks ties backward, same-instant is backward gap 0") {
+    val l = left((1L, 14L, "backWins"), (1L, 16L, "fwdWins"), (1L, 15L, "tieBack"),
+      (1L, 20L, "sameInstant"), (1L, 5L, "beforeAll"), (1L, 99L, "afterAll"))
+    val r = right((1L, 10L, 0.0), (1L, 20L, 0.0))
+    val got = nearestOf(l, r)
+    assert(got("backWins") === ((10L, 4L, "back")))
+    assert(got("fwdWins") === ((20L, 4L, "fwd")))
+    assert(got("tieBack") === ((10L, 5L, "back")))
+    assert(got("sameInstant") === ((20L, 0L, "back")))
+    assert(got("beforeAll") === ((10L, 5L, "fwd")))
+    assert(got("afterAll") === ((20L, 79L, "back")))
+  }
+
+  test("nearest: keys without right rows drop (inner), duplicate right timestamps dedup") {
+    val l = left((1L, 10L, "a"), (2L, 10L, "noRight"))
+    val r = right((1L, 12L, 1.0), (1L, 12L, 2.0)) // duplicate (k, ts)
+    val got = nearestOf(l, r)
+    assert(got === Map("a" -> ((12L, 2L, "fwd"))))
+  }
+
+  test("nearest equals a brute-force scan on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val ls = Seq.tabulate(300)(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, s"t$i"))
+    val rs = Seq.fill(120)((rnd.nextInt(6).toLong, rnd.nextInt(1000).toLong, 0.0))
+    val got = nearestOf(ls.toDF("k", "ts", "tag"), rs.toDF("k", "rts", "payload"))
+    val byK = rs.map(x => (x._1, x._2)).distinct.groupBy(_._1)
+    val want = ls.flatMap { case (k, ts, tag) =>
+      byK.get(k).map { cands =>
+        val best = cands.map(_._2).minBy(c => (math.abs(c - ts), if (c <= ts) 0 else 1))
+        tag -> ((best, math.abs(best - ts),
+          if (best <= ts) "back" else "fwd"))
+      }
+    }.toMap
+    assert(got === want)
+  }
 }
