@@ -235,6 +235,36 @@ object SimilarityPack extends QueryPack {
         .withColumn("recall", $"n_hits".cast("double") / lit(K.toDouble))
     },
 
+    // E15: MATRYOSHKA truncated-dimension retrieval + recall — the
+    // MRL-embedding deployment question (Kusupati 2022): how much
+    // recall@K survives searching on the PREFIX HALF of each vector?
+    // The truncated ranking runs the exact E1 machinery over
+    // slice(embedding, 1, dim/2) with renormalization (half the dot
+    // FLOPs, half the bytes moved — the whole point of Matryoshka
+    // training), and the key reports per-query recall against the
+    // full-dimension exact top-k. Same eval-as-a-query discipline as
+    // E11; cost is the two bounded rankings plus one (q×K) semi-join.
+    "s_matryoshka" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+        .withColumn("tr", expr("slice(embedding, 1, size(embedding) div 2)"))
+        .withColumn("nrm", VectorOps.normDec("tr"))
+      val q = e.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"tr".as("qe"), $"nrm".as("qn"))
+      val c = e.select($"vec_id".as("n_id"), $"tr".as("ne"), $"nrm".as("nn"))
+      val half = topK(c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"n_id")
+        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
+        .select($"q_id", $"n_id")
+      val brute = SimilarityPack.queries("s_knn_brute")(s, d).select($"q_id", $"n_id")
+      brute.join(half, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("n_hits"))
+        .join(brute.select($"q_id").distinct(), Seq("q_id"), "right")
+        .select($"q_id", coalesce($"n_hits", lit(0L)).as("n_hits"))
+        .withColumn("recall", $"n_hits".cast("double") / lit(K.toDouble))
+    },
+
     // E10: approximate kNN-JOIN — every corpus vector's top-k nearest
     // neighbors among the whole corpus, the kNN-graph construction
     // that feeds SemDeDup-style clustering, label propagation over
@@ -601,6 +631,38 @@ object SimilarityPack extends QueryPack {
          | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $K.0 AS recall
          |FROM qs q LEFT JOIN hits h USING (q_id)""".stripMargin
     },
+    "s_matryoshka" ->
+      s"""WITH $dimsSql,
+         |lens AS (SELECT vec_id, MAX(i) AS dlen FROM dims GROUP BY 1),
+         |tdims AS (SELECT d.vec_id, d.i, d.x FROM dims d JOIN lens l USING (vec_id)
+         |          WHERE d.i <= l.dlen // 2),
+         |tnrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS n
+         |         FROM tdims GROUP BY vec_id),
+         |tdot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |          CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |         FROM tdims q JOIN tdims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |         WHERE q.vec_id < $N_QUERIES
+         |         GROUP BY q.vec_id, c.vec_id),
+         |tranked AS (SELECT d.q_id, d.n_id,
+         |             ROW_NUMBER() OVER (PARTITION BY d.q_id
+         |               ORDER BY d.dp / (nq.n * nc.n) DESC, d.n_id ASC) AS rank
+         |            FROM tdot d JOIN tnrm nq ON nq.vec_id = d.q_id JOIN tnrm nc ON nc.vec_id = d.n_id),
+         |fdot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |          CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |         FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |         WHERE q.vec_id < $N_QUERIES
+         |         GROUP BY q.vec_id, c.vec_id),
+         |franked AS (SELECT d.q_id, d.n_id,
+         |             ROW_NUMBER() OVER (PARTITION BY d.q_id
+         |               ORDER BY d.dp / (nq.n * nc.n) DESC, d.n_id ASC) AS rank
+         |            FROM fdot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |hits AS (SELECT f.q_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+         |         FROM franked f JOIN tranked t ON t.q_id = f.q_id AND t.n_id = f.n_id
+         |         WHERE f.rank <= $K AND t.rank <= $K GROUP BY 1),
+         |qs AS (SELECT DISTINCT q_id FROM franked)
+         |SELECT q.q_id, COALESCE(h.n_hits, CAST(0 AS BIGINT)) AS n_hits,
+         | CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / $K.0 AS recall
+         |FROM qs q LEFT JOIN hits h USING (q_id)""".stripMargin,
     "s_knn_join" -> {
       val width = PLANES / KNN_JOIN_BANDS
       s"""WITH $dimsSql,

@@ -27,6 +27,7 @@ class PlanShapeSpec extends SparkSpec {
       "s_maxsim", // bounded multi-vector query broadcast (E1's shape)
       "s_knn_binary", // ≤N_QUERIES-row sign-signature broadcast (E1's shape)
       "s_knn_filtered", // pre-filtered corpus × query broadcast (E1's shape)
+      "s_matryoshka", // truncated corpus × query broadcast (E1's shape)
       "q_basket_pairs", // one-row order-total broadcast
       "e_rfm", // one-row observation-end + one-row tertile-threshold broadcasts
       "e_survival", // one-row observation-end broadcast (t_tfidf's pattern)
