@@ -132,6 +132,9 @@ object Betweenness {
       visited = nextVisited
     }
     KTruss.freeCheckpoint(frontier) // the empty final frontier
+    // the loop-long edge checkpoint is dead once the final visited
+    // generation is materialized
+    KTruss.freeCheckpoint(e)
     visited
   }
 

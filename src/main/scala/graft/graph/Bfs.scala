@@ -101,11 +101,18 @@ object Bfs {
     * wave) multisets on long-typed inputs (FallbackRoutingSpec). */
   def bfsAuto(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100,
               bound: Int = 1 << 20): DataFrame = {
+    // seeds probe FIRST: it is the smaller side (≤ |V| rows vs |E|),
+    // so an over-bound seed set routes to the distributed loop before
+    // any near-limit edge collect is paid and thrown away.
+    // Both routes consume the NORMALIZED frames (BIGINT ids, null ids
+    // dropped, seed multiplicity collapsed), so schema and row set
+    // cannot differ as a function of which side of the bound the data
+    // lands on.
     val routed = for {
-      e <- Quotient.probeRows(normEdges(edges), bound)
       sd <- Quotient.probeRows(normSeeds(seeds), bound)
+      e <- Quotient.probeRows(normEdges(edges), bound)
     } yield boundedSweep(edges.sparkSession, e, sd, maxWaves)
-    routed.getOrElse(bfs(edges, seeds, maxWaves))
+    routed.getOrElse(bfs(normEdges(edges), normSeeds(seeds), maxWaves))
   }
 
   private def normEdges(edges: DataFrame): DataFrame =

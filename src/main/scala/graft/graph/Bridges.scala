@@ -208,7 +208,11 @@ object Bridges {
       .select(col("brand"), col("lo").as("size_lo"), col("hi").as("size_hi"),
         col("hit").isNull.as("is_bridge"))
       .localCheckpoint(true, lvl)
+    // out is materialized — every loop-long lazy checkpoint is dead
     KTruss.freeCheckpoint(reached)
+    KTruss.freeCheckpoint(adj)
+    KTruss.freeCheckpoint(edges)
+    KTruss.freeCheckpoint(cls)
     out
   }
 }

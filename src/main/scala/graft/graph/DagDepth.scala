@@ -2,7 +2,7 @@ package graft.graph
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** DAG longest-path leveling (SURVEY §2 A29) — "dependency depth" of
   * every node in a directed acyclic edit graph: the scheduling /
@@ -54,20 +54,25 @@ object DagDepth {
                     bound: Int = CLASS_BOUND): DataFrame = {
     import s.implicits._
     depthOf(s, graft.Tables.part(s, sfDir)
-      .select($"p_partkey".cast("long").as("part"), $"p_brand".as("brand"),
-        $"p_size".cast("int").as("size")), bound)
+      .select($"p_partkey".as("part"), $"p_brand".as("brand"),
+        $"p_size".as("size")), bound)
   }
 
   /** The routed engine over any `(part, brand, size)` vertex table —
-    * factored out so the routing spec can drive synthetic tables. */
-  private[graph] def depthOf(s: SparkSession, p: DataFrame,
+    * factored out so the routing spec and the GraphDB facade can
+    * drive arbitrary tables. Normalizes to the facade's documented
+    * column types (part/size → LONG) up front, so int- and long-typed
+    * callers land on identical code paths. */
+  private[graft] def depthOf(s: SparkSession, p0: DataFrame,
                              bound: Int = CLASS_BOUND): DataFrame = {
     import s.implicits._
+    val p = p0.select($"part".cast("long").as("part"), $"brand",
+      $"size".cast("long").as("size"))
     val classes = p.select($"brand", $"size").distinct()
     Quotient.probeRows(classes, math.min(bound, CLASS_BOUND)) match {
       case Some(rows) =>
         val classDepth = classDepthDriver(s,
-          rows.map(r => (r.getString(0), r.getInt(1))))
+          rows.map(r => (r.getString(0), r.getLong(1))))
         p.join(broadcast(classDepth), Seq("brand", "size"))
           .select($"part", $"depth")
       case None =>
@@ -79,10 +84,10 @@ object DagDepth {
   /** The in-process DP over probed class rows: ascending size order
     * IS a topological order of the class DAG. */
   private def classDepthDriver(s: SparkSession,
-                               classes: Array[(String, Int)]): DataFrame = {
+                               classes: Array[(String, Long)]): DataFrame = {
     import scala.collection.mutable
     import scala.jdk.CollectionConverters._
-    val depth = mutable.HashMap.empty[(String, Int), Long]
+    val depth = mutable.HashMap.empty[(String, Long), Long]
     classes.groupBy(_._1).foreach { case (brand, cls) =>
       val present = cls.map(_._2).toSet
       cls.map(_._2).distinct.sorted.foreach { sz =>
@@ -96,7 +101,7 @@ object DagDepth {
         "(size domain wider than expected) — raise the bound in BOTH engines")
     val rows = classes.map { case (b, sz) => Row(b, sz, depth((b, sz))) }.toSeq
     val schema = StructType(Seq(StructField("brand", StringType),
-      StructField("size", IntegerType), StructField("depth", LongType)))
+      StructField("size", LongType), StructField("depth", LongType)))
     s.createDataFrame(rows.asJava, schema)
   }
 
@@ -147,6 +152,11 @@ object DagDepth {
       depth = next
       iter += 1
     }
+    // the loop-long lazy checkpoints are dead once the final depth
+    // generation is materialized — free them on EVERY exit (the
+    // engine-wide free-on-throw discipline)
+    KTruss.freeCheckpoint(cls)
+    KTruss.freeCheckpoint(edges)
     if (!converged) {
       KTruss.freeCheckpoint(depth)
       throw new IllegalStateException(

@@ -52,14 +52,17 @@ object Mis {
       .distinct()
       .localCheckpoint(true, ROUND_LEVEL)
     var nU = u.count()
-    var members = Seq.empty[DataFrame]
+    // members holds the RAW winners checkpoints (so the throw path can
+    // actually free them — freeCheckpoint no-ops on derived plans like
+    // a withColumn projection) alongside each round number
+    var members = Seq.empty[(DataFrame, Long)]
     // any abnormal exit must free every live checkpoint (the KCore
     // contract); winners checkpoints underlie the RESULT on success,
     // so they are freed only on the throw path
     def freeAndThrow(msg: String): Nothing = {
       KTruss.freeCheckpoint(u)
       KTruss.freeCheckpoint(e)
-      members.foreach(KTruss.freeCheckpoint)
+      members.foreach { case (w, _) => KTruss.freeCheckpoint(w) }
       throw new IllegalStateException(msg)
     }
     var iter = 0
@@ -76,7 +79,7 @@ object Mis {
           coalesce($"mh", lit("g"))) // 'g' sorts above every hex digest
         .select($"node")
         .localCheckpoint(true, ROUND_LEVEL)
-      members = members :+ winners.withColumn("mis_round", lit(r.toLong))
+      members = members :+ ((winners, r.toLong))
       val removed = winners
         .union(e.join(winners.select($"node".as("src")), Seq("src"), "left_semi")
           .select($"dst".as("node")))
@@ -102,7 +105,8 @@ object Mis {
     // don't underlie the result (built from verts + winners), free now
     KTruss.freeCheckpoint(u)
     KTruss.freeCheckpoint(e)
-    val mis = members.reduceOption(_ union _)
+    val mis = members.map { case (w, r) => w.withColumn("mis_round", lit(r)) }
+      .reduceOption(_ union _)
       .getOrElse(verts.limit(0).withColumn("mis_round", lit(0L)))
     verts.join(mis, Seq("node"), "left")
       .select($"node", $"mis_round".isNotNull.as("in_mis"), $"mis_round")
@@ -162,7 +166,9 @@ object Mis {
     import s.implicits._
     val verts = parts.localCheckpoint(false)
     var u = verts.localCheckpoint()
-    var members = Seq.empty[DataFrame]
+    // RAW winners checkpoints + round number (a derived withColumn
+    // plan would make the throw path's free a silent no-op)
+    var members = Seq.empty[(DataFrame, Long)]
     var undecided = true
     var iter = 0
     // Any abnormal exit must free every live checkpoint — the KCore/
@@ -171,7 +177,7 @@ object Mis {
     // only on the throw paths.
     def freeAndThrow(msg: String): Nothing = {
       KTruss.freeCheckpoint(u)
-      members.foreach(KTruss.freeCheckpoint)
+      members.foreach { case (w, _) => KTruss.freeCheckpoint(w) }
       throw new IllegalStateException(msg)
     }
     while (undecided) {
@@ -218,7 +224,7 @@ object Mis {
         val staged = u.join(broadcast(state), Seq("brand", "size"))
         val winners = staged.filter(h < $"thr")
           .select($"node").localCheckpoint()
-        members = members :+ winners.withColumn("mis_round", lit(r.toLong))
+        members = members :+ ((winners, r.toLong))
         val nextU = staged.filter(!$"removed" && h >= $"thr")
           .select($"node", $"brand", $"size").localCheckpoint()
         KTruss.freeCheckpoint(u)
@@ -226,7 +232,8 @@ object Mis {
       }
     }
     KTruss.freeCheckpoint(u) // converged ⇒ u is the (empty) final round
-    val mis = members.reduceOption(_ union _)
+    val mis = members.map { case (w, r) => w.withColumn("mis_round", lit(r)) }
+      .reduceOption(_ union _)
       .getOrElse(verts.limit(0).select($"node").withColumn("mis_round", lit(0L)))
     verts.select($"node").join(mis, Seq("node"), "left")
       .select($"node", $"mis_round".isNotNull.as("in_mis"), $"mis_round")

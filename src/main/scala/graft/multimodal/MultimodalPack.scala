@@ -573,13 +573,22 @@ object Decode {
       i += 8 + len.toInt + 4
     }
     val ch = meta.channels
-    val rowBytes = meta.width * ch
+    // LONG arithmetic end-to-end: a crafted IHDR (width near 2^31,
+    // 4 channels) overflows an Int rowBytes into a negative
+    // allocation — a throw, where the contract is None
+    val rowBytes = meta.width.toLong * ch
     val expect = meta.height.toLong * (1L + rowBytes)
-    if (expect > Int.MaxValue) return None
+    if (rowBytes + 1L > Int.MaxValue || expect > Int.MaxValue) return None
+    // zlib inflates at most ~1032:1 — a header whose declared pixel
+    // volume can't come out of this IDAT stream is refused BEFORE the
+    // allocation (a 60-byte payload must not make the seam allocate
+    // a gigabyte on a declared 2^30-pixel geometry)
+    val idatBytes = idat.toByteArray
+    if (expect > idatBytes.length.toLong * 1032L + 64L) return None
     val raw = new Array[Byte](expect.toInt)
     val inf = new java.util.zip.Inflater()
     try {
-      inf.setInput(idat.toByteArray)
+      inf.setInput(idatBytes)
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
@@ -590,19 +599,21 @@ object Decode {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // per-scanline filter reversal; bpp = channels (8-bit samples)
-    val out = new Array[Byte](meta.height * rowBytes)
+    // per-scanline filter reversal; bpp = channels (8-bit samples).
+    // rb fits an Int (guarded above with the +1 filter byte included)
+    val rb = rowBytes.toInt
+    val out = new Array[Byte]((meta.height.toLong * rowBytes).toInt)
     var y = 0
     while (y < meta.height) {
-      val filter = raw(y * (1 + rowBytes)) & 0xff
-      val src = y * (1 + rowBytes) + 1
-      val dst = y * rowBytes
+      val filter = raw(y * (1 + rb)) & 0xff
+      val src = y * (1 + rb) + 1
+      val dst = y * rb
       var x = 0
-      while (x < rowBytes) {
+      while (x < rb) {
         val rawB = raw(src + x) & 0xff
         val left = if (x >= ch) out(dst + x - ch) & 0xff else 0
-        val up = if (y > 0) out(dst - rowBytes + x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= ch) out(dst - rowBytes + x - ch) & 0xff else 0
+        val up = if (y > 0) out(dst - rb + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= ch) out(dst - rb + x - ch) & 0xff else 0
         val rec = filter match {
           case 0 => rawB
           case 1 => rawB + left

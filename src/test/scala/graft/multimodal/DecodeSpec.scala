@@ -212,6 +212,18 @@ class DecodeSpec extends SparkSpec {
     // interlaced flag → fallback (Adam7 weave unsupported by contract)
     val inter = png.clone(); inter(28) = 1
     assert(Decode.pngPixels(inter) === None)
+    // crafted IHDR declaring a 2^29-wide RGBA geometry: Int row-byte
+    // arithmetic would overflow into a negative allocation (a throw);
+    // the contract is None — and a tiny payload must never provoke a
+    // giant allocation even on a non-overflowing huge geometry
+    // (declared volume is zlib-bounded against the actual IDAT size)
+    val huge = png.clone()
+    huge(16) = 0x20.toByte; huge(17) = 0; huge(18) = 0; huge(19) = 0 // width 2^29
+    huge(25) = 6 // RGBA: rowBytes = 4 * 2^29 overflows Int
+    assert(Decode.pngPixels(huge) === None)
+    val wide = png.clone()
+    wide(16) = 0x01.toByte; wide(17) = 0; wide(18) = 0; wide(19) = 0 // width 2^24: no Int overflow,
+    assert(Decode.pngPixels(wide) === None) // but declared volume >> 1032x the IDAT: refused pre-allocation
     // JPEG has no pure-JVM pixel path — stub branch by contract
     val jpg = encode(img(16, 16, BufferedImage.TYPE_INT_RGB), "jpg")
     assert(Decode.pngPixels(jpg) === None)
