@@ -20,6 +20,12 @@ import graft.{QueryPack, Tables}
 object RelationalPack extends QueryPack {
 
   private val D = DecimalType(18, 2)
+  // C33 MERGE arm thresholds on the 1995 per-customer spend (cents):
+  // chosen so all four arms (update/delete/insert/keep) are
+  // non-degenerate at every SF — the per-customer window-spend
+  // distribution is SF-invariant
+  private val MERGE_DELETE_CENTS = 45000000L // > $450k: churn the account
+  private val MERGE_INSERT_CENTS = 40000000L // > $400k: spawn a NEW account key
 
   /** Exact-decimal sum rounded ONCE after aggregation (oracle shape:
     * `CAST(ROUND(SUM(<decimal expr>), 2) AS DOUBLE)`). The argument
@@ -767,6 +773,45 @@ object RelationalPack extends QueryPack {
           $"near_ts".as("near_us"), $"gap".as("gap_us"), $"direction")
     },
 
+    // C33: full MERGE semantics (the warehouse workhorse beyond C8's
+    // INSERT-OR-IGNORE and C28's CDC last-op-wins): one statement's
+    // worth of WHEN MATCHED AND <cond> THEN DELETE / WHEN MATCHED
+    // THEN UPDATE / WHEN NOT MATCHED BY SOURCE THEN KEEP / WHEN NOT
+    // MATCHED THEN INSERT, applied to the customer dimension with a
+    // source built from the 1995 order window (plus synthetic
+    // new-account keys offset by 10^9 for the insert arm). Scale
+    // shape: ONE partial-aggregable rollup of the source + ONE
+    // full-outer shuffle join on the key — no per-arm passes, no
+    // row-at-a-time upserts. All money arithmetic in exact CENTS
+    // (decimal×100 → BIGINT), so the merged balances hash bit-exact
+    // cross-engine; every arm is non-degenerate at every SF
+    // (spec-checked via the op counts in the result itself).
+    "q_merge" -> { (s, d) =>
+      import s.implicits._
+      val src1 = Tables.orders(s, d)
+        .filter($"o_orderdate" >= lit("1995-01-01").cast("timestamp") &&
+          $"o_orderdate" < lit("1996-01-01").cast("timestamp"))
+        .groupBy($"o_custkey".cast("long").as("k"))
+        .agg(sum(($"o_totalprice".cast(D) * 100).cast("long")).as("cents"))
+      val src = src1.unionByName(
+        src1.filter($"cents" > MERGE_INSERT_CENTS)
+          .select(($"k" + 1000000000L).as("k"), $"cents"))
+      val t = Tables.customer(s, d)
+        .select($"c_custkey".cast("long").as("ck"),
+          ($"c_acctbal".cast(D) * 100).cast("long").as("bal_cents"), $"c_mktsegment")
+      t.join(src, $"ck" === $"k", "full_outer")
+        .filter(!($"ck".isNotNull && $"k".isNotNull && $"cents" > MERGE_DELETE_CENTS))
+        .select(
+          coalesce($"ck", $"k").as("custkey"),
+          when($"ck".isNotNull && $"k".isNotNull, $"bal_cents" + expr("cents div 10"))
+            .when($"ck".isNotNull, $"bal_cents")
+            .otherwise(expr("cents div 10")).as("acctbal_cents"),
+          when($"ck".isNotNull, $"c_mktsegment").otherwise(lit("NEW")).as("segment"),
+          when($"ck".isNotNull && $"k".isNotNull, lit("update"))
+            .when($"ck".isNotNull, lit("keep"))
+            .otherwise(lit("insert")).as("op"))
+    },
+
     // C13: semi-structured extraction — JSON path into the events
     // `props` column, then a plain grouped aggregate over the
     // extracted value. get_json_object is a codegen'd Catalyst
@@ -1131,6 +1176,29 @@ object RelationalPack extends QueryPack {
         |c AS (SELECT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click')
         |SELECT p.user_id, p.event_id, p.ts_us, c.click_us, p.ts_us - c.click_us AS gap_us
         |FROM p ASOF JOIN c ON p.user_id = c.user_id AND p.ts_us >= c.click_us""".stripMargin,
+    "q_merge" ->
+      s"""WITH s1 AS (
+         | SELECT CAST(o_custkey AS BIGINT) AS k,
+         |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+         | FROM orders
+         | WHERE o_orderdate >= TIMESTAMP '1995-01-01' AND o_orderdate < TIMESTAMP '1996-01-01'
+         | GROUP BY 1),
+         |src AS (SELECT k, cents FROM s1
+         |        UNION ALL
+         |        SELECT k + 1000000000, cents FROM s1 WHERE cents > $MERGE_INSERT_CENTS),
+         |m AS (SELECT c.c_custkey AS ck, CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_cents,
+         |       c.c_mktsegment, s.k, s.cents
+         |      FROM customer c FULL OUTER JOIN src s ON s.k = c.c_custkey)
+         |SELECT CAST(COALESCE(ck, k) AS BIGINT) AS custkey,
+         | CASE WHEN ck IS NOT NULL AND k IS NOT NULL THEN bal_cents + cents // 10
+         |      WHEN ck IS NOT NULL THEN bal_cents
+         |      ELSE cents // 10 END AS acctbal_cents,
+         | CASE WHEN ck IS NOT NULL THEN c_mktsegment ELSE 'NEW' END AS segment,
+         | CASE WHEN ck IS NOT NULL AND k IS NOT NULL THEN 'update'
+         |      WHEN ck IS NOT NULL THEN 'keep'
+         |      ELSE 'insert' END AS op
+         |FROM m
+         |WHERE NOT (ck IS NOT NULL AND k IS NOT NULL AND cents > $MERGE_DELETE_CENTS)""".stripMargin,
     "q_asof_nearest" ->
       """WITH p AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events WHERE event_type = 'purchase'),
         |c AS (SELECT DISTINCT user_id, epoch_us(ts) AS click_us FROM events WHERE event_type = 'click')
