@@ -131,7 +131,9 @@ object Betweenness {
       frontier = next
       visited = nextVisited
     }
-    KTruss.freeCheckpoint(frontier) // the empty final frontier
+    // zero-iteration path (empty edge set): visited IS frontier —
+    // freeing it would unpersist the returned checkpoint
+    if (!(frontier eq visited)) KTruss.freeCheckpoint(frontier)
     // the loop-long edge checkpoint is dead once the final visited
     // generation is materialized
     KTruss.freeCheckpoint(e)

@@ -63,7 +63,7 @@ object DagDepth {
     * drive arbitrary tables. Normalizes to the facade's documented
     * column types (part/size → LONG) up front, so int- and long-typed
     * callers land on identical code paths. */
-  private[graft] def depthOf(s: SparkSession, p0: DataFrame,
+  private[graph] def depthOf(s: SparkSession, p0: DataFrame,
                              bound: Int = CLASS_BOUND): DataFrame = {
     import s.implicits._
     val p = p0.select($"part".cast("long").as("part"), $"brand",

@@ -530,6 +530,9 @@ final case class ImageMeta(format: String, width: Int, height: Int,
 object Decode {
   val DIM = 16
 
+  /** Decoded-sample volume cap for [[pngPixels]] (see its guard). */
+  private val MAX_SAMPLES = 1L << 28
+
   def featuresOf(payload: Array[Byte]): Seq[Float] = {
     val counts = new Array[Int](DIM)
     payload.foreach(b => counts((b & 0xff) % DIM) += 1)
@@ -578,7 +581,13 @@ object Decode {
     // allocation — a throw, where the contract is None
     val rowBytes = meta.width.toLong * ch
     val expect = meta.height.toLong * (1L + rowBytes)
-    if (rowBytes + 1L > Int.MaxValue || expect > Int.MaxValue) return None
+    // hard sample-volume cap (2^28 ≈ 268M samples ≈ a 8k×8k RGBA
+    // frame): far above any plausible corpus image, far below the
+    // JVM's Int.MaxValue−2 byte[] ceiling — so a crafted IHDR sitting
+    // exactly on the Int boundary gets None, never the VM-limit
+    // OutOfMemoryError, and a multi-MB junk payload can't force
+    // multi-GB raw+out allocations through the zlib ratio bound alone
+    if (rowBytes + 1L > MAX_SAMPLES || expect > MAX_SAMPLES) return None
     // zlib inflates at most ~1032:1 — a header whose declared pixel
     // volume can't come out of this IDAT stream is refused BEFORE the
     // allocation (a 60-byte payload must not make the seam allocate

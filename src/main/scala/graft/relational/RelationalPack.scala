@@ -785,7 +785,10 @@ object RelationalPack extends QueryPack {
     // row-at-a-time upserts. All money arithmetic in exact CENTS
     // (decimal×100 → BIGINT), so the merged balances hash bit-exact
     // cross-engine; every arm is non-degenerate at every SF
-    // (spec-checked via the op counts in the result itself).
+    // (spec-checked via the op counts in the result itself). The
+    // synthetic-key offset is guarded LOUDLY against the real key
+    // domain (see below) — a collision would flip arms identically
+    // in both engines, which the hash oracle cannot see.
     "q_merge" -> { (s, d) =>
       import s.implicits._
       val src1 = Tables.orders(s, d)
@@ -796,8 +799,19 @@ object RelationalPack extends QueryPack {
       val src = src1.unionByName(
         src1.filter($"cents" > MERGE_INSERT_CENTS)
           .select(($"k" + 1000000000L).as("k"), $"cents"))
+      // the synthetic insert-key offset must clear the real key
+      // domain, or an 'insert' row would silently collide into an
+      // unrelated customer's 'update' — and both engines would agree
+      // on the wrong answer, blinding the hash oracle. Fail LOUDLY
+      // instead (the s_knn_binary dims-guard discipline: raise_error
+      // rides the used column, so it can't be pruned away). TPC-H
+      // custkeys reach 10^9 around SF ~6,700.
       val t = Tables.customer(s, d)
-        .select($"c_custkey".cast("long").as("ck"),
+        .select(
+          when($"c_custkey" < 1000000000L, $"c_custkey".cast("long"))
+            .otherwise(raise_error(concat(lit("q_merge synthetic-key offset 10^9 "),
+              lit("collides with real custkey "), $"c_custkey".cast("string"),
+              lit(" — raise the offset in BOTH engines")))).as("ck"),
           ($"c_acctbal".cast(D) * 100).cast("long").as("bal_cents"), $"c_mktsegment")
       t.join(src, $"ck" === $"k", "full_outer")
         .filter(!($"ck".isNotNull && $"k".isNotNull && $"cents" > MERGE_DELETE_CENTS))
