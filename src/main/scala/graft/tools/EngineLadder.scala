@@ -76,7 +76,31 @@ object EngineLadder {
         Anf.quotientPartEdit(s, sfDir, GraphPack.ANF_SAMPLE, GraphPack.ANF_TOL)),
       "ra_quotient" -> (() => LinkPrediction.resourceAllocationQuotient(s,
         graft.Tables.part(s, sfDir)
-          .select(col("p_partkey"), col("p_brand"), col("p_size")), 100)))
+          .select(col("p_partkey"), col("p_brand"), col("p_size")), 100)),
+      // round-10 routed ops: fast (in-process sweep) vs FORCED
+      // fallback (bound=1 → the distributed general engine) on the
+      // same inputs — the quotient-twin story for the four operators
+      // FallbackRoutingSpec pins route-identical
+      "betweenness_fast" -> (() =>
+        Betweenness.run(s, GraphBuilder.tradeEdges(s, sfDir))),
+      "betweenness_fallback" -> (() =>
+        Betweenness.run(s, GraphBuilder.tradeEdges(s, sfDir), bound = 1)),
+      "dagdepth_fast" -> (() => DagDepth.partEditDepth(s, sfDir)),
+      "dagdepth_fallback" -> (() => DagDepth.partEditDepth(s, sfDir, bound = 1)),
+      "bridges_fast" -> (() => Bridges.classEdgeBridges(s, sfDir)),
+      "bridges_fallback" -> (() => Bridges.classEdgeBridges(s, sfDir, bound = 1)),
+      "bfs_allpairs_fast" -> (() => {
+        val edges = GraphBuilder.tradeEdges(s, sfDir)
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .select(col("node").as("root"), col("node"))
+        Bfs.bfsAuto(edges, seeds)
+      }),
+      "bfs_allpairs_fallback" -> (() => {
+        val edges = GraphBuilder.tradeEdges(s, sfDir)
+        val seeds = edges.select(col("src").as("node")).distinct()
+          .select(col("node").as("root"), col("node"))
+        Bfs.bfsAuto(edges, seeds, bound = 1)
+      }))
     val unknown = (only ++ excluded) -- allEngines.map(_._1).toSet
     require(unknown.isEmpty,
       s"unknown engine name(s) ${unknown.mkString(", ")} — known: ${allEngines.map(_._1).mkString(", ")}")
