@@ -91,12 +91,15 @@ object SortedNeighborhood {
       }
     }
     val edge = byRank.toIndexedSeq // (rank, (pid, id)) ascending
-    val seam = for {
-      i <- edge.indices
-      j <- (i + 1) until edge.length
-      if edge(j)._1 - edge(i)._1 <= (w - 1).toLong
-      if edge(j)._2._1 != edge(i)._2._1 // same-partition pairs: pass 2's
-    } yield (edge(i)._2._2, edge(j)._2._2)
+    // ranks ascend, so the first j past the w−1 gap ends i's scan:
+    // O(E·w) total, not O(E²) — E = edge-row count ≈ 2(w−1)·parts
+    val seam = edge.indices.iterator.flatMap { i =>
+      Iterator.range(i + 1, edge.length)
+        .map(edge)
+        .takeWhile(_._1 - edge(i)._1 <= (w - 1).toLong)
+        .filter(_._2._1 != edge(i)._2._1) // same-partition pairs: pass 2's
+        .map(e => (edge(i)._2._2, e._2._2))
+    }.toSeq
     inner.union(seam.toDF("a", "b"))
   }
 }

@@ -64,10 +64,15 @@ object Anf {
       KTruss.freeCheckpoint(counters) // previous round: dead
       counters = next
     }
-    // the final counters checkpoint underlies the returned plan — the
-    // caller's action streams it from disk; e stays pinned only until
-    // then, and a 2-column edge list on disk is not pool pressure
-    counters.select($"node", $"regs", GraftFunctions.hllCard($"regs").as("est"))
+    // materialize the output eagerly so every loop-long checkpoint —
+    // the edge list AND the last counters generation — can be freed
+    // now instead of living for the session (the PPR/HITS discipline)
+    val out = counters
+      .select($"node", $"regs", GraftFunctions.hllCard($"regs").as("est"))
+      .localCheckpoint(true, ROUND_LEVEL)
+    KTruss.freeCheckpoint(counters)
+    KTruss.freeCheckpoint(e)
+    out
   }
 
   /** QUOTIENT fast path for the 2-round ANF over the bidirectional

@@ -139,11 +139,29 @@ object Bridges {
     // synthetic non-null keys — inferred filters add nothing here.
     // The result materializes INSIDE the scope (eager checkpoint), so
     // no constraint from these plans escapes to caller analysis.
-    val key = "spark.sql.constraintPropagation.enabled"
-    val prev = s.conf.get(key, "true")
-    s.conf.set(key, "false")
-    try edgeBridgesFlood(s, classes)
-    finally s.conf.set(key, prev)
+    // The override lives on a CLONED session (own SessionState, shared
+    // SparkContext), so concurrent queries on `s` keep constraint
+    // propagation and no restore race exists.
+    val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
+    val flood = s.newSession()
+    // newSession() initializes SQLConf from the context conf, not the
+    // caller's runtime settings — carry those over (static/immutable
+    // entries just refuse; that's fine, they're shared anyway)
+    s.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(flood.conf.set(k, v))
+    }
+    flood.conf.set("spark.sql.constraintPropagation.enabled", "false")
+    // hand the input across sessions as a materialized RDD — plans
+    // must not mix SessionStates
+    val cls0 = classes.localCheckpoint(true, lvl)
+    val res = edgeBridgesFlood(flood,
+      flood.createDataFrame(cls0.rdd, cls0.schema))
+    // res is eagerly checkpointed inside the flood; re-root it on the
+    // caller's session so downstream analysis uses s's conf
+    val out = s.createDataFrame(res.rdd, res.schema).localCheckpoint(true, lvl)
+    KTruss.freeCheckpoint(res)
+    KTruss.freeCheckpoint(cls0)
+    out
   }
 
   private def edgeBridgesFlood(s: SparkSession, classes: DataFrame): DataFrame = {

@@ -105,15 +105,20 @@ object DagDepth {
     s.createDataFrame(rows.asJava, schema)
   }
 
-  /** The general engine: per-level relaxation over the DISTRIBUTED
-    * class graph —
-    *   depth₀(c) = 0;  depthₖ₊₁(c) = max(0, max over preds (depthₖ + 1))
-    * is monotone non-decreasing and reaches the longest-path fixpoint
-    * in (longest chain) rounds, so the declared 59-chain contract
-    * bounds the loop at 60 productive rounds + 1 to observe the
-    * fixpoint. Each round is one self-contained equi-join + one
-    * partial-aggregable max; convergence rides the (monotone) depth
-    * SUM, one scalar per round. Per-round state is class-domain-sized,
+  /** The general engine: max-plus PATH DOUBLING over the DISTRIBUTED
+    * class graph. Round k holds P_k = the longest path length for
+    * every ordered class pair reachable in ≤ 2^k edges;
+    * P_{k+1}(u, v) = max(P_k(u, v), max over w of P_k(u, w) + P_k(w, v))
+    * — one self-join + one partial-aggregable max per round, reaching
+    * the all-pairs longest-path fixpoint in ⌈log₂ chain⌉ rounds where
+    * the per-level relaxation needed `chain` rounds (~50 scheduler-
+    * bound tiny jobs was the measured cost — engines.jsonl's flat
+    * ~11 s dagdepth_fallback at every rung). The pair table stays
+    * class-linear: the declared chain bound caps any path at 59 edges
+    * of delta ≤ 2, so each node reaches ≤ 118 successors — and a
+    * per-round max-length guard throws the contract violation LOUDLY
+    * before the table could grow past it. depth(c) is then the max
+    * incoming path length (0 for sources). Per-round state is
     * checkpointed with the KCore DISK discipline. Returns
     * (brand, size, depth) for every class. */
   private[graph] def classDepthDistributed(s: SparkSession,
@@ -122,56 +127,69 @@ object DagDepth {
     val lvl = org.apache.spark.storage.StorageLevel.DISK_ONLY
     val cls = classes.select($"brand", $"size").distinct()
       .localCheckpoint(false, lvl)
-    // directed class edges under the size-up rule: pred --(+1|+2)--> succ
-    val edges = cls.select($"brand", $"size".as("psize"))
-      .join(cls.select($"brand", $"size"),
-        Seq("brand"))
-      .filter($"size" - $"psize" === 1 || $"size" - $"psize" === 2)
-      .select($"brand", $"psize", $"size")
-      .localCheckpoint(false, lvl)
-    var depth = cls.select($"brand", $"size", lit(0L).as("depth"))
+    // P_0: the directed class edges under the size-up rule,
+    // pred --(+1|+2)--> succ, each a longest-≤1-edge path of length 1
+    var paths = cls.select($"brand", $"size".as("u"))
+      .join(cls.select($"brand", $"size".as("v")), Seq("brand"))
+      .filter($"v" - $"u" === 1 || $"v" - $"u" === 2)
+      .select($"brand", $"u", $"v", lit(1L).as("len"))
       .localCheckpoint(true, lvl)
-    var total = -1L
-    var converged = false
+    // fixpoint in ⌈log₂ MAX_CHAIN⌉ productive rounds + 1 to observe;
+    // convergence rides the (monotone, bounded: ≤ |cls|·118 rows of
+    // len ≤ 59) length SUM, one scalar per round
+    val maxIter = 64 - java.lang.Long.numberOfLeadingZeros(MAX_CHAIN) + 2
+    var total = paths.agg(coalesce(sum($"len"), lit(0L))).as[Long].head()
+    var converged = total == 0L // no edges: every class is depth 0
     var iter = 0
-    val maxIter = MAX_CHAIN.toInt + 2
-    while (!converged && iter < maxIter) {
-      val msgs = edges
-        .join(depth.select($"brand", $"size".as("psize"), $"depth"),
-          Seq("brand", "psize"))
-        .groupBy($"brand", $"size")
-        .agg(max($"depth" + 1L).as("nd"))
-      val next = cls
-        .join(msgs, Seq("brand", "size"), "left")
-        .select($"brand", $"size", coalesce($"nd", lit(0L)).as("depth"))
-        .localCheckpoint(true, lvl)
-      val t2 = next.agg(coalesce(sum($"depth"), lit(0L))).as[Long].head()
-      converged = t2 == total
-      total = t2
-      KTruss.freeCheckpoint(depth)
-      depth = next
-      iter += 1
-    }
-    // the loop-long lazy checkpoints are dead once the final depth
-    // generation is materialized — free them on EVERY exit (the
-    // engine-wide free-on-throw discipline)
-    KTruss.freeCheckpoint(cls)
-    KTruss.freeCheckpoint(edges)
-    if (!converged) {
-      KTruss.freeCheckpoint(depth)
-      throw new IllegalStateException(
-        s"class-DAG depth relaxation did not converge within $maxIter rounds — " +
-          s"chain deeper than the declared bound of $MAX_CHAIN; raise it in BOTH engines")
-    }
-    // the EXPLICIT form of the driver DP's chain guard (convergence
-    // inside maxIter alone would admit a chain one past the bound)
-    val deepest = depth.agg(coalesce(max($"depth"), lit(0L))).as[Long].head()
-    if (deepest > MAX_CHAIN) {
-      KTruss.freeCheckpoint(depth)
+    def freeAndThrow(depth: Long): Nothing = {
+      KTruss.freeCheckpoint(paths)
+      KTruss.freeCheckpoint(cls)
       throw new IllegalArgumentException(
-        s"requirement failed: class-DAG chain depth $deepest exceeds the declared bound of $MAX_CHAIN " +
+        s"requirement failed: class-DAG chain depth $depth exceeds the declared bound of $MAX_CHAIN " +
           "(size domain wider than expected) — raise the bound in BOTH engines")
     }
+    while (!converged && iter < maxIter) {
+      val composed = paths.as("a")
+        .join(paths.as("b"),
+          col("a.brand") === col("b.brand") && col("a.v") === col("b.u"))
+        .select(col("a.brand").as("brand"), col("a.u").as("u"),
+          col("b.v").as("v"), (col("a.len") + col("b.len")).as("len"))
+      val next = paths.union(composed)
+        .groupBy($"brand", $"u", $"v")
+        .agg(max($"len").as("len"))
+        .localCheckpoint(true, lvl)
+      val (t2, longest) = next
+        .agg(coalesce(sum($"len"), lit(0L)), coalesce(max($"len"), lit(0L)))
+        .as[(Long, Long)].head()
+      KTruss.freeCheckpoint(paths)
+      paths = next
+      // the guard that keeps the doubling bounded: past the contract,
+      // lengths (and the pair table) would grow geometrically — bail
+      // the moment the contract is violated, same message as the DP
+      if (longest > MAX_CHAIN) freeAndThrow(longest)
+      converged = t2 == total
+      total = t2
+      iter += 1
+    }
+    if (!converged) {
+      // unreachable while the guard holds (lengths ≤ MAX_CHAIN force
+      // the fixpoint inside maxIter) — kept as the loud backstop
+      KTruss.freeCheckpoint(paths)
+      KTruss.freeCheckpoint(cls)
+      throw new IllegalStateException(
+        s"class-DAG path doubling did not converge within $maxIter rounds — " +
+          s"chain deeper than the declared bound of $MAX_CHAIN; raise it in BOTH engines")
+    }
+    // depth(c) = longest incoming path; sources (no incoming pair) = 0
+    val depth = cls
+      .join(paths.groupBy($"brand", $"v").agg(max($"len").as("d"))
+          .select($"brand", $"v".as("size"), $"d"),
+        Seq("brand", "size"), "left")
+      .select($"brand", $"size", coalesce($"d", lit(0L)).as("depth"))
+      .localCheckpoint(true, lvl)
+    // the loop-long checkpoints are dead once depth is materialized
+    KTruss.freeCheckpoint(paths)
+    KTruss.freeCheckpoint(cls)
     depth
   }
 }

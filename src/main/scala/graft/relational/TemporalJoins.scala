@@ -112,7 +112,12 @@ object NearestJoin {
     */
   def nearest(left: DataFrame, right: DataFrame, key: String,
               leftTs: String, rightTs: String): DataFrame = {
-    val lPrep = left.select(
+    // null key/ts on EITHER side is unmatchable: a null-ts left row
+    // would otherwise survive the window pass with an arbitrary-
+    // direction match (nulls-first ordering) — drop it like the right
+    val lPrep = left
+      .filter(col(key).isNotNull && col(leftTs).isNotNull)
+      .select(
       col(key).as("__k"), col(leftTs).cast("long").as("__ts"), lit(1).as("__side"),
       struct(left.columns.map(col).toSeq: _*).as("__l"))
     val rPrep = right
