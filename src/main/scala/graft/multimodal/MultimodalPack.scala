@@ -17,13 +17,16 @@ final case class FeatureRow(doc_id: Long, n_bytes: Long, features: Seq[Float],
   * Media columns are opaque `binary` with typed metadata alongside —
   * the test tables carry no real media, so the payload is the
   * document text's UTF-8 bytes. The decoder behind the seam is REAL
-  * for what public-JVM primitives can express — PNG/JPEG header
-  * parsing, and (round-10) the FULL PNG pixel decode: IDAT inflate +
-  * per-scanline unfilter, spec-pinned byte-exact against ImageIO —
-  * and a deterministic stub (byte-histogram "features") for the rest
-  * (JPEG entropy decode, corrupt payloads, non-image rows);
-  * everything around it — binary schema, batched per-partition decode
-  * plumbing, fixed-width feature output — is real and tested.
+  * for both container formats: PNG/JPEG header parsing, the FULL PNG
+  * pixel decode (round-10: IDAT inflate + per-scanline unfilter), and
+  * the FULL baseline JPEG pixel decode (round-11: Huffman entropy
+  * decode + integer IDCT + chroma upsample + YCbCr→RGB,
+  * [[JpegDecode]]) — each spec-pinned byte-exact against ImageIO —
+  * with a deterministic stub (byte-histogram "features") only for
+  * what has no pure-JVM decode (progressive JPEG, exotic PNG
+  * variants, corrupt payloads, non-image rows); everything around it
+  * — binary schema, batched per-partition decode plumbing,
+  * fixed-width feature output — is real and tested.
   *
   * Scale shape: decode is per-row map work batched per partition
   * (the mapInPandas batch shape): no shuffle at all; a real decoder
@@ -519,13 +522,17 @@ final case class ImageMeta(format: String, width: Int, height: Int,
   *     hand-assembled PNGs exercising every filter type. Features
   *     for a decodable PNG are the histogram of its decoded SAMPLE
   *     stream, not its compressed container bytes.
+  *   - REAL pixels (JPEG): [[JpegDecode.pixels]] (round-11) —
+  *     baseline sequential Huffman decode, integer IDCT, chroma
+  *     upsampling and YCbCr→RGB, byte-exact vs ImageIO on gray and
+  *     4:2:0 color.
   *   - STUB: [[featuresOf]] over the raw payload — the deterministic
-  *     stand-in wherever a pure-JVM decode does not exist (JPEG
-  *     entropy decode needs a codec library; palette/16-bit/
-  *     interlaced PNGs; truncated or corrupt containers; non-image
-  *     payloads). The shipped corpus is ASCII text (no payload
-  *     carries image magic, spec-asserted), so the `m_features`
-  *     oracle contract is untouched by the real branches.
+  *     stand-in wherever a pure-JVM decode does not exist
+  *     (progressive/arithmetic JPEG; palette/16-bit/interlaced PNGs;
+  *     truncated or corrupt containers; non-image payloads). The
+  *     shipped corpus is ASCII text (no payload carries image magic,
+  *     spec-asserted), so the `m_features` oracle contract is
+  *     untouched by the real branches.
   */
 object Decode {
   val DIM = 16
@@ -541,12 +548,15 @@ object Decode {
   }
 
   /** The feature seam [[MultimodalPack.featureVectorsOf]] calls: the
-    * REAL pixel histogram where a pure-JVM decode exists, the payload
-    * stub otherwise. Same DIM-bin normalized-histogram contract either
-    * way, so downstream consumers (G4 resize, G5/G6 phash, G9 scenes)
-    * are branch-agnostic. */
+    * REAL pixel histogram where a pure-JVM decode exists (PNG via
+    * [[pngPixels]], baseline JPEG via [[JpegDecode.pixels]] —
+    * round 11), the payload stub otherwise. Same DIM-bin
+    * normalized-histogram contract either way, so downstream
+    * consumers (G4 resize, G5/G6 phash, G9 scenes) are
+    * branch-agnostic. */
   def featureSeam(payload: Array[Byte]): Seq[Float] =
-    pngPixels(payload).map(featuresOf).getOrElse(featuresOf(payload))
+    pngPixels(payload).orElse(JpegDecode.pixels(payload))
+      .map(featuresOf).getOrElse(featuresOf(payload))
 
   /** REAL PNG pixel decode (see object doc). Returns the unfiltered
     * row-major interleaved 8-bit sample stream (h · w · channels

@@ -224,21 +224,100 @@ class DecodeSpec extends SparkSpec {
     val wide = png.clone()
     wide(16) = 0x01.toByte; wide(17) = 0; wide(18) = 0; wide(19) = 0 // width 2^24: no Int overflow,
     assert(Decode.pngPixels(wide) === None) // but declared volume >> 1032x the IDAT: refused pre-allocation
-    // JPEG has no pure-JVM pixel path — stub branch by contract
+    // a JPEG payload is not a PNG — the PNG path refuses it
     val jpg = encode(img(16, 16, BufferedImage.TYPE_INT_RGB), "jpg")
     assert(Decode.pngPixels(jpg) === None)
   }
 
-  test("feature seam: PNG features come from decoded pixels, JPEG/raw from payload bytes") {
+  test("feature seam: PNG and JPEG features come from decoded pixels, raw from payload bytes") {
     val png = encode(img(31, 19, BufferedImage.TYPE_INT_RGB), "png")
     val pix = Decode.pngPixels(png).get
     assert(Decode.featureSeam(png) === Decode.featuresOf(pix))
     assert(Decode.featureSeam(png) !== Decode.featuresOf(png),
       "pixel features indistinguishable from container-byte features — test image too bland")
     val jpg = encode(img(31, 19, BufferedImage.TYPE_INT_RGB), "jpg")
-    assert(Decode.featureSeam(jpg) === Decode.featuresOf(jpg))
+    assert(Decode.featureSeam(jpg) === Decode.featuresOf(JpegDecode.pixels(jpg).get))
+    assert(Decode.featureSeam(jpg) !== Decode.featuresOf(jpg),
+      "JPEG pixel features indistinguishable from container bytes — test image too bland")
     val raw = "plain text".getBytes("UTF-8")
     assert(Decode.featureSeam(raw) === Decode.featuresOf(raw))
+  }
+
+  // ---- round-11: the REAL baseline JPEG pixel path (verdict #2) ----
+
+  /** ImageIO's reader (OpenJDK's bundled IJG-derived decoder) is the
+    * independent reference: byte-exact agreement pins the whole
+    * pipeline — Huffman entropy decode, dequantize, integer IDCT,
+    * triangle-filter chroma upsampling, fixed-point YCbCr→RGB. */
+  test("JPEG pixels: baseline decode matches ImageIO byte-for-byte (gray + 4:2:0 color)") {
+    val shapes = Seq((16, 16), (21, 13), (64, 48), (1, 1), (8, 8), (33, 7))
+    for ((w, h) <- shapes; t <- Seq(BufferedImage.TYPE_BYTE_GRAY, BufferedImage.TYPE_INT_RGB)) {
+      val jpg = encode(img(w, h, t), "jpg")
+      val got = JpegDecode.pixels(jpg)
+      assert(got.isDefined, s"$w x $h type $t: decode failed")
+      assert(got.get.toSeq === rasterSamples(jpg).toSeq, s"$w x $h type $t: pixel mismatch")
+    }
+    // dense random content: every Huffman table path + AC run shapes
+    val rng = new scala.util.Random(7)
+    val noisy = new BufferedImage(59, 31, BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until 59; y <- 0 until 31) noisy.setRGB(x, y, rng.nextInt() & 0xffffff)
+    val jpg = encode(noisy, "jpg")
+    assert(JpegDecode.pixels(jpg).get.toSeq === rasterSamples(jpg).toSeq)
+  }
+
+  test("JPEG pixels: progressive, corrupt and truncated payloads fall back, never throw") {
+    val base = encode(img(24, 24, BufferedImage.TYPE_INT_RGB), "jpg")
+    assert(JpegDecode.pixels(base).isDefined)
+    // progressive: out of declared scope (SOF2) by contract
+    val iw = ImageIO.getImageWritersByFormatName("jpg").next()
+    val param = iw.getDefaultWriteParam
+    param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new ByteArrayOutputStream()
+    iw.setOutput(ImageIO.createImageOutputStream(bos))
+    iw.write(null, new javax.imageio.IIOImage(img(24, 24, BufferedImage.TYPE_INT_RGB), null, null), param)
+    iw.dispose()
+    val progressive = bos.toByteArray
+    assert(JpegDecode.pixels(progressive) === None)
+    // truncation at every granularity: in the tables, in the scan
+    assert(JpegDecode.pixels(base.take(20)) === None)
+    assert(JpegDecode.pixels(base.take(base.length / 2)) === None)
+    assert(JpegDecode.pixels(Array[Byte]()) === None)
+    assert(JpegDecode.pixels("not a jpeg".getBytes("UTF-8")) === None)
+    // PNG payload is not a JPEG
+    assert(JpegDecode.pixels(encode(img(8, 8, BufferedImage.TYPE_INT_RGB), "png")) === None)
+    // bit flips inside the entropy data: wrong pixels or None, never
+    // a throw (run a few offsets to cross Huffman resync points)
+    for (k <- 1 to 5) {
+      val flip = base.clone()
+      val at = base.length - 8 * k
+      flip(at) = (flip(at) ^ 0x55).toByte
+      JpegDecode.pixels(flip)
+    }
+    // crafted SOF declaring a huge geometry: volume-capped to None
+    // before any allocation (the PNG path's guard discipline)
+    val sofAt = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        val marker = base(i + 1) & 0xff
+        if (marker == 0xc0) at = i
+        else i += 2 + (((base(i + 2) & 0xff) << 8) | (base(i + 3) & 0xff))
+      }
+      at
+    }
+    val huge = base.clone()
+    huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xff.toByte // height 65535
+    huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xff.toByte // width 65535
+    assert(JpegDecode.pixels(huge) === None)
+  }
+
+  test("downstream consumers see pixel-real features for JPEG payloads through the seam") {
+    import spark.implicits._
+    val jpg = encode(img(40, 30, BufferedImage.TYPE_INT_RGB), "jpg")
+    val ds = Seq(1L -> jpg).toDS()
+    val feats = MultimodalPack.featureVectorsOf(spark, ds)
+      .select($"features").head().getSeq[Float](0)
+    assert(feats === Decode.featuresOf(JpegDecode.pixels(jpg).get))
   }
 
   test("downstream G4/G5 consumers see pixel-real features for PNG payloads through the seam") {
