@@ -22,20 +22,28 @@ import org.apache.spark.sql.functions._
   * the walk is a pure function of the graph, not of partitioning or
   * schedule).
   *
-  * Scale shape: adjacency is stored POSITIONALLY as (src, pos, dst)
-  * rows — pos = rank of dst in the node's sorted neighbor list — with
-  * degrees on a separate vertex-sized table, NOT as per-node neighbor
-  * arrays: a walk only ever reads ONE element per hop, and a
-  * collect_list adjacency would build a degree-sized aggregation
-  * buffer under a single key (a degree-10^8 celebrity = an ~800 MB
-  * unspillable buffer — the exact failure class the capped dedup
-  * posting lists avoid). The positional build is a row_number window
-  * (sort-based, spills; no per-key in-memory aggregation state) over
-  * the one edge shuffle, shared across all hops via a lazy
-  * localCheckpoint. Each hop is then: frontier ⋈ deg (compute idx) ⋈
-  * adjacency on (node, pos = idx) — AQE broadcasts the frontier side
-  * (|seeds| rows, typically ≪ graph), so a w-step walk costs w
-  * bounded joins and no iteration-growing state. Walks that reach a
+  * Scale shape: adjacency is stored POSITIONALLY as (src, pos, dst,
+  * deg) rows — pos = rank of dst in the node's sorted neighbor list,
+  * deg carried on every row from the SAME window pass — NOT as
+  * per-node neighbor arrays: a walk only ever reads ONE element per
+  * hop, and a collect_list adjacency would build a degree-sized
+  * aggregation buffer under a single key (a degree-10^8 celebrity =
+  * an ~800 MB unspillable buffer — the exact failure class the capped
+  * dedup posting lists avoid). The positional build is a row_number +
+  * full-frame count window (one sort, sort-based and spilling; no
+  * per-key in-memory aggregation state) over the one edge shuffle,
+  * shared across all hops via a lazy localCheckpoint. Each hop is
+  * then ONE join: frontier ⋈ adjacency on node = src with
+  * pos = idx(node, t) mod deg as the residual predicate — AQE
+  * broadcasts the frontier side (|seeds| rows, typically ≪ graph),
+  * so the adjacency streams through exactly once per hop (deg riding
+  * the adjacency row is what keeps the idx expression join-local; a
+  * separate degree table would cost a second fact-scale scan per
+  * hop). Each wave is checkpointed (seed-sized): hop t+1 and the
+  * final union read materialized blocks, so a w-step walk costs
+  * exactly w adjacency scans — not the O(w²) a lineage-recursive
+  * union would re-execute (broadcast joins leave no exchange on the
+  * adjacency side for ReuseExchange to dedupe). Walks that reach a
   * sink node simply end (inner join), same as the reference BFS
   * treating missing adjacency as absence (main.py:272-305's neighbor
   * lookups).
@@ -50,43 +58,44 @@ object RandomWalks {
     require(steps >= 0, s"steps must be >= 0, got $steps")
     // positional adjacency: pos is 0-based rank of dst among the
     // node's (distinct) neighbors sorted ascending — element pos of
-    // the sorted neighbor list, without ever materializing the list.
-    // ONE edge-sized checkpoint, on DISK (the KTruss/KCore peel
-    // discipline): it is read once per hop, and at the 52M-edge sf1x
-    // rung the previous three in-memory checkpoints (raw distinct +
-    // adjacency + degrees) crowded the unified pool and starved the
-    // dedup aggregation (UNABLE_TO_ACQUIRE_MEMORY). deg derives FROM
-    // the checkpoint (row count per src ≡ the distinct-neighbor
-    // count that positions are ranked over), so the raw distinct and
-    // the degree table no longer hold storage at all.
+    // the sorted neighbor list, without ever materializing the list —
+    // and deg from the same window spec (full-frame count shares the
+    // one partition sort). ONE edge-sized checkpoint, on DISK (the
+    // KTruss/KCore peel discipline): it is read once per hop, and at
+    // the 52M-edge sf1x rung in-memory edge-scale checkpoints crowded
+    // the unified pool and starved the dedup aggregation
+    // (UNABLE_TO_ACQUIRE_MEMORY).
+    val byNode = Window.partitionBy(col("src")).orderBy(col("dst"))
     val adj = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
-      .withColumn("pos",
-        row_number().over(Window.partitionBy(col("src")).orderBy(col("dst"))) - 1)
+      .withColumn("pos", row_number().over(byNode) - 1)
+      .withColumn("deg", count(lit(1)).over(
+        byNode.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
       .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // vertex-sized (not edge-sized): fine to keep in memory, and the
-    // checkpoint stops each hop re-aggregating the disk blocks
-    val deg = adj.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-      .localCheckpoint(false)
-    // uniquely-named projections: the loop joins cur (whose lineage
-    // already contains adj/deg from earlier hops) back against them,
+    // uniquely-named projection: the loop joins cur (whose lineage
+    // would otherwise contain adj from earlier hops) back against it,
     // so shared column names would be ambiguous self-join references
-    val degT = deg.select(col("src").as("__dg_src"), col("deg").as("__dg_deg"))
     val adjT = adj.select(col("src").as("__aj_src"), col("pos").as("__aj_pos"),
-      col("dst").as("__aj_dst"))
+      col("dst").as("__aj_dst"), col("deg").as("__aj_deg"))
     var cur = seeds.select(col("seed").cast("long").as("seed"),
       col("seed").cast("long").as("node"), lit(0L).as("step"))
+      .localCheckpoint(true)
     val waves = Seq.newBuilder[DataFrame]
     waves += cur
     for (t <- 1 to steps) {
-      val withIdx = cur.join(degT, col("node") === col("__dg_src"))
-        .select(col("seed"),
-          expr(s"pmod(pmod(node, 2147483647) * 1103515245 + $t * 12345, 2147483647) % __dg_deg").as("__idx"),
-          col("node"))
-      cur = withIdx.join(adjT,
-          col("node") === col("__aj_src") && col("__idx") === col("__aj_pos"))
+      // one fact-scale scan per hop: node = src is the hash key, the
+      // positional pick is the join's residual predicate (bounded by
+      // the node's degree, never materialized)
+      cur = cur.join(adjT,
+          col("node") === col("__aj_src") &&
+            col("__aj_pos") === expr(
+              s"pmod(pmod(node, 2147483647) * 1103515245 + $t * 12345, 2147483647) % __aj_deg"))
         .select(col("seed"), col("__aj_dst").as("node"), lit(t.toLong).as("step"))
+        // seed-sized; makes hop t+1 AND the final union read blocks —
+        // an unbroken lineage would re-execute hop k in every wave
+        // ≥ k of the union (O(steps²) adjacency scans)
+        .localCheckpoint(true)
       waves += cur
     }
     waves.result().reduce(_ union _)
