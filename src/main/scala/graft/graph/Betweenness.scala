@@ -149,9 +149,10 @@ object Betweenness {
     * distributed engine, not an exception. The pair-dependency SQL
     * stage downstream is shared by both routes. */
   def run(spark: SparkSession, edges: DataFrame,
-          bound: Int = 1 << 20): DataFrame = {
+          bound: Int = -1): DataFrame = {
     import spark.implicits._
-    val sig = Quotient.probeRows(normEdges(edges), bound)
+    val sig = Quotient.probeRows(normEdges(edges),
+        Quotient.resolve(bound, spark, Quotient.probeBound))
       .map(sigmaSweep(spark, _))
       .getOrElse(sigmaDistributed(edges))
       .localCheckpoint(false)

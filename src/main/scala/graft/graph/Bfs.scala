@@ -100,7 +100,8 @@ object Bfs {
     * instead of throwing. Both routes emit identical (root, node,
     * wave) multisets on long-typed inputs (FallbackRoutingSpec). */
   def bfsAuto(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100,
-              bound: Int = 1 << 20): DataFrame = {
+              bound: Int = -1): DataFrame = {
+    val eff = Quotient.resolve(bound, edges.sparkSession, Quotient.probeBound)
     // seeds probe FIRST: it is the smaller side (≤ |V| rows vs |E|),
     // so an over-bound seed set routes to the distributed loop before
     // any near-limit edge collect is paid and thrown away.
@@ -109,8 +110,8 @@ object Bfs {
     // cannot differ as a function of which side of the bound the data
     // lands on.
     val routed = for {
-      sd <- Quotient.probeRows(normSeeds(seeds), bound)
-      e <- Quotient.probeRows(normEdges(edges), bound)
+      sd <- Quotient.probeRows(normSeeds(seeds), eff)
+      e <- Quotient.probeRows(normEdges(edges), eff)
     } yield boundedSweep(edges.sparkSession, e, sd, maxWaves)
     routed.getOrElse(bfs(normEdges(edges), normSeeds(seeds), maxWaves))
   }

@@ -86,7 +86,7 @@ object Bridges {
     * in-process Tarjan pass; past it, the distributed definitional
     * engine ([[edgeBridgesDistributed]]) answers instead. */
   def classEdgeBridges(s: SparkSession, d: String,
-                       bound: Int = Quotient.MAX_CLASSES): DataFrame = {
+                       bound: Int = -1): DataFrame = {
     import s.implicits._
     classBridgesOf(s, graft.Tables.part(s, d)
       .select($"p_brand".as("brand"), $"p_size".cast("long").as("size")), bound)
@@ -95,10 +95,11 @@ object Bridges {
   /** The routed engine over any `(brand, size)` class-source table —
     * factored out so the routing spec can drive synthetic tables. */
   private[graph] def classBridgesOf(s: SparkSession, classSrc: DataFrame,
-                                    bound: Int = Quotient.MAX_CLASSES): DataFrame = {
+                                    bound: Int = -1): DataFrame = {
     val classes = classSrc.select(col("brand"), col("size").cast("long").as("size"))
       .distinct()
-    Quotient.probeRows(classes, math.min(bound, Quotient.MAX_CLASSES)) match {
+    Quotient.probeRows(classes, math.min(
+        Quotient.resolve(bound, s, Quotient.maxClasses), Quotient.maxClasses(s))) match {
       case Some(rows) =>
         val cls = rows.map(r => (r.getString(0), r.getLong(1))).toSeq
         val bySize = cls.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap

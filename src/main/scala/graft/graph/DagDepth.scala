@@ -51,7 +51,7 @@ object DagDepth {
     * Returns (part, depth): depth 0 = no in-edges (no same-brand part
     * 1–2 sizes below), else 1 + max over predecessor classes. */
   def partEditDepth(s: SparkSession, sfDir: String,
-                    bound: Int = CLASS_BOUND): DataFrame = {
+                    bound: Int = -1): DataFrame = {
     import s.implicits._
     depthOf(s, graft.Tables.part(s, sfDir)
       .select($"p_partkey".as("part"), $"p_brand".as("brand"),
@@ -64,12 +64,13 @@ object DagDepth {
     * column types (part/size → LONG) up front, so int- and long-typed
     * callers land on identical code paths. */
   private[graph] def depthOf(s: SparkSession, p0: DataFrame,
-                             bound: Int = CLASS_BOUND): DataFrame = {
+                             bound: Int = -1): DataFrame = {
     import s.implicits._
     val p = p0.select($"part".cast("long").as("part"), $"brand",
       $"size".cast("long").as("size"))
     val classes = p.select($"brand", $"size").distinct()
-    Quotient.probeRows(classes, math.min(bound, CLASS_BOUND)) match {
+    Quotient.probeRows(classes, math.min(
+        Quotient.resolve(bound, s, Quotient.maxClasses), CLASS_BOUND)) match {
       case Some(rows) =>
         val classDepth = classDepthDriver(s,
           rows.map(r => (r.getString(0), r.getLong(1))))
@@ -167,7 +168,12 @@ object DagDepth {
       // lengths (and the pair table) would grow geometrically — bail
       // the moment the contract is violated, same message as the DP
       if (longest > MAX_CHAIN) freeAndThrow(longest)
-      converged = t2 == total
+      // fixpoint proofs, cheapest first: a longest path strictly
+      // below this round's 2^(iter+1)-edge coverage means NO longer
+      // path exists (any longer one would have a covered prefix
+      // exceeding it) — that skips the usual observe-no-change round;
+      // the monotone length sum is the general backstop
+      converged = longest < (1L << (iter + 1)) || t2 == total
       total = t2
       iter += 1
     }

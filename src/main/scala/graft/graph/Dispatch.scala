@@ -46,19 +46,24 @@ object Dispatch {
     * `parts` is within `bound`, None past it. One bounded collect,
     * shared guard discipline with [[Quotient.collectClasses]].
     *
-    * The effective bound is capped at [[Quotient.MAX_CLASSES]]: the
-    * quotient engines re-guard their own internal collects at that
-    * hard limit, so routing a larger class graph to them would trade
-    * the documented fall-back for their throw. Clamping keeps the
-    * contract — ANY bound routes, never raises — at the cost of a
-    * larger-than-MAX_CLASSES request falling back earlier than
-    * asked. */
+    * The default (bound = −1) and the cap both resolve from
+    * [[Quotient.maxClasses]] — conf-tunable via
+    * `spark.graft.quotient.maxClasses`, default unchanged at
+    * [[Quotient.MAX_CLASSES]] (round-11, verdict #8). The cap exists
+    * because the quotient engines re-guard their own internal
+    * collects at the same limit, so routing a larger class graph to
+    * them would trade the documented fall-back for their throw;
+    * clamping keeps the contract — ANY bound routes, never raises —
+    * at the cost of a larger-than-cap request falling back earlier
+    * than asked. */
   def probe(parts: DataFrame,
-            bound: Int = Quotient.MAX_CLASSES): Option[Map[(String, Long), Long]] =
+            bound: Int = -1): Option[Map[(String, Long), Long]] = {
+    val max = Quotient.maxClasses(parts.sparkSession)
     Quotient.probeClasses(
       parts.groupBy(col("brand"), col("size").cast("long").as("size"))
         .agg(count(lit(1)).as("cnt")),
-      math.min(bound, Quotient.MAX_CLASSES))
+      math.min(Quotient.resolve(bound, parts.sparkSession, Quotient.maxClasses), max))
+  }
 
   /** The shipped part-table vertex set in the dispatch contract's
     * column shape. */
@@ -69,7 +74,7 @@ object Dispatch {
 
   /** A28 Luby MIS over the wide (±1, ±2) blow-up of `parts`. */
   def mis(s: SparkSession, parts: DataFrame, maxIter: Int = 25,
-          bound: Int = Quotient.MAX_CLASSES): DataFrame =
+          bound: Int = -1): DataFrame =
     probe(parts, bound) match {
       case Some(_) => Mis.quotientBlowup(s, parts, maxIter)
       case None => Mis.run(s, parts.select(col("node").as("id")),
@@ -78,7 +83,7 @@ object Dispatch {
 
   /** A26 k-truss over the wide (±1, ±2) blow-up of `parts`. */
   def ktruss(s: SparkSession, parts: DataFrame, k: Int,
-             bound: Int = Quotient.MAX_CLASSES): DataFrame =
+             bound: Int = -1): DataFrame =
     probe(parts, bound) match {
       case Some(classes) => KTruss.quotientBlowup(s, classes, parts, k)
       case None => KTruss.run(s,
@@ -87,7 +92,7 @@ object Dispatch {
 
   /** A30 HITS over the DIRECTED size-up (+1) blow-up of `parts`. */
   def hits(s: SparkSession, parts: DataFrame, iters: Int,
-           bound: Int = Quotient.MAX_CLASSES): DataFrame =
+           bound: Int = -1): DataFrame =
     probe(parts, bound) match {
       case Some(classes) => Hits.classBlowup(s, classes, parts, iters)
       case None => Hits.run(
@@ -97,7 +102,7 @@ object Dispatch {
   /** A31 Resource-Allocation link prediction over the wide (±1, ±2)
     * blow-up of `parts`. */
   def resourceAllocation(s: SparkSession, parts: DataFrame, topK: Int,
-                         bound: Int = Quotient.MAX_CLASSES): DataFrame =
+                         bound: Int = -1): DataFrame =
     probe(parts, bound) match {
       case Some(classes) => LinkPrediction.quotientWithClasses(s, classes,
         parts.select(col("node").as("p_partkey"), col("brand").as("p_brand"),
@@ -112,7 +117,7 @@ object Dispatch {
     * own guard inside), so the plain class probe is the right
     * routing signal. */
   def ppr(s: SparkSession, parts: DataFrame, iters: Int,
-          bound: Int = Quotient.MAX_CLASSES): DataFrame =
+          bound: Int = -1): DataFrame =
     probe(parts, bound) match {
       case Some(_) => PersonalizedPageRank.quotientRefined(s,
         parts.select(col("node").as("id"), col("brand"), col("size"),
@@ -125,7 +130,7 @@ object Dispatch {
   /** A21 2-round HyperANF (+ exact ball anchor) over the narrow (±1)
     * blow-up of `parts`. */
   def anf(s: SparkSession, parts: DataFrame, sampleMod: Int, tol: Double,
-          bound: Int = Quotient.MAX_CLASSES): DataFrame =
+          bound: Int = -1): DataFrame =
     probe(parts, bound) match {
       case Some(classes) => Anf.quotientBlowup(s, classes, parts, sampleMod, tol)
       case None => Anf.propagationReference(s,
@@ -137,7 +142,7 @@ object Dispatch {
   /** A13 neighbor-set Jaccard over the wide (±1, ±2) blow-up of
     * `parts`. */
   def jaccard(s: SparkSession, parts: DataFrame,
-              bound: Int = Quotient.MAX_CLASSES): DataFrame =
+              bound: Int = -1): DataFrame =
     probe(parts, bound) match {
       case Some(classes) => NodeSimilarity.quotientStamp(s, classes,
         parts.select(col("node").as("id"), col("brand"), col("size")))

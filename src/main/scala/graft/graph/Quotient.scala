@@ -15,6 +15,33 @@ object Quotient {
     * is attribute-domain-bounded regardless of fact count). */
   val MAX_CLASSES = 100000
 
+  /** Conf keys for the routing bounds (round-11, verdict #8): a
+    * deployment can move each in-process/distributed crossover
+    * without a rebuild — defaults unchanged. `maxClasses` governs
+    * every class-domain probe and the quotient engines' own guarded
+    * collects; `probeBound` governs the row-probe sweeps (bounded
+    * BFS spine, Brandes σ). Explicit `bound` arguments still win —
+    * the conf only replaces the DEFAULT. */
+  val MAX_CLASSES_KEY = "spark.graft.quotient.maxClasses"
+  val PROBE_BOUND_KEY = "spark.graft.dispatch.probeBound"
+
+  /** Default row-probe bound for the in-process sweep routes. */
+  val PROBE_BOUND = 1 << 20
+
+  def maxClasses(s: SparkSession): Int = confBound(s, MAX_CLASSES_KEY, MAX_CLASSES)
+  def probeBound(s: SparkSession): Int = confBound(s, PROBE_BOUND_KEY, PROBE_BOUND)
+
+  private def confBound(s: SparkSession, key: String, default: Int): Int = {
+    val v = s.conf.get(key, default.toString).toInt
+    require(v >= 1, s"$key must be >= 1, got $v")
+    v
+  }
+
+  /** Resolves a caller bound: negative = "use the session default"
+    * (the conf-tunable crossover), non-negative = the caller's own. */
+  private[graph] def resolve(bound: Int, s: SparkSession, default: SparkSession => Int): Int =
+    if (bound < 0) default(s) else bound
+
   /** The engine-wide message quantizer (DECIMAL(28,12) HALF_UP —
     * Spark's double→decimal cast semantics), used wherever an
     * in-process fast path must replicate a distributed decimal
@@ -38,9 +65,11 @@ object Quotient {
     * in that order. Serves the fast paths that run off an arbitrary
     * vertex table (Anf's property-spec blow-ups, LinkPrediction's
     * widened graph) so the guard discipline stays single-sourced. */
-  def collectClasses(classCounts: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] =
-    probeClasses(classCounts, MAX_CLASSES).getOrElse(throw new IllegalArgumentException(
-      s"requirement failed: class graph exceeds the $MAX_CLASSES domain bound — not a dimension-bounded quotient"))
+  def collectClasses(classCounts: org.apache.spark.sql.DataFrame): Map[(String, Long), Long] = {
+    val bound = maxClasses(classCounts.sparkSession)
+    probeClasses(classCounts, bound).getOrElse(throw new IllegalArgumentException(
+      s"requirement failed: class graph exceeds the $bound domain bound — not a dimension-bounded quotient"))
+  }
 
   /** The NON-THROWING form of the guard — [[Dispatch]]'s probe. Same
     * bounded collect (the limit INSIDE, ≤ bound + 1 rows ever reach

@@ -129,4 +129,39 @@ class DispatchSpec extends SparkSpec {
     // path+chords: interior nodes at distance ≤ 4 share a neighbor
     assert(jac.count() > 0)
   }
+
+  test("conf-tunable bounds: a non-default spark.graft bound reroutes without a rebuild") {
+    // round-11 (verdict #8): the DEFAULT crossover resolves from the
+    // session conf; an explicit `bound` argument still wins. Pin by
+    // forcing the conf to 1 (everything routes to the general engine)
+    // and asserting bit-identical output against the quotient route —
+    // the same agreement contract as the per-operator routing tests.
+    import spark.implicits._
+    val rng = new scala.util.Random(17)
+    val parts = partsOf(randomClasses(rng)).toDF("node", "brand", "size")
+    val viaQuotient = asRows(Dispatch.ktruss(spark, parts, k = 4))
+    spark.conf.set(Quotient.MAX_CLASSES_KEY, "1")
+    try {
+      assert(Dispatch.probe(parts) === None,
+        "conf bound of 1 must route every non-empty class graph to the fallback")
+      assert(asRows(Dispatch.ktruss(spark, parts, k = 4)) === viaQuotient,
+        "conf-forced general route diverged from the quotient route")
+      // the conf cap clamps even an explicit LARGER bound: the
+      // quotient engines' internal guards follow the same conf, so
+      // routing past it would trade the fallback for their throw
+      assert(Dispatch.probe(parts, bound = Quotient.MAX_CLASSES) === None,
+        "explicit bound above the conf cap must still clamp to the cap")
+    } finally spark.conf.unset(Quotient.MAX_CLASSES_KEY)
+    // explicit argument below the default still wins (no conf set)
+    assert(Dispatch.probe(parts, bound = 1) === None && Dispatch.probe(parts).isDefined,
+      "explicit bound below the default must force the fallback route")
+    // the row-probe key reroutes the BFS spine the same way
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("src", "dst")
+    val seeds = Seq((1L, 1L)).toDF("root", "node")
+    val fast = asRows(Bfs.bfsAuto(edges, seeds))
+    spark.conf.set(Quotient.PROBE_BOUND_KEY, "1")
+    try assert(asRows(Bfs.bfsAuto(edges, seeds)) === fast,
+      "conf-forced distributed BFS diverged from the in-process sweep")
+    finally spark.conf.unset(Quotient.PROBE_BOUND_KEY)
+  }
 }
