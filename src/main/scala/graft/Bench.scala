@@ -118,6 +118,13 @@ object Bench {
       catch { case NonFatal(_) => () }
       cooldown()
     }
+    // the replay feed's one-time chunk staging for the BENCH dir is a
+    // warmup cost, not the first stream key's rep-1 cost (warmup runs
+    // at warmDir, so without this the staging lands inside the
+    // alphabetically-first e_stream key's timed rep)
+    if (names.exists(_.startsWith("e_stream")))
+      try graft.streaming.StreamReplay.prepare(spark, sfDir)
+      catch { case NonFatal(e) => System.err.println(s"[bench] prestage: ${e.getMessage}") }
 
     val sentinelStart = sentinel()
     val samples: Seq[(String, Seq[Double])] = names.map { name =>

@@ -147,7 +147,11 @@ object StreamReplay {
         if (java.nio.file.Files.exists(src))
           s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
         else "none"
-      val key = s"$sfDir#$chunks#$srcSig".hashCode.toHexString
+      // full md5 of the identity key: a 32-bit hashCode collision
+      // across scale dirs would silently serve another corpus' chunks
+      val key = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$sfDir#$chunks#$srcSig".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
       val target = scratchBase.resolve(s"chunks-$key-$chunks")
       if (java.nio.file.Files.exists(target.resolve("_STAGED"))) target
       else {
@@ -190,6 +194,14 @@ object StreamReplay {
         }
       }
     }
+
+  /** Pre-stages the default-chunk-count file feed for `sfDir` —
+    * [[graft.Bench]] calls this once before its timed region so the
+    * one-time sort+stage job lands with the other warmup costs
+    * instead of inside the first stream key's rep 1. Idempotent. */
+  def prepare(s: SparkSession, sfDir: String): Unit = {
+    chunkDir(s, sfDir, 3): Unit
+  }
 
   /** Replays events through `pipe` and returns the final table with
     * sentinel-derived rows removed by `dropSentinel`.
