@@ -400,10 +400,14 @@ object JpegDecode {
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
     if (hMax < 1 || hMax > 2 || vMax < 1 || vMax > 2) return None
-    // declared scope: every non-luma component at 1×1 (gray, 4:4:4,
-    // 4:2:2, 4:2:0 — what JFIF encoders emit)
+    // declared scope: every non-luma component at 1×1 and the luma
+    // grid one of 1×1 / 2×1 / 2×2 (gray, 4:4:4, 4:2:2, 4:2:0 — what
+    // JFIF encoders emit). The 1×2 luma (4:4:0) grid is EXOTIC by the
+    // class contract and must fall back, not decode through an
+    // upsample path no reference decoder pins.
     if (comps.length == 3 && comps.drop(1).exists(c => c.h != 1 || c.v != 1))
       return None
+    if (comps.length == 3 && comps(0).h == 1 && comps(0).v == 2) return None
     if (comps.exists(c => c.h < 1 || c.h > hMax || c.v < 1 || c.v > vMax))
       return None
     if (width.toLong * height * comps.length > MAX_SAMPLES) return None
@@ -547,12 +551,9 @@ object JpegDecode {
         wide(2 * cw - 2) = ((sums(cw - 1) * 3 + sums(cw - 2) + 8) >> 4).toByte
         wide(2 * cw - 1) = ((sums(cw - 1) * 4 + 7) >> 4).toByte
       }
-      if (hs == 2) System.arraycopy(wide, 0, out, oy * w, w)
-      else {
-        // vertical-only scaling (v2h1): the sums ARE the output taps
-        var x = 0
-        while (x < w) { out(oy * w + x) = ((sums(x) + 2) >> 2).toByte; x += 1 }
-      }
+      // hs == 2 always here: the scope guard rejects 1×2 luma, so a
+      // non-passthrough component is horizontally subsampled
+      System.arraycopy(wide, 0, out, oy * w, w)
       oy += 1
     }
     out

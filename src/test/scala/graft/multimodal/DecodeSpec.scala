@@ -309,6 +309,17 @@ class DecodeSpec extends SparkSpec {
     huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xff.toByte // height 65535
     huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xff.toByte // width 65535
     assert(JpegDecode.pixels(huge) === None)
+    // a 1x2-luma (4:4:0) grid is outside the declared scope — it must
+    // fall back rather than decode through an upsample path no
+    // reference decoder pins. Craft it from the real stream's SOF
+    // (luma sampling byte: high nibble h, low nibble v).
+    // SOF layout: marker(2) len(2) precision(1) h(2) w(2) ncomp(1),
+    // then per component id(1) SAMPLING(1) tq(1) — luma sampling is
+    // sofAt + 11
+    val v440 = base.clone()
+    assert((v440(sofAt + 11) & 0xff) == 0x22, "expected 2x2 luma in the base stream")
+    v440(sofAt + 11) = 0x12.toByte // luma h=1, v=2 → 4:4:0
+    assert(JpegDecode.pixels(v440) === None)
   }
 
   test("downstream consumers see pixel-real features for JPEG payloads through the seam") {
