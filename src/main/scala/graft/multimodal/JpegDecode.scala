@@ -112,10 +112,14 @@ object JpegDecode {
       while (i < n) { v = (v << 1) | bit(); i += 1 }
       v
     }
-    /** Byte-align and consume an RSTn marker (any index accepted). */
+    /** Byte-align and consume an RSTn marker (any index accepted).
+      * T.81 §B.1.1.2 allows any number of 0xFF fill bytes before a
+      * marker — skip them all, require ≥ 1. */
     def restart(): Unit = {
       cnt = 0
-      if (pos + 1 >= p.length || (p(pos) & 0xff) != 0xff) bail()
+      if (pos >= p.length || (p(pos) & 0xff) != 0xff) bail()
+      while (pos + 1 < p.length && (p(pos + 1) & 0xff) == 0xff) pos += 1
+      if (pos + 1 >= p.length) bail()
       val m = p(pos + 1) & 0xff
       if (m < 0xd0 || m > 0xd7) bail()
       pos += 2
@@ -307,6 +311,7 @@ object JpegDecode {
     var width = 0
     var height = 0
     var restartInterval = 0
+    var adobeTransform = -1 // APP14: 0 = none/RGB, 1 = YCbCr, 2 = YCCK
     var i = 2
     var sosAt = -1
     while (sosAt < 0) {
@@ -333,7 +338,15 @@ object JpegDecode {
             comps = Array.tabulate(nc) { k =>
               val o = seg + 6 + 3 * k
               if (o + 2 >= segEnd) return None
-              new Component(u8(p, o), u8(p, o + 1) >> 4, u8(p, o + 1) & 15, u8(p, o + 2))
+              // a single-component scan is NON-INTERLEAVED (T.81
+              // §A.2.3): its MCU is one 8×8 block in raster order at
+              // the component's full resolution, so the declared
+              // sampling factors are irrelevant to the data layout —
+              // normalize to 1×1 (decoding them as interleaved MCUs
+              // would block-scramble a gray stream carrying 2×2
+              // factors)
+              if (nc == 1) new Component(u8(p, o), 1, 1, u8(p, o + 2))
+              else new Component(u8(p, o), u8(p, o + 1) >> 4, u8(p, o + 1) & 15, u8(p, o + 2))
             }
           case m if m >= 0xc2 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
             return None // progressive / arithmetic / hierarchical
@@ -373,6 +386,10 @@ object JpegDecode {
           case 0xdd => // DRI
             if (len != 4) return None
             restartInterval = u16(p, seg)
+          case 0xee => // APP14: Adobe color-transform declaration
+            if (len >= 14 &&
+              new String(p, seg, 5, java.nio.charset.StandardCharsets.US_ASCII) == "Adobe")
+              adobeTransform = u8(p, seg + 11)
           case 0xda => // SOS
             if (comps == null) return None
             val ns = u8(p, seg)
@@ -408,6 +425,12 @@ object JpegDecode {
     if (comps.length == 3 && comps.drop(1).exists(c => c.h != 1 || c.v != 1))
       return None
     if (comps.length == 3 && comps(0).h == 1 && comps(0).v == 2) return None
+    // the color convert below assumes JFIF YCbCr: an Adobe stream
+    // declaring transform 0 (RGB) — or components not carrying the
+    // JFIF 1/2/3 ids — would decode to garbage colors; fall back
+    if (comps.length == 3 &&
+      (adobeTransform == 0 || comps.map(_.id).toSeq != Seq(1, 2, 3)))
+      return None
     if (comps.exists(c => c.h < 1 || c.h > hMax || c.v < 1 || c.v > vMax))
       return None
     if (width.toLong * height * comps.length > MAX_SAMPLES) return None
@@ -512,14 +535,18 @@ object JpegDecode {
     }
     val cw = c.compW
     val chh = c.compH
-    // column sums for the current output row: 3·near + far (vertical
-    // triangle), or 4·row for no vertical scaling
+    // hs == 2 always here: the scope guard rejects 1×2 luma, so a
+    // non-passthrough component is horizontally subsampled
     val sums = new Array[Int](cw)
     val wide = new Array[Byte](2 * cw) // horizontal pass output
     val out = new Array[Byte](w * h)
     var oy = 0
     while (oy < h) {
       if (vs == 2) {
+        // 2×2: vertical triangle first (3·near + far per column, 4×
+        // scale), then the horizontal triangle over the sums with
+        // rounding +8 (left phase) / +7 (right phase) at the 16×
+        // scale — the standard centers-between-samples reconstruction
         val iy = oy / 2
         val near = iy * stride
         val farRow = if ((oy & 1) == 0) math.max(iy - 1, 0) else math.min(iy + 1, chh - 1)
@@ -529,30 +556,46 @@ object JpegDecode {
           sums(x) = (c.plane(near + x) & 0xff) * 3 + (c.plane(far + x) & 0xff)
           x += 1
         }
-      } else {
-        val row = oy * stride
-        var x = 0
-        while (x < cw) { sums(x) = (c.plane(row + x) & 0xff) * 4; x += 1 }
-      }
-      // horizontal triangle over the 4×-scaled sums: nearer·3 + farther,
-      // rounding 8 (left phase) / 7 (right phase), edges replicated
-      if (cw == 1) {
-        wide(0) = ((sums(0) * 4 + 8) >> 4).toByte
-        wide(1) = ((sums(0) * 4 + 7) >> 4).toByte
-      } else {
-        wide(0) = ((sums(0) * 4 + 8) >> 4).toByte
-        wide(1) = ((sums(0) * 3 + sums(1) + 7) >> 4).toByte
-        var x = 1
-        while (x < cw - 1) {
-          wide(2 * x) = ((sums(x) * 3 + sums(x - 1) + 8) >> 4).toByte
-          wide(2 * x + 1) = ((sums(x) * 3 + sums(x + 1) + 7) >> 4).toByte
-          x += 1
+        if (cw == 1) {
+          wide(0) = ((sums(0) * 4 + 8) >> 4).toByte
+          wide(1) = ((sums(0) * 4 + 7) >> 4).toByte
+        } else {
+          wide(0) = ((sums(0) * 4 + 8) >> 4).toByte
+          wide(1) = ((sums(0) * 3 + sums(1) + 7) >> 4).toByte
+          var x2 = 1
+          while (x2 < cw - 1) {
+            wide(2 * x2) = ((sums(x2) * 3 + sums(x2 - 1) + 8) >> 4).toByte
+            wide(2 * x2 + 1) = ((sums(x2) * 3 + sums(x2 + 1) + 7) >> 4).toByte
+            x2 += 1
+          }
+          wide(2 * cw - 2) = ((sums(cw - 1) * 3 + sums(cw - 2) + 8) >> 4).toByte
+          wide(2 * cw - 1) = ((sums(cw - 1) * 4 + 7) >> 4).toByte
         }
-        wide(2 * cw - 2) = ((sums(cw - 1) * 3 + sums(cw - 2) + 8) >> 4).toByte
-        wide(2 * cw - 1) = ((sums(cw - 1) * 4 + 7) >> 4).toByte
+      } else {
+        // 2×1: the horizontal-only triangle runs at the 4× scale with
+        // its OWN rounding — +1 on the left-neighbor phase, +2 on the
+        // right-neighbor phase, first/last output columns copied —
+        // NOT the 2×2 constants quarter-scaled (+2/+1, which would be
+        // off by one whenever 3·near + far lands on the tie; the
+        // reference decoder's 4:2:2 path rounds +1/+2)
+        val row = oy * stride
+        def s(x: Int): Int = c.plane(row + x) & 0xff
+        if (cw == 1) {
+          wide(0) = s(0).toByte
+          wide(1) = s(0).toByte
+        } else {
+          wide(0) = s(0).toByte
+          wide(1) = ((s(0) * 3 + s(1) + 2) >> 2).toByte
+          var x2 = 1
+          while (x2 < cw - 1) {
+            wide(2 * x2) = ((s(x2) * 3 + s(x2 - 1) + 1) >> 2).toByte
+            wide(2 * x2 + 1) = ((s(x2) * 3 + s(x2 + 1) + 2) >> 2).toByte
+            x2 += 1
+          }
+          wide(2 * cw - 2) = ((s(cw - 1) * 3 + s(cw - 2) + 1) >> 2).toByte
+          wide(2 * cw - 1) = s(cw - 1).toByte
+        }
       }
-      // hs == 2 always here: the scope guard rejects 1×2 luma, so a
-      // non-passthrough component is horizontally subsampled
       System.arraycopy(wide, 0, out, oy * w, w)
       oy += 1
     }

@@ -54,26 +54,30 @@ object StreamReplay {
   private val nameCounter = new AtomicInteger(0)
 
   /** Scratch base for per-query checkpoints and staged chunk files:
-    * tmpfs when the box has one (offset/commit logs and HDFS-backed
-    * state deltas are fsync-latency-bound per micro-batch — measured
-    * ~20% off the stateful replay keys at sf0.1 vs /tmp), the JVM
-    * temp dir otherwise. Replay scratch is exactly that — checkpoint
-    * dirs are deleted with their query, staged chunks are rebuilt
-    * from the source table whenever absent — so tmpfs volatility is
-    * the right trade. */
+    * tmpfs when the box has one WITH HEADROOM (offset/commit logs and
+    * HDFS-backed state deltas are fsync-latency-bound per micro-batch
+    * — measured ~20% off the stateful replay keys at sf0.1 vs /tmp),
+    * the JVM temp dir otherwise. A container's default /dev/shm can
+    * be 64 MB — staging a corpus into that would ENOSPC mid-write, so
+    * shm is only chosen when it reports ≥ 2 GiB usable (well above
+    * the ~100 MB an sf1x staging takes). Replay scratch is exactly
+    * that — checkpoint dirs are deleted with their query, staged
+    * chunks are rebuilt from the source table whenever absent, stale
+    * stagings of a regenerated source are evicted at re-staging — so
+    * tmpfs volatility is the right trade. Deletion rides
+    * [[graft.util.Scratch.deleteRecursively]] (stream-closing,
+    * deepest-first, best-effort). */
   private lazy val scratchBase: java.nio.file.Path = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     val base =
-      if (java.nio.file.Files.isWritable(shm)) shm
+      if (java.nio.file.Files.isWritable(shm) &&
+        shm.toFile.getUsableSpace >= 2L * 1024 * 1024 * 1024) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
     java.nio.file.Files.createDirectories(base.resolve("graft-replay"))
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(f => java.nio.file.Files.deleteIfExists(f))
-    }
+    graft.util.Scratch.deleteRecursively(p)
 
   /** The executor-side sorted event set replays stage from:
     * checkpointed blocks + the two scalars staging needs. */
@@ -125,9 +129,12 @@ object StreamReplay {
     import s.implicits._
     val staging = dir.resolve(s"$name.staging")
     s.createDataset(rows).coalesce(1).write.parquet(staging.toString)
-    val part = java.nio.file.Files.list(staging).iterator().asScala
-      .find(_.getFileName.toString.startsWith("part-"))
-      .getOrElse(throw new IllegalStateException(s"no part file under $staging"))
+    val ls = java.nio.file.Files.list(staging)
+    val part =
+      try ls.iterator().asScala
+        .find(_.getFileName.toString.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $staging"))
+      finally ls.close()
     java.nio.file.Files.move(part, dir.resolve(s"$name.parquet"))
     deleteRecursively(staging)
   }
@@ -140,6 +147,10 @@ object StreamReplay {
     * is a deterministic function of the immutable source table, and
     * the cache key hashes the source file's size+mtime so a
     * regenerated table re-stages. */
+  private def md5hex(v: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
   private def chunkDir(s: SparkSession, sfDir: String, chunks: Int): java.nio.file.Path =
     chunkCache.getOrCompute(s, s"$sfDir#chunks=$chunks") {
       val src = java.nio.file.Paths.get(sfDir, "events.parquet")
@@ -147,14 +158,22 @@ object StreamReplay {
         if (java.nio.file.Files.exists(src))
           s"${java.nio.file.Files.size(src)}-${java.nio.file.Files.getLastModifiedTime(src).toMillis}"
         else "none"
-      // full md5 of the identity key: a 32-bit hashCode collision
-      // across scale dirs would silently serve another corpus' chunks
-      val key = java.security.MessageDigest.getInstance("MD5")
-        .digest(s"$sfDir#$chunks#$srcSig".getBytes("UTF-8"))
-        .map("%02x".format(_)).mkString
-      val target = scratchBase.resolve(s"chunks-$key-$chunks")
+      // full md5 of each identity half: a 32-bit hashCode collision
+      // across scale dirs would silently serve another corpus' chunks.
+      // The (sfDir, chunks) half prefixes the dir name so a STALE
+      // staging of the same logical table (regenerated source → new
+      // srcSig) is identifiable and evicted below instead of sitting
+      // in tmpfs RAM forever.
+      val ident = md5hex(s"$sfDir#$chunks")
+      val target = scratchBase.resolve(s"chunks-$ident-${md5hex(srcSig)}")
       if (java.nio.file.Files.exists(target.resolve("_STAGED"))) target
       else {
+        // evict stale stagings of this (sfDir, chunks) identity
+        val stale = java.nio.file.Files.list(scratchBase)
+        try stale.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"chunks-$ident-"))
+          .foreach(deleteRecursively)
+        finally stale.close()
         val sorted = sortedEvents(s, sfDir)
         val sentinel =
           // 100 days past the last event: beyond every watermark delay
@@ -163,15 +182,21 @@ object StreamReplay {
             new java.sql.Timestamp(sorted.maxTsMs + 100L * 86400L * 1000L),
             SENTINEL_USER, SENTINEL_TYPE, 0.0)
         val tmp = java.nio.file.Files.createTempDirectory(scratchBase, "stage-")
-        val per = math.max(1, math.ceil(sorted.count / chunks.toDouble).toInt)
-        var i = 0
-        feed(sorted.ds.toLocalIterator().asScala, per) { chunk =>
-          writeOne(s, chunk, tmp, f"chunk-$i%05d")
-          i += 1
+        try {
+          val per = math.max(1, math.ceil(sorted.count / chunks.toDouble).toInt)
+          var i = 0
+          feed(sorted.ds.toLocalIterator().asScala, per) { chunk =>
+            writeOne(s, chunk, tmp, f"chunk-$i%05d")
+            i += 1
+          }
+          // the double sentinel: seal, then flush what the seal sealed
+          writeOne(s, Seq(sentinel), tmp, "sentinel-a")
+          writeOne(s, Seq(sentinel), tmp, "sentinel-b")
+        } catch {
+          // a failed staging (ENOSPC, interrupted write) must not
+          // leave a half-written dir squatting on the scratch space
+          case e: Throwable => deleteRecursively(tmp); throw e
         }
-        // the double sentinel: seal, then flush what the seal sealed
-        writeOne(s, Seq(sentinel), tmp, "sentinel-a")
-        writeOne(s, Seq(sentinel), tmp, "sentinel-b")
         // explicit ascending mtimes pin the file-source batch order
         // (names ascend identically as the tiebreak)
         val files = java.nio.file.Files.list(tmp).iterator().asScala.toSeq
@@ -227,8 +252,12 @@ object StreamReplay {
     * nearly doubling the batch count. Emission is append-monotone, so
     * deferring it to the next DATA batch changes nothing about the
     * final emitted set; the results the LAST watermark seals are
-    * flushed by the second staged sentinel. All three knobs are
-    * latched at `.start()` from the session conf and restored after.
+    * flushed by the second staged sentinel. Both knobs live on an
+    * ISOLATED session the query runs in (the Bridges discipline) —
+    * the caller's shared session is never mutated, so a concurrent
+    * query can neither observe the replay settings nor race a
+    * restore — and the result is re-rooted on the caller's session
+    * after materializing.
     *
     * The default chunk count is the smallest that still proves
     * incremental sealing: state must survive ≥ 2 batch boundaries
@@ -243,18 +272,23 @@ object StreamReplay {
     require(chunks > 0, s"chunks must be positive, got $chunks")
     val dir = chunkDir(s, sfDir, chunks)
     val name = s"graft_replay_${nameCounter.incrementAndGet()}"
-    // held for the query's whole life: both confs are latched from
-    // the session conf at first-batch planning
-    val priorShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    val noDataKey = "spark.sql.streaming.noDataMicroBatches.enabled"
-    val priorNoData = s.conf.get(noDataKey, "true")
+    // the streaming query runs on an ISOLATED session (the Bridges
+    // discipline): the reduced state-partition count and the no-data
+    // toggle latch from ITS conf at .start(), so nothing is ever
+    // mutated — or raced — on the caller's shared session, and the
+    // memory sink's temp view lives (and dies) in the clone's catalog
+    // instead of accumulating in the caller's for the session's life
+    val run = s.newSession()
+    s.conf.getAll.foreach { case (k, v) =>
+      scala.util.Try(run.conf.set(k, v))
+    }
+    run.conf.set("spark.sql.shuffle.partitions",
+      s.conf.get("spark.graft.replay.statePartitions", "4"))
+    run.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
     val ckpt = scratchBase.resolve(s"ckpt-$name")
-    try {
-      s.conf.set("spark.sql.shuffle.partitions",
-        s.conf.get("spark.graft.replay.statePartitions", "4"))
-      s.conf.set(noDataKey, "false")
-      import s.implicits._
-      val in = s.readStream
+    val res = {
+      import run.implicits._
+      val in = run.readStream
         .schema(implicitly[Encoder[StreamEvent]].schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(dir.toString)
@@ -272,12 +306,15 @@ object StreamReplay {
         q.stop()
         deleteRecursively(ckpt)
       }
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", priorShuffle)
-      s.conf.set(noDataKey, priorNoData)
+      // materialize INSIDE the clone, then drop its sink view — the
+      // checkpointed blocks are session-agnostic
+      val out = dropSentinel(run.table(name)).localCheckpoint()
+      run.catalog.dropTempView(name)
+      out
     }
-    // localCheckpoint so the returned plan reads materialized blocks,
-    // not a memory-sink view the next streaming replay could touch
-    dropSentinel(s.table(name)).localCheckpoint()
+    // re-root the materialized result on the caller's session so
+    // downstream composition (joins with caller-session frames)
+    // analyzes under one SessionState
+    s.createDataFrame(res.rdd, res.schema)
   }
 }

@@ -24,7 +24,11 @@ object Scratch {
 
   private val issued = new java.util.ArrayDeque[Path]()
 
-  private def deleteRecursively(p: Path): Unit =
+  /** Deepest-first, stream-closing, best-effort recursive delete —
+    * shared by the shutdown hook and callers with their own scratch
+    * lifecycle (StreamReplay's per-query checkpoints), so unclosed
+    * Files.walk handles don't pile up between GC cycles. */
+  def deleteRecursively(p: Path): Unit =
     if (Files.exists(p)) {
       // deepest-first walk; best-effort (scratch cleanup must never
       // fail the operator that triggered it)

@@ -322,6 +322,115 @@ class DecodeSpec extends SparkSpec {
     assert(JpegDecode.pixels(v440) === None)
   }
 
+  /** Hand-assembled baseline JPEGs (JpegFixtures): the shapes
+    * ImageIO's WRITER never emits, cross-checked against ImageIO's
+    * READER — 4:2:2 chroma (the h2v1 fancy-upsample rounding), gray
+    * with non-1×1 declared sampling (single-component scans are
+    * NON-INTERLEAVED per T.81 §A.2.3, so the factors must not change
+    * the data layout), and restart markers padded with fill bytes. */
+  test("JPEG pixels: hand-built 4:2:2 stream decodes byte-exact vs ImageIO") {
+    val rng = new scala.util.Random(11)
+    val (w, h) = (20, 10) // 2x2 MCUs of 16x8, cropped
+    val y = Seq.fill(8)(JpegFixtures.block(rng))
+    val cb = Seq.fill(4)(JpegFixtures.block(rng))
+    val cr = Seq.fill(4)(JpegFixtures.block(rng))
+    val jpg = JpegFixtures.assemble(w, h,
+      Seq((1, 2, 1), (2, 1, 1), (3, 1, 1)), Seq(y, cb, cr),
+      perMcu = Seq(2, 1, 1), mcus = 4)
+    assert(Decode.imageHeader(jpg) === Some(ImageMeta("jpeg", w, h, 3, 8)))
+    val got = JpegDecode.pixels(jpg)
+    assert(got.isDefined, "4:2:2 fixture failed to decode")
+    assert(got.get.toSeq === rasterSamples(jpg).toSeq, "4:2:2 pixel mismatch vs ImageIO")
+  }
+
+  test("JPEG pixels: gray with declared 2x2 sampling is non-interleaved — byte-exact vs ImageIO") {
+    val rng = new scala.util.Random(12)
+    val (w, h) = (20, 12) // 3x2 blocks, cropped
+    val blocks = Seq.fill(6)(JpegFixtures.block(rng))
+    val jpg = JpegFixtures.assemble(w, h, Seq((1, 2, 2)), Seq(blocks),
+      perMcu = Seq(1), mcus = 6)
+    assert(JpegDecode.pixels(jpg).isDefined, "gray 2x2-declared fixture failed to decode")
+    assert(JpegDecode.pixels(jpg).get.toSeq === rasterSamples(jpg).toSeq,
+      "gray 2x2-declared mismatch vs ImageIO")
+    // and the factors must be layout-inert: the same blocks declared
+    // 1x1 decode to the same pixels
+    val jpg11 = JpegFixtures.assemble(w, h, Seq((1, 1, 1)), Seq(blocks),
+      perMcu = Seq(1), mcus = 6)
+    assert(JpegDecode.pixels(jpg).get.toSeq === JpegDecode.pixels(jpg11).get.toSeq)
+  }
+
+  test("JPEG pixels: fill-padded restart markers decode byte-exact vs ImageIO") {
+    val rng = new scala.util.Random(13)
+    val blocks = Seq.fill(3)(JpegFixtures.block(rng))
+    val jpg = JpegFixtures.assemble(24, 8, Seq((1, 1, 1)), Seq(blocks),
+      perMcu = Seq(1), mcus = 3, restartInterval = 1)
+    assert(JpegDecode.pixels(jpg).isDefined, "restart fixture failed to decode")
+    assert(JpegDecode.pixels(jpg).get.toSeq === rasterSamples(jpg).toSeq,
+      "restart-marker stream mismatch vs ImageIO")
+  }
+
+  test("JPEG pixels: RGB-colorspace streams fall back (Adobe APP14 transform 0, non-JFIF ids)") {
+    val base = encode(img(16, 16, BufferedImage.TYPE_INT_RGB), "jpg")
+    assert(JpegDecode.pixels(base).isDefined)
+    // splice an Adobe APP14 declaring transform = 0 (RGB) after SOI:
+    // the YCbCr convert would produce garbage colors — must fall back
+    val app14 = Array[Byte](0xff.toByte, 0xee.toByte, 0, 14,
+      'A', 'd', 'o', 'b', 'e', 0, 100, 0, 0, 0, 0, 0)
+    val adobe = base.take(2) ++ app14 ++ base.drop(2)
+    assert(JpegDecode.pixels(adobe) === None)
+    // transform = 1 (YCbCr) is the declared convention — still decodes
+    val app14y = app14.clone(); app14y(15) = 1
+    val ycc = base.take(2) ++ app14y ++ base.drop(2)
+    assert(JpegDecode.pixels(ycc).isDefined)
+    // components not carrying the JFIF 1/2/3 ids: unknowable colorspace
+    val sofAt = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        if ((base(i + 1) & 0xff) == 0xc0) at = i
+        else i += 2 + (((base(i + 2) & 0xff) << 8) | (base(i + 3) & 0xff))
+      }
+      at
+    }
+    val sosAt = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        if ((base(i + 1) & 0xff) == 0xda) at = i
+        else i += 2 + (((base(i + 2) & 0xff) << 8) | (base(i + 3) & 0xff))
+      }
+      at
+    }
+    val rgbIds = base.clone()
+    for ((off, ch) <- Seq((sofAt + 10, 'R'), (sofAt + 13, 'G'), (sofAt + 16, 'B')))
+      rgbIds(off) = ch.toByte
+    for ((k, ch) <- Seq((0, 'R'), (1, 'G'), (2, 'B')))
+      rgbIds(sosAt + 5 + 2 * k) = ch.toByte
+    assert(JpegDecode.pixels(rgbIds) === None)
+  }
+
+  test("JPEG pixels: ImageIO gray stream with patched 2x2 sampling still decodes identically") {
+    // a single-component scan's sampling factors are layout-inert, so
+    // flipping the SOF byte on a REAL encoder stream must change
+    // nothing — and ImageIO agrees on the patched stream
+    val base = encode(img(21, 13, BufferedImage.TYPE_BYTE_GRAY), "jpg")
+    val sofAt = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        if ((base(i + 1) & 0xff) == 0xc0) at = i
+        else i += 2 + (((base(i + 2) & 0xff) << 8) | (base(i + 3) & 0xff))
+      }
+      at
+    }
+    assert((base(sofAt + 11) & 0xff) == 0x11, "expected 1x1 gray in the base stream")
+    val patched = base.clone()
+    patched(sofAt + 11) = 0x22.toByte
+    assert(JpegDecode.pixels(patched).isDefined)
+    assert(JpegDecode.pixels(patched).get.toSeq === JpegDecode.pixels(base).get.toSeq)
+    assert(JpegDecode.pixels(patched).get.toSeq === rasterSamples(patched).toSeq)
+  }
+
   test("downstream consumers see pixel-real features for JPEG payloads through the seam") {
     import spark.implicits._
     val jpg = encode(img(40, 30, BufferedImage.TYPE_INT_RGB), "jpg")
