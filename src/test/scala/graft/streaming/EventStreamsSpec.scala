@@ -343,6 +343,30 @@ class EventStreamsSpec extends SparkSpec {
       "expected at least one revived key with mid-history tombstones")
   }
 
+  test("replay leaves the caller session untouched: no conf latch, no sink views") {
+    // round-11 review: the replay's conf toggles and memory-sink view
+    // live on an ISOLATED session — a concurrent query on the shared
+    // session must never observe replay settings (a latched
+    // noDataMicroBatches=false would silently stop its sealed-window
+    // emission), and sink views must not accumulate for the session's
+    // life. This also cured the full-suite bench context anomaly.
+    val noData = "spark.sql.streaming.noDataMicroBatches.enabled"
+    val priorNoData = spark.conf.get(noData, "true")
+    val priorShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    val viewsBefore = spark.catalog.listTables().count()
+    val out = StreamReplay.replay(spark, sfDir)(
+      ds => EventStreams.windowedCounts(ds.toDF())) {
+      o => o.filter(o("event_type") =!= StreamReplay.SENTINEL_TYPE)
+    }
+    assert(out.count() > 0)
+    assert(spark.conf.get(noData, "true") === priorNoData,
+      "replay latched noDataMicroBatches on the caller session")
+    assert(spark.conf.get("spark.sql.shuffle.partitions") === priorShuffle,
+      "replay latched shuffle partitions on the caller session")
+    assert(spark.catalog.listTables().count() === viewsBefore,
+      "replay leaked a memory-sink view into the caller catalog")
+  }
+
   test("StreamReplay.feed never draws more than one chunk ahead of delivery") {
     // The replay's driver-memory contract: the feed pulls from the
     // (executor-backed) iterator lazily, so between deliveries at most
