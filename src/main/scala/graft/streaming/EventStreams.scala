@@ -306,6 +306,44 @@ object EventStreams {
         col("click_ts"), col("purchase_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join (SURVEY §2 H26) — the
+    * "unconverted clicks" readout: every click with its in-window
+    * purchase, or NULLs once the watermark PROVES no purchase can
+    * still arrive. This is the semantics [[clickAttribution]]'s inner
+    * join cannot express: an unmatched left row is emitted only when
+    * the global watermark passes click_ts + window (Spark evicts the
+    * click from join state and emits the null-extended row), so the
+    * result is append-only AND complete — the sealed set equals the
+    * batch LEFT JOIN exactly.
+    *
+    * The watermark-seal rows ([[StreamReplay.SENTINEL_TYPE]]) pass
+    * BOTH side filters: unmatched-left emission needs the watermark
+    * itself to advance, and a sentinel filtered out before the
+    * `withWatermark` node would never advance it (the inner join
+    * never needed this — its result set is emission-timing-free).
+    * Sentinel rows join only each other (reserved user id) and are
+    * dropped by the key's sentinel filter. In production the
+    * pass-through is inert: no real event carries the reserved type. */
+  def clickAttributionOuter(events: DataFrame, windowMinutes: Int = 10): DataFrame = {
+    val seal = StreamReplay.SENTINEL_TYPE
+    val clicks = events
+      .filter(col("event_type") === "click" || col("event_type") === seal)
+      .select(col("user_id"), col("ts").as("click_ts"), col("event_id").as("click_id"))
+      .withWatermark("click_ts", s"$windowMinutes minutes")
+    val purchases = events
+      .filter(col("event_type") === "purchase" || col("event_type") === seal)
+      .select(col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+      .withWatermark("purchase_ts", s"$windowMinutes minutes")
+    clicks.join(purchases,
+      expr(s"""user_id = p_user
+              | AND purchase_ts >= click_ts
+              | AND purchase_ts <= click_ts + interval $windowMinutes minutes""".stripMargin),
+      "left_outer")
+      .select(col("user_id"), col("click_id"), col("purchase_id"), col("value"),
+        col("click_ts"), col("purchase_ts"))
+  }
+
   /** Streaming twin of the batch H14 `e_ewma`: per-type daily counts
     * smoothed over the trailing 8 OBSERVED days (α = 1/2), emitted
     * append-only as each day is sealed by the watermark.

@@ -842,6 +842,26 @@ object EventsPack extends QueryPack {
             unix_micros($"purchase_ts").as("purchase_us"))
       }
     },
+
+    // Stream-stream LEFT OUTER interval join replay (H26): every
+    // click with its in-window purchase OR null-extended once the
+    // watermark proves no purchase can arrive — unmatched-left
+    // emission is watermark-GATED (Spark emits the null row when it
+    // evicts the click from join state), which is exactly what the
+    // double-sentinel seal flushes. The sealed set equals the plain
+    // SQL LEFT JOIN; nullable purchase columns ride the hash compare
+    // in both engines.
+    "e_stream_outer" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d)(ds => EventStreams.clickAttributionOuter(ds.toDF())) { out =>
+        out.filter($"user_id" =!= StreamReplay.SENTINEL_USER)
+          .select($"user_id", $"click_id", $"purchase_id",
+            round($"value".cast(D), 2).cast("double").as("value"),
+            unix_micros($"click_ts").as("click_us"),
+            unix_micros($"purchase_ts").as("purchase_us"),
+            $"purchase_id".isNotNull.as("converted"))
+      }
+    },
   )
 
   /** The e_ewma smoothing expression, shared-shape with the Spark
@@ -929,6 +949,16 @@ object EventsPack extends QueryPack {
         |FROM events c JOIN events p
         | ON p.user_id = c.user_id
         | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND epoch_us(p.ts) >= epoch_us(c.ts)
+        | AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000""".stripMargin,
+    "e_stream_outer" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        | CAST(ROUND(CAST(p.value AS DECIMAL(18,2)), 2) AS DOUBLE) AS value,
+        | epoch_us(c.ts) AS click_us, epoch_us(p.ts) AS purchase_us,
+        | p.event_id IS NOT NULL AS converted
+        |FROM (SELECT * FROM events WHERE event_type = 'click') c
+        |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+        | ON p.user_id = c.user_id
         | AND epoch_us(p.ts) >= epoch_us(c.ts)
         | AND epoch_us(p.ts) <= epoch_us(c.ts) + 600000000""".stripMargin,
     // the session derivation is sessionsSql's verbatim; the ordered

@@ -343,6 +343,33 @@ class EventStreamsSpec extends SparkSpec {
       "expected at least one revived key with mid-history tombstones")
   }
 
+  test("stream-stream LEFT OUTER join: slicing-invariant, both arms non-degenerate") {
+    // H26: unmatched-left emission is watermark-gated, so the
+    // slicing changes WHEN null rows emit — never WHETHER; and the
+    // readout only proves the semantics if both arms actually occur
+    import org.apache.spark.sql.functions._
+    def run(chunks: Int) = StreamReplay.replay(spark, sfDir, chunks = chunks)(
+      ds => EventStreams.clickAttributionOuter(ds.toDF())) {
+      out => out.filter(out("user_id") =!= StreamReplay.SENTINEL_USER)
+    }
+    val one = run(1)
+    val many = run(13)
+    assert(one.count() === many.count())
+    assert(one.except(many).count() === 0 && many.except(one).count() === 0)
+    assert(many.filter(col("purchase_id").isNull).count() > 0,
+      "no unconverted clicks — the outer arm is degenerate on this corpus")
+    assert(many.filter(col("purchase_id").isNotNull).count() > 0,
+      "no converted clicks — the matched arm is degenerate on this corpus")
+    // matched rows equal the INNER join's (outer adds, never alters)
+    val inner = StreamReplay.replay(spark, sfDir)(
+      ds => EventStreams.clickAttribution(ds.toDF())) {
+      out => out.filter(out("user_id") =!= StreamReplay.SENTINEL_USER)
+    }
+    val matched = many.filter(col("purchase_id").isNotNull)
+      .select("user_id", "click_id", "purchase_id", "value", "click_ts", "purchase_ts")
+    assert(matched.except(inner).count() === 0 && inner.except(matched).count() === 0)
+  }
+
   test("replay leaves the caller session untouched: no conf latch, no sink views") {
     // round-11 review: the replay's conf toggles and memory-sink view
     // live on an ISOLATED session — a concurrent query on the shared
