@@ -5,69 +5,124 @@ import org.apache.spark.sql.functions._
 
 /** k-core decomposition by iterative peeling: repeatedly drop every
   * vertex whose degree (within the surviving subgraph) is below k
-  * until the edge set is stable; return each core vertex with its
+  * until the vertex set is stable; return each core vertex with its
   * in-core degree.
   *
-  * Scale shape: each round is one partial-aggregable degree count
-  * plus two left-semi joins against the alive set (AQE broadcasts it
-  * once peeling has shrunk it) — the same join-per-round pattern as
-  * the frontier BFS. The edge set is localCheckpointed every round,
-  * so lineage stays one round deep however many rounds the cascade
-  * takes, and the convergence probe rides the same count that
-  * materializes the checkpoint. Rounds are bounded by the peeling
-  * depth of the graph (≤ the longest degeneracy cascade), not by the
-  * vertex count; every round strictly shrinks the edge set or
-  * terminates.
+  * Scale shape (round-12 rework — delta peeling): the edge set is
+  * checkpointed ONCE and the loop maintains a VERTEX-sized degree
+  * table instead of rewriting the edge set every round. Each round
+  * classifies the doomed vertices (deg < k) from the checkpointed
+  * degree table, then either
+  *   - BULK round (doomed is a large fraction of the survivors, i.e.
+  *     the first cascade wave): induce the edge set on the survivors
+  *     with two semi-joins, re-checkpoint it, and recompute degrees —
+  *     the one edge-sized rewrite per cascade wave worth paying,
+  *     because it shrinks every later scan; or
+  *   - DELTA round (the long cascade tail, where each round removes
+  *     a handful of vertices): join the edges against the broadcast
+  *     doomed set on dst, count per-src losses, and subtract them
+  *     from the degree table. Per-round work is one scan of the
+  *     (already-pruned, disk-resident) edge set filtered map-side by
+  *     a broadcast hash set plus a vertex-sized state update — no
+  *     edge shuffle, no edge checkpoint, no edge-sized write.
+  *
+  * This cuts the cascade-tail round cost from (edge scan + edge
+  * shuffle + edge-sized disk checkpoint write + read) to (edge scan +
+  * tiny aggregation): the round-11 board's biggest sf1x absolute
+  * (g_kcore, 84.5 s) was exactly the tail rounds paying full-edge
+  * rewrites to remove single-digit vertex counts.
+  *
+  * Rounds are bounded by the peeling depth of the graph (≤ the
+  * longest degeneracy cascade); every round strictly shrinks the
+  * survivor set or terminates. Degree counts treat the input as a
+  * bag (duplicate edges count twice), matching the original
+  * groupBy-count semantics.
   */
 object KCore {
 
-  /** Peel-loop checkpoints live on DISK (the KTruss discipline): the
-    * loop's working state is edge-sized, TWO copies coexist at every
-    * round boundary, and each is read at most twice per round — at
-    * the 52M-edge sf1x rung the in-memory copies crowded the unified
-    * pool's protected storage region and starved the degree
-    * aggregation (UNABLE_TO_ACQUIRE_MEMORY) even with per-round
-    * frees; on disk the loop is memory-bounded at ANY edge count for
-    * ~a second per round of sequential I/O at that rung. */
-  private val PEEL_LEVEL = org.apache.spark.storage.StorageLevel.DISK_ONLY
+  /** Edge checkpoints live on DISK (the KTruss discipline): the edge
+    * set is the only edge-sized state and at a bulk-round boundary two
+    * copies coexist — at the 52M-edge sf1x rung in-memory copies
+    * crowded the unified pool's protected storage region and starved
+    * the degree aggregation (UNABLE_TO_ACQUIRE_MEMORY). The degree
+    * table and doomed set are VERTEX-sized (orders of magnitude
+    * smaller), so they ride the default memory-first level. */
+  private val EDGE_LEVEL = org.apache.spark.storage.StorageLevel.DISK_ONLY
+
+  /** A round whose doomed set exceeds this fraction of the surviving
+    * vertices runs as a bulk rewrite; below it, as a delta round. 1/8
+    * keeps the edge set within ~2× of its induced size between
+    * rewrites while letting the whole cascade tail run rewrite-free. */
+  private val REWRITE_FRACTION = 8L
+
+  /** Doomed sets above this row count are joined instead of broadcast
+    * (a 4M-long broadcast is ~32 MB raw — fine; past that, let the
+    * shuffle join handle it). In practice the REWRITE_FRACTION gate
+    * fires long before this one at any realistic vertex count. */
+  private val BROADCAST_CAP = 4L * 1000 * 1000
 
   def run(s: SparkSession, edges0: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     import s.implicits._
+    val free = KTruss.freeCheckpoint _
     var edges = edges0
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .localCheckpoint(true, PEEL_LEVEL)
-    var nEdges = edges.count()
-    var converged = nEdges == 0L
+      .localCheckpoint(true, EDGE_LEVEL)
+    var deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      .localCheckpoint(true)
+    var aliveV = deg.count()
+    var converged = aliveV == 0L
     var iter = 0
     while (!converged && iter < maxIter) {
-      val alive = edges.groupBy($"src").agg(count(lit(1)).as("deg"))
-        .filter($"deg" >= k)
-        .select($"src".as("node"))
-      val pruned = edges
-        .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
-        .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
-        .select($"src", $"dst")
-        .localCheckpoint(true, PEEL_LEVEL)
-      val n2 = pruned.count()
-      converged = n2 == nEdges
-      nEdges = n2
-      // the new checkpoint is materialized (count above) — the
-      // previous round's blocks are dead, free them NOW (the KTruss
-      // discipline): leaking one edge-sized checkpoint per round
-      // pinned the whole unified pool by round N at the 52M-edge
-      // sf1x rung and starved execution (UNABLE_TO_ACQUIRE_MEMORY)
-      KTruss.freeCheckpoint(edges)
-      edges = pruned
+      val doomed = deg.filter($"deg" < k).select($"node").localCheckpoint(true)
+      val nDoomed = doomed.count()
+      if (nDoomed == 0L) {
+        free(doomed)
+        converged = true
+      } else if (nDoomed * REWRITE_FRACTION > aliveV || nDoomed > BROADCAST_CAP) {
+        // bulk wave: induce the edge set on the survivors and restart
+        // the degree table from it (survivors whose induced degree is
+        // 0 drop out of the groupBy — they are doomed by definition
+        // and get no row to carry)
+        val alive = deg.filter($"deg" >= k).select($"node")
+        val pruned = edges
+          .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
+          .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
+          .localCheckpoint(true, EDGE_LEVEL)
+        val deg2 = pruned.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+          .localCheckpoint(true)
+        aliveV = deg2.count()
+        free(edges); free(deg); free(doomed)
+        edges = pruned
+        deg = deg2
+      } else {
+        // delta round: per-survivor losses = edges into the doomed
+        // set (inner join keeps bag multiplicity; the doomed set is
+        // distinct by construction — it comes out of a groupBy)
+        val deltas = edges
+          .join(broadcast(doomed.select($"node".as("dst"))), Seq("dst"))
+          .groupBy($"src".as("node")).agg(count(lit(1)).as("lost"))
+        val deg2 = deg
+          .join(broadcast(doomed), Seq("node"), "left_anti")
+          .join(deltas, Seq("node"), "left")
+          .select($"node", ($"deg" - coalesce($"lost", lit(0L))).as("deg"))
+          .localCheckpoint(true) // eager: materialized here
+        aliveV -= nDoomed // delta rounds only ever remove the doomed
+        free(deg); free(doomed)
+        deg = deg2
+      }
       iter += 1
     }
-    // a mid-peel edge set is NOT the k-core — refuse to return it
+    // a mid-peel survivor set is NOT the k-core — refuse to return it
     // (mirrors ConnectedComponents' non-convergence guard; the SQL
     // oracle's unroll margin emits a poison sentinel for the same case)
     if (!converged) {
-      KTruss.freeCheckpoint(edges) // a thrown run must not leak blocks
+      free(edges); free(deg) // a thrown run must not leak blocks
       throw new IllegalStateException(
-        s"k-core peeling did not converge within $maxIter rounds ($nEdges edges still changing)")
+        s"k-core peeling did not converge within $maxIter rounds ($aliveV vertices still cascading)")
     }
-    edges.groupBy($"src".as("node")).agg(count(lit(1)).as("core_degree"))
+    // the result is the (checkpointed) degree table alone — the edge
+    // blocks are dead the moment the loop exits
+    free(edges)
+    deg.select($"node", $"deg".as("core_degree"))
   }
 }
