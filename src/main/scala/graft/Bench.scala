@@ -24,6 +24,20 @@ import scala.util.control.NonFatal
   *     spark.range) is timed before and after the suite: two inflated
   *     sentinel readings mean the whole run is load-skewed and its
   *     absolute numbers should not be compared across rounds;
+  *   - the run is GATED on a per-key LIGHT sentinel (round-12, verdict
+  *     #1: driver runs diverged 14% from the committed record on
+  *     identical code under evening box load, forcing per-key
+  *     adjudication): a ~0.1 s scale-independent probe is timed
+  *     immediately before each key's rep block, compared against a
+  *     quiet-box reference (the committed record's `light_ref`, else
+  *     this run's own minimum), and every key measured under a
+  *     drifted sentinel is RE-MEASURED once after the suite — the
+  *     measurement with the quieter sentinel wins. Keys still drifted
+  *     after the retry are listed in `drifted` (ledger AND compact
+  *     tail), so a load-skewed artifact names its own skewed keys
+  *     instead of needing narrative adjudication. If more than half
+  *     the keys drift, the whole run is load-skewed: retries are
+  *     skipped (they would thrash, not heal) and `run_skewed` is set;
   *   - the STREAMING HARNESS FLOOR — a stateless projection pushed
   *     through the same StreamReplay chunked micro-batch machinery —
   *     is timed after the suite: every e_stream key's time is
@@ -121,24 +135,92 @@ object Bench {
     // the replay feed's one-time chunk staging for the BENCH dir is a
     // warmup cost, not the first stream key's rep-1 cost (warmup runs
     // at warmDir, so without this the staging lands inside the
-    // alphabetically-first e_stream key's timed rep)
-    if (names.exists(_.startsWith("e_stream")))
+    // alphabetically-first replay-backed key's timed rep). Registry-
+    // driven, not name-prefix-driven: a replay-backed key can be
+    // named anything.
+    val replayKeys = SparkEntry.replayBackedKeys
+    if (names.exists(replayKeys))
       try graft.streaming.StreamReplay.prepare(spark, sfDir)
       catch { case NonFatal(e) => System.err.println(s"[bench] prestage: ${e.getMessage}") }
 
-    val sentinelStart = sentinel()
-    val samples: Seq[(String, Seq[Double])] = names.map { name =>
-      name -> (1 to reps).flatMap(_ =>
-        timeIt(() => materialize(queries(name)(spark, sfDir)), name))
+    // light per-key load sentinel: the bookend sentinel's shape at
+    // ~1/5 the rows, ~0.1 s — cheap enough to run 2×173 times, load-
+    // sensitive enough to catch the 1.4×+ evening drift that forced
+    // per-key adjudication in rounds 10–11. No cooldown (it allocates
+    // next to nothing, and a GC per probe would dominate the probe).
+    def lightSentinel(): Double = {
+      import spark.implicits._
+      val t0 = System.nanoTime()
+      try materialize(
+        spark.range(4L * 1000 * 1000)
+          .select(pmod(hash($"id"), lit(9973)).as("k"), $"id")
+          .groupBy($"k").agg(count(lit(1)).as("n"), sum($"id").as("s")))
+      catch { case NonFatal(_) => () }
+      (System.nanoTime() - t0) / 1e9
     }
+    // quiet-box reference: the committed record's own light_ref when
+    // one exists (cross-run comparability is the whole point: the
+    // record was measured on a quiet box), floored by this run's
+    // minimum in case the box got FASTER.
+    val priorLightRef: Option[Double] =
+      try {
+        val f = java.nio.file.Paths.get("BENCH_LOCAL.json")
+        if (!java.nio.file.Files.exists(f)) None
+        else """"light_ref":([0-9.eE+-]+)""".r
+          .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(f),
+            java.nio.charset.StandardCharsets.UTF_8))
+          .map(_.group(1).toDouble)
+      } catch { case NonFatal(_) => None }
+
+    def measureKey(name: String): (Double, Seq[Double]) = {
+      val sent = lightSentinel()
+      val xs = (1 to reps).flatMap(_ =>
+        timeIt(() => materialize(queries(name)(spark, sfDir)), name))
+      (sent, xs)
+    }
+
+    lightSentinel(): Unit // warm: the first probe otherwise pays codegen
+    val sentinelStart = sentinel()
+    val firstPass: Seq[(String, (Double, Seq[Double]))] =
+      names.map(name => name -> measureKey(name))
     val sentinelEnd = sentinel()
+
+    val runMinSent =
+      if (firstPass.isEmpty) 0.0 else firstPass.map(_._2._1).min
+    val lightRef = priorLightRef.fold(runMinSent)(math.min(_, runMinSent))
+    // 1.4× the quiet reference + a 50 ms absolute cushion (job-launch
+    // jitter dominates at the probe's size)
+    val driftThr = lightRef * 1.4 + 0.05
+    val flaggedFirst = firstPass.collect {
+      case (n, (s, _)) if s > driftThr => n
+    }
+    val runSkewed = flaggedFirst.size > names.size / 2
+    // retry pass: each drifted key re-measured ONCE after the suite
+    // (transient load has usually passed by then); skipped when the
+    // whole run is skewed — retrying 173 keys under sustained load
+    // thrashes without healing, the run-level flag is the honest
+    // answer there
+    val retried: Map[String, (Double, Seq[Double])] =
+      if (runSkewed) Map.empty
+      else flaggedFirst.map(n => n -> measureKey(n)).toMap
+    // per key, the measurement taken under the quieter sentinel wins
+    val chosen: Seq[(String, Double, Seq[Double])] = firstPass.map {
+      case (n, (s1, xs1)) =>
+        retried.get(n) match {
+          case Some((s2, xs2)) if s2 < s1 && xs2.nonEmpty => (n, s2, xs2)
+          case _ => (n, s1, xs1)
+        }
+    }
+    val samples: Seq[(String, Seq[Double])] =
+      chosen.map { case (n, _, xs) => n -> xs }
+    val drifted = chosen.collect { case (n, s, _) if s > driftThr => n }
 
     // streaming harness floor: the cheapest possible pipeline (a
     // stateless projection, no state store) through the identical
     // chunked replay — measured at the SAME reps/median protocol,
     // only when stream keys were benched
     val streamFloor: Double =
-      if (!names.exists(_.startsWith("e_stream"))) -1.0
+      if (!names.exists(replayKeys)) -1.0
       else {
         import org.apache.spark.sql.streaming.OutputMode
         val fs = (1 to reps).flatMap(_ => timeIt(() => materialize(
@@ -164,7 +246,7 @@ object Bench {
     // replay floor is an upper bound — still comparable round-over-
     // round, which is what the ledger is for.
     val streamShare = results
-      .filter { case (k, v) => k.startsWith("e_stream") && v >= 0 && streamFloor >= 0 }
+      .filter { case (k, v) => replayKeys(k) && v >= 0 && streamFloor >= 0 }
       .map { case (k, v) => jsonStr(k) + ":" + ms(math.max(0.0, v - streamFloor)) }
       .mkString("{", ",", "}")
     val line =
@@ -177,9 +259,17 @@ object Bench {
     val sampleJson = samples.map { case (k, xs) =>
       jsonStr(k) + ":[" + xs.map(ms).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    val keySentJson = chosen
+      .map { case (n, s, _) => jsonStr(n) + ":" + ms(s) }
+      .mkString("{", ",", "}")
+    val driftedJson = drifted.map(jsonStr).mkString("[", ",", "]")
+    val retriedJson = retried.keys.toSeq.sorted.map(jsonStr).mkString("[", ",", "]")
     val ledger =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,""" +
         s""""sentinel_sec":[${ms(sentinelStart)},${ms(sentinelEnd)}],""" +
+        s""""light_ref":${ms(runMinSent)},"drift_thr":${ms(driftThr)},""" +
+        s""""run_skewed":$runSkewed,"drifted":$driftedJson,"retried":$retriedJson,""" +
+        s""""key_sentinels":$keySentJson,""" +
         s""""stream_floor_sec":${ms(streamFloor)},"stream_share":$streamShare,""" +
         s""""queries":$qs,"samples":$sampleJson,"sf":${jsonStr(sfDir)}}"""
     // BENCH_LOCAL.json is the COMMITTED regression record (full suite,
@@ -244,9 +334,17 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => jsonStr(k) }
       .mkString("[", ",", "]")
+    // drift report in the compact tail: usually `[]`; under load it
+    // names the skewed keys (capped at 12 so the tail stays under the
+    // driver's 2000-char capture — the full list is in the ledger)
+    val driftedTail =
+      (drifted.take(12).map(jsonStr) ++
+        (if (drifted.size > 12) Seq(jsonStr(s"+${drifted.size - 12} more")) else Nil))
+        .mkString("[", ",", "]")
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"sentinel_sec":[${ms(sentinelStart)},${ms(sentinelEnd)}],""" +
+        s""""light_ref":${ms(runMinSent)},"run_skewed":$runSkewed,"drifted":$driftedTail,""" +
         s""""stream_floor_sec":${ms(streamFloor)},"stream_share":$streamShare,""" +
         s""""packs":$packs,"slowest":$slowest,"rep1_gap":$rep1Gap,""" +
         s""""failed":$failed,"sf":${jsonStr(sfDir)}}""")

@@ -29,6 +29,17 @@ object SparkEntry {
     merged
   }
 
+  /** Keys driven through the chunked streaming-replay harness — see
+    * [[QueryPack.replayBackedKeys]]. Bench pre-stages the replay feed
+    * when any of these are in the run and reports their operator share
+    * against the measured harness floor. */
+  lazy val replayBackedKeys: Set[String] = {
+    val keys = packs.flatMap(_.replayBackedKeys).toSet
+    require(keys.subsetOf(queries.keySet),
+      s"replay-backed keys not in queries: ${(keys -- queries.keySet).mkString(", ")}")
+    keys
+  }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   lazy val oracleSql: Map[String, String] = {

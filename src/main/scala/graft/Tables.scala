@@ -91,4 +91,14 @@ object Tables {
 trait QueryPack {
   def queries: Map[String, (SparkSession, String) => DataFrame]
   def oracles: Map[String, String]
+
+  /** Keys driven through the chunked streaming-replay harness
+    * ([[graft.streaming.StreamReplay]] or a sibling file-feed): their
+    * first run against a scale dir pays a one-time sort+stage job, and
+    * their timings carry the shared per-micro-batch harness cost.
+    * [[graft.Bench]] consumes this to pre-stage before its timed
+    * region and to report per-key operator share vs the harness floor
+    * — a registry, not a key-name-prefix convention, so a future
+    * replay-backed key can be named anything. */
+  def replayBackedKeys: Set[String] = Set.empty
 }

@@ -26,11 +26,17 @@ package graft.multimodal
   *   5. fixed-point YCbCr→RGB (CCIR 601 constants, 16-bit scaling).
   *
   * Scope (the declared contract, loudly bounded like the PNG path):
-  * baseline SOF0, 8-bit precision, 1 or 3 components, sampling grids
-  * gray / 4:4:4 / 4:2:2 / 4:2:0. Progressive (SOF2), arithmetic
-  * coding, 12-bit, hierarchical, and exotic grids return None — the
-  * deterministic stub stays the fallback, and bad bytes are data,
-  * not exceptions, at a 100 TB decode seam.
+  * 8-bit-precision Huffman SEQUENTIAL frames — SOF0 (baseline) and
+  * SOF1 (extended sequential, which at 8 bits decodes identically;
+  * rejecting it would only refuse files some encoders mislabel) —
+  * with 1 or 3 components, sampling grids gray / 4:4:4 / 4:2:2 /
+  * 4:2:0, and 8- OR 16-bit (Pq=0/1) DQT tables (baseline proper
+  * forbids Pq=1; accepting it is harmless leniency for sequential
+  * streams and the values flow through the same dequantize path).
+  * Progressive (SOF2), arithmetic coding, 12-bit sample precision,
+  * hierarchical, and exotic grids return None — the deterministic
+  * stub stays the fallback, and bad bytes are data, not exceptions,
+  * at a 100 TB decode seam.
   */
 object JpegDecode {
 

@@ -19,6 +19,18 @@ import graft.{QueryPack, Tables}
   */
 object EventsPack extends QueryPack {
 
+  /** The H4/H22/H24/H26 replay surfaces: every key that feeds through
+    * the chunked file-source replay machinery (StreamReplay, plus
+    * e_stream_ingest's restartable file-landing twin). Registered
+    * explicitly so Bench's pre-stage guard and floor-share report key
+    * off semantics instead of an `e_stream` name-prefix convention. */
+  override val replayBackedKeys: Set[String] = Set(
+    "e_stream_window", "e_stream_enrich", "e_stream_sessions",
+    "e_stream_ewma", "e_stream_uniques", "e_stream_dedup",
+    "e_stream_hh", "e_stream_chain", "e_stream_totals",
+    "e_stream_cdc", "e_stream_ingest", "e_stream_attrib",
+    "e_stream_outer")
+
   private val D = DecimalType(18, 2)
   // shared with the streaming twins so batch/stream parity can't drift
   private val SESSION_GAP_US = EventStreams.SESSION_GAP_US // 30 min

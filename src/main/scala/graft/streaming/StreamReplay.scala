@@ -73,8 +73,43 @@ object StreamReplay {
       if (java.nio.file.Files.isWritable(shm) &&
         shm.toFile.getUsableSpace >= 2L * 1024 * 1024 * 1024) shm
       else java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"))
-    java.nio.file.Files.createDirectories(base.resolve("graft-replay"))
+    val dir = java.nio.file.Files.createDirectories(base.resolve("graft-replay"))
+    sweepAged(dir)
+    dir
   }
+
+  /** Startup age-out of scratch leftovers (round-11 advice: stagings
+    * accumulate one per (sfDir, chunks, srcSig) in tmpfs RAM with no
+    * global bound until reboot). Eviction at re-staging only replaces
+    * same-identity dirs; this sweep bounds the rest BY AGE so a box
+    * that benches many scale dirs and chunk counts across rounds does
+    * not squat tmpfs forever: published stagings older than 12 h (the
+    * `_STAGED` marker's mtime — chunk-file mtimes are pinned in the
+    * past by design) and orphaned `stage-`/`ckpt-` temp dirs older
+    * than 1 h (their owners delete them with the query; an hour-old
+    * one is a crashed run's leak) are removed. Best-effort: a racing
+    * JVM's fresh staging is never younger-than-12h-deleted, and a
+    * deleted-but-in-use staging would only force a re-stage. */
+  private def sweepAged(dir: java.nio.file.Path): Unit =
+    try {
+      val now = System.currentTimeMillis()
+      val ls = java.nio.file.Files.list(dir)
+      try ls.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        def olderThan(ageMs: Long, of: java.nio.file.Path): Boolean =
+          try now - java.nio.file.Files.getLastModifiedTime(of).toMillis > ageMs
+          catch { case _: java.io.IOException => false }
+        val marker = p.resolve("_STAGED")
+        val stale =
+          if (n.startsWith("chunks-") && java.nio.file.Files.exists(marker))
+            olderThan(12L * 3600 * 1000, marker)
+          else if (n.startsWith("stage-") || n.startsWith("ckpt-"))
+            olderThan(3600L * 1000, p)
+          else false
+        if (stale) deleteRecursively(p)
+      }
+      finally ls.close()
+    } catch { case _: java.io.IOException => () }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.util.Scratch.deleteRecursively(p)
@@ -168,10 +203,19 @@ object StreamReplay {
       val target = scratchBase.resolve(s"chunks-$ident-${md5hex(srcSig)}")
       if (java.nio.file.Files.exists(target.resolve("_STAGED"))) target
       else {
-        // evict stale stagings of this (sfDir, chunks) identity
+        // evict stale stagings of this (sfDir, chunks) identity —
+        // EXCLUDING the current target name: two sessions (or JVMs
+        // sharing /dev/shm) staging the same (sfDir, chunks) can
+        // interleave so one passes the _STAGED check just before the
+        // other publishes, and an unfiltered evict would then delete
+        // the freshly published live staging out from under the
+        // winner's running streaming query (round-11 advice)
         val stale = java.nio.file.Files.list(scratchBase)
         try stale.iterator().asScala
-          .filter(_.getFileName.toString.startsWith(s"chunks-$ident-"))
+          .filter { p =>
+            val n = p.getFileName.toString
+            n.startsWith(s"chunks-$ident-") && n != target.getFileName.toString
+          }
           .foreach(deleteRecursively)
         finally stale.close()
         val sorted = sortedEvents(s, sfDir)

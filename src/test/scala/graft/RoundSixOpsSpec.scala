@@ -172,6 +172,32 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(m.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
   }
 
+  test("d_er: blocking keeps block sizes (and with them per-block pair work) bounded at sf0.01") {
+    import spark.implicits._
+    // the scale contract behind D11 (round-11 verdict #6): candidate
+    // generation must stay O(Σ block²) with block size BOUNDED as the
+    // table grows — the blocking key embeds floor(custkey/1000) (the
+    // first 6 of the 9 name digits), so a block can never exceed one
+    // 1000-key bucket even if a nation swallowed the whole bucket. A
+    // blocking-key regression (e.g. a prefix shortened to 3 digits)
+    // blows these bounds loudly instead of quietly going quadratic.
+    val d01 = "/root/testdata/sf0.01"
+    assume(new java.io.File(d01).isDirectory)
+    val blocks = Tables.customer(spark, d01)
+      .select(concat($"c_nationkey".cast("string"), lit("|"),
+        substring(regexp_replace($"c_name", "[^0-9]", ""), 1, 6)).as("blk"))
+      .groupBy($"blk").agg(count(lit(1)).as("n"))
+      .agg(max($"n").as("max_n"),
+        sum($"n" * ($"n" - 1)).as("pairs2"), // 2 × candidate pairs (stays integral)
+        sum($"n").as("rows")).head()
+    val (maxBlock, pairs2, rows) =
+      (blocks.getLong(0), blocks.getLong(1), blocks.getLong(2))
+    assert(maxBlock <= 1024L,
+      s"d_er block size $maxBlock breaches the 1000-key bucket bound")
+    assert(pairs2 <= 128L * rows,
+      s"d_er candidate pairs ${pairs2 / 2} exceed 64x rows ($rows) — blocking degraded toward O(n^2)")
+  }
+
   test("e_fill: the grid tiles every user across the full calendar and fills copy forward") {
     import spark.implicits._
     val out = SparkEntry.queries("e_fill")(spark, sfDir).cache()
