@@ -515,24 +515,29 @@ final case class ImageMeta(format: String, width: Int, height: Int,
   *   - REAL pixels (PNG): [[pngPixels]] — full IDAT decode with
   *     public-JVM primitives only: chunk walk, `java.util.zip
   *     .Inflater` zlib inflate, per-scanline reversal of the five
-  *     PNG filter types (None/Sub/Up/Average/Paeth), for the
-  *     8-bit-depth non-interlaced gray/RGB/gray+alpha/RGBA color
-  *     types ImageIO writes. DecodeSpec pins the output bytes
-  *     EXACTLY against ImageIO's raster on round-trip images AND on
-  *     hand-assembled PNGs exercising every filter type. Features
-  *     for a decodable PNG are the histogram of its decoded SAMPLE
-  *     stream, not its compressed container bytes.
+  *     PNG filter types (None/Sub/Up/Average/Paeth). Round-12
+  *     (verdict #4) the path covers the WHOLE legal PNG static
+  *     matrix: every color type (gray / RGB / palette / gray+alpha /
+  *     RGBA) at every legal bit depth (1/2/4/8/16 where the spec
+  *     allows), PLTE expansion with optional tRNS alpha, and Adam7
+  *     interlacing (per-pass filtering + the 7-pass weave).
+  *     DecodeSpec pins the output EXACTLY against ImageIO (the
+  *     independent reference decoder) on round-trip images AND on
+  *     hand-assembled PNGs exercising every filter type, palette
+  *     depth, 16-bit rows and interlaced streams. Features for a
+  *     decodable PNG are the histogram of its decoded SAMPLE stream,
+  *     not its compressed container bytes.
   *   - REAL pixels (JPEG): [[JpegDecode.pixels]] (round-11) —
   *     baseline sequential Huffman decode, integer IDCT, chroma
   *     upsampling and YCbCr→RGB, byte-exact vs ImageIO on gray and
   *     4:2:0 color.
   *   - STUB: [[featuresOf]] over the raw payload — the deterministic
   *     stand-in wherever a pure-JVM decode does not exist
-  *     (progressive/arithmetic JPEG; palette/16-bit/interlaced PNGs;
-  *     truncated or corrupt containers; non-image payloads). The
-  *     shipped corpus is ASCII text (no payload carries image magic,
-  *     spec-asserted), so the `m_features` oracle contract is
-  *     untouched by the real branches.
+  *     (progressive/arithmetic JPEG; truncated or corrupt containers;
+  *     non-image payloads). The shipped corpus is ASCII text (no
+  *     payload carries image magic, spec-asserted), so the
+  *     `m_features` oracle contract is untouched by the real
+  *     branches.
   */
 object Decode {
   val DIM = 16
@@ -558,22 +563,57 @@ object Decode {
     pngPixels(payload).orElse(JpegDecode.pixels(payload))
       .map(featuresOf).getOrElse(featuresOf(payload))
 
-  /** REAL PNG pixel decode (see object doc). Returns the unfiltered
-    * row-major interleaved 8-bit sample stream (h · w · channels
-    * bytes) for a well-formed, 8-bit, non-interlaced PNG of color
-    * type 0/2/4/6; None for anything else — bad bytes are data, not
-    * exceptions, at a 100 TB decode seam. */
+  /** Adam7 pass geometry (PNG spec §8.2): column/row origins and
+    * strides of the seven sub-images, in transmission order. */
+  private val ADAM7: Array[(Int, Int, Int, Int)] = Array(
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+
+  /** REAL PNG pixel decode (see object doc). Returns the row-major
+    * interleaved sample stream for a well-formed static PNG of ANY
+    * legal color-type × bit-depth × interlace combination (round-12):
+    *
+    *   - 8-bit gray/RGB/gray+alpha/RGBA: one byte per sample (as
+    *     before);
+    *   - 16-bit: two bytes per sample, big-endian (the PNG wire
+    *     order — sample value = (hi << 8) | lo, what ImageIO's
+    *     raster reports);
+    *   - sub-byte gray (depths 1/2/4): one byte per sample carrying
+    *     the RAW value (0 .. 2^depth−1, NOT rescaled — ImageIO's
+    *     raster convention);
+    *   - palette (color type 3, depths 1/2/4/8): indices expanded
+    *     through PLTE to RGB — RGBA when a tRNS chunk supplies
+    *     per-entry alpha (entries past the tRNS table are opaque per
+    *     the spec). A missing PLTE or out-of-range index is a
+    *     malformed stream → None;
+    *   - Adam7 interlaced streams of all of the above: per-pass
+    *     filter reversal, then the 7-pass weave into the final
+    *     raster.
+    *
+    * None for progressive container damage, crafted geometries and
+    * anything else — bad bytes are data, not exceptions, at a 100 TB
+    * decode seam. */
   def pngPixels(p: Array[Byte]): Option[Array[Byte]] = {
     val meta = png(p).getOrElse(return None)
     if (p.length < 33) return None // full IHDR chunk incl. crc
-    // IHDR tail: bit depth 8, color types with whole-byte samples,
-    // compression 0, filter method 0, no interlace (what ImageIO
-    // writes; palette needs the PLTE indirection, 16-bit needs wide
-    // samples, Adam7 needs the pass weave — all fall back)
-    if (meta.bitDepth != 8 || u8(p, 25) == 3) return None
-    if (u8(p, 26) != 0 || u8(p, 27) != 0 || u8(p, 28) != 0) return None
-    // chunk walk: concatenate every IDAT's data in stream order
+    val colorType = u8(p, 25)
+    val depth = meta.bitDepth
+    // legal depth per color type (PNG spec §11.2.2); compression and
+    // filter method must be 0; interlace 0 (none) or 1 (Adam7)
+    val depthOk = colorType match {
+      case 0 => depth == 1 || depth == 2 || depth == 4 || depth == 8 || depth == 16
+      case 2 | 4 | 6 => depth == 8 || depth == 16
+      case 3 => depth == 1 || depth == 2 || depth == 4 || depth == 8
+      case _ => false
+    }
+    if (!depthOk) return None
+    if (u8(p, 26) != 0 || u8(p, 27) != 0 || u8(p, 28) > 1) return None
+    val interlaced = u8(p, 28) == 1
+    // chunk walk: concatenate every IDAT's data in stream order;
+    // capture PLTE (palette) and tRNS (palette alpha) on the way
     val idat = new java.io.ByteArrayOutputStream()
+    var plte: Array[Byte] = null
+    var trns: Array[Byte] = null
     var i = 33 // 8 magic + 4 len + 4 "IHDR" + 13 data + 4 crc
     var sawEnd = false
     while (!sawEnd) {
@@ -582,22 +622,45 @@ object Decode {
       if (len > Int.MaxValue || i + 8 + len + 4 > p.length) return None
       val typ = new String(p, i + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
       if (typ == "IDAT") idat.write(p, i + 8, len.toInt)
+      else if (typ == "PLTE") plte = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len.toInt)
+      else if (typ == "tRNS") trns = java.util.Arrays.copyOfRange(p, i + 8, i + 8 + len.toInt)
       else if (typ == "IEND") sawEnd = true
       i += 8 + len.toInt + 4
     }
-    val ch = meta.channels
+    val ch = meta.channels // palette: 1 (the index channel)
+    if (colorType == 3 && (plte == null || plte.length < 3 || plte.length % 3 != 0))
+      return None
+    // output geometry: palette expands to RGB (RGBA with tRNS);
+    // 16-bit keeps two bytes per sample
+    val outCh = if (colorType == 3) (if (trns != null) 4 else 3) else ch
+    val spB = if (depth == 16) 2 else 1 // bytes per output sample
+    val w = meta.width
+    val h = meta.height
     // LONG arithmetic end-to-end: a crafted IHDR (width near 2^31,
-    // 4 channels) overflows an Int rowBytes into a negative
+    // 4 channels) overflows an Int row-byte count into a negative
     // allocation — a throw, where the contract is None
-    val rowBytes = meta.width.toLong * ch
-    val expect = meta.height.toLong * (1L + rowBytes)
-    // hard sample-volume cap (2^28 ≈ 268M samples ≈ a 8k×8k RGBA
+    def passRowBytes(pw: Long): Long = (pw * ch * depth + 7L) / 8L
+    // (x0, y0, dx, dy, passW, passH) per transmitted sub-image
+    val passes: Array[(Int, Int, Int, Int, Long, Long)] =
+      if (!interlaced) Array((0, 0, 1, 1, w.toLong, h.toLong))
+      else ADAM7.map { case (x0, y0, dx, dy) =>
+        val pw = if (w > x0) (w.toLong - x0 + dx - 1) / dx else 0L
+        val ph = if (h > y0) (h.toLong - y0 + dy - 1) / dy else 0L
+        (x0, y0, dx, dy, pw, ph)
+      }
+    val expect = passes.map { case (_, _, _, _, pw, ph) =>
+      if (pw == 0L || ph == 0L) 0L else ph * (1L + passRowBytes(pw))
+    }.sum
+    val outLen = w.toLong * h * outCh * spB
+    // hard sample-volume cap (2^28 ≈ 268M samples ≈ an 8k×8k RGBA
     // frame): far above any plausible corpus image, far below the
     // JVM's Int.MaxValue−2 byte[] ceiling — so a crafted IHDR sitting
     // exactly on the Int boundary gets None, never the VM-limit
     // OutOfMemoryError, and a multi-MB junk payload can't force
     // multi-GB raw+out allocations through the zlib ratio bound alone
-    if (rowBytes + 1L > MAX_SAMPLES || expect > MAX_SAMPLES) return None
+    if (passRowBytes(w.toLong) + 1L > MAX_SAMPLES || expect > MAX_SAMPLES ||
+      outLen > MAX_SAMPLES) return None
+    if (expect == 0L) return None
     // zlib inflates at most ~1032:1 — a header whose declared pixel
     // volume can't come out of this IDAT stream is refused BEFORE the
     // allocation (a 60-byte payload must not make the seam allocate
@@ -618,21 +681,91 @@ object Decode {
     } catch {
       case _: java.util.zip.DataFormatException => return None
     } finally inf.end()
-    // per-scanline filter reversal; bpp = channels (8-bit samples).
-    // rb fits an Int (guarded above with the +1 filter byte included)
-    val rb = rowBytes.toInt
-    val out = new Array[Byte]((meta.height.toLong * rowBytes).toInt)
+    val out = new Array[Byte](outLen.toInt)
+    val bpp = math.max(1, ch * depth / 8) // filter distance in BYTES
+    val sampleMax = (1 << math.min(depth, 8)) - 1
+    var rawOff = 0
+    var passIdx = 0
+    while (passIdx < passes.length) {
+      val (x0, y0, dx, dy, pwL, phL) = passes(passIdx)
+      passIdx += 1
+      if (pwL > 0L && phL > 0L) {
+        val pw = pwL.toInt
+        val ph = phL.toInt
+        val rb = passRowBytes(pwL).toInt
+        val buf = unfilter(raw, rawOff, ph, rb, bpp).getOrElse(return None)
+        rawOff += ph * (1 + rb)
+        // scatter: walk the pass raster, read each pixel's samples,
+        // write them at (y0 + py·dy, x0 + px·dx) in the final raster
+        var py = 0
+        while (py < ph) {
+          val row = py * rb
+          val oy = y0 + py * dy
+          var px = 0
+          while (px < pw) {
+            val ox = x0 + px * dx
+            val oBase = ((oy.toLong * w + ox) * outCh * spB).toInt
+            if (colorType == 3) {
+              // palette index (possibly sub-byte) → PLTE RGB (+ tRNS alpha)
+              val bitPos = px * depth
+              val idx =
+                if (depth == 8) buf(row + px) & 0xff
+                else (buf(row + bitPos / 8) >> (8 - depth - bitPos % 8)) & sampleMax
+              if (idx * 3 + 2 >= plte.length) return None
+              out(oBase) = plte(idx * 3)
+              out(oBase + 1) = plte(idx * 3 + 1)
+              out(oBase + 2) = plte(idx * 3 + 2)
+              if (outCh == 4)
+                out(oBase + 3) = if (idx < trns.length) trns(idx) else 0xff.toByte
+            } else if (depth == 16) {
+              // big-endian sample pairs, copied verbatim
+              var c = 0
+              while (c < ch) {
+                val s = row + (px * ch + c) * 2
+                out(oBase + c * 2) = buf(s)
+                out(oBase + c * 2 + 1) = buf(s + 1)
+                c += 1
+              }
+            } else if (depth == 8) {
+              var c = 0
+              while (c < ch) {
+                out(oBase + c) = buf(row + px * ch + c)
+                c += 1
+              }
+            } else {
+              // sub-byte gray: raw value, one byte per sample
+              val bitPos = px * depth
+              out(oBase) =
+                ((buf(row + bitPos / 8) >> (8 - depth - bitPos % 8)) & sampleMax).toByte
+            }
+            px += 1
+          }
+          py += 1
+        }
+      }
+    }
+    Some(out)
+  }
+
+  /** Reverses the five PNG scanline filters over `rows` scanlines of
+    * `rb` bytes (each preceded by its filter-type byte) starting at
+    * `raw(start)`; `bpp` is the filter's byte distance (whole bytes
+    * per pixel, min 1 — sub-byte depths filter at distance 1 per the
+    * spec). None on an undefined filter type. */
+  private def unfilter(raw: Array[Byte], start: Int, rows: Int, rb: Int,
+                       bpp: Int): Option[Array[Byte]] = {
+    val buf = new Array[Byte](rows * rb)
     var y = 0
-    while (y < meta.height) {
-      val filter = raw(y * (1 + rb)) & 0xff
-      val src = y * (1 + rb) + 1
+    while (y < rows) {
+      val filter = raw(start + y * (1 + rb)) & 0xff
+      val src = start + y * (1 + rb) + 1
       val dst = y * rb
       var x = 0
       while (x < rb) {
         val rawB = raw(src + x) & 0xff
-        val left = if (x >= ch) out(dst + x - ch) & 0xff else 0
-        val up = if (y > 0) out(dst - rb + x) & 0xff else 0
-        val upLeft = if (y > 0 && x >= ch) out(dst - rb + x - ch) & 0xff else 0
+        val left = if (x >= bpp) buf(dst + x - bpp) & 0xff else 0
+        val up = if (y > 0) buf(dst - rb + x) & 0xff else 0
+        val upLeft = if (y > 0 && x >= bpp) buf(dst - rb + x - bpp) & 0xff else 0
         val rec = filter match {
           case 0 => rawB
           case 1 => rawB + left
@@ -641,12 +774,12 @@ object Decode {
           case 4 => rawB + paeth(left, up, upLeft)
           case _ => return None
         }
-        out(dst + x) = (rec & 0xff).toByte
+        buf(dst + x) = (rec & 0xff).toByte
         x += 1
       }
       y += 1
     }
-    Some(out)
+    Some(buf)
   }
 
   /** The Paeth predictor (PNG spec §6.6): the neighbor closest to
