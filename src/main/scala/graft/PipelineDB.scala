@@ -23,8 +23,9 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *     whatever tables this root holds. The full engine behind ONE
   *     method.
   *   - family verbs ([[dedup]], [[dupClusters]], [[canonical]],
-  *     [[knn]], [[textSignals]], [[splitCorpus]]): named strategy →
-  *     key routing for the four LLM-pipeline families, so the common
+  *     [[knn]], [[textSignals]], [[splitCorpus]], [[stream]],
+  *     [[store]]): named strategy → key routing for the LLM-pipeline,
+  *     streaming-replay and versioned-store families, so the common
   *     calls read as intent rather than key ids.
   *   - [[sql]] / [[views]]: ANSI SQL over the imported tables
   *     (registered views + the custom functions), the reference's
@@ -115,6 +116,29 @@ final class PipelineDB(s: SparkSession, root: String) {
   /** F5: deterministic id-hash train/val/test assignment. */
   def splitCorpus(): DataFrame = run("t_split")
 
+  /** Structured Streaming front door: run one verified streaming
+    * surface over the imported `events` table, replayed TO COMPLETION
+    * through the chunked file-source harness (StreamReplay — the
+    * H4/H22/H24/H26 pack), returning the final materialized result.
+    * Surfaces: "window" (tumbling counts), "sessions", "ewma",
+    * "attrib" (funnel attribution), "uniques" (windowed HLL),
+    * "dedup", "heavy_hitters", "totals", "ingest", "chain",
+    * "enrich" (stream-static dimension join), "cdc" (tombstone
+    * materialization), "outer_join" (stream-stream LEFT OUTER
+    * interval join). */
+  def stream(surface: String = "window"): DataFrame =
+    run(PipelineDB.route("stream surface", PipelineDB.streamKeys, surface))
+
+  /** A36: versioned graph persistence rooted UNDER this db — the
+    * reference's `PersistentDataBase` lifecycle (main.py:117 —
+    * create / INSERT OR IGNORE / reload) as explicit verbs over
+    * `$root/graph.store`: [[Store.write]] (reset to a new snapshot),
+    * [[Store.upsert]] (insert-or-ignore a delta), time-travel reads
+    * and snapshot [[Store.diff]]s. Snapshots are immutable parquet
+    * behind staging + atomic rename, so concurrent readers never see
+    * a torn version. */
+  def store(): PipelineDB.Store = new PipelineDB.Store(s, s"$root/graph.store")
+
   /** G2: the batched decode / feature-extraction seam over any
     * `(id, payload)` dataset — real PNG/baseline-JPEG pixel decode,
     * deterministic stub elsewhere. */
@@ -142,6 +166,37 @@ final class PipelineDB(s: SparkSession, root: String) {
 }
 
 object PipelineDB {
+
+  /** Versioned edge-store handle (see [[PipelineDB.store]]): thin
+    * named-verb surface over [[graft.sources.GraphStore]] so the
+    * facade covers the persistence family with the same semantics the
+    * `g_store_diff` key verifies against the DuckDB oracle. */
+  final class Store private[graft] (s: SparkSession, root: String) {
+    import graft.sources.GraphStore
+
+    /** Reset-write: dedup + persist `edges(src, dst, ...)` as the
+      * next immutable snapshot; returns its version. */
+    def write(edges: DataFrame): Int = GraphStore.write(edges, root)
+
+    /** INSERT-OR-IGNORE: union the delta into the latest snapshot
+      * (existing (src, dst) rows win) as a new version. */
+    def upsert(delta: DataFrame): Int = GraphStore.upsert(s, root, delta)
+
+    /** Latest committed snapshot. */
+    def read(): DataFrame = GraphStore.read(s, root)
+
+    /** Time-travel read of one committed version. */
+    def readVersion(v: Int): DataFrame = GraphStore.readVersion(s, root, v)
+
+    /** Edge diff between two snapshots: (src, dst, change) with
+      * change ∈ {added, removed} — two anti equi-joins per direction,
+      * never a full-table comparison state. */
+    def diff(fromV: Int, toV: Int): DataFrame = GraphStore.diff(s, root, fromV, toV)
+
+    /** Highest committed version, 0 if the store is empty. */
+    def latestVersion: Int = GraphStore.latestVersion(s, root)
+  }
+
   /** Required columns per importable table (what the packs consume —
     * kept minimal so callers can omit columns only optional keys
     * touch). */
@@ -160,6 +215,15 @@ object PipelineDB {
     "brute" -> "s_knn_brute", "lsh" -> "s_knn_ann", "ivf" -> "s_knn_ivf",
     "pq" -> "s_knn_pq", "binary" -> "s_knn_binary",
     "filtered" -> "s_knn_filtered", "maxsim" -> "s_maxsim")
+
+  private val streamKeys = Map(
+    "window" -> "e_stream_window", "sessions" -> "e_stream_sessions",
+    "ewma" -> "e_stream_ewma", "attrib" -> "e_stream_attrib",
+    "uniques" -> "e_stream_uniques", "dedup" -> "e_stream_dedup",
+    "heavy_hitters" -> "e_stream_hh", "totals" -> "e_stream_totals",
+    "ingest" -> "e_stream_ingest", "chain" -> "e_stream_chain",
+    "enrich" -> "e_stream_enrich", "cdc" -> "e_stream_cdc",
+    "outer_join" -> "e_stream_outer")
 
   private val textKeys = Map(
     "quality" -> "t_quality", "langid" -> "t_langid", "tokens" -> "t_tokens",

@@ -57,6 +57,42 @@ class PipelineDBSpec extends SparkSpec {
     assert(n === Tables.documents(spark, sfDir).count())
   }
 
+  test("stream() replays a verified streaming surface over the imported events") {
+    val root = freshRoot()
+    val db = new PipelineDB(spark, root)
+    db.importEvents(Tables.events(spark, sfDir))
+    // facade answer ≡ the oracled key over the same rows (the replay
+    // harness is deterministic: sorted-contiguous chunks, run to
+    // completion)
+    val viaDb = db.stream("window").collect().map(_.toSeq).toSet
+    val direct = SparkEntry.queries("e_stream_window")(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(viaDb === direct)
+    val e = intercept[IllegalArgumentException](db.stream("tumble"))
+    assert(e.getMessage.contains("unknown stream surface"))
+    // every replay-backed key is routable through run() too
+    assert(SparkEntry.replayBackedKeys.subsetOf(db.keys.toSet))
+  }
+
+  test("store() runs the A36 versioned lifecycle with the key's semantics") {
+    import spark.implicits._
+    val db = new PipelineDB(spark, freshRoot())
+    val st = db.store()
+    assert(st.latestVersion === 0)
+    // the same write → upsert(ignore-existing) → reset-write ladder
+    // g_store_diff pins against DuckDB, on a toy edge set
+    def edges(rows: (Long, Long)*) = rows.toDF("src", "dst")
+    val v1 = st.write(edges(1L -> 2L, 2L -> 3L, 1L -> 2L)) // dup collapses
+    assert(v1 === 1 && st.readVersion(v1).count() === 2)
+    val v2 = st.upsert(edges(2L -> 3L, 3L -> 4L)) // (2,3) ignored
+    assert(st.readVersion(v2).count() === 3)
+    val v3 = st.write(edges(3L -> 4L)) // reset semantics
+    assert(st.read().count() === 1 && st.latestVersion === v3)
+    val d12 = st.diff(v1, v2).collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2))).toSet
+    assert(d12 === Set((3L, 4L, "added")))
+    val d23 = st.diff(v2, v3).collect().map(r => (r.getString(2))).toList
+    assert(d23.sorted === List("removed", "removed"))
+  }
+
   test("media features need no import: the G2 seam takes any (id, payload) dataset") {
     import spark.implicits._
     val db = new PipelineDB(spark, freshRoot())
