@@ -26,14 +26,16 @@ package graft.multimodal
   *   5. fixed-point YCbCr→RGB (CCIR 601 constants, 16-bit scaling).
   *
   * Scope (the declared contract, loudly bounded like the PNG path):
-  * 8-bit-precision Huffman SEQUENTIAL frames — SOF0 (baseline) and
-  * SOF1 (extended sequential, which at 8 bits decodes identically;
-  * rejecting it would only refuse files some encoders mislabel) —
-  * with 1 or 3 components, sampling grids gray / 4:4:4 / 4:2:2 /
-  * 4:2:0, and 8- OR 16-bit (Pq=0/1) DQT tables (baseline proper
-  * forbids Pq=1; accepting it is harmless leniency for sequential
-  * streams and the values flow through the same dequantize path).
-  * Progressive (SOF2), arithmetic coding, 12-bit sample precision,
+  * 8-bit-precision Huffman frames — SOF0 (baseline), SOF1 (extended
+  * sequential, which at 8 bits decodes identically; rejecting it
+  * would only refuse files some encoders mislabel) and SOF2
+  * (progressive: spectral selection + successive approximation per
+  * T.81 §G.2, decoded scan-by-scan into per-block coefficient
+  * buffers and rendered at EOI — round-12) — with 1 or 3 components,
+  * sampling grids gray / 4:4:4 / 4:2:2 / 4:2:0, and 8- OR 16-bit
+  * (Pq=0/1) DQT tables (baseline proper forbids Pq=1; accepting it
+  * is harmless leniency and the values flow through the same
+  * dequantize path). Arithmetic coding, 12-bit sample precision,
   * hierarchical, and exotic grids return None — the deterministic
   * stub stays the fallback, and bad bytes are data, not exceptions,
   * at a 100 TB decode seam.
@@ -354,41 +356,14 @@ object JpegDecode {
               if (nc == 1) new Component(u8(p, o), 1, 1, u8(p, o + 2))
               else new Component(u8(p, o), u8(p, o + 1) >> 4, u8(p, o + 1) & 15, u8(p, o + 2))
             }
-          case m if m >= 0xc2 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
-            return None // progressive / arithmetic / hierarchical
+          case 0xc2 => // progressive: its own multi-scan walk
+            return decodeProgressive(p)
+          case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
+            return None // arithmetic / lossless / hierarchical
           case 0xc4 => // DHT: one or more tables per segment
-            var o = seg
-            while (o < segEnd) {
-              val tc = u8(p, o) >> 4
-              val th = u8(p, o) & 15
-              if (tc > 1 || th > 3 || o + 17 > segEnd) return None
-              val bits = new Array[Int](17)
-              var n = 0
-              var l = 1
-              while (l <= 16) { bits(l) = u8(p, o + l); n += bits(l); l += 1 }
-              if (n > 256 || o + 17 + n > segEnd) return None
-              val vals = Array.tabulate(n)(k => u8(p, o + 17 + k))
-              val t = new HuffTable(bits, vals)
-              if (tc == 0) dcTabs(th) = t else acTabs(th) = t
-              o += 17 + n
-            }
+            if (!parseDht(p, seg, segEnd, dcTabs, acTabs)) return None
           case 0xdb => // DQT
-            var o = seg
-            while (o < segEnd) {
-              val pq = u8(p, o) >> 4
-              val tq = u8(p, o) & 15
-              if (pq > 1 || tq > 3) return None
-              val n = if (pq == 0) 64 else 128
-              if (o + 1 + n > segEnd) return None
-              val t = new Array[Int](64)
-              var k = 0
-              while (k < 64) {
-                t(ZIGZAG(k)) = if (pq == 0) u8(p, o + 1 + k) else u16(p, o + 1 + 2 * k)
-                k += 1
-              }
-              qt(tq) = t
-              o += 1 + n
-            }
+            if (!parseDqt(p, seg, segEnd, qt)) return None
           case 0xdd => // DRI
             if (len != 4) return None
             restartInterval = u16(p, seg)
@@ -422,24 +397,8 @@ object JpegDecode {
 
     val hMax = comps.map(_.h).max
     val vMax = comps.map(_.v).max
-    if (hMax < 1 || hMax > 2 || vMax < 1 || vMax > 2) return None
-    // declared scope: every non-luma component at 1×1 and the luma
-    // grid one of 1×1 / 2×1 / 2×2 (gray, 4:4:4, 4:2:2, 4:2:0 — what
-    // JFIF encoders emit). The 1×2 luma (4:4:0) grid is EXOTIC by the
-    // class contract and must fall back, not decode through an
-    // upsample path no reference decoder pins.
-    if (comps.length == 3 && comps.drop(1).exists(c => c.h != 1 || c.v != 1))
+    if (!frameInScope(comps, width, height, hMax, vMax, adobeTransform, MAX_SAMPLES))
       return None
-    if (comps.length == 3 && comps(0).h == 1 && comps(0).v == 2) return None
-    // the color convert below assumes JFIF YCbCr: an Adobe stream
-    // declaring transform 0 (RGB) — or components not carrying the
-    // JFIF 1/2/3 ids — would decode to garbage colors; fall back
-    if (comps.length == 3 &&
-      (adobeTransform == 0 || comps.map(_.id).toSeq != Seq(1, 2, 3)))
-      return None
-    if (comps.exists(c => c.h < 1 || c.h > hMax || c.v < 1 || c.v > vMax))
-      return None
-    if (width.toLong * height * comps.length > MAX_SAMPLES) return None
 
     val mcusX = (width + 8 * hMax - 1) / (8 * hMax)
     val mcusY = (height + 8 * vMax - 1) / (8 * vMax)
@@ -501,7 +460,39 @@ object JpegDecode {
       mcu += 1
     }
 
-    // upsample each component to full resolution, then interleave
+    emit(comps, width, height, hMax, vMax)
+  }
+
+  /** Shared scope guard for both frame kinds: sampling grids gray /
+    * 4:4:4 / 4:2:2 / 4:2:0 only, JFIF YCbCr color convention, sample
+    * volume capped before any allocation. */
+  private def frameInScope(comps: Array[Component], width: Int, height: Int,
+                           hMax: Int, vMax: Int, adobeTransform: Int,
+                           maxSamples: Long): Boolean = {
+    if (hMax < 1 || hMax > 2 || vMax < 1 || vMax > 2) return false
+    // declared scope: every non-luma component at 1×1 and the luma
+    // grid one of 1×1 / 2×1 / 2×2 (gray, 4:4:4, 4:2:2, 4:2:0 — what
+    // JFIF encoders emit). The 1×2 luma (4:4:0) grid is EXOTIC by the
+    // class contract and must fall back, not decode through an
+    // upsample path no reference decoder pins.
+    if (comps.length == 3 && comps.drop(1).exists(c => c.h != 1 || c.v != 1))
+      return false
+    if (comps.length == 3 && comps(0).h == 1 && comps(0).v == 2) return false
+    // the color convert assumes JFIF YCbCr: an Adobe stream declaring
+    // transform 0 (RGB) — or components not carrying the JFIF 1/2/3
+    // ids — would decode to garbage colors; fall back
+    if (comps.length == 3 &&
+      (adobeTransform == 0 || comps.map(_.id).toSeq != Seq(1, 2, 3)))
+      return false
+    if (comps.exists(c => c.h < 1 || c.h > hMax || c.v < 1 || c.v > vMax))
+      return false
+    width.toLong * height * comps.length <= maxSamples
+  }
+
+  /** Decoded component planes → the seam's output layout: upsample to
+    * full resolution, then gray passthrough or YCbCr→RGB interleave. */
+  private def emit(comps: Array[Component], width: Int, height: Int,
+                   hMax: Int, vMax: Int): Option[Array[Byte]] = {
     val planes = comps.map(upsample(_, width, height, hMax, vMax))
     if (comps.length == 1) Some(planes(0))
     else {
@@ -520,6 +511,368 @@ object JpegDecode {
       }
       Some(out)
     }
+  }
+
+  /** DHT segment: one or more canonical Huffman tables. False on a
+    * malformed segment (the caller falls back). */
+  private def parseDht(p: Array[Byte], seg: Int, segEnd: Int,
+                       dcTabs: Array[HuffTable], acTabs: Array[HuffTable]): Boolean = {
+    var o = seg
+    while (o < segEnd) {
+      val tc = u8(p, o) >> 4
+      val th = u8(p, o) & 15
+      if (tc > 1 || th > 3 || o + 17 > segEnd) return false
+      val bits = new Array[Int](17)
+      var n = 0
+      var l = 1
+      while (l <= 16) { bits(l) = u8(p, o + l); n += bits(l); l += 1 }
+      if (n > 256 || o + 17 + n > segEnd) return false
+      val vals = Array.tabulate(n)(k => u8(p, o + 17 + k))
+      val t = new HuffTable(bits, vals)
+      if (tc == 0) dcTabs(th) = t else acTabs(th) = t
+      o += 17 + n
+    }
+    true
+  }
+
+  /** DQT segment: one or more 8- or 16-bit quantization tables,
+    * de-zigzagged to natural order. */
+  private def parseDqt(p: Array[Byte], seg: Int, segEnd: Int,
+                       qt: Array[Array[Int]]): Boolean = {
+    var o = seg
+    while (o < segEnd) {
+      val pq = u8(p, o) >> 4
+      val tq = u8(p, o) & 15
+      if (pq > 1 || tq > 3) return false
+      val n = if (pq == 0) 64 else 128
+      if (o + 1 + n > segEnd) return false
+      val t = new Array[Int](64)
+      var k = 0
+      while (k < 64) {
+        t(ZIGZAG(k)) = if (pq == 0) u8(p, o + 1 + k) else u16(p, o + 1 + 2 * k)
+        k += 1
+      }
+      qt(tq) = t
+      o += 1 + n
+    }
+    true
+  }
+
+  // ---- progressive (SOF2) — T.81 §G.2 ----
+
+  /** Progressive decode: scans accumulate spectral-selection bands and
+    * successive-approximation passes into per-block COEFFICIENT
+    * buffers (raw, unquantized — T.81 §G.1.2); dequantize + IDCT run
+    * once at EOI. The walk therefore differs from the sequential
+    * path's: SOS does not end it — DHT/DQT/DRI may be redefined
+    * between scans, and only EOI (or a malformed segment) stops the
+    * loop. Coefficient memory holds the whole frame in ints, so the
+    * sample-volume cap is 4× tighter than the streaming sequential
+    * path's. */
+  private def decodeProgressive(p: Array[Byte]): Option[Array[Byte]] = {
+    val qt = new Array[Array[Int]](4)
+    val dcTabs = new Array[HuffTable](4)
+    val acTabs = new Array[HuffTable](4)
+    var comps: Array[Component] = null
+    var coefs: Array[Array[Int]] = null // per component: block grid × 64, natural order
+    var width = 0
+    var height = 0
+    var restartInterval = 0
+    var adobeTransform = -1
+    var hMax = 0
+    var vMax = 0
+    var mcusX = 0
+    var mcusY = 0
+    var sawScan = false
+    var i = 2
+    var eoi = false
+    while (!eoi) {
+      if (i + 1 >= p.length) return None
+      if (u8(p, i) != 0xff) return None
+      var j = i
+      while (j < p.length && u8(p, j) == 0xff) j += 1
+      if (j >= p.length) return None
+      val marker = u8(p, j)
+      if (marker == 0xd9) { eoi = true }
+      else if ((marker >= 0xd0 && marker <= 0xd8) || marker == 0x01) { i = j + 1 }
+      else {
+        if (j + 2 >= p.length) return None
+        val len = u16(p, j + 1)
+        if (len < 2 || j + 1 + len > p.length) return None
+        val seg = j + 3
+        val segEnd = j + 1 + len
+        var next = segEnd
+        marker match {
+          case 0xc2 =>
+            if (comps != null) return None // one frame per stream
+            if (u8(p, seg) != 8) return None // precision
+            height = u16(p, seg + 1)
+            width = u16(p, seg + 3)
+            val nc = u8(p, seg + 5)
+            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+            comps = Array.tabulate(nc) { k =>
+              val o = seg + 6 + 3 * k
+              if (o + 2 >= segEnd) return None
+              // single-component scans are non-interleaved (§A.2.3):
+              // factors are layout-inert for a 1-component frame
+              if (nc == 1) new Component(u8(p, o), 1, 1, u8(p, o + 2))
+              else new Component(u8(p, o), u8(p, o + 1) >> 4, u8(p, o + 1) & 15, u8(p, o + 2))
+            }
+            hMax = comps.map(_.h).max
+            vMax = comps.map(_.v).max
+            // allocation guard BEFORE the buffers exist; the full
+            // scope check (incl. a late Adobe APP14) re-runs at EOI
+            if (!frameInScope(comps, width, height, hMax, vMax,
+              adobeTransform, MAX_SAMPLES >> 2)) return None
+            mcusX = (width + 8 * hMax - 1) / (8 * hMax)
+            mcusY = (height + 8 * vMax - 1) / (8 * vMax)
+            comps.foreach { c =>
+              c.blocksW = mcusX * c.h
+              c.blocksH = mcusY * c.v
+              c.compW = (width * c.h + hMax - 1) / hMax
+              c.compH = (height * c.v + vMax - 1) / vMax
+            }
+            coefs = comps.map(c => new Array[Int](c.blocksW * c.blocksH * 64))
+          case m if m >= 0xc0 && m <= 0xcf && m != 0xc2 && m != 0xc4 &&
+            m != 0xc8 && m != 0xcc =>
+            return None // a second frame kind inside a progressive stream
+          case 0xc4 => if (!parseDht(p, seg, segEnd, dcTabs, acTabs)) return None
+          case 0xdb => if (!parseDqt(p, seg, segEnd, qt)) return None
+          case 0xdd =>
+            if (len != 4) return None
+            restartInterval = u16(p, seg)
+          case 0xee => // APP14: Adobe color-transform declaration
+            if (len >= 14 &&
+              new String(p, seg, 5, java.nio.charset.StandardCharsets.US_ASCII) == "Adobe")
+              adobeTransform = u8(p, seg + 11)
+          case 0xda =>
+            if (comps == null) return None
+            next = progressiveScan(p, seg, segEnd, comps, coefs, dcTabs, acTabs,
+              mcusX, mcusY, restartInterval)
+            sawScan = true
+          case _ => () // APPn / COM / DNL: skip
+        }
+        i = next
+      }
+    }
+    if (comps == null || !sawScan) return None
+    if (!frameInScope(comps, width, height, hMax, vMax, adobeTransform,
+      MAX_SAMPLES >> 2)) return None
+
+    // dequantize + IDCT every block (dummy padded blocks render too —
+    // they carry interleaved-scan DC state but no visible pixels)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val q = qt(c.tq)
+      if (q == null) return None
+      c.plane = new Array[Byte](c.blocksW * 8 * c.blocksH * 8)
+      val stride = c.blocksW * 8
+      val cf = coefs(ci)
+      val block = new Array[Int](64)
+      var by = 0
+      while (by < c.blocksH) {
+        var bx = 0
+        while (bx < c.blocksW) {
+          val off = (by * c.blocksW + bx) * 64
+          var k = 0
+          while (k < 64) { block(k) = cf(off + k) * q(k); k += 1 }
+          idctBlock(block, c.plane, (by * 8) * stride + bx * 8, stride)
+          bx += 1
+        }
+        by += 1
+      }
+      ci += 1
+    }
+    emit(comps, width, height, hMax, vMax)
+  }
+
+  /** One SOS of a progressive frame: returns the position immediately
+    * after the scan's entropy-coded data. DC scans (Ss=0) may be
+    * interleaved; AC scans are single-component by the standard.
+    * First passes (Ah=0) decode magnitudes at the Al point transform
+    * with EOB-run coding; refinement passes (Ah>0) add one correction
+    * bit per already-nonzero coefficient and place ±2^Al at newly
+    * nonzero positions (§G.1.2.3). */
+  private def progressiveScan(p: Array[Byte], seg: Int, segEnd: Int,
+      comps: Array[Component], coefs: Array[Array[Int]],
+      dcTabs: Array[HuffTable], acTabs: Array[HuffTable],
+      mcusX: Int, mcusY: Int, restartInterval: Int): Int = {
+    val ns = u8(p, seg)
+    if (ns < 1 || ns > comps.length || seg + 1 + 2 * ns + 3 > segEnd) bail()
+    val scanComps = new Array[Int](ns) // indices into comps
+    var sc = 0
+    while (sc < ns) {
+      val cid = u8(p, seg + 1 + 2 * sc)
+      val ci = comps.indexWhere(_.id == cid)
+      if (ci < 0) bail()
+      val td = u8(p, seg + 2 + 2 * sc) >> 4
+      val ta = u8(p, seg + 2 + 2 * sc) & 15
+      if (td > 3 || ta > 3) bail()
+      comps(ci).dcTab = dcTabs(td)
+      comps(ci).acTab = acTabs(ta)
+      scanComps(sc) = ci
+      sc += 1
+    }
+    val o = seg + 1 + 2 * ns
+    val ss = u8(p, o)
+    val se = u8(p, o + 1)
+    val ah = u8(p, o + 2) >> 4
+    val al = u8(p, o + 2) & 15
+    val dcScan = ss == 0
+    if (dcScan && se != 0) bail() // DC band is exactly {0}
+    if (!dcScan && (ns != 1 || ss > se || se > 63)) bail()
+    if (al > 13 || ah > 13 || (ah != 0 && ah != al + 1)) bail()
+    // table presence for what this scan actually reads (a DC
+    // refinement scan is raw bits — no table needed)
+    if (dcScan && ah == 0 && scanComps.exists(ci => comps(ci).dcTab == null)) bail()
+    if (!dcScan && comps(scanComps(0)).acTab == null) bail()
+
+    comps.foreach(_.pred = 0)
+    var eobrun = 0
+    val br = new BitReader(p, segEnd)
+
+    def refineAc(coef: Array[Int], at: Int, p1: Int, m1: Int): Unit = {
+      val v = coef(at)
+      if (br.bit() != 0 && (v & p1) == 0)
+        coef(at) = v + (if (v >= 0) p1 else m1)
+    }
+
+    // decode THIS scan's contribution to one block at offset `off`
+    def block(ci: Int, off: Int): Unit = {
+      val comp = comps(ci)
+      val coef = coefs(ci)
+      if (dcScan) {
+        if (ah == 0) {
+          val s = br.decode(comp.dcTab)
+          if (s > 11) bail()
+          comp.pred += extend(br.bits(s), s)
+          coef(off) = comp.pred << al
+        } else if (br.bit() != 0) coef(off) |= (1 << al)
+      } else if (ah == 0) { // AC first pass: EOB-run coding at Al
+        if (eobrun > 0) eobrun -= 1
+        else {
+          var k = ss
+          var open = true
+          while (open && k <= se) {
+            val rs = br.decode(comp.acTab)
+            val r = rs >> 4
+            val sz = rs & 15
+            if (sz == 0) {
+              if (r == 15) k += 16 // ZRL
+              else {
+                eobrun = (1 << r) - 1 // this block is run member 0
+                if (r > 0) eobrun += br.bits(r)
+                open = false
+              }
+            } else {
+              k += r
+              if (k > se || sz > 10) bail()
+              coef(off + ZIGZAG(k)) = extend(br.bits(sz), sz) << al
+              k += 1
+            }
+          }
+        }
+      } else { // AC refinement pass
+        val p1 = 1 << al
+        val m1 = -(1 << al)
+        var k = ss
+        if (eobrun == 0) {
+          var open = true
+          while (open && k <= se) {
+            val rs = br.decode(comp.acTab)
+            var r = rs >> 4
+            val sz = rs & 15
+            var newVal = 0
+            if (sz == 0) {
+              if (r != 15) { // EOBr: includes THIS block (closed below)
+                eobrun = 1 << r
+                if (r > 0) eobrun += br.bits(r)
+                open = false
+              }
+            } else {
+              if (sz != 1) bail() // refinement magnitudes are ±1 only
+              newVal = if (br.bit() != 0) p1 else m1
+            }
+            if (open) {
+              // advance over r zero-HISTORY coefficients, emitting a
+              // correction bit at every nonzero one passed over
+              var stop = false
+              while (!stop && k <= se) {
+                val at = off + ZIGZAG(k)
+                if (coef(at) != 0) { refineAc(coef, at, p1, m1); k += 1 }
+                else if (r == 0) stop = true
+                else { r -= 1; k += 1 }
+              }
+              if (newVal != 0) {
+                if (k > se) bail()
+                coef(off + ZIGZAG(k)) = newVal
+              }
+              k += 1
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // inside an EOB run: only correction bits for nonzero history
+          while (k <= se) {
+            val at = off + ZIGZAG(k)
+            if (coef(at) != 0) refineAc(coef, at, p1, m1)
+            k += 1
+          }
+          eobrun -= 1
+        }
+      }
+    }
+
+    if (ns > 1) { // interleaved (DC-only by the header checks)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.restart()
+          comps.foreach(_.pred = 0)
+          eobrun = 0
+        }
+        val my = mcu / mcusX
+        val mx = mcu % mcusX
+        var k = 0
+        while (k < ns) {
+          val ci = scanComps(k)
+          val comp = comps(ci)
+          var by = 0
+          while (by < comp.v) {
+            var bx = 0
+            while (bx < comp.h) {
+              block(ci, ((my * comp.v + by) * comp.blocksW + (mx * comp.h + bx)) * 64)
+              bx += 1
+            }
+            by += 1
+          }
+          k += 1
+        }
+        mcu += 1
+      }
+    } else {
+      // non-interleaved: raster over the component's OWN ceil grid
+      // (§A.2.2 — the padded MCU grid's dummy blocks are not coded in
+      // a single-component scan); one MCU = one block for restarts
+      val ci = scanComps(0)
+      val comp = comps(ci)
+      val wb = (comp.compW + 7) / 8
+      val hb = (comp.compH + 7) / 8
+      var n = 0
+      val total = wb * hb
+      while (n < total) {
+        if (restartInterval > 0 && n > 0 && n % restartInterval == 0) {
+          br.restart()
+          comps.foreach(_.pred = 0)
+          eobrun = 0
+        }
+        block(ci, ((n / wb) * comp.blocksW + (n % wb)) * 64)
+        n += 1
+      }
+    }
+    br.pos
   }
 
   /** Component plane (padded block grid) → full-resolution w×h plane.

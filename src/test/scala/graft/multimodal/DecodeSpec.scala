@@ -268,19 +268,88 @@ class DecodeSpec extends SparkSpec {
     assert(JpegDecode.pixels(jpg).get.toSeq === rasterSamples(jpg).toSeq)
   }
 
-  test("JPEG pixels: progressive, corrupt and truncated payloads fall back, never throw") {
-    val base = encode(img(24, 24, BufferedImage.TYPE_INT_RGB), "jpg")
-    assert(JpegDecode.pixels(base).isDefined)
-    // progressive: out of declared scope (SOF2) by contract
+  /** ImageIO's writer in progressive mode emits the IJG standard
+    * multi-scan script — interleaved DC first pass + DC refinement,
+    * spectral-selection AC bands, and successive-approximation AC
+    * refinements with EOB runs — every T.81 §G.2 pass kind. */
+  private def encodeProgressive(im: BufferedImage): Array[Byte] = {
     val iw = ImageIO.getImageWritersByFormatName("jpg").next()
     val param = iw.getDefaultWriteParam
     param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new ByteArrayOutputStream()
     iw.setOutput(ImageIO.createImageOutputStream(bos))
-    iw.write(null, new javax.imageio.IIOImage(img(24, 24, BufferedImage.TYPE_INT_RGB), null, null), param)
+    iw.write(null, new javax.imageio.IIOImage(im, null, null), param)
     iw.dispose()
-    val progressive = bos.toByteArray
-    assert(JpegDecode.pixels(progressive) === None)
+    bos.toByteArray
+  }
+
+  test("JPEG pixels: progressive (SOF2) decode matches ImageIO byte-for-byte") {
+    // smooth gradients: DC-dominated scans, long EOB runs
+    val shapes = Seq((16, 16), (21, 13), (64, 48), (1, 1), (8, 8), (33, 7))
+    for ((w, h) <- shapes; t <- Seq(BufferedImage.TYPE_BYTE_GRAY, BufferedImage.TYPE_INT_RGB)) {
+      val jpg = encodeProgressive(img(w, h, t))
+      // entropy data never carries a bare FF C2 (stuffing/RSTn only),
+      // so pair-scan is a sound SOF2 presence check
+      assert(jpg.indices.dropRight(1).exists(k =>
+        (jpg(k) & 0xff) == 0xff && (jpg(k + 1) & 0xff) == 0xc2),
+        s"$w x $h: writer did not emit progressive")
+      val got = JpegDecode.pixels(jpg)
+      assert(got.isDefined, s"$w x $h type $t: progressive decode failed")
+      assert(got.get.toSeq === rasterSamples(jpg).toSeq,
+        s"$w x $h type $t: progressive pixel mismatch vs ImageIO")
+    }
+    // dense random content: AC first + refinement passes with new-
+    // nonzero placements and correction bits in every band
+    val rng = new scala.util.Random(17)
+    for ((w, h, t) <- Seq(
+      (59, 31, BufferedImage.TYPE_INT_RGB), (40, 24, BufferedImage.TYPE_INT_RGB),
+      (37, 19, BufferedImage.TYPE_BYTE_GRAY))) {
+      val noisy = new BufferedImage(w, h, t)
+      for (x <- 0 until w; y <- 0 until h) noisy.setRGB(x, y, rng.nextInt() & 0xffffff)
+      val jpg = encodeProgressive(noisy)
+      val got = JpegDecode.pixels(jpg)
+      assert(got.isDefined, s"noisy $w x $h: progressive decode failed")
+      assert(got.get.toSeq === rasterSamples(jpg).toSeq,
+        s"noisy $w x $h: progressive pixel mismatch vs ImageIO")
+    }
+  }
+
+  test("JPEG pixels: malformed progressive streams fall back, never throw") {
+    val base = encodeProgressive(img(32, 24, BufferedImage.TYPE_INT_RGB))
+    assert(JpegDecode.pixels(base).isDefined)
+    // truncation inside the scan ladder (progressive data ends early)
+    assert(JpegDecode.pixels(base.take(base.length / 2)) === None)
+    assert(JpegDecode.pixels(base.dropRight(2)) === None) // EOI gone
+    // crafted SOF2 declaring a huge geometry: the 4×-tighter
+    // coefficient-volume cap refuses before any allocation
+    val sofAt = {
+      var i = 2
+      var at = -1
+      while (at < 0) {
+        val marker = base(i + 1) & 0xff
+        if (marker == 0xc2) at = i
+        else i += 2 + (((base(i + 2) & 0xff) << 8) | (base(i + 3) & 0xff))
+      }
+      at
+    }
+    val huge = base.clone()
+    huge(sofAt + 5) = 0xff.toByte; huge(sofAt + 6) = 0xff.toByte
+    huge(sofAt + 7) = 0xff.toByte; huge(sofAt + 8) = 0xff.toByte
+    assert(JpegDecode.pixels(huge) === None)
+    // bit flips inside scan data: wrong pixels or None, never a throw
+    for (k <- 1 to 5) {
+      val flip = base.clone()
+      val at = base.length - 8 * k
+      flip(at) = (flip(at) ^ 0x55).toByte
+      JpegDecode.pixels(flip)
+    }
+    // the feature seam rides the progressive decode like any other
+    assert(Decode.featureSeam(base) === Decode.featuresOf(JpegDecode.pixels(base).get))
+  }
+
+  test("JPEG pixels: corrupt and truncated payloads fall back, never throw") {
+    val base = encode(img(24, 24, BufferedImage.TYPE_INT_RGB), "jpg")
+    assert(JpegDecode.pixels(base).isDefined)
     // truncation at every granularity: in the tables, in the scan
     assert(JpegDecode.pixels(base.take(20)) === None)
     assert(JpegDecode.pixels(base.take(base.length / 2)) === None)
