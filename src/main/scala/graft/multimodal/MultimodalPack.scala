@@ -12,20 +12,30 @@ final case class FeatureRow(doc_id: Long, n_bytes: Long, features: Seq[Float],
                             format: String, width: Option[Int], height: Option[Int],
                             channels: Option[Int], bit_depth: Option[Int])
 
+/** One clip's audio signal statistics (G10): all integer-exact so
+  * the cross-engine hash needs no float quantization — energy is the
+  * exact Σ s² of the centered samples, zero_crossings counts sign
+  * changes between consecutive samples, silent_samples counts
+  * |s| ≤ AUDIO_SILENCE. */
+final case class AudioRow(doc_id: Long, n_samples: Long, sample_rate: Long,
+                          duration_ms: Long, energy: Long, peak: Long,
+                          zero_crossings: Long, silent_samples: Long)
+
 /** Multimodal-column pack (SURVEY §2 G1–G2).
   *
   * Media columns are opaque `binary` with typed metadata alongside —
   * the test tables carry no real media, so the payload is the
   * document text's UTF-8 bytes. The decoder behind the seam is REAL
   * for both container formats: PNG/JPEG header parsing, the FULL PNG
-  * pixel decode (round-10: IDAT inflate + per-scanline unfilter), and
-  * the FULL baseline JPEG pixel decode (round-11: Huffman entropy
-  * decode + integer IDCT + chroma upsample + YCbCr→RGB,
+  * pixel decode (round-10: IDAT inflate + per-scanline unfilter;
+  * round-12: palette/16-bit/sub-byte/Adam7), and the FULL JPEG pixel
+  * decode (round-11: baseline Huffman entropy decode + integer IDCT
+  * + chroma upsample + YCbCr→RGB; round-12: SOF2 progressive scans,
   * [[JpegDecode]]) — each spec-pinned byte-exact against ImageIO —
   * with a deterministic stub (byte-histogram "features") only for
-  * what has no pure-JVM decode (progressive JPEG, exotic PNG
-  * variants, corrupt payloads, non-image rows); everything around it
-  * — binary schema, batched per-partition decode plumbing,
+  * what has no pure-JVM decode (arithmetic-coded / 12-bit /
+  * hierarchical JPEG, corrupt payloads, non-image rows); everything
+  * around it — binary schema, batched per-partition decode plumbing,
   * fixed-width feature output — is real and tested.
   *
   * Scale shape: decode is per-row map work batched per partition
@@ -45,6 +55,10 @@ object MultimodalPack extends QueryPack {
   private val AR_PIXEL_BUDGET = 1L << 20
   /** G4 resize: pool the 16-bin feature map down to 4 coarse bins. */
   private val POOL = 4
+  /** G10 audio: synthesized-clip frame rate and the |sample| bound
+    * under which a sample counts as near-silence. */
+  private val AUDIO_RATE = 8000
+  private val AUDIO_SILENCE = 2
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1: opaque binary payload + typed metadata extraction, all
@@ -289,6 +303,16 @@ object MultimodalPack extends QueryPack {
               .cast("double") / lit(1e12),
             6).as("f_l2sq"))
     },
+
+    // G10 (round-12): audio-column signal statistics through the REAL
+    // RIFF/WAVE PCM decode path. The corpus carries no real audio, so
+    // each document's bytes are wrapped as GENUINE 8-bit mono PCM (a
+    // real RIFF container — the same WavDecode the spec pins against
+    // javax.sound sits in the hot path; a real corpus would feed its
+    // binary column directly). Stats are integer-exact (energy = Σs²,
+    // peak, sign-change count, near-silence count) so the DuckDB twin
+    // matches hash-exact with no float quantization protocol needed.
+    "m_audio" -> { (s, d) => audioStats(s, d) },
   )
 
   /** G2 library surface: one fixed-width feature vector per document
@@ -324,6 +348,60 @@ object MultimodalPack extends QueryPack {
             case None =>
               FeatureRow(id, payload.length.toLong, Decode.featureSeam(payload),
                 "raw", None, None, None, None)
+          }
+        }
+      }
+      .toDF()
+  }
+
+  /** G10 library surface: per-clip audio signal statistics — decode
+    * + reduce fused in ONE mapPartitions pass (no explode of the
+    * sample stream into rows, no shuffle at any scale; output is one
+    * short row per clip, exactly the shape a loudness/VAD scan runs
+    * in over a 100 TB audio corpus). Works over any (id, payload)
+    * dataset of WAV containers via [[audioStatsOf]]. */
+  def audioStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioStatsOf(s,
+      Tables.documents(s, dir)
+        .filter(length($"text") >= 1)
+        .select($"doc_id",
+          $"text".cast("binary").as("payload"))
+        .as[(Long, Array[Byte])]
+        .map { case (id, bytes) => (id, WavDecode.wrapPcm8Mono(bytes, AUDIO_RATE)) })
+  }
+
+  /** The audio seam itself: real WAV decode + integer signal stats
+    * per clip. Rows whose payload is outside [[WavDecode]]'s scope
+    * are dropped (a real pipeline would route them to a quarantine
+    * sink) — the `m_audio` key only feeds it self-wrapped containers,
+    * so the key loses nothing. */
+  def audioStatsOf(s: SparkSession,
+                   ds: Dataset[(Long, Array[Byte])]): DataFrame = {
+    import s.implicits._
+    ds.mapPartitions { batch =>
+        batch.flatMap { case (id, payload) =>
+          WavDecode.decode(payload).map { case (meta, samples) =>
+            var energy = 0L
+            var peak = 0L
+            var zc = 0L
+            var silent = 0L
+            var prevNeg = false
+            var i = 0
+            while (i < samples.length) {
+              val v = samples(i)
+              energy += v.toLong * v
+              val a = math.abs(v).toLong
+              if (a > peak) peak = a
+              if (a <= AUDIO_SILENCE) silent += 1
+              val neg = v < 0
+              if (i > 0 && neg != prevNeg) zc += 1
+              prevNeg = neg
+              i += 1
+            }
+            AudioRow(id, samples.length.toLong, meta.sampleRate.toLong,
+              samples.length.toLong * 1000L / meta.sampleRate,
+              energy, peak, zc, silent)
           }
         }
       }
@@ -494,6 +572,39 @@ object MultimodalPack extends QueryPack {
         |       round(CAST(SUM(CAST(floor(f*f*1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS f_l2sq
         |FROM (SELECT *, max(f) OVER (PARTITION BY doc_id) AS fmax FROM hist)
         |GROUP BY doc_id, n, fmax""".stripMargin,
+    // The key wraps each document's bytes as 8-bit mono PCM (sample =
+    // byte − 128) before the real WAV decode, so the oracle derives
+    // the identical sample stream per character (ASCII corpus,
+    // spec-checked) and replays the integer stats relationally; the
+    // container wrap + parse sits UNDER the cross-engine hash because
+    // any header/layout defect would shift every downstream stat.
+    "m_audio" ->
+      s"""WITH s AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS i, length(text) AS n,
+        |         ascii(substr(text, CAST(i AS INT), 1)) - 128 AS v
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+        |  WHERE length(text) >= 1
+        |), agg AS (
+        |  SELECT doc_id, MAX(n) AS n,
+        |         SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS energy,
+        |         MAX(ABS(v)) AS peak,
+        |         SUM(CASE WHEN ABS(v) <= $AUDIO_SILENCE THEN 1 ELSE 0 END) AS silent
+        |  FROM s GROUP BY doc_id
+        |), zc AS (
+        |  SELECT a.doc_id,
+        |         SUM(CASE WHEN (a.v < 0) <> (b.v < 0) THEN 1 ELSE 0 END) AS zcs
+        |  FROM s a JOIN s b ON b.doc_id = a.doc_id AND b.i = a.i + 1
+        |  GROUP BY a.doc_id
+        |)
+        |SELECT g.doc_id,
+        |       CAST(g.n AS BIGINT) AS n_samples,
+        |       CAST($AUDIO_RATE AS BIGINT) AS sample_rate,
+        |       CAST(g.n AS BIGINT) * 1000 // $AUDIO_RATE AS duration_ms,
+        |       CAST(g.energy AS BIGINT) AS energy,
+        |       CAST(g.peak AS BIGINT) AS peak,
+        |       CAST(COALESCE(z.zcs, 0) AS BIGINT) AS zero_crossings,
+        |       CAST(g.silent AS BIGINT) AS silent_samples
+        |FROM agg g LEFT JOIN zc z USING (doc_id)""".stripMargin,
   )
 }
 
@@ -527,15 +638,15 @@ final case class ImageMeta(format: String, width: Int, height: Int,
   *     depth, 16-bit rows and interlaced streams. Features for a
   *     decodable PNG are the histogram of its decoded SAMPLE stream,
   *     not its compressed container bytes.
-  *   - REAL pixels (JPEG): [[JpegDecode.pixels]] (round-11) —
-  *     baseline sequential Huffman decode, integer IDCT, chroma
-  *     upsampling and YCbCr→RGB, byte-exact vs ImageIO on gray and
-  *     4:2:0 color.
+  *   - REAL pixels (JPEG): [[JpegDecode.pixels]] (round-11;
+  *     progressive round-12) — sequential AND SOF2-progressive
+  *     Huffman decode, integer IDCT, chroma upsampling and
+  *     YCbCr→RGB, byte-exact vs ImageIO on gray and 4:2:0 color.
   *   - STUB: [[featuresOf]] over the raw payload — the deterministic
   *     stand-in wherever a pure-JVM decode does not exist
-  *     (progressive/arithmetic JPEG; truncated or corrupt containers;
-  *     non-image payloads). The shipped corpus is ASCII text (no
-  *     payload carries image magic, spec-asserted), so the
+  *     (arithmetic / 12-bit / hierarchical JPEG; truncated or corrupt
+  *     containers; non-image payloads). The shipped corpus is ASCII
+  *     text (no payload carries image magic, spec-asserted), so the
   *     `m_features` oracle contract is untouched by the real
   *     branches.
   */

@@ -1,0 +1,163 @@
+package graft.multimodal
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import javax.sound.sampled._
+
+import graft.SparkSpec
+
+/** G10 (round-12): the REAL RIFF/WAVE PCM decode path, pinned
+  * sample-exact against `javax.sound.sampled` — the JDK's
+  * independent WAV reader — the same discipline as the image
+  * decoders' ImageIO pins. */
+class WavDecodeSpec extends SparkSpec {
+
+  /** Independent WAV writer: raw PCM → container via javax.sound. */
+  private def soundWav(pcm: Array[Byte], fmt: AudioFormat): Array[Byte] = {
+    val ais = new AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, pcm.length / fmt.getFrameSize)
+    val bos = new ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Independent WAV reader: expected centered samples per the same
+    * convention WavDecode declares (8-bit unsigned − 128, 16-bit
+    * signed LE as-is). */
+  private def soundSamples(wav: Array[Byte]): (WavMeta, Array[Int]) = {
+    val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
+    val fmt = ais.getFormat
+    val raw = ais.readAllBytes()
+    ais.close()
+    val meta = WavMeta(fmt.getChannels, fmt.getSampleRate.toInt,
+      fmt.getSampleSizeInBits)
+    val out =
+      if (fmt.getSampleSizeInBits == 8)
+        raw.map(b => (b & 0xff) - 128)
+      else
+        raw.grouped(2).map(p => (p(1) << 8) | (p(0) & 0xff)).toArray
+    (meta, out)
+  }
+
+  test("8-bit mono round-trip: decode matches javax.sound sample-exact") {
+    val rng = new scala.util.Random(21)
+    for (n <- Seq(1, 7, 256, 4093)) {
+      val pcm = Array.fill(n)(rng.nextInt(256).toByte)
+      val wav = soundWav(pcm, new AudioFormat(8000f, 8, 1, false, false))
+      val got = WavDecode.decode(wav)
+      assert(got.isDefined, s"n=$n: decode failed")
+      val (meta, samples) = got.get
+      val (refMeta, refSamples) = soundSamples(wav)
+      assert(meta === refMeta)
+      assert(samples.toSeq === refSamples.toSeq, s"n=$n: sample mismatch")
+    }
+  }
+
+  test("16-bit stereo round-trip: signed LE frames, interleaved channels") {
+    val rng = new scala.util.Random(22)
+    val pcm = Array.fill(1024 * 4)(rng.nextInt(256).toByte) // 1024 frames
+    val wav = soundWav(pcm, new AudioFormat(16000f, 16, 2, true, false))
+    val got = WavDecode.decode(wav)
+    assert(got.isDefined)
+    val (meta, samples) = got.get
+    val (refMeta, refSamples) = soundSamples(wav)
+    assert(meta === refMeta && meta.channels === 2 && meta.bitsPerSample === 16)
+    assert(samples.toSeq === refSamples.toSeq)
+  }
+
+  test("the wrapper's own container: decode identity AND javax.sound agreement") {
+    val rng = new scala.util.Random(23)
+    val pcm = Array.fill(513)(rng.nextInt(256).toByte)
+    val wav = WavDecode.wrapPcm8Mono(pcm, 8000)
+    assert(wav.length === 44 + pcm.length)
+    val (meta, samples) = WavDecode.decode(wav).get
+    assert(meta === WavMeta(1, 8000, 8))
+    assert(samples.toSeq === pcm.map(b => (b & 0xff) - 128).toSeq)
+    // the independent reader parses the hand-rolled container too
+    val (refMeta, refSamples) = soundSamples(wav)
+    assert(refMeta === meta && refSamples.toSeq === samples.toSeq)
+  }
+
+  test("unknown chunks are skipped, including odd-length pad bytes") {
+    val pcm = Array.tabulate(16)(i => (i * 7).toByte)
+    val base = WavDecode.wrapPcm8Mono(pcm, 8000)
+    // splice an odd-length junk chunk between WAVE and fmt: id+len+5
+    // payload bytes + 1 pad byte (the RIFF word-alignment rule)
+    val junk = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](5, 0, 0, 0) ++ Array[Byte](1, 2, 3, 4, 5) ++ Array[Byte](0)
+    val spliced = base.take(12) ++ junk ++ base.drop(12)
+    // patch the RIFF size (offset 4, LE) for honesty — decode ignores it
+    val riffLen = spliced.length - 8
+    spliced(4) = (riffLen & 0xff).toByte
+    spliced(5) = ((riffLen >> 8) & 0xff).toByte
+    val got = WavDecode.decode(spliced)
+    assert(got.isDefined, "junk chunk broke the walk")
+    assert(got.get._2.toSeq === pcm.map(b => (b & 0xff) - 128).toSeq)
+  }
+
+  test("out-of-scope and malformed containers fall back to None, never throw") {
+    val pcm = Array.tabulate(64)(i => i.toByte)
+    val base = WavDecode.wrapPcm8Mono(pcm, 8000)
+    assert(WavDecode.decode(base).isDefined)
+    assert(WavDecode.decode(Array[Byte]()) === None)
+    assert(WavDecode.decode("RIFFnope".getBytes("US-ASCII")) === None)
+    assert(WavDecode.decode(base.take(20)) === None) // truncated in fmt
+    assert(WavDecode.decode(base.take(50)) === None) // truncated in data
+    // float PCM (format tag 3) is out of scope
+    val fl = base.clone(); fl(20) = 3; assert(WavDecode.decode(fl) === None)
+    // 24-bit is out of scope
+    val b24 = base.clone(); b24(34) = 24; assert(WavDecode.decode(b24) === None)
+    // 3 channels out of scope
+    val c3 = base.clone(); c3(22) = 3; assert(WavDecode.decode(c3) === None)
+    // ragged data: declared 16-bit stereo frames are 4 bytes, so a
+    // 66-byte data chunk is not a whole number of frames
+    val ragged = WavDecode.wrapPcm8Mono(Array.tabulate(66)(_.toByte), 8000)
+    ragged(34) = 16; ragged(22) = 2
+    assert(WavDecode.decode(ragged) === None)
+    // crafted huge declared data length: truncated-chunk guard refuses
+    val huge = base.clone()
+    huge(40) = 0xff.toByte; huge(41) = 0xff.toByte
+    huge(42) = 0xff.toByte; huge(43) = 0x7f.toByte
+    assert(WavDecode.decode(huge) === None)
+  }
+
+  test("audioStatsOf: integer stats match a direct recomputation; out-of-scope rows drop") {
+    import spark.implicits._
+    val rng = new scala.util.Random(29)
+    val clips = (1L to 5L).map { id =>
+      id -> Array.fill(100 + rng.nextInt(400))(rng.nextInt(256).toByte)
+    }
+    val payloads = clips.map { case (id, pcm) =>
+      (id, WavDecode.wrapPcm8Mono(pcm, 8000))
+    } :+ ((99L, "not a wav".getBytes("US-ASCII")))
+    val out = MultimodalPack.audioStatsOf(spark, payloads.toDS())
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 5 && !out.contains(99L))
+    clips.foreach { case (id, pcm) =>
+      val s = pcm.map(b => (b & 0xff) - 128)
+      val r = out(id)
+      assert(r.getLong(1) === s.length.toLong) // n_samples
+      assert(r.getLong(2) === 8000L)
+      assert(r.getLong(3) === s.length.toLong * 1000 / 8000)
+      assert(r.getLong(4) === s.map(v => v.toLong * v).sum) // energy
+      assert(r.getLong(5) === s.map(v => math.abs(v).toLong).max) // peak
+      assert(r.getLong(6) === s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong)
+      assert(r.getLong(7) === s.count(v => math.abs(v) <= 2).toLong)
+    }
+  }
+
+  test("m_audio key: one row per non-empty document, stats recompute exactly") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val out = graft.SparkEntry.queries("m_audio")(spark, sfDir).collect()
+    assert(out.length === docs.values.count(_.nonEmpty))
+    out.take(20).foreach { r =>
+      val s = docs(r.getLong(0)).getBytes("UTF-8").map(b => (b & 0xff) - 128)
+      assert(r.getLong(1) === s.length.toLong)
+      assert(r.getLong(4) === s.map(v => v.toLong * v).sum)
+      assert(r.getLong(6) ===
+        (if (s.length < 2) 0L else s.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong))
+    }
+  }
+}
