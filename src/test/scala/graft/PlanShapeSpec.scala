@@ -95,6 +95,12 @@ class PlanShapeSpec extends SparkSpec {
       s"q6 reads wrong column set $cols")
   }
 
+  test("m_audio never shuffles (decode + reduce fused in one map pass)") {
+    val plan = df("m_audio").queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"m_audio must be shuffle-free — decode and stats are per-row map work:\n$plan")
+  }
+
   test("q_asof shuffles exactly once (the as-of is a window pass, not a join)") {
     val plan = df("q_asof").queryExecution.executedPlan.toString
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).size
