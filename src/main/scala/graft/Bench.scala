@@ -30,7 +30,9 @@ import scala.util.control.NonFatal
   *     adjudication): a ~0.1 s scale-independent probe is timed
   *     immediately before each key's rep block, compared against a
   *     quiet-box reference (the committed record's `light_ref`, else
-  *     this run's own minimum), and every key measured under a
+  *     this run's own 25th-percentile probe — NOT the minimum, which
+  *     over 170+ probes is one lucky moment well below the probe's
+  *     structural full-suite floor), and every key measured under a
   *     drifted sentinel is RE-MEASURED once after the suite — the
   *     measurement with the quieter sentinel wins. Keys still drifted
   *     after the retry are listed in `drifted` (ledger AND compact
@@ -185,9 +187,20 @@ object Bench {
       names.map(name => name -> measureKey(name))
     val sentinelEnd = sentinel()
 
-    val runMinSent =
-      if (firstPass.isEmpty) 0.0 else firstPass.map(_._2._1).min
-    val lightRef = priorLightRef.fold(runMinSent)(math.min(_, runMinSent))
+    // robust in-run quiet reference: the 25th-percentile probe, NOT
+    // the minimum — over a 170-key suite the min is one lucky
+    // scheduling moment ~1.7× below the probe's structural full-suite
+    // floor (every probe carries the previous key's trailing GC/cache
+    // state; round-12 calibration on a quiet box: min 0.33, median
+    // 0.56, p90 0.66 — a min-referenced threshold flagged half the
+    // suite). p25 tracks the floor robustly on full suites and
+    // degrades toward the min on small dev runs, where probes are few
+    // and uncontaminated.
+    val runRefSent = {
+      val sents = firstPass.map(_._2._1).sorted
+      if (sents.isEmpty) 0.0 else sents(sents.size / 4)
+    }
+    val lightRef = priorLightRef.fold(runRefSent)(math.min(_, runRefSent))
     // 1.4× the quiet reference + a 50 ms absolute cushion (job-launch
     // jitter dominates at the probe's size)
     val driftThr = lightRef * 1.4 + 0.05
@@ -267,7 +280,7 @@ object Bench {
     val ledger =
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","reps":$reps,""" +
         s""""sentinel_sec":[${ms(sentinelStart)},${ms(sentinelEnd)}],""" +
-        s""""light_ref":${ms(runMinSent)},"drift_thr":${ms(driftThr)},""" +
+        s""""light_ref":${ms(runRefSent)},"drift_thr":${ms(driftThr)},""" +
         s""""run_skewed":$runSkewed,"drifted":$driftedJson,"retried":$retriedJson,""" +
         s""""key_sentinels":$keySentJson,""" +
         s""""stream_floor_sec":${ms(streamFloor)},"stream_share":$streamShare,""" +
@@ -344,7 +357,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"sentinel_sec":[${ms(sentinelStart)},${ms(sentinelEnd)}],""" +
-        s""""light_ref":${ms(runMinSent)},"run_skewed":$runSkewed,"drifted":$driftedTail,""" +
+        s""""light_ref":${ms(runRefSent)},"run_skewed":$runSkewed,"drifted":$driftedTail,""" +
         s""""stream_floor_sec":${ms(streamFloor)},"stream_share":$streamShare,""" +
         s""""packs":$packs,"slowest":$slowest,"rep1_gap":$rep1Gap,""" +
         s""""failed":$failed,"sf":${jsonStr(sfDir)}}""")
