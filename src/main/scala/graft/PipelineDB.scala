@@ -225,6 +225,13 @@ object PipelineDB {
     "enrich" -> "e_stream_enrich", "cdc" -> "e_stream_cdc",
     "outer_join" -> "e_stream_outer")
 
+  /** The replay keys [[PipelineDB.stream]] can route — spec-pinned
+    * equal to [[SparkEntry.replayBackedKeys]] so a new replay surface
+    * cannot land without a facade name (the two lists would otherwise
+    * drift silently: this map names intents by hand, the registry is
+    * semantic). */
+  private[graft] def streamRoutedKeys: Set[String] = streamKeys.values.toSet
+
   private val textKeys = Map(
     "quality" -> "t_quality", "langid" -> "t_langid", "tokens" -> "t_tokens",
     "repetition" -> "t_repetition", "readability" -> "t_readability",

@@ -37,6 +37,18 @@ import org.apache.spark.sql.functions._
   * survivor set or terminates. Degree counts treat the input as a
   * bag (duplicate edges count twice), matching the original
   * groupBy-count semantics.
+  *
+  * DIRECTED input (the shipped keys feed symmetric edges, but the
+  * API accepts any bag): degrees count only src occurrences, so a
+  * vertex appearing ONLY as dst carries no degree row and can never
+  * enter a doomed set — its incoming edges are invisible to delta
+  * rounds. Round 1 therefore subtracts these SINK losses once (a
+  * broadcast anti-join of the edge set against the degree table —
+  * one extra edge scan, not an edge rewrite; bulk rounds handle
+  * sinks for free via the alive semi-join, and round 1 is forced
+  * bulk when the degree table is too big to broadcast). Without
+  * this, results would depend on REWRITE_FRACTION scheduling
+  * instead of the graph.
   */
 object KCore {
 
@@ -75,10 +87,11 @@ object KCore {
     while (!converged && iter < maxIter) {
       val doomed = deg.filter($"deg" < k).select($"node").localCheckpoint(true)
       val nDoomed = doomed.count()
-      if (nDoomed == 0L) {
+      if (nDoomed == 0L && iter > 0) {
         free(doomed)
         converged = true
-      } else if (nDoomed * REWRITE_FRACTION > aliveV || nDoomed > BROADCAST_CAP) {
+      } else if ((iter == 0 && aliveV > BROADCAST_CAP) ||
+        nDoomed * REWRITE_FRACTION > aliveV || nDoomed > BROADCAST_CAP) {
         // bulk wave: induce the edge set on the survivors and restart
         // the degree table from it (survivors whose induced degree is
         // 0 drop out of the groupBy — they are doomed by definition
@@ -98,8 +111,23 @@ object KCore {
         // delta round: per-survivor losses = edges into the doomed
         // set (inner join keeps bag multiplicity; the doomed set is
         // distinct by construction — it comes out of a groupBy)
-        val deltas = edges
-          .join(broadcast(doomed.select($"node".as("dst"))), Seq("dst"))
+        val lostEdges =
+          if (iter > 0)
+            edges.join(broadcast(doomed.select($"node".as("dst"))), Seq("dst"))
+          else
+            // round 1 only: edges are lost to the doomed set OR to
+            // PURE SINKS (dst with no degree row — see object doc).
+            // Both lookups are broadcast hash joins pipelined into
+            // ONE whole-stage-codegen pass over the edge set
+            // (broadcastability of deg is guarded by the bulk-forcing
+            // condition above).
+            edges
+              .join(broadcast(doomed.select($"node".as("dst"), lit(true).as("__doomed"))),
+                Seq("dst"), "left")
+              .join(broadcast(deg.select($"node".as("dst"), lit(true).as("__hasdeg"))),
+                Seq("dst"), "left")
+              .filter(coalesce($"__doomed", lit(false)) || $"__hasdeg".isNull)
+        val deltas = lostEdges
           .groupBy($"src".as("node")).agg(count(lit(1)).as("lost"))
         val deg2 = deg
           .join(broadcast(doomed), Seq("node"), "left_anti")

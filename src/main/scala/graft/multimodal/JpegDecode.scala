@@ -338,24 +338,8 @@ object JpegDecode {
         val segEnd = j + 1 + len
         marker match {
           case 0xc0 | 0xc1 => // baseline / extended-sequential Huffman
-            if (u8(p, seg) != 8) return None // precision
-            height = u16(p, seg + 1)
-            width = u16(p, seg + 3)
-            val nc = u8(p, seg + 5)
-            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
-            comps = Array.tabulate(nc) { k =>
-              val o = seg + 6 + 3 * k
-              if (o + 2 >= segEnd) return None
-              // a single-component scan is NON-INTERLEAVED (T.81
-              // §A.2.3): its MCU is one 8×8 block in raster order at
-              // the component's full resolution, so the declared
-              // sampling factors are irrelevant to the data layout —
-              // normalize to 1×1 (decoding them as interleaved MCUs
-              // would block-scramble a gray stream carrying 2×2
-              // factors)
-              if (nc == 1) new Component(u8(p, o), 1, 1, u8(p, o + 2))
-              else new Component(u8(p, o), u8(p, o + 1) >> 4, u8(p, o + 1) & 15, u8(p, o + 2))
-            }
+            val (w, h, cs) = parseFrame(p, seg, segEnd).getOrElse(return None)
+            width = w; height = h; comps = cs
           case 0xc2 => // progressive: its own multi-scan walk
             return decodeProgressive(p)
           case m if m >= 0xc3 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc =>
@@ -513,6 +497,35 @@ object JpegDecode {
     }
   }
 
+  /** SOF frame header, shared by the sequential (SOF0/SOF1) and
+    * progressive (SOF2) paths: 8-bit-precision check, geometry, and
+    * the per-component (id, sampling, tq) parse. Single-component
+    * frames normalize the sampling factors to 1×1 — a one-component
+    * scan is NON-INTERLEAVED (T.81 §A.2.3): its MCU is one 8×8 block
+    * in raster order at the component's full resolution, so declared
+    * factors are layout-inert (decoding them as interleaved MCUs
+    * would block-scramble a gray stream carrying 2×2 factors). None
+    * on a malformed or out-of-scope header. */
+  private def parseFrame(p: Array[Byte], seg: Int, segEnd: Int)
+      : Option[(Int, Int, Array[Component])] = {
+    if (u8(p, seg) != 8) return None // precision
+    val height = u16(p, seg + 1)
+    val width = u16(p, seg + 3)
+    val nc = u8(p, seg + 5)
+    if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
+    val comps = new Array[Component](nc)
+    var k = 0
+    while (k < nc) {
+      val o = seg + 6 + 3 * k
+      if (o + 2 >= segEnd) return None
+      comps(k) =
+        if (nc == 1) new Component(u8(p, o), 1, 1, u8(p, o + 2))
+        else new Component(u8(p, o), u8(p, o + 1) >> 4, u8(p, o + 1) & 15, u8(p, o + 2))
+      k += 1
+    }
+    Some((width, height, comps))
+  }
+
   /** DHT segment: one or more canonical Huffman tables. False on a
     * malformed segment (the caller falls back). */
   private def parseDht(p: Array[Byte], seg: Int, segEnd: Int,
@@ -605,19 +618,8 @@ object JpegDecode {
         marker match {
           case 0xc2 =>
             if (comps != null) return None // one frame per stream
-            if (u8(p, seg) != 8) return None // precision
-            height = u16(p, seg + 1)
-            width = u16(p, seg + 3)
-            val nc = u8(p, seg + 5)
-            if (width <= 0 || height <= 0 || (nc != 1 && nc != 3)) return None
-            comps = Array.tabulate(nc) { k =>
-              val o = seg + 6 + 3 * k
-              if (o + 2 >= segEnd) return None
-              // single-component scans are non-interleaved (§A.2.3):
-              // factors are layout-inert for a 1-component frame
-              if (nc == 1) new Component(u8(p, o), 1, 1, u8(p, o + 2))
-              else new Component(u8(p, o), u8(p, o + 1) >> 4, u8(p, o + 1) & 15, u8(p, o + 2))
-            }
+            val (w, h, cs) = parseFrame(p, seg, segEnd).getOrElse(return None)
+            width = w; height = h; comps = cs
             hMax = comps.map(_.h).max
             vMax = comps.map(_.v).max
             // allocation guard BEFORE the buffers exist; the full

@@ -375,7 +375,13 @@ object MultimodalPack extends QueryPack {
     * per clip. Rows whose payload is outside [[WavDecode]]'s scope
     * are dropped (a real pipeline would route them to a quarantine
     * sink) — the `m_audio` key only feeds it self-wrapped containers,
-    * so the key loses nothing. */
+    * so the key loses nothing. Channel-aware: n_samples/energy/peak/
+    * silence run over every sample, but duration is FRAME-based and
+    * zero crossings are counted WITHIN each channel of the frame-
+    * interleaved stream — comparing adjacent interleaved samples
+    * would count L-vs-R sign flips of the same stereo frame, not the
+    * waveform's. Mono output is identical either way (the oracle's
+    * contract). */
   def audioStatsOf(s: SparkSession,
                    ds: Dataset[(Long, Array[Byte])]): DataFrame = {
     import s.implicits._
@@ -386,7 +392,6 @@ object MultimodalPack extends QueryPack {
             var peak = 0L
             var zc = 0L
             var silent = 0L
-            var prevNeg = false
             var i = 0
             while (i < samples.length) {
               val v = samples(i)
@@ -394,13 +399,21 @@ object MultimodalPack extends QueryPack {
               val a = math.abs(v).toLong
               if (a > peak) peak = a
               if (a <= AUDIO_SILENCE) silent += 1
-              val neg = v < 0
-              if (i > 0 && neg != prevNeg) zc += 1
-              prevNeg = neg
               i += 1
             }
+            val ch = meta.channels
+            var c = 0
+            while (c < ch) {
+              var j = c + ch
+              while (j < samples.length) {
+                if ((samples(j) < 0) != (samples(j - ch) < 0)) zc += 1
+                j += ch
+              }
+              c += 1
+            }
+            val frames = samples.length.toLong / ch
             AudioRow(id, samples.length.toLong, meta.sampleRate.toLong,
-              samples.length.toLong * 1000L / meta.sampleRate,
+              frames * 1000L / meta.sampleRate,
               energy, peak, zc, silent)
           }
         }

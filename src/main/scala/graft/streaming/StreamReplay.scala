@@ -87,9 +87,14 @@ object StreamReplay {
     * `_STAGED` marker's mtime — chunk-file mtimes are pinned in the
     * past by design) and orphaned `stage-`/`ckpt-` temp dirs older
     * than 1 h (their owners delete them with the query; an hour-old
-    * one is a crashed run's leak) are removed. Best-effort: a racing
-    * JVM's fresh staging is never younger-than-12h-deleted, and a
-    * deleted-but-in-use staging would only force a re-stage. */
+    * one is a crashed run's leak) are removed. Best-effort, and safe
+    * against RUNNING peers: a reused staging's marker is touched at
+    * adoption (chunkDir), so "12 h old" means 12 h since any JVM last
+    * adopted it — a sweep can no longer delete a staging another
+    * live run is replaying; a ckpt- dir's age reads the newer of the
+    * dir and its `offsets/` subdir (Spark appends an offsets file per
+    * micro-batch, so a live query's checkpoint always looks fresh
+    * even though the top-level dir mtime pins at creation). */
   private def sweepAged(dir: java.nio.file.Path): Unit =
     try {
       val now = System.currentTimeMillis()
@@ -103,9 +108,17 @@ object StreamReplay {
         val stale =
           if (n.startsWith("chunks-") && java.nio.file.Files.exists(marker))
             olderThan(12L * 3600 * 1000, marker)
-          else if (n.startsWith("stage-") || n.startsWith("ckpt-"))
+          else if (n.startsWith("stage-"))
             olderThan(3600L * 1000, p)
-          else false
+          else if (n.startsWith("ckpt-")) {
+            // a live query appends an offsets file per micro-batch;
+            // the top-level dir mtime pins at creation, so age by the
+            // NEWER of the two or a >1h-running peer's live
+            // checkpoint would be swept mid-query
+            val off = p.resolve("offsets")
+            olderThan(3600L * 1000, p) &&
+              (!java.nio.file.Files.exists(off) || olderThan(3600L * 1000, off))
+          } else false
         if (stale) deleteRecursively(p)
       }
       finally ls.close()
@@ -201,8 +214,18 @@ object StreamReplay {
       // in tmpfs RAM forever.
       val ident = md5hex(s"$sfDir#$chunks")
       val target = scratchBase.resolve(s"chunks-$ident-${md5hex(srcSig)}")
-      if (java.nio.file.Files.exists(target.resolve("_STAGED"))) target
-      else {
+      if (java.nio.file.Files.exists(target.resolve("_STAGED"))) {
+        // refresh the marker on reuse: sweepAged ages stagings by the
+        // marker's mtime, and without the touch a staging published
+        // 12 h ago but adopted by THIS run seconds ago would be swept
+        // out from under the running query by the next JVM's startup
+        // sweep (review pass) — the touch makes age mean "since last
+        // adopted", not "since first published"
+        try java.nio.file.Files.setLastModifiedTime(target.resolve("_STAGED"),
+          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+        catch { case _: java.io.IOException => () }
+        target
+      } else {
         // evict stale stagings of this (sfDir, chunks) identity —
         // EXCLUDING the current target name: two sessions (or JVMs
         // sharing /dev/shm) staging the same (sfDir, chunks) can

@@ -69,6 +69,10 @@ class PipelineDBSpec extends SparkSpec {
     assert(viaDb === direct)
     val e = intercept[IllegalArgumentException](db.stream("tumble"))
     assert(e.getMessage.contains("unknown stream surface"))
+    // the facade's routing map covers EXACTLY the replay registry —
+    // a round-13 replay surface cannot land without a stream() name,
+    // and stream() cannot route to a non-replay key
+    assert(PipelineDB.streamRoutedKeys === SparkEntry.replayBackedKeys)
     // every replay-backed key is routable through run() too
     assert(SparkEntry.replayBackedKeys.subsetOf(db.keys.toSet))
   }

@@ -34,6 +34,26 @@ class KCoreSpec extends SparkSpec {
     assert(core.filter(col("core_degree") =!= 4L).count() === 0)
   }
 
+  test("directed input: pure-sink edges are pruned regardless of bulk/delta scheduling") {
+    import spark.implicits._
+    // 5-clique (every vertex out-degree 4 ≥ k) plus one directed edge
+    // from vertex 1 to a pure sink 99 (never appears as src). The
+    // sink carries no degree row, so no doomed set can ever name it —
+    // a delta-only schedule used to keep deg(1) at 5 forever (review
+    // pass: round 1 now subtracts sink losses once). Here nothing is
+    // doomed in round 1, exactly the schedule that used to skip the
+    // prune: the result must still report deg(1) = 4, the clique
+    // degree, not 5.
+    val nodes = (1L to 5L)
+    val clique = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val e = edgesOf(clique.toSeq: _*).union(Seq((1L, 99L)).toDF("src", "dst"))
+    val core = KCore.run(spark, e, k = 4).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core === Map(1L -> 4L, 2L -> 4L, 3L -> 4L, 4L -> 4L, 5L -> 4L))
+    // and with k above the clique degree the whole graph cascades out
+    assert(KCore.run(spark, e, k = 5).count() === 0)
+  }
+
   test("core degrees never fall below k and the core is an induced-subgraph fixpoint") {
     val core = KCore.run(spark, GraphBuilder.partEdgesWide(spark, sfDir), k = 2).cache()
     assert(core.filter(col("core_degree") < 2L).count() === 0)

@@ -145,6 +145,29 @@ class WavDecodeSpec extends SparkSpec {
     }
   }
 
+  test("audioStatsOf stereo: frame-based duration, per-channel zero crossings") {
+    import spark.implicits._
+    val rng = new scala.util.Random(31)
+    // 16000 Hz 16-bit stereo, 8000 frames = exactly 0.5 s
+    val pcm = Array.fill(8000 * 4)(rng.nextInt(256).toByte)
+    val wav = soundWav(pcm, new AudioFormat(16000f, 16, 2, true, false))
+    val (_, samples) = WavDecode.decode(wav).get
+    val r = MultimodalPack.audioStatsOf(spark, Seq((7L, wav)).toDS()).head()
+    assert(r.getLong(1) === 16000L) // n_samples = total samples, both channels
+    assert(r.getLong(2) === 16000L)
+    // duration is FRAME-based: 8000 frames / 16000 Hz = 500 ms, not
+    // the 1000 ms a total-sample count would claim
+    assert(r.getLong(3) === 500L)
+    assert(r.getLong(4) === samples.map(v => v.toLong * v).sum)
+    // zero crossings counted WITHIN each channel of the interleaved
+    // stream, never across the L/R boundary of one frame
+    val perChannel = (0 until 2).map { c =>
+      val chan = samples.indices.collect { case i if i % 2 == c => samples(i) }
+      chan.sliding(2).count(p => (p(0) < 0) != (p(1) < 0)).toLong
+    }.sum
+    assert(r.getLong(6) === perChannel)
+  }
+
   test("m_audio key: one row per non-empty document, stats recompute exactly") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables.documents(spark, sfDir)
