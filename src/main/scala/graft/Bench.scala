@@ -160,19 +160,29 @@ object Bench {
       catch { case NonFatal(_) => () }
       (System.nanoTime() - t0) / 1e9
     }
-    // quiet-box reference: the committed record's own light_ref when
-    // one exists (cross-run comparability is the whole point: the
-    // record was measured on a quiet box), floored by this run's
-    // minimum in case the box got FASTER.
-    val priorLightRef: Option[Double] =
+    // the committed record, read once for both the light_ref and the
+    // record-SF guard below (one path/charset/error policy to keep in
+    // sync). Absent and unreadable stay DISTINGUISHED: an absent
+    // record may be freely created, an unreadable one must divert the
+    // write to /tmp — its sf can't be checked, and a wrong-SF
+    // overwrite would clobber the regression record.
+    val (recordAbsent: Boolean, priorRecord: Option[String]) =
       try {
         val f = java.nio.file.Paths.get("BENCH_LOCAL.json")
-        if (!java.nio.file.Files.exists(f)) None
-        else """"light_ref":([0-9.eE+-]+)""".r
-          .findFirstMatchIn(new String(java.nio.file.Files.readAllBytes(f),
-            java.nio.charset.StandardCharsets.UTF_8))
-          .map(_.group(1).toDouble)
-      } catch { case NonFatal(_) => None }
+        if (!java.nio.file.Files.exists(f)) (true, None)
+        else (false, Some(new String(java.nio.file.Files.readAllBytes(f),
+          java.nio.charset.StandardCharsets.UTF_8)))
+      } catch { case NonFatal(e) =>
+        System.err.println(s"[bench] record read failed (${e.getMessage}) — diverting")
+        (false, None)
+      }
+    // quiet-box reference: the committed record's own light_ref when
+    // one exists (cross-run comparability is the whole point: the
+    // record was measured on a quiet box), floored by this run's p25
+    // probe in case the box got FASTER.
+    val priorLightRef: Option[Double] =
+      priorRecord.flatMap(""""light_ref":([0-9.eE+-]+)""".r
+        .findFirstMatchIn(_).map(_.group(1).toDouble))
 
     def measureKey(name: String): (Double, Seq[Double]) = {
       val sent = lightSentinel()
@@ -295,17 +305,7 @@ object Bench {
     // overrides it, and an unreadable record must divert to /tmp, not
     // crash the whole measured suite after the fact
     def recordSfMatches: Boolean =
-      try {
-        val f = java.nio.file.Paths.get("BENCH_LOCAL.json")
-        !java.nio.file.Files.exists(f) || {
-          val prior = new String(java.nio.file.Files.readAllBytes(f),
-            java.nio.charset.StandardCharsets.UTF_8)
-          prior.contains(s""""sf":${jsonStr(sfDir)}""")
-        }
-      } catch { case NonFatal(e) =>
-        System.err.println(s"[bench] record guard read failed (${e.getMessage}) — diverting")
-        false
-      }
+      recordAbsent || priorRecord.exists(_.contains(s""""sf":${jsonStr(sfDir)}"""))
     val outPath = sys.env.get("SPARK_GRAFT_BENCH_OUT").getOrElse(
       if (only.isEmpty && reps >= 3 && recordSfMatches) "BENCH_LOCAL.json"
       else "/tmp/graft_bench_dev.json")
@@ -336,8 +336,15 @@ object Bench {
     // 2000-char capture.
     // only keys where EVERY rep succeeded: timeIt drops failed reps,
     // so with a failure xs.head would be the first SUCCESSFUL rep —
-    // a warm rep-2 mislabeled as the cold cost
-    val rep1Gap = samples
+    // a warm rep-2 mislabeled as the cold cost.
+    // FIRST-PASS samples, not the retry-chosen ones: a memoized key's
+    // drift retry runs with the intra-suite cache already built, so
+    // its rep 1 is warm — swapping it in would erase the cold-build
+    // cost this report exists to keep visible (second review pass).
+    // The MEDIAN honesty is unaffected (warm medians are what the
+    // ledger reports for memoized keys either way).
+    val rep1Gap = firstPass
+      .map { case (k, (_, xs)) => (k, xs) }
       .collect { case (k, xs) if xs.length == reps =>
         (k, xs.head, median(xs)) }
       .filter { case (_, r1, med) => r1 >= 2 * med && r1 - med >= 0.3 }

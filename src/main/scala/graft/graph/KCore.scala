@@ -75,6 +75,10 @@ object KCore {
 
   def run(s: SparkSession, edges0: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     import s.implicits._
+    // k = 0 would make the bulk rounds' explicit deg=0 rows (see
+    // below) permanent members of a "0-core" the original semantics
+    // never defined — refuse the degenerate parameter loudly
+    require(k >= 1, s"k-core needs k >= 1, got $k")
     val free = KTruss.freeCheckpoint _
     var edges = edges0
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
@@ -93,15 +97,26 @@ object KCore {
       } else if ((iter == 0 && aliveV > BROADCAST_CAP) ||
         nDoomed * REWRITE_FRACTION > aliveV || nDoomed > BROADCAST_CAP) {
         // bulk wave: induce the edge set on the survivors and restart
-        // the degree table from it (survivors whose induced degree is
-        // 0 drop out of the groupBy — they are doomed by definition
-        // and get no row to carry)
+        // the degree table from it. Survivors whose induced OUT-degree
+        // hits 0 must keep an EXPLICIT deg=0 row (left join, not the
+        // bare groupBy): on directed input such a vertex can still
+        // carry surviving IN-edges, and if it silently left the table
+        // no doomed set could ever name it — its in-edges would
+        // inflate other survivors' degrees forever and the loop could
+        // converge on a wrong core (second review pass; symmetric
+        // input cannot create one-sided sinks, so the shipped keys
+        // never hit this). With the row kept, the vertex is doomed
+        // next round and the delta machinery subtracts its in-edges
+        // like any other casualty.
         val alive = deg.filter($"deg" >= k).select($"node")
         val pruned = edges
           .join(alive.select($"node".as("src")), Seq("src"), "left_semi")
           .join(alive.select($"node".as("dst")), Seq("dst"), "left_semi")
           .localCheckpoint(true, EDGE_LEVEL)
-        val deg2 = pruned.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        val deg2 = alive
+          .join(pruned.groupBy($"src".as("node")).agg(count(lit(1)).as("deg")),
+            Seq("node"), "left")
+          .select($"node", coalesce($"deg", lit(0L)).as("deg"))
           .localCheckpoint(true)
         aliveV = deg2.count()
         free(edges); free(deg); free(doomed)

@@ -214,18 +214,25 @@ object StreamReplay {
       // in tmpfs RAM forever.
       val ident = md5hex(s"$sfDir#$chunks")
       val target = scratchBase.resolve(s"chunks-$ident-${md5hex(srcSig)}")
-      if (java.nio.file.Files.exists(target.resolve("_STAGED"))) {
-        // refresh the marker on reuse: sweepAged ages stagings by the
-        // marker's mtime, and without the touch a staging published
-        // 12 h ago but adopted by THIS run seconds ago would be swept
-        // out from under the running query by the next JVM's startup
-        // sweep (review pass) — the touch makes age mean "since last
-        // adopted", not "since first published"
-        try java.nio.file.Files.setLastModifiedTime(target.resolve("_STAGED"),
-          java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-        catch { case _: java.io.IOException => () }
-        target
-      } else {
+      // adopt-by-touch: refreshing the marker's mtime IS the reuse
+      // check. sweepAged ages stagings by that mtime, so without the
+      // touch a staging published 12 h ago but adopted by THIS run
+      // seconds ago would be swept out from under the running query
+      // by the next JVM's startup sweep (review pass). Touch-first
+      // (not check-then-touch) also closes the race where a
+      // concurrent sweep deletes the staging BETWEEN an existence
+      // check and the touch: if the marker is gone by touch time the
+      // IOException routes this run to re-stage instead of adopting a
+      // deleted directory, and once the touch lands a sweep reading
+      // the fresh mtime leaves the staging alone.
+      val adopted =
+        try {
+          java.nio.file.Files.setLastModifiedTime(target.resolve("_STAGED"),
+            java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
+          true
+        } catch { case _: java.io.IOException => false }
+      if (adopted) target
+      else {
         // evict stale stagings of this (sfDir, chunks) identity —
         // EXCLUDING the current target name: two sessions (or JVMs
         // sharing /dev/shm) staging the same (sfDir, chunks) can

@@ -54,6 +54,28 @@ class KCoreSpec extends SparkSpec {
     assert(KCore.run(spark, e, k = 5).count() === 0)
   }
 
+  test("directed input: a sink CREATED by a bulk rewrite still cascades (true core empty)") {
+    import spark.implicits._
+    // Second review pass's repro: d1<->d2 (both doomed at k=2, so
+    // round 1 is a BULK rewrite), v->d1, v->d2 (v loses every
+    // out-edge in that rewrite and becomes a NEW sink while x->v and
+    // a->v survive), x->a, a->x, x->v, a->v. If the bulk round
+    // silently dropped v from the degree table, deg(x)=deg(a)=2
+    // would hold forever and the loop would converge on a WRONG
+    // non-empty core; keeping v as an explicit deg=0 row dooms it
+    // next round, its in-edges are subtracted, and the whole graph
+    // cascades out — the true 2-core is empty.
+    val e = Seq(
+      (10L, 20L), (20L, 10L), // d1 <-> d2
+      (1L, 10L), (1L, 20L), // v -> d1, v -> d2
+      (2L, 3L), (3L, 2L), // x <-> a
+      (2L, 1L), (3L, 1L) // x -> v, a -> v
+    ).toDF("src", "dst")
+    assert(KCore.run(spark, e, k = 2).count() === 0)
+    val e2 = intercept[IllegalArgumentException](KCore.run(spark, e, k = 0))
+    assert(e2.getMessage.contains("k >= 1"))
+  }
+
   test("core degrees never fall below k and the core is an induced-subgraph fixpoint") {
     val core = KCore.run(spark, GraphBuilder.partEdgesWide(spark, sfDir), k = 2).cache()
     assert(core.filter(col("core_degree") < 2L).count() === 0)
