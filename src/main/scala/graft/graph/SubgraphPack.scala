@@ -32,6 +32,23 @@ final case class ValidationRow(o_orderkey: Long, is_valid: Boolean,
                                reject_reason: Option[String],
                                n_nodes: Option[Long], n_edges: Option[Long])
 
+/** One census class of one order (hash + node count + canon key) —
+  * the per-order payload B7's pairwise MCS intersects. */
+final case class SubgraphClass(hash: String, size: Int, ck: String)
+
+/** Per-order census-class set for the MCS pair map. */
+final case class McsGraph(okey: Long, classes: Seq[SubgraphClass])
+
+/** B7 result row: the MAXIMAL common subgraph class of a pair —
+  * node count, edge count, how many distinct shared classes exist at
+  * that node count, and the canonical key of the picked class
+  * (deterministic tiebreak: max size, then max edges, then
+  * lexicographic canon key). All-zero + null key when the pair
+  * shares nothing. */
+final case class McsRow(order_a: Long, order_b: Long, mcs_size: Long,
+                        mcs_edges: Long, n_shared_at_max: Long,
+                        mcs_canon_key: Option[String])
+
 /** Pairwise similarity row (mcs.py:285-346's result surface).
   * Every column except ged_ok is exactly cross-engine-computable via
   * the canon-key class sets; ged_ok carries the exact-GED guarantee
@@ -161,6 +178,44 @@ object SubgraphPack extends QueryPack {
               ValidationRow(okey, is_valid = false, Some(reason), None, None)
             case Right(g) =>
               ValidationRow(okey, is_valid = true, None, Some(g.n.toLong), Some(g.m.toLong))
+          }
+        }
+        .toDF()
+    },
+
+    // B7 (round-12): MAXIMUM COMMON SUBGRAPH via census-class
+    // intersection — the reference module's namesake surface
+    // (mcs.py:608-668 groups the SHARED subgraphs of a pair by edge
+    // count and highlights the largest ones; the largest shared
+    // canonical class IS its MCS approximation, exact up to the
+    // census bound of 4 nodes). Same bounded pair selection and
+    // one-shuffle census shape as B5; the pair map intersects two
+    // molecule-sized class sets locally. The oracle re-derives the
+    // same maxima from its brute-force canon-key census, so size/
+    // edge/count/tiebreak all sit under the cross-engine hash.
+    "g_mcs" -> { (s, d) =>
+      import s.implicits._
+      val graphs = items(s, d).filter($"okey" < GED_KEY_BOUND).as[OrderItem]
+        .groupByKey(_.okey)
+        .flatMapGroups { (okey, it) =>
+          buildGraph(it.toSeq).iterator.map { g =>
+            McsGraph(okey, Subgraphs.censusDetailed(g, CENSUS_MAX_SIZE)
+              .map { case (h, sz, ck) => SubgraphClass(h, sz, ck) })
+          }
+        }
+      graphs.as("a").joinWith(graphs.as("b"), col("a.okey") < col("b.okey"), "inner")
+        .map { case (a, b) =>
+          val hb = b.classes.map(_.hash).toSet
+          val shared = a.classes.filter(c => hb(c.hash))
+          if (shared.isEmpty) McsRow(a.okey, b.okey, 0L, 0L, 0L, None)
+          else {
+            def edgesOf(c: SubgraphClass): Int = c.ck.split(':')(1).toInt
+            val mcsSize = shared.map(_.size).max
+            val atMax = shared.filter(_.size == mcsSize)
+            val mcsEdges = atMax.map(edgesOf).max
+            val pick = atMax.filter(edgesOf(_) == mcsEdges).map(_.ck).max
+            McsRow(a.okey, b.okey, mcsSize.toLong, mcsEdges.toLong,
+              atMax.size.toLong, Some(pick))
           }
         }
         .toDF()
@@ -356,6 +411,43 @@ object SubgraphPack extends QueryPack {
          |FROM cls c JOIN map m ON m.ck = c.ck
          |WHERE m.sz = 3
          |GROUP BY m.h, c.ck""".stripMargin,
+    // B7: the MCS maxima re-derived from the same brute-force census.
+    // The engine intersects WL-hash sets, the oracle canon-key sets —
+    // the 9-entry dictionary is bijective (spec-pinned), so the
+    // intersections agree; size/edges parse out of the canon key
+    // itself ("size:m:degseq") and the lexicographic tiebreak is over
+    // ASCII digit strings with identical (size, m) prefixes — stable
+    // in both engines.
+    "g_mcs" ->
+      s"""WITH $censusSql,
+         |sel AS (SELECT okey FROM valid WHERE okey < $GED_KEY_BOUND),
+         |cs AS (SELECT c.okey, c.ck FROM cls c JOIN sel USING (okey)),
+         |shared AS (
+         | SELECT x.okey AS oa, y.okey AS ob, x.ck,
+         |        CAST(split_part(x.ck, ':', 1) AS BIGINT) AS sz,
+         |        CAST(split_part(x.ck, ':', 2) AS BIGINT) AS m
+         | FROM cs x JOIN cs y ON x.ck = y.ck AND x.okey < y.okey),
+         |agg AS (SELECT oa, ob, MAX(sz) AS mcs_size FROM shared GROUP BY oa, ob),
+         |atmax AS (
+         | SELECT s.oa, s.ob, MAX(s.m) AS mcs_edges,
+         |        CAST(COUNT(*) AS BIGINT) AS n_shared_at_max
+         | FROM shared s JOIN agg g ON g.oa = s.oa AND g.ob = s.ob AND s.sz = g.mcs_size
+         | GROUP BY s.oa, s.ob),
+         |pick AS (
+         | SELECT s.oa, s.ob, MAX(s.ck) AS mcs_canon_key
+         | FROM shared s
+         |  JOIN agg g ON g.oa = s.oa AND g.ob = s.ob AND s.sz = g.mcs_size
+         |  JOIN atmax t ON t.oa = s.oa AND t.ob = s.ob AND s.m = t.mcs_edges
+         | GROUP BY s.oa, s.ob)
+         |SELECT a.okey AS order_a, b.okey AS order_b,
+         | COALESCE(g.mcs_size, 0) AS mcs_size,
+         | COALESCE(t.mcs_edges, 0) AS mcs_edges,
+         | COALESCE(t.n_shared_at_max, 0) AS n_shared_at_max,
+         | p.mcs_canon_key
+         |FROM sel a JOIN sel b ON a.okey < b.okey
+         | LEFT JOIN agg g ON g.oa = a.okey AND g.ob = b.okey
+         | LEFT JOIN atmax t ON t.oa = a.okey AND t.ob = b.okey
+         | LEFT JOIN pick p ON p.oa = a.okey AND p.ob = b.okey""".stripMargin,
     // B5: the pairwise surface re-derived from the SAME brute-force
     // census — class-set cardinalities are engine-independent
     // integers, the ratios are single IEEE ops in a fixed order, and
