@@ -20,6 +20,7 @@ class PlanShapeSpec extends SparkSpec {
     * PQ encodes). */
   private val deliberateCross =
     Set("s_knn_brute", "s_knn_ivf", "s_range_search", "g_ged_pairs", "d_semantic", "s_knn_pq",
+      "g_mcs", // g_ged_pairs' bounded okey<100 pair self-join (B7)
       "s_pipeline", // embeds d_semantic's bounded centroid broadcast
       "t_tfidf", // one-row corpus-count broadcast
       "t_colloc", // one-row bigram-total broadcast (t_tfidf's pattern)
