@@ -32,6 +32,8 @@ object SimilarityPack extends QueryPack {
   // E5 product quantization: M subspaces of SUBDIM dims, NCODES
   // codewords per subspace (codebook = sub-vectors of the first
   // NCODES vectors — deterministic, like the IVF centroid policy).
+  /** E16 RRF: the standard fusion constant (Cormack et al. 2009). */
+  private val RRF_C = 60
   private val PQ_M = 8
   private val PQ_SUBDIM = 8
   private val PQ_NCODES = 4
@@ -484,6 +486,55 @@ object SimilarityPack extends QueryPack {
     },
 
 
+    // E16 (round-12): RECIPROCAL-RANK FUSION — the standard hybrid-
+    // retrieval combiner (Cormack/Clarke/Büttcher 2009: score(d) =
+    // Σ_retrievers 1/(C + rank_r(d)), C = 60): two retrievers' top-K
+    // lists fused per query. Retriever A is E1's exact cosine;
+    // retriever B is the int8 symmetric-quantized dot (E4's scheme —
+    // the compressed retriever, whose near-tie flips make the fusion
+    // non-trivial). Determinism: the integer dot is an exact BIGINT
+    // (dims ≤ 64, |q_i| ≤ 127 ⇒ |dot| < 2^21), its per-candidate
+    // rescale is ONE IEEE multiply, and the RRF terms are the exact
+    // integers floor(1e12/(C + rank)) summed as BIGINTs — no float
+    // accumulation anywhere in the fused score. Scale shape: both
+    // retrievers broadcast the N_QUERIES-bounded query set; the
+    // fusion join and windows run over ≤ 2·N_QUERIES·K rows.
+    "s_rrf" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val cos = queries("s_knn_brute")(s, d)
+        .select($"q_id", $"n_id", $"rank".as("rank_cos"))
+      val q8 = Tables.embeddings(s, d)
+        .withColumn("m", expr(
+          "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"))
+        .withColumn("scale", when($"m" === 0.0, lit(1.0)).otherwise($"m" / 127.0))
+        .withColumn("q", expr(
+          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT))"))
+        .select($"vec_id", $"q", $"scale")
+      val qq = q8.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"q".as("qa"))
+      val w8 = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"score".desc, $"n_id".asc)
+      val int8 = q8.select($"vec_id".as("n_id"), $"q".as("qb"), $"scale".as("sb"))
+        .crossJoin(broadcast(qq))
+        .filter($"q_id" =!= $"n_id")
+        .withColumn("score",
+          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)")
+            .cast("double") * $"sb")
+        .withColumn("rank_int8", row_number().over(w8).cast("long"))
+        .filter($"rank_int8" <= K)
+        .select($"q_id", $"n_id", $"rank_int8")
+      def term(rank: Column): Column =
+        coalesce(floor(lit(1e12) / (lit(RRF_C) + rank)).cast("long"), lit(0L))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"rrf_scaled".desc, $"n_id".asc)
+      cos.join(int8, Seq("q_id", "n_id"), "full_outer")
+        .withColumn("rrf_scaled", term($"rank_cos") + term($"rank_int8"))
+        .withColumn("fused_rank", row_number().over(wf).cast("long"))
+        .filter($"fused_rank" <= K)
+        .select($"q_id", $"fused_rank", $"n_id", $"rank_cos", $"rank_int8", $"rrf_scaled")
+    },
+
     // E6: composed embedding pipeline — semantic-dedup survivors
     // (D7's linear screen) flowing straight into int8 quantization as
     // ONE DataFrame plan (the embedding-side twin of t_pipeline:
@@ -769,6 +820,47 @@ object SimilarityPack extends QueryPack {
          |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
          |           FROM cosv)
          |SELECT q_id, rank, n_id, cosine FROM ranked WHERE rank <= $K""".stripMargin,
+    // E16: both retrievers re-derived independently — retriever A is
+    // the s_knn_brute oracle verbatim, retriever B re-quantizes per
+    // E4's scheme (exact integer dot, one IEEE rescale per candidate)
+    // — then the fusion is pure BIGINT arithmetic on the ranks.
+    "s_rrf" ->
+      s"""WITH $dimsSql,
+         |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < $N_QUERIES
+         |        GROUP BY q.vec_id, c.vec_id),
+         |cosv AS (SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
+         |         FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |ranka AS (SELECT q_id, n_id, rank_cos FROM (
+         |           SELECT q_id, n_id,
+         |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank_cos
+         |           FROM cosv) WHERE rank_cos <= $K),
+         |sc AS (SELECT vec_id,
+         |        CASE WHEN MAX(ABS(x)) = 0 THEN 1.0 ELSE MAX(ABS(x)) / 127.0 END AS scale
+         |       FROM dims GROUP BY vec_id),
+         |qd AS (SELECT d.vec_id, d.i, CAST(floor(d.x / s.scale + 0.5) AS BIGINT) AS qx
+         |       FROM dims d JOIN sc s USING (vec_id)),
+         |idot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, SUM(q.qx * c.qx) AS di
+         |         FROM qd q JOIN qd c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |         WHERE q.vec_id < $N_QUERIES
+         |         GROUP BY q.vec_id, c.vec_id),
+         |rankb AS (SELECT q_id, n_id, rank_int8 FROM (
+         |           SELECT d.q_id, d.n_id,
+         |            CAST(ROW_NUMBER() OVER (PARTITION BY d.q_id
+         |              ORDER BY CAST(d.di AS DOUBLE) * s.scale DESC, d.n_id ASC) AS BIGINT) AS rank_int8
+         |           FROM idot d JOIN sc s ON s.vec_id = d.n_id) WHERE rank_int8 <= $K),
+         |fused AS (
+         | SELECT COALESCE(a.q_id, b.q_id) AS q_id, COALESCE(a.n_id, b.n_id) AS n_id,
+         |        a.rank_cos, b.rank_int8,
+         |        COALESCE(CAST(floor(1e12 / ($RRF_C + a.rank_cos)) AS BIGINT), 0)
+         |         + COALESCE(CAST(floor(1e12 / ($RRF_C + b.rank_int8)) AS BIGINT), 0) AS rrf_scaled
+         | FROM ranka a FULL OUTER JOIN rankb b ON a.q_id = b.q_id AND a.n_id = b.n_id)
+         |SELECT q_id, fused_rank, n_id, rank_cos, rank_int8, rrf_scaled FROM (
+         | SELECT q_id, n_id, rank_cos, rank_int8, rrf_scaled,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_scaled DESC, n_id ASC) AS BIGINT) AS fused_rank
+         | FROM fused) WHERE fused_rank <= $K""".stripMargin,
     "s_knn_ann" -> {
       val width = PLANES / BANDS
       s"""WITH $dimsSql,

@@ -37,7 +37,8 @@ class PlanShapeSpec extends SparkSpec {
       "g_modularity", // one-row edge-total broadcast (t_tfidf's pattern)
       "d_cluster_spec", // one-row doc-total broadcast (t_tfidf's pattern)
       "s_inertia", // one-row SSE-total broadcast (t_tfidf's pattern)
-      "s_recall") // composes s_knn_brute/ann, inheriting their shapes
+      "s_recall", // composes s_knn_brute/ann, inheriting their shapes
+      "s_rrf") // composes s_knn_brute + its own bounded query broadcast (E16)
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
