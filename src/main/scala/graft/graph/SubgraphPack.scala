@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryPack, Tables}
 
@@ -60,7 +60,7 @@ final case class GedRow(order_a: Long, order_b: Long,
                         shared_subgraphs: Long,
                         tanimoto: Double, approx_ged: Double, ged_ok: Boolean)
 
-/** Subgraph census + similarity pack (SURVEY §2 B1–B6) — the
+/** Subgraph census + similarity pack (SURVEY §2 B1–B7) — the
   * reference's second engine re-expressed for Spark.
   *
   * Entity graphs are per-order item graphs: nodes are the order's
@@ -110,6 +110,25 @@ object SubgraphPack extends QueryPack {
   /** Build the local graph of one order; None if validation rejects. */
   private def buildGraph(its: Seq[OrderItem]): Option[Subgraphs.LocalGraph] =
     graphEither(its).toOption
+
+  /** The bounded pair scaffolding B5 and B7 share: one payload row
+    * per VALIDATED order with okey < GED_KEY_BOUND (validation-
+    * rejected orders are EXCLUDED — the same rule the census queries
+    * apply; mcs.py drops over-limit molecules, and a degenerate
+    * empty-graph row would contradict that contract), self-joined on
+    * a.okey < b.okey. Single-sourced so the two keys can never emit
+    * different pair sets. The payload type needs an `okey` field for
+    * the join condition. */
+  private def boundedPairs[T <: Product : Encoder](s: SparkSession, d: String)(
+      payload: (Long, Subgraphs.LocalGraph) => T): Dataset[(T, T)] = {
+    import s.implicits._
+    val graphs = items(s, d).filter($"okey" < GED_KEY_BOUND).as[OrderItem]
+      .groupByKey(_.okey)
+      .flatMapGroups { (okey, it) =>
+        buildGraph(it.toSeq).iterator.map(g => payload(okey, g))
+      }
+    graphs.as("a").joinWith(graphs.as("b"), col("a.okey") < col("b.okey"), "inner")
+  }
 
   /** The B3 index aggregation, shared with B4's query-by-size.
     * first(size)/first(canon_key) are safe: the WL hash digests the
@@ -195,15 +214,10 @@ object SubgraphPack extends QueryPack {
     // edge/count/tiebreak all sit under the cross-engine hash.
     "g_mcs" -> { (s, d) =>
       import s.implicits._
-      val graphs = items(s, d).filter($"okey" < GED_KEY_BOUND).as[OrderItem]
-        .groupByKey(_.okey)
-        .flatMapGroups { (okey, it) =>
-          buildGraph(it.toSeq).iterator.map { g =>
-            McsGraph(okey, Subgraphs.censusDetailed(g, CENSUS_MAX_SIZE)
-              .map { case (h, sz, ck) => SubgraphClass(h, sz, ck) })
-          }
-        }
-      graphs.as("a").joinWith(graphs.as("b"), col("a.okey") < col("b.okey"), "inner")
+      boundedPairs(s, d) { (okey, g) =>
+        McsGraph(okey, Subgraphs.censusDetailed(g, CENSUS_MAX_SIZE)
+          .map { case (h, sz, ck) => SubgraphClass(h, sz, ck) })
+      }
         .map { case (a, b) =>
           val hb = b.classes.map(_.hash).toSet
           val shared = a.classes.filter(c => hb(c.hash))
@@ -233,19 +247,10 @@ object SubgraphPack extends QueryPack {
     // raw GED value surface stays on Subgraphs.exactGed + specs.
     "g_ged_pairs" -> { (s, d) =>
       import s.implicits._
-      // flatMapGroups: validation-rejected orders (B6, > MAX_NODES
-      // items) are EXCLUDED — the same rule the census queries apply
-      // (mcs.py drops over-limit molecules); a degenerate empty-graph
-      // row would contradict that contract.
-      val graphs = items(s, d).filter($"okey" < GED_KEY_BOUND).as[OrderItem]
-        .groupByKey(_.okey)
-        .flatMapGroups { (okey, it) =>
-          buildGraph(it.toSeq).iterator.map { g =>
-            val hashes = Subgraphs.census(g, CENSUS_MAX_SIZE).map(_._1)
-            OrderGraph(okey, g.nodes, g.edges.toSeq.map(e => Seq(e._1, e._2)), hashes)
-          }
-        }
-      graphs.as("a").joinWith(graphs.as("b"), col("a.okey") < col("b.okey"), "inner")
+      boundedPairs(s, d) { (okey, g) =>
+        val hashes = Subgraphs.census(g, CENSUS_MAX_SIZE).map(_._1)
+        OrderGraph(okey, g.nodes, g.edges.toSeq.map(e => Seq(e._1, e._2)), hashes)
+      }
         .map { case (a, b) =>
           val ha = a.hashes.toSet; val hb = b.hashes.toSet
           val shared = (ha & hb).size

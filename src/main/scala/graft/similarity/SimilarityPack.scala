@@ -32,8 +32,6 @@ object SimilarityPack extends QueryPack {
   // E5 product quantization: M subspaces of SUBDIM dims, NCODES
   // codewords per subspace (codebook = sub-vectors of the first
   // NCODES vectors — deterministic, like the IVF centroid policy).
-  /** E16 RRF: the standard fusion constant (Cormack et al. 2009). */
-  private val RRF_C = 60
   private val PQ_M = 8
   private val PQ_SUBDIM = 8
   private val PQ_NCODES = 4
@@ -61,6 +59,8 @@ object SimilarityPack extends QueryPack {
   // E12 binary quantization: hamming shortlist size before the exact
   // cosine re-rank
   private val BQ_RERANK = 50
+  /** E16 RRF: the standard fusion constant (Cormack et al. 2009). */
+  private val RRF_C = 60
 
   /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
     * aggregate: each map partition reduces to ≤ K entries per query
@@ -497,33 +497,30 @@ object SimilarityPack extends QueryPack {
     // rescale is ONE IEEE multiply, and the RRF terms are the exact
     // integers floor(1e12/(C + rank)) summed as BIGINTs — no float
     // accumulation anywhere in the fused score. Scale shape: both
-    // retrievers broadcast the N_QUERIES-bounded query set; the
-    // fusion join and windows run over ≤ 2·N_QUERIES·K rows.
+    // retrievers broadcast the N_QUERIES-bounded query set and reduce
+    // through the bounded TopKByScore aggregate; only the fusion
+    // join and its window — ≤ 2·N_QUERIES·K rows — run after that.
     "s_rrf" -> { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val cos = queries("s_knn_brute")(s, d)
         .select($"q_id", $"n_id", $"rank".as("rank_cos"))
-      val q8 = Tables.embeddings(s, d)
-        .withColumn("m", expr(
-          "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"))
-        .withColumn("scale", when($"m" === 0.0, lit(1.0)).otherwise($"m" / 127.0))
-        .withColumn("q", expr(
-          "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT))"))
-        .select($"vec_id", $"q", $"scale")
+      val q8 = int8Columns(Tables.embeddings(s, d)).select($"vec_id", $"q", $"scale")
       val qq = q8.filter($"vec_id" < N_QUERIES)
         .select($"vec_id".as("q_id"), $"q".as("qa"))
-      val w8 = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy($"score".desc, $"n_id".asc)
-      val int8 = q8.select($"vec_id".as("n_id"), $"q".as("qb"), $"scale".as("sb"))
-        .crossJoin(broadcast(qq))
-        .filter($"q_id" =!= $"n_id")
-        .withColumn("score",
-          expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)")
-            .cast("double") * $"sb")
-        .withColumn("rank_int8", row_number().over(w8).cast("long"))
-        .filter($"rank_int8" <= K)
-        .select($"q_id", $"n_id", $"rank_int8")
+      // ranked through the SAME bounded TopKByScore aggregate as every
+      // other retriever — map partitions reduce to ≤ K rows per query
+      // before the exchange (a ROW_NUMBER window here would shuffle
+      // and sort the whole N_QUERIES × corpus candidate set)
+      val int8 = topK(
+        q8.select($"vec_id".as("n_id"), $"q".as("qb"), $"scale".as("sb"))
+          .crossJoin(broadcast(qq))
+          .filter($"q_id" =!= $"n_id")
+          .withColumn("cosine",
+            expr("aggregate(zip_with(qa, qb, (x, y) -> x * y), CAST(0 AS BIGINT), (a, v) -> a + v)")
+              .cast("double") * $"sb")
+          .select($"q_id", $"n_id", $"cosine"))
+        .select($"q_id", $"n_id", $"rank".as("rank_int8"))
       def term(rank: Column): Column =
         coalesce(floor(lit(1e12) / (lit(RRF_C) + rank)).cast("long"), lit(0L))
       val wf = org.apache.spark.sql.expressions.Window
@@ -557,12 +554,19 @@ object SimilarityPack extends QueryPack {
   /** E4's quantization as a reusable transform over any
     * (vec_id, embedding) frame — row-local, engine-portable IEEE.
     * `passThrough` columns are carried into the projection. */
-  private def quantized(e: DataFrame, passThrough: Seq[String] = Nil): DataFrame =
+  /** The E4 int8 symmetric-quantization transform, single-sourced for
+    * every consumer (E4's artifact key, E6's pipeline, E16's
+    * compressed retriever): adds `scale` (max|x|/127, 1.0 for the
+    * zero vector) and `q` (floor(x/scale + 0.5) as BIGINT) columns. */
+  private def int8Columns(e: DataFrame): DataFrame =
     e.withColumn("m", expr(
         "aggregate(transform(embedding, x -> abs(CAST(x AS DOUBLE))), CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))"))
       .withColumn("scale", when(col("m") === 0.0, lit(1.0)).otherwise(col("m") / 127.0))
       .withColumn("q", expr(
         "transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5d) AS BIGINT))"))
+
+  private def quantized(e: DataFrame, passThrough: Seq[String] = Nil): DataFrame =
+    int8Columns(e)
       .select(col("vec_id") +: passThrough.map(col) :+ col("scale") :+
         graft.text.TextOps.md5s(expr("array_join(q, ',')")).as("q_checksum") :+
         expr("""aggregate(
@@ -605,6 +609,12 @@ object SimilarityPack extends QueryPack {
   }
 
   /** Shared oracle CTEs for dims / norms. */
+  /** The E4 scale CTE (`sc`), single-sourced for the s_quantize and
+    * s_rrf oracles — assumes a `dims(vec_id, i, x)` CTE in scope. */
+  private val int8ScaleSql =
+    """sc AS (SELECT vec_id, CASE WHEN MAX(ABS(x)) = 0 THEN 1.0 ELSE MAX(ABS(x)) / 127.0 END AS scale
+      |       FROM dims GROUP BY vec_id)""".stripMargin
+
   private val dimsSql =
     """dims AS (SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
       |         FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
@@ -837,9 +847,7 @@ object SimilarityPack extends QueryPack {
          |           SELECT q_id, n_id,
          |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank_cos
          |           FROM cosv) WHERE rank_cos <= $K),
-         |sc AS (SELECT vec_id,
-         |        CASE WHEN MAX(ABS(x)) = 0 THEN 1.0 ELSE MAX(ABS(x)) / 127.0 END AS scale
-         |       FROM dims GROUP BY vec_id),
+         |$int8ScaleSql,
          |qd AS (SELECT d.vec_id, d.i, CAST(floor(d.x / s.scale + 0.5) AS BIGINT) AS qx
          |       FROM dims d JOIN sc s USING (vec_id)),
          |idot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id, SUM(q.qx * c.qx) AS di
@@ -967,11 +975,10 @@ object SimilarityPack extends QueryPack {
          | CAST(p.sse AS DOUBLE) / CAST(t.sse_total AS DOUBLE) AS inertia_share
          |FROM per p CROSS JOIN tot t""".stripMargin,
     "s_quantize" ->
-      """WITH dims AS (
+      s"""WITH dims AS (
         | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
         | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
-        |sc AS (SELECT vec_id, CASE WHEN MAX(ABS(x)) = 0 THEN 1.0 ELSE MAX(ABS(x)) / 127.0 END AS scale
-        |       FROM dims GROUP BY vec_id),
+        |$int8ScaleSql,
         |q AS (SELECT d.vec_id, d.i, s.scale,
         |       CAST(floor(d.x / s.scale + 0.5) AS BIGINT) AS qi, d.x
         |      FROM dims d JOIN sc s ON s.vec_id = d.vec_id)
