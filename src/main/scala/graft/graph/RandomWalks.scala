@@ -22,31 +22,34 @@ import org.apache.spark.sql.functions._
   * the walk is a pure function of the graph, not of partitioning or
   * schedule).
   *
-  * Scale shape: adjacency is stored POSITIONALLY as (src, pos, dst,
-  * deg) rows — pos = rank of dst in the node's sorted neighbor list,
-  * deg carried on every row from the SAME window pass — NOT as
-  * per-node neighbor arrays: a walk only ever reads ONE element per
-  * hop, and a collect_list adjacency would build a degree-sized
-  * aggregation buffer under a single key (a degree-10^8 celebrity =
-  * an ~800 MB unspillable buffer — the exact failure class the capped
-  * dedup posting lists avoid). The positional build is a row_number +
-  * full-frame count window (one sort, sort-based and spilling; no
-  * per-key in-memory aggregation state) over the one edge shuffle,
-  * shared across all hops via a lazy localCheckpoint. Each hop is
-  * then ONE join: frontier ⋈ adjacency on node = src with
-  * pos = idx(node, t) mod deg as the residual predicate — AQE
-  * broadcasts the frontier side (|seeds| rows, typically ≪ graph),
-  * so the adjacency streams through exactly once per hop (deg riding
-  * the adjacency row is what keeps the idx expression join-local; a
-  * separate degree table would cost a second fact-scale scan per
-  * hop). Each wave is checkpointed (seed-sized): hop t+1 and the
-  * final union read materialized blocks, so a w-step walk costs
-  * exactly w adjacency scans — not the O(w²) a lineage-recursive
-  * union would re-execute (broadcast joins leave no exchange on the
-  * adjacency side for ReuseExchange to dedupe). Walks that reach a
-  * sink node simply end (inner join), same as the reference BFS
-  * treating missing adjacency as absence (main.py:272-305's neighbor
-  * lookups).
+  * Scale shape (round-13 rework — the KCore.scala pay-once
+  * discipline applied to walks): the hop choice idx(node, t) depends
+  * only on (node, t), NOT on which walk is standing on the node — so
+  * the picked neighbor for every (node, t) pair is precomputed in a
+  * SINGLE pass over the adjacency and the per-hop work never touches
+  * the edge set again. Adjacency is ranked POSITIONALLY as (src, pos,
+  * dst, deg) — pos = rank of dst in the node's sorted distinct
+  * neighbor list, deg from the SAME window pass (one sort, sort-based
+  * and spilling; never a collect_list neighbor array, whose
+  * degree-sized aggregation buffer under a single key is exactly the
+  * celebrity-hub failure the capped dedup posting lists avoid) — and
+  * each edge row keeps the hop numbers t ∈ [1, steps] whose LCG index
+  * lands on its pos: a codegen'd `filter(sequence(1, steps), …)`
+  * residual, ≤ steps survivors per NODE. The surviving (node, t,
+  * next) PICK TABLE is ≤ steps·|V| rows — vertex-scale, not
+  * edge-scale — and is the only thing checkpointed and the only thing
+  * the hop loop reads. Each hop is one broadcast-frontier equi-join
+  * against the pick table's step-t slice; total cost is O(E log E)
+  * once (the ranking window) + O(steps·V) for all hops combined,
+  * where the previous shape paid an E-sized checkpoint write plus a
+  * full E-scan join per hop (O(steps·E)). The former shape read
+  * 62.8 s at the 52M-edge sf1x rung with steps = 3; the E-scans it
+  * paid per hop are exactly what this removes. Each wave is still
+  * checkpointed (seed-sized): hop t+1 and the final union read
+  * materialized blocks, so an unbroken lineage can never re-execute
+  * hop k in every wave ≥ k of the union. Walks that reach a sink node
+  * simply end (inner join), same as the reference BFS treating
+  * missing adjacency as absence (main.py:272-305's neighbor lookups).
   */
 object RandomWalks {
 
@@ -56,45 +59,50 @@ object RandomWalks {
     * (seed, step, node) for step 0..steps, one walk per seed. */
   def run(s: SparkSession, edges: DataFrame, seeds: DataFrame, steps: Int): DataFrame = {
     require(steps >= 0, s"steps must be >= 0, got $steps")
-    // positional adjacency: pos is 0-based rank of dst among the
-    // node's (distinct) neighbors sorted ascending — element pos of
-    // the sorted neighbor list, without ever materializing the list —
-    // and deg from the same window spec (full-frame count shares the
-    // one partition sort). ONE edge-sized checkpoint, on DISK (the
-    // KTruss/KCore peel discipline): it is read once per hop, and at
-    // the 52M-edge sf1x rung in-memory edge-scale checkpoints crowded
-    // the unified pool and starved the dedup aggregation
-    // (UNABLE_TO_ACQUIRE_MEMORY).
+    var cur = seeds.select(col("seed").cast("long").as("seed"),
+      col("seed").cast("long").as("node"), lit(0L).as("step"))
+      .localCheckpoint(true)
+    if (steps == 0) return cur // sequence(1, 0) would DESCEND ([1, 0]) — never build it
+    // pick table: for each node and hop t, THE one neighbor the LCG
+    // selects — one pass over the positionally-ranked adjacency. pos
+    // is the 0-based rank of dst among the node's distinct neighbors
+    // sorted ascending (element pos of the sorted neighbor list,
+    // without ever materializing the list), deg from the same window
+    // spec (full-frame count shares the one partition sort). The
+    // residual keeps an edge row iff SOME t ∈ [1, steps] picks its
+    // pos; lambda arithmetic matches the documented formula exactly
+    // (src is BIGINT so the product is BIGINT; t·12345 ≤ steps·12345
+    // never overflows INT for any sane steps).
     val byNode = Window.partitionBy(col("src")).orderBy(col("dst"))
-    val adj = edges
+    val picks = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .distinct()
       .withColumn("pos", row_number().over(byNode) - 1)
       .withColumn("deg", count(lit(1)).over(
         byNode.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    // uniquely-named projection: the loop joins cur (whose lineage
-    // would otherwise contain adj from earlier hops) back against it,
-    // so shared column names would be ambiguous self-join references
-    val adjT = adj.select(col("src").as("__aj_src"), col("pos").as("__aj_pos"),
-      col("dst").as("__aj_dst"), col("deg").as("__aj_deg"))
-    var cur = seeds.select(col("seed").cast("long").as("seed"),
-      col("seed").cast("long").as("node"), lit(0L).as("step"))
+      .withColumn("ts", expr(
+        s"filter(sequence(CAST(1 AS BIGINT), CAST($steps AS BIGINT)), t -> pmod(pmod(src, 2147483647) * 1103515245 + t * 12345, 2147483647) % deg = CAST(pos AS BIGINT))"))
+      .where(size(col("ts")) > 0)
+      // uniquely-named projection: the loop joins cur (whose lineage
+      // contains picks from earlier hops) back against it, so shared
+      // column names would be ambiguous self-join references
+      .select(col("src").as("__pk_src"), explode(col("ts")).as("__pk_t"),
+        col("dst").as("__pk_dst"))
+      // ≤ steps·|V| rows — vertex-scale, safe eager in-memory blocks
+      // (the round-12 DISK_ONLY note applied to the EDGE-scale
+      // checkpoint this table replaces)
       .localCheckpoint(true)
     val waves = Seq.newBuilder[DataFrame]
     waves += cur
     for (t <- 1 to steps) {
-      // one fact-scale scan per hop: node = src is the hash key, the
-      // positional pick is the join's residual predicate (bounded by
-      // the node's degree, never materialized)
-      cur = cur.join(adjT,
-          col("node") === col("__aj_src") &&
-            col("__aj_pos") === expr(
-              s"pmod(pmod(node, 2147483647) * 1103515245 + $t * 12345, 2147483647) % __aj_deg"))
-        .select(col("seed"), col("__aj_dst").as("node"), lit(t.toLong).as("step"))
+      // broadcast-frontier equi-join against the step-t slice of the
+      // vertex-scale pick table — the edge set is never re-read
+      cur = cur.join(picks,
+          col("node") === col("__pk_src") && col("__pk_t") === lit(t.toLong))
+        .select(col("seed"), col("__pk_dst").as("node"), lit(t.toLong).as("step"))
         // seed-sized; makes hop t+1 AND the final union read blocks —
         // an unbroken lineage would re-execute hop k in every wave
-        // ≥ k of the union (O(steps²) adjacency scans)
+        // ≥ k of the union
         .localCheckpoint(true)
       waves += cur
     }
