@@ -62,6 +62,55 @@ object SimilarityPack extends QueryPack {
   /** E16 RRF: the standard fusion constant (Cormack et al. 2009). */
   private val RRF_C = 60
 
+  /** E17 BM25 (Robertson–Spärck Jones, Okapi): the standard
+    * constants — k1 saturates term frequency, b interpolates
+    * document-length normalization. They appear as decimal literals
+    * inside [[bm25TermSql]] (the single source both engines parse),
+    * not as Scala values, so the two engines can never disagree on
+    * the double they denote. */
+  private val BM25_SCALE = 1000000L // fixed-point term-score scale
+  /** E17 query-term budget: each query retrieves through its
+    * QTERM_BUDGET RAREST terms (df ASC, term ASC — deterministic).
+    * This is the scale bound on the inverted-index join — a query can
+    * pull at most this many posting lists no matter how many terms it
+    * has — and rarest-first prefers exactly the selective terms BM25
+    * weights highest (a common term a budget evicts would have
+    * contributed near-zero idf anyway). A df-threshold stopword cut
+    * (the obvious alternative) degenerates on small-vocabulary
+    * corpora where every term is in most documents — this one's
+    * per-query work is bounded and non-empty on ANY df shape. */
+  private val QTERM_BUDGET = 8
+
+  /** The BM25 per-term score over columns (tf, df, dl, n_docs,
+    * avgdl), fixed-point-scaled to an exact BIGINT — ONE string
+    * consumed verbatim by BOTH the Spark plan and the DuckDB oracle,
+    * so the IEEE op tree is identical by construction (`+ * /` are
+    * IEEE-exact single ops in both engines; both parsers give the
+    * standard left-associative precedence):
+    *
+    *   idf    = ((N − df + 0.5) / (df + 0.5)) / N        (log-FREE:
+    *            the rational RSJ odds, normalized by N into (0, ~2/3]
+    *            — a log idf would differ in final ulps between
+    *            engines, the F11/F14 lesson, and an UN-normalized
+    *            rational idf would grow linearly in corpus size and
+    *            overflow the fixed-point sum at petabyte N)
+    *   tfnorm = (tf·(k1+1)) / (tf + k1·(1 − b + b·(dl/avgdl)))
+    *   term   = floor(idf · tfnorm · 1e6)  as BIGINT
+    *
+    * with k1 = 1.2, b = 0.75 folded to literals (2.2 = k1+1,
+    * 0.25 = 1−b). Per-term values are pinned IEEE doubles; the
+    * per-document score is a SUM OF EXACT BIGINTs — no float
+    * accumulation, so it is independent of aggregation order (the
+    * same discipline as E16's floor(1e12/(C+rank)) fusion terms).
+    * Bounded: idf ≤ ~0.67, tfnorm < k1+1 ⇒ term < 1.5e6, and a
+    * BIGINT sum over even a 10^9-term document stays far under 2^63
+    * while any REACHABLE document score stays under 2^53 — exactly
+    * representable as a double for the TopKByScore ranking. */
+  private val bm25TermSql =
+    "CAST(floor((((CAST(n_docs - df AS DOUBLE) + 0.5) / (CAST(df AS DOUBLE) + 0.5) / " +
+      "CAST(n_docs AS DOUBLE)) * ((CAST(tf AS DOUBLE) * 2.2) / (CAST(tf AS DOUBLE) + " +
+      "1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / avgdl))))) * 1000000.0) AS BIGINT)"
+
   /** Per-query top-k via the bounded [[graft.functions.TopKByScore]]
     * aggregate: each map partition reduces to ≤ K entries per query
     * before the exchange, so the shuffle carries O(queries × K) rows —
@@ -532,6 +581,43 @@ object SimilarityPack extends QueryPack {
         .select($"q_id", $"fused_rank", $"n_id", $"rank_cos", $"rank_int8", $"rrf_scaled")
     },
 
+    // E17: BM25 LEXICAL retrieval over `documents` — the missing
+    // retrieval family next to the dense E1–E15 surface (and the
+    // decorrelated arm E18's hybrid fusion needs). Queries are the
+    // documents with doc_id < N_QUERIES (the id space the driver
+    // aligns 1:1 with embeddings.vec_id, so lexical and dense ranks
+    // are fusable per query). Scale shape: the classic inverted-index
+    // join — the (bounded) query-term set broadcasts against the
+    // (doc, term, tf) posting table on the TERM key; candidate volume
+    // is Σ_t df(t) over ≤ QTERM_BUDGET rarest terms per query, never
+    // corpus × corpus. Scoring is [[bm25TermSql]]'s fixed-point
+    // contract; ranking runs through the bounded TopKByScore
+    // aggregate on the EXACTLY-double-representable scaled score.
+    "s_bm25" -> { (s, d) => bm25TopK(s, d) },
+
+    // E18: TRUE HYBRID reciprocal-rank fusion — E16's combiner over
+    // genuinely DECORRELATED retrievers: E1's dense exact cosine ×
+    // E17's lexical BM25 (E16's two dense arms share embedding-space
+    // failure modes; a lexical arm does not). Same exact-BIGINT RRF
+    // terms; the fusion join and window see ≤ 2·N_QUERIES·K rows.
+    "s_rrf_hybrid" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val cos = queries("s_knn_brute")(s, d)
+        .select($"q_id", $"n_id", $"rank".as("rank_cos"))
+      val lex = bm25TopK(s, d)
+        .select($"q_id", $"n_id", $"rank".as("rank_lex"))
+      def term(rank: Column): Column =
+        coalesce(floor(lit(1e12) / (lit(RRF_C) + rank)).cast("long"), lit(0L))
+      val wf = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"rrf_scaled".desc, $"n_id".asc)
+      cos.join(lex, Seq("q_id", "n_id"), "full_outer")
+        .withColumn("rrf_scaled", term($"rank_cos") + term($"rank_lex"))
+        .withColumn("fused_rank", row_number().over(wf).cast("long"))
+        .filter($"fused_rank" <= K)
+        .select($"q_id", $"fused_rank", $"n_id", $"rank_cos", $"rank_lex", $"rrf_scaled")
+    },
+
     // E6: composed embedding pipeline — semantic-dedup survivors
     // (D7's linear screen) flowing straight into int8 quantization as
     // ONE DataFrame plan (the embedding-side twin of t_pipeline:
@@ -550,6 +636,57 @@ object SimilarityPack extends QueryPack {
         .select($"vec_id", $"cluster_id", $"scale", $"q_checksum", $"max_abs_err")
     },
   )
+
+  /** E17's BM25 top-K, single-sourced for the s_bm25 key and E18's
+    * lexical fusion arm. Returns (q_id, rank, n_id, score_scaled,
+    * bm25). The tf/df/dl statistics derive from ONE tokenization
+    * pass (the posting table is checkpointed for its four consumers:
+    * df, corpus totals, query terms, candidates); dl rides the
+    * posting rows via a window over the doc key so candidates never
+    * pay a separate doc-length join. */
+  private def bm25TopK(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val toks = Tables.documents(s, d)
+      .select($"doc_id", explode(split(graft.text.TextOps.norm($"text"), " ")).as("term"))
+    // posting table (doc, term, tf) + per-doc length from the same
+    // shuffle's partitioning (window over doc_id)
+    val tfd = toks.groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      .withColumn("dl", sum($"tf").over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id")))
+      .localCheckpoint(false)
+    val dfreq = tfd.groupBy($"term").agg(count(lit(1)).as("df"))
+    // one-row corpus stats; avgdl is the contract's single IEEE
+    // division of exact integers
+    val stats = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
+      .crossJoin(tfd.agg(sum($"tf").as("total_toks")))
+      .withColumn("avgdl", $"total_toks".cast("double") / $"n_docs".cast("double"))
+      .select($"n_docs", $"avgdl")
+    // query-term set: each query doc's QTERM_BUDGET rarest distinct
+    // terms (df ASC, term ASC) — the bounded window runs over
+    // ≤ N_QUERIES × per-doc vocab rows, never the corpus
+    val wq = org.apache.spark.sql.expressions.Window
+      .partitionBy($"q_id").orderBy($"df".asc, $"term".asc)
+    val qterms = tfd.filter($"doc_id" < N_QUERIES)
+      .select($"doc_id".as("q_id"), $"term")
+      .join(dfreq, "term")
+      .withColumn("trank", row_number().over(wq))
+      .filter($"trank" <= QTERM_BUDGET)
+      .crossJoin(broadcast(stats))
+    // inverted-index candidate join: postings stream against the
+    // broadcast query-term set on the term key; self-match excluded
+    val cands = tfd.join(
+        broadcast(qterms.select($"term", $"q_id", $"df", $"n_docs", $"avgdl")), "term")
+      .filter($"doc_id" =!= $"q_id")
+      .withColumn("term_scaled", expr(bm25TermSql))
+    val scored = cands.groupBy($"q_id", $"doc_id")
+      .agg(sum($"term_scaled").as("score_scaled"))
+    topK(scored.select($"q_id", $"doc_id".as("n_id"),
+        $"score_scaled".cast("double").as("cosine")))
+      .select($"q_id", $"rank", $"n_id",
+        $"cosine".cast("long").as("score_scaled"),
+        ($"cosine" / lit(BM25_SCALE.toDouble)).as("bm25"))
+  }
 
   /** E4's quantization as a reusable transform over any
     * (vec_id, embedding) frame — row-local, engine-portable IEEE.
@@ -607,6 +744,35 @@ object SimilarityPack extends QueryPack {
         VectorOps.dotDecFast(col("qe"), col("ne")) / (col("qn") * col("nn"))),
       k)
   }
+
+  /** E17's lexical CTE chain, single-sourced for the s_bm25 and
+    * s_rrf_hybrid oracles: ends in `lexranked(q_id, n_id,
+    * score_scaled, rank)`. Tokenization is [[graft.text.TextOps.nrmSql]]
+    * (the F-family's normalization twin); the per-term score is
+    * [[bm25TermSql]] VERBATIM — the same string the Spark plan
+    * compiles, so the IEEE tree cannot drift between engines. */
+  private def bm25OracleCtes: String =
+    s"""toks AS (SELECT doc_id, UNNEST(string_split(${graft.text.TextOps.nrmSql}, ' ')) AS term FROM documents),
+       |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM toks GROUP BY 1, 2),
+       |dln AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1),
+       |dfreq AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |st AS (SELECT nd.n_docs, CAST(tt.total_toks AS DOUBLE) / CAST(nd.n_docs AS DOUBLE) AS avgdl
+       |       FROM (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents) nd,
+       |            (SELECT CAST(SUM(tf) AS BIGINT) AS total_toks FROM tf) tt),
+       |qt AS (SELECT q_id, term, df FROM (
+       |        SELECT t.doc_id AS q_id, t.term, f.df,
+       |         ROW_NUMBER() OVER (PARTITION BY t.doc_id ORDER BY f.df ASC, t.term ASC) AS trank
+       |        FROM tf t JOIN dfreq f USING (term) WHERE t.doc_id < $N_QUERIES)
+       |       WHERE trank <= $QTERM_BUDGET),
+       |cand AS (SELECT q.q_id, t.doc_id AS n_id, t.tf, q.df, d.dl, st.n_docs, st.avgdl
+       |         FROM qt q JOIN tf t ON t.term = q.term AND t.doc_id <> q.q_id
+       |          JOIN dln d ON d.doc_id = t.doc_id, st),
+       |lexscored AS (SELECT q_id, n_id, $bm25TermSql AS term_scaled FROM cand),
+       |lexagg AS (SELECT q_id, n_id, CAST(SUM(term_scaled) AS BIGINT) AS score_scaled
+       |           FROM lexscored GROUP BY 1, 2),
+       |lexranked AS (SELECT q_id, n_id, score_scaled,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score_scaled DESC, n_id ASC) AS BIGINT) AS rank
+       |   FROM lexagg)""".stripMargin
 
   /** Shared oracle CTEs for dims / norms. */
   /** The E4 scale CTE (`sc`), single-sourced for the s_quantize and
@@ -867,6 +1033,42 @@ object SimilarityPack extends QueryPack {
          | FROM ranka a FULL OUTER JOIN rankb b ON a.q_id = b.q_id AND a.n_id = b.n_id)
          |SELECT q_id, fused_rank, n_id, rank_cos, rank_int8, rrf_scaled FROM (
          | SELECT q_id, n_id, rank_cos, rank_int8, rrf_scaled,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_scaled DESC, n_id ASC) AS BIGINT) AS fused_rank
+         | FROM fused) WHERE fused_rank <= $K""".stripMargin,
+    // E17: the lexical chain re-derived from the raw documents table
+    // (tokenize → postings → df/dl/corpus stats → pruned query terms
+    // → inverted-index join → fixed-point term sum → rank).
+    "s_bm25" ->
+      s"""WITH $bm25OracleCtes
+         |SELECT q_id, rank, n_id, score_scaled,
+         | CAST(score_scaled AS DOUBLE) / 1000000.0 AS bm25
+         |FROM lexranked WHERE rank <= $K""".stripMargin,
+    // E18: retriever A is the s_knn_brute oracle verbatim (dense
+    // cosine), retriever B is E17's lexical chain verbatim; the
+    // fusion is the same pure-BIGINT arithmetic as E16's.
+    "s_rrf_hybrid" ->
+      s"""WITH $dimsSql,
+         |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < $N_QUERIES
+         |        GROUP BY q.vec_id, c.vec_id),
+         |cosv AS (SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
+         |         FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id JOIN nrm nc ON nc.vec_id = d.n_id),
+         |ranka AS (SELECT q_id, n_id, rank_cos FROM (
+         |           SELECT q_id, n_id,
+         |            CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank_cos
+         |           FROM cosv) WHERE rank_cos <= $K),
+         |$bm25OracleCtes,
+         |rankl AS (SELECT q_id, n_id, rank AS rank_lex FROM lexranked WHERE rank <= $K),
+         |fused AS (
+         | SELECT COALESCE(a.q_id, b.q_id) AS q_id, COALESCE(a.n_id, b.n_id) AS n_id,
+         |        a.rank_cos, b.rank_lex,
+         |        COALESCE(CAST(floor(1e12 / ($RRF_C + a.rank_cos)) AS BIGINT), 0)
+         |         + COALESCE(CAST(floor(1e12 / ($RRF_C + b.rank_lex)) AS BIGINT), 0) AS rrf_scaled
+         | FROM ranka a FULL OUTER JOIN rankl b ON a.q_id = b.q_id AND a.n_id = b.n_id)
+         |SELECT q_id, fused_rank, n_id, rank_cos, rank_lex, rrf_scaled FROM (
+         | SELECT q_id, n_id, rank_cos, rank_lex, rrf_scaled,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_scaled DESC, n_id ASC) AS BIGINT) AS fused_rank
          | FROM fused) WHERE fused_rank <= $K""".stripMargin,
     "s_knn_ann" -> {

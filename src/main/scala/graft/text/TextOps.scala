@@ -18,6 +18,11 @@ object TextOps {
   def norm(text: Column): Column =
     regexp_replace(lower(trim(text)), "\\s+", " ")
 
+  /** [[norm]]'s DuckDB twin — ONE definition for every oracle that
+    * tokenizes `documents.text` (TextPack's F-family and E17's BM25),
+    * so the two packs can never drift on normalization. */
+  val nrmSql: String = """regexp_replace(lower(trim(text)),'\s+',' ','g')"""
+
   /** Whitespace tokens of the normalized text. */
   def words(text: Column): Column = split(norm(text), " ")
 

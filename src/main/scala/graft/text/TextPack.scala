@@ -744,7 +744,7 @@ object TextPack extends QueryPack {
   )
 
   override def oracles: Map[String, String] = {
-    val nrmSql = """regexp_replace(lower(trim(text)),'\s+',' ','g')"""
+    val nrmSql = TextOps.nrmSql
     Map(
       // stage patterns come verbatim from TextOps.scrubStages (one
       // source of truth for both engines; RE2∩Java syntax only)

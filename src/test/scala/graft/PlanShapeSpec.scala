@@ -38,7 +38,9 @@ class PlanShapeSpec extends SparkSpec {
       "d_cluster_spec", // one-row doc-total broadcast (t_tfidf's pattern)
       "s_inertia", // one-row SSE-total broadcast (t_tfidf's pattern)
       "s_recall", // composes s_knn_brute/ann, inheriting their shapes
-      "s_rrf") // composes s_knn_brute + its own bounded query broadcast (E16)
+      "s_rrf", // composes s_knn_brute + its own bounded query broadcast (E16)
+      "s_bm25", // one-row corpus-stats broadcast onto the bounded query-term set (E17)
+      "s_rrf_hybrid") // composes s_knn_brute + s_bm25 (E18)
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
