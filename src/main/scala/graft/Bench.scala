@@ -54,13 +54,15 @@ import scala.util.control.NonFatal
   *
   * Output contract: line 1 is the driver's full ledger (metric/value/
   * unit/queries/sf, per-key medians). The LAST line is a compact
-  * summary (total, reps, sentinel, stream floor, per-stream-key
-  * operator share = median − floor, per-pack sums, the 15 slowest
-  * keys, [rep1, median] for memoized keys whose first rep dwarfs
-  * their median) sized well under the driver's 2000-char stdout-tail
-  * capture, so the round artifact parses complete even when line 1 is
-  * truncated. BENCH_LOCAL.json carries line 1 plus the per-rep
-  * samples.
+  * summary sized under the driver's 2000-char stdout-tail capture so
+  * the round artifact ALWAYS parses, with the budget spent on per-key
+  * adjudication (round-13, verdict #4): core stats + per-pack sums +
+  * [rep1, median] memoized-key report, then greedily the drifted-key
+  * probe profile (worst first, `n_drifted` marking completeness),
+  * the full per-key medians when the run is small enough to fit
+  * (every dev/filtered run is self-contained), else the widest
+  * slowest-K that fits. BENCH_LOCAL.json carries line 1 plus the
+  * per-rep samples.
   */
 object Bench {
   import Measure.{materialize, median, ms}
@@ -205,7 +207,10 @@ object Bench {
     // 0.56, p90 0.66 — a min-referenced threshold flagged half the
     // suite). p25 tracks the floor robustly on full suites and
     // degrades toward the min on small dev runs, where probes are few
-    // and uncontaminated.
+    // and uncontaminated. NEAREST-RANK p25 (sorted index n/4), not
+    // interpolated: on 2–3-key dev runs that index IS the minimum and
+    // at 4 keys the 2nd-smallest — acceptable per the dev-run
+    // degradation above, but read `light_ref` with that convention.
     val runRefSent = {
       val sents = firstPass.map(_._2._1).sorted
       if (sents.isEmpty) 0.0 else sents(sents.size / 4)
@@ -321,9 +326,6 @@ object Bench {
       .toSeq.sortBy(_._1)
       .map { case (p, rs) => jsonStr(p) + ":" + ms(rs.map(_._2).sum) }
       .mkString("{", ",", "}")
-    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(15)
-      .map { case (k, v) => jsonStr(k) + ":" + ms(v) }
-      .mkString("{", ",", "}")
     // memoized keys (SessionCache or any other intra-suite reuse) pay
     // their compute on rep 1 and read a cache on reps 2+, so the
     // MEDIAN under-reports what the key costs cold; surface
@@ -354,20 +356,61 @@ object Bench {
       .mkString("{", ",", "}")
     val failed = results.collect { case (k, v) if v < 0 => jsonStr(k) }
       .mkString("[", ",", "]")
-    // drift report in the compact tail: usually `[]`; under load it
-    // names the skewed keys (capped at 12 so the tail stays under the
-    // driver's 2000-char capture — the full list is in the ledger)
+    // ---- budgeted compact tail (round-13, verdict #4): the driver
+    // captures the LAST ~2000 stdout chars and parses the final line,
+    // so the line must stay under that capture — but within it, spend
+    // the budget on PER-KEY ADJUDICATION data instead of fixed caps:
+    //   - `drift_probes` carries the drifted-key → probe profile
+    //     (2-decimal; adjudicate vs `drift_thr` = light_ref·1.4+0.05),
+    //     worst offenders first, as many as fit — `n_drifted` in the
+    //     core says whether the profile is complete (the r12
+    //     artifact's "+88 more" blind spot is what this replaces; a
+    //     fully-skewed run's ~100-key profile cannot physically fit
+    //     the capture, but there `run_skewed` IS the adjudication and
+    //     the committed BENCH_LOCAL.json carries the detail);
+    //   - `queries` (the COMPLETE per-key medians) joins whenever the
+    //     run is small enough to fit — every dev/filtered run's tail
+    //     is then fully self-contained;
+    //   - otherwise `slowest` grows to fill the leftover budget
+    //     (≥ the old fixed 15 on a quiet full suite).
+    // Greedy by that priority; nothing here can push the line past
+    // the capture, so the final line ALWAYS parses.
+    val tailBudget = 1900
     val driftedTail =
       (drifted.take(12).map(jsonStr) ++
         (if (drifted.size > 12) Seq(jsonStr(s"+${drifted.size - 12} more")) else Nil))
         .mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
+    val core =
+      s""""metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"sentinel_sec":[${ms(sentinelStart)},${ms(sentinelEnd)}],""" +
-        s""""light_ref":${ms(runRefSent)},"run_skewed":$runSkewed,"drifted":$driftedTail,""" +
-        s""""stream_floor_sec":${ms(streamFloor)},"stream_share":$streamShare,""" +
-        s""""packs":$packs,"slowest":$slowest,"rep1_gap":$rep1Gap,""" +
-        s""""failed":$failed,"sf":${jsonStr(sfDir)}}""")
+        s""""light_ref":${ms(runRefSent)},"drift_thr":${ms(driftThr)},""" +
+        s""""run_skewed":$runSkewed,"n_drifted":${drifted.size},"drifted":$driftedTail,""" +
+        s""""stream_floor_sec":${ms(streamFloor)},""" +
+        s""""packs":$packs,"rep1_gap":$rep1Gap,"failed":$failed,"sf":${jsonStr(sfDir)}"""
+    var line2 = core
+    def tryAdd(frag: String): Boolean = {
+      val fits = line2.length + frag.length + 3 <= tailBudget
+      if (fits) line2 += "," + frag
+      fits
+    }
+    /** As many of `entries` as fit under the budget, as `"name":{…}`. */
+    def greedy(name: String, entries: Seq[String]): Boolean = {
+      var used = line2.length + s""","$name":{}""".length + 1
+      var k = 0
+      while (k < entries.length && used + entries(k).length + 1 <= tailBudget) {
+        used += entries(k).length + 1; k += 1
+      }
+      tryAdd(s""""$name":${entries.take(k).mkString("{", ",", "}")}""")
+    }
+    val probeByKey = chosen.map { case (n, s, _) => n -> s }.toMap
+    if (drifted.nonEmpty)
+      greedy("drift_probes", drifted.sortBy(-probeByKey(_))
+        .map(n => jsonStr(n) + ":" + f"${probeByKey(n)}%.2f"))
+    tryAdd(s""""stream_share":$streamShare"""): Unit
+    if (!tryAdd(s""""queries":$qs"""))
+      greedy("slowest", results.filter(_._2 >= 0).sortBy(-_._2)
+        .map { case (k, v) => jsonStr(k) + ":" + ms(v) }): Unit
+    println("{" + line2 + "}")
     spark.stop()
   }
 }
