@@ -17,17 +17,25 @@ final case class WavMeta(channels: Int, sampleRate: Int, bitsPerSample: Int)
   *   3. `fmt `: PCM format tag, channel count, sample rate, bits per
   *      sample;
   *   4. `data`: the sample stream — 8-bit samples are UNSIGNED
-  *      (centered at 128, returned as value−128), 16-bit samples are
-  *      SIGNED little-endian (returned as-is); channels stay frame-
-  *      interleaved.
+  *      (centered at 128, returned as value−128), 16- and 24-bit
+  *      samples are SIGNED little-endian (returned as-is), 32-bit
+  *      IEEE-float samples (format tag 3 — WAVE_FORMAT_IEEE_FLOAT)
+  *      are fixed-point-centered to the 24-bit grid:
+  *      clamp(floor(f·2²³ + 0.5), −2²³, 2²³−1), NaN → 0 (one
+  *      documented deterministic mapping into the integer-exact
+  *      stats pipeline; ±1.0 full-scale floats land on ±2²³ like a
+  *      24-bit clip would). Channels stay frame-interleaved.
   *
   * Scope (loudly bounded like the image decoders): integer PCM
-  * (format tag 1), 8- or 16-bit, 1–2 channels. Float PCM, ADPCM,
-  * WAVE_FORMAT_EXTENSIBLE, 24/32-bit and malformed/truncated
-  * containers return None — bad bytes are data, not exceptions, at a
-  * 100 TB decode seam. The spec pins output sample-exact against
+  * (format tag 1) at 8/16/24-bit and IEEE-float PCM (format tag 3)
+  * at 32-bit, 1–2 channels. ADPCM, WAVE_FORMAT_EXTENSIBLE, 32-bit
+  * int, 64-bit float and malformed/truncated/ragged containers
+  * return None — bad bytes are data, not exceptions, at a 100 TB
+  * decode seam. The spec pins output sample-exact against
   * `javax.sound.sampled` (the JDK's independent WAV reader) on
-  * round-trip and hand-assembled containers.
+  * round-trip and hand-assembled containers; a `bitsPerSample` of 32
+  * in the returned meta always means float (int32 is out of scope,
+  * so the width is unambiguous without a format field).
   */
 object WavDecode {
 
@@ -66,7 +74,10 @@ object WavDecode {
           val ch = u16le(p, off + 2)
           val rate = u32le(p, off + 4)
           val bits = u16le(p, off + 14)
-          if (fmt != 1 || ch < 1 || ch > 2 || (bits != 8 && bits != 16) ||
+          // tag 1 = integer PCM (8/16/24), tag 3 = IEEE float (32)
+          val widthOk = (fmt == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
+            (fmt == 3 && bits == 32)
+          if (!widthOk || ch < 1 || ch > 2 ||
             rate <= 0 || rate > Int.MaxValue) return None
           meta = WavMeta(ch, rate.toInt, bits)
         case "data" =>
@@ -85,14 +96,31 @@ object WavDecode {
     if (n > MAX_SAMPLES) return None
     val out = new Array[Int](n)
     var k = 0
-    if (meta.bitsPerSample == 8) {
-      while (k < n) { out(k) = (p(dataOff + k) & 0xff) - 128; k += 1 }
-    } else {
-      while (k < n) {
-        // signed 16-bit LE: the sign-extending byte shift IS the value
-        out(k) = (p(dataOff + 2 * k + 1) << 8) | (p(dataOff + 2 * k) & 0xff)
-        k += 1
-      }
+    meta.bitsPerSample match {
+      case 8 =>
+        while (k < n) { out(k) = (p(dataOff + k) & 0xff) - 128; k += 1 }
+      case 16 =>
+        while (k < n) {
+          // signed 16-bit LE: the sign-extending byte shift IS the value
+          out(k) = (p(dataOff + 2 * k + 1) << 8) | (p(dataOff + 2 * k) & 0xff)
+          k += 1
+        }
+      case 24 =>
+        while (k < n) {
+          val o = dataOff + 3 * k
+          // top byte's int promotion sign-extends the 24-bit value
+          out(k) = (p(o + 2) << 16) | ((p(o + 1) & 0xff) << 8) | (p(o) & 0xff)
+          k += 1
+        }
+      case _ => // 32 ⇒ IEEE float (the fmt guard admits nothing else)
+        while (k < n) {
+          val f = java.lang.Float.intBitsToFloat(u32le(p, dataOff + 4 * k).toInt)
+          out(k) =
+            if (f.isNaN) 0
+            else math.max(-8388608.0, math.min(8388607.0,
+              math.floor(f * 8388608.0 + 0.5))).toInt
+          k += 1
+        }
     }
     Some((meta, out))
   }
@@ -104,6 +132,13 @@ object WavDecode {
   def wrapPcm8Mono(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
     require(sampleRate > 0, "sampleRate must be positive")
     val n = samples.length
+    // 44 + n is Int arithmetic: a payload within 44 bytes of
+    // Int.MaxValue would wrap negative and surface as an opaque
+    // NegativeArraySizeException from the allocation — fail loudly
+    // with the actual contract instead (such a clip is beyond
+    // decode's MAX_SAMPLES cap anyway, so it could never round-trip)
+    require(n <= Int.MaxValue - 44,
+      s"payload of $n bytes cannot fit a 44-byte-header WAV container")
     val out = new Array[Byte](44 + n)
     def w16(i: Int, v: Int): Unit = {
       out(i) = (v & 0xff).toByte

@@ -21,8 +21,10 @@ class WavDecodeSpec extends SparkSpec {
   }
 
   /** Independent WAV reader: expected centered samples per the same
-    * convention WavDecode declares (8-bit unsigned − 128, 16-bit
-    * signed LE as-is). */
+    * convention WavDecode declares (8-bit unsigned − 128, 16/24-bit
+    * signed LE as-is, float32 fixed-point-centered to the 24-bit
+    * grid). Container walk and byte assembly are javax.sound's and
+    * java.nio's — independent of WavDecode's hand-rolled paths. */
   private def soundSamples(wav: Array[Byte]): (WavMeta, Array[Int]) = {
     val ais = AudioSystem.getAudioInputStream(new ByteArrayInputStream(wav))
     val fmt = ais.getFormat
@@ -30,11 +32,19 @@ class WavDecodeSpec extends SparkSpec {
     ais.close()
     val meta = WavMeta(fmt.getChannels, fmt.getSampleRate.toInt,
       fmt.getSampleSizeInBits)
-    val out =
-      if (fmt.getSampleSizeInBits == 8)
-        raw.map(b => (b & 0xff) - 128)
-      else
-        raw.grouped(2).map(p => (p(1) << 8) | (p(0) & 0xff)).toArray
+    val out = fmt.getSampleSizeInBits match {
+      case 8 => raw.map(b => (b & 0xff) - 128)
+      case 16 => raw.grouped(2).map(p => (p(1) << 8) | (p(0) & 0xff)).toArray
+      case 24 => raw.grouped(3)
+        .map(p => (p(2) << 16) | ((p(1) & 0xff) << 8) | (p(0) & 0xff)).toArray
+      case 32 => raw.grouped(4).map { p =>
+        val f = java.nio.ByteBuffer.wrap(p)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN).getFloat
+        if (f.isNaN) 0
+        else math.max(-8388608.0,
+          math.min(8388607.0, math.floor(f * 8388608.0 + 0.5))).toInt
+      }.toArray
+    }
     (meta, out)
   }
 
@@ -62,6 +72,49 @@ class WavDecodeSpec extends SparkSpec {
     val (refMeta, refSamples) = soundSamples(wav)
     assert(meta === refMeta && meta.channels === 2 && meta.bitsPerSample === 16)
     assert(samples.toSeq === refSamples.toSeq)
+  }
+
+  test("24-bit mono round-trip (round-13): sign-extended 3-byte LE frames match javax.sound") {
+    val rng = new scala.util.Random(24)
+    val pcm = Array.fill(333 * 3)(rng.nextInt(256).toByte) // 333 frames
+    val wav = soundWav(pcm, new AudioFormat(22050f, 24, 1, true, false))
+    val got = WavDecode.decode(wav)
+    assert(got.isDefined, "24-bit decode failed")
+    val (meta, samples) = got.get
+    val (refMeta, refSamples) = soundSamples(wav)
+    assert(meta === refMeta && meta.bitsPerSample === 24)
+    assert(samples.toSeq === refSamples.toSeq)
+    // the full signed 24-bit range is actually exercised
+    assert(samples.exists(_ < -65536) && samples.exists(_ > 65536))
+  }
+
+  test("float32 stereo round-trip (round-13): fixed-point centering per the documented contract") {
+    val rng = new scala.util.Random(25)
+    val floats = Array.fill(256 * 2)(rng.nextFloat() * 2f - 1f)
+    // full-scale, clipping and NaN corners of the documented mapping
+    floats(0) = 1.0f; floats(1) = -1.0f; floats(2) = 1.5f; floats(3) = Float.NaN
+    val bb = java.nio.ByteBuffer.allocate(floats.length * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    floats.foreach(bb.putFloat)
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_FLOAT,
+      16000f, 32, 2, 8, 16000f, false)
+    val wav = soundWav(bb.array(), fmt)
+    val got = WavDecode.decode(wav)
+    assert(got.isDefined, "float32 decode failed")
+    val (meta, samples) = got.get
+    assert(meta === WavMeta(2, 16000, 32))
+    val (refMeta, refSamples) = soundSamples(wav)
+    assert(refMeta === meta)
+    assert(samples.toSeq === refSamples.toSeq)
+    assert(samples(0) === 8388607) // +1.0 full scale clamps to 2²³−1
+    assert(samples(1) === -8388608) // −1.0 lands exactly on −2²³
+    assert(samples(2) === 8388607) // out-of-range clips, like a DAC
+    assert(samples(3) === 0) // NaN is silence, not poison
+    // the float clip flows through the stats seam like any other
+    import spark.implicits._
+    val r = MultimodalPack.audioStatsOf(spark, Seq((11L, wav)).toDS()).head()
+    assert(r.getLong(1) === 512L && r.getLong(2) === 16000L)
+    assert(r.getLong(4) === samples.map(v => v.toLong * v).sum)
   }
 
   test("the wrapper's own container: decode identity AND javax.sound agreement") {
@@ -102,10 +155,14 @@ class WavDecodeSpec extends SparkSpec {
     assert(WavDecode.decode("RIFFnope".getBytes("US-ASCII")) === None)
     assert(WavDecode.decode(base.take(20)) === None) // truncated in fmt
     assert(WavDecode.decode(base.take(50)) === None) // truncated in data
-    // float PCM (format tag 3) is out of scope
+    // float PCM (format tag 3) must be 32-bit — an 8-bit float
+    // container is malformed, not decodable
     val fl = base.clone(); fl(20) = 3; assert(WavDecode.decode(fl) === None)
-    // 24-bit is out of scope
+    // bits hacked to 24 over a 64-byte data chunk: 64 is not a whole
+    // number of 3-byte frames — the ragged guard refuses
     val b24 = base.clone(); b24(34) = 24; assert(WavDecode.decode(b24) === None)
+    // int PCM (format tag 1) at 32-bit stays out of scope
+    val i32 = base.clone(); i32(34) = 32; assert(WavDecode.decode(i32) === None)
     // 3 channels out of scope
     val c3 = base.clone(); c3(22) = 3; assert(WavDecode.decode(c3) === None)
     // ragged data: declared 16-bit stereo frames are 4 bytes, so a
