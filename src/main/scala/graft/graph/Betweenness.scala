@@ -42,7 +42,8 @@ object Betweenness {
     * of distinct shortest paths from root, for every reachable pair.
     * Collect-guarded driver computation — see class doc. */
   def sigmaBounded(edges: DataFrame): DataFrame = {
-    val limit = 1 << 20
+    // single-sourced route bound (round-13, verdict #6)
+    val limit = Quotient.probeBound(edges.sparkSession)
     val e = Quotient.probeRows(normEdges(edges), limit).getOrElse(
       throw new IllegalArgumentException(
         s"requirement failed: sigmaBounded edge set exceeds $limit rows — not dimension-bounded"))

@@ -74,7 +74,8 @@ object Bfs {
     * join+distinct+anti-join shuffles per wave to move a few hundred
     * rows. Guarded: refuses fact-sized inputs. */
   def bfsBounded(edges: DataFrame, seeds: DataFrame, maxWaves: Int = 100): DataFrame = {
-    val limit = 1 << 20
+    // single-sourced route bound (round-13, verdict #6)
+    val limit = Quotient.probeBound(edges.sparkSession)
     // Node ids normalize to BIGINT — the same coercion the distributed
     // path's seed∪frontier union applies, and the graph contract
     // (SURVEY: all node id columns are emitted as BIGINT). The limit

@@ -41,9 +41,6 @@ import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType
   */
 object DagDepth {
 
-  /** Probe bound on the collected class domain. */
-  val CLASS_BOUND: Int = 1 << 16
-
   /** Declared cross-engine chain-depth contract (see class doc). */
   val MAX_CHAIN: Long = 59L
 
@@ -69,8 +66,11 @@ object DagDepth {
     val p = p0.select($"part".cast("long").as("part"), $"brand",
       $"size".cast("long").as("size"))
     val classes = p.select($"brand", $"size").distinct()
+    // class-domain bound single-sourced from [[Quotient.maxClasses]]
+    // (round-13, verdict #6 — was a private 2^16 constant that could
+    // drift from the sibling routes' clamp)
     Quotient.probeRows(classes, math.min(
-        Quotient.resolve(bound, s, Quotient.maxClasses), CLASS_BOUND)) match {
+        Quotient.resolve(bound, s, Quotient.maxClasses), Quotient.maxClasses(s))) match {
       case Some(rows) =>
         val classDepth = classDepthDriver(s,
           rows.map(r => (r.getString(0), r.getLong(1))))

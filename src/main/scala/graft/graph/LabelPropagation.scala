@@ -85,7 +85,8 @@ object LabelPropagation {
     import scala.collection.mutable
     import scala.jdk.CollectionConverters._
     require(iters >= 1, s"iters must be >= 1, got $iters")
-    val limit = 1 << 20
+    // single-sourced route bound (round-13, verdict #6)
+    val limit = Quotient.probeBound(s)
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))
       .limit(limit + 1).collect().map(r => (r.getLong(0), r.getLong(1)))
     require(e.length <= limit,

@@ -95,7 +95,8 @@ object PageRank {
     import scala.collection.mutable
     import scala.jdk.CollectionConverters._
     val spark = e.sparkSession
-    val limit = 1 << 20
+    // single-sourced route bound (round-13, verdict #6)
+    val limit = Quotient.probeBound(spark)
     // The limit rides INSIDE the collect so a fact-sized edge set is
     // refused after shipping at most limit+1 rows, not after an
     // OOM-sized collect.

@@ -139,7 +139,8 @@ object PersonalizedPageRank {
     import org.apache.spark.sql.types.{Decimal, DoubleType, LongType, StructField, StructType}
     import scala.collection.mutable
     import scala.jdk.CollectionConverters._
-    val limit = 1 << 20
+    // single-sourced route bound (round-13, verdict #6)
+    val limit = Quotient.probeBound(s)
     // limit rides INSIDE the collect: a fact-sized edge set is refused
     // after shipping at most limit+1 rows, never an OOM-sized collect
     val e = edges.select(col("src").cast("long"), col("dst").cast("long"))

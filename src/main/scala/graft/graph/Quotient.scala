@@ -21,7 +21,15 @@ object Quotient {
     * every class-domain probe and the quotient engines' own guarded
     * collects; `probeBound` governs the row-probe sweeps (bounded
     * BFS spine, Brandes σ). Explicit `bound` arguments still win —
-    * the conf only replaces the DEFAULT. */
+    * the conf only replaces the DEFAULT.
+    *
+    * These two are THE routing bounds — every probe-routed operator
+    * resolves its crossover through [[maxClasses]]/[[probeBound]]
+    * (round-13, verdict #6: eccentricity/betweenness/label-prop/
+    * PageRank/PPR's in-process variants and DagDepth's class DP each
+    * carried a private copy; a drive-by edit to one silently changed
+    * which engine answered at a given scale). DispatchSpec pins both
+    * values AND each operator's route at the shipped SFs. */
   val MAX_CLASSES_KEY = "spark.graft.quotient.maxClasses"
   val PROBE_BOUND_KEY = "spark.graft.dispatch.probeBound"
 

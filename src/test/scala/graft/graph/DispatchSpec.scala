@@ -164,4 +164,53 @@ class DispatchSpec extends SparkSpec {
       "conf-forced distributed BFS diverged from the in-process sweep")
     finally spark.conf.unset(Quotient.PROBE_BOUND_KEY)
   }
+
+  test("route pins at the shipped SF (round-13): constants single-sourced, every probe-routed operator on its fast path") {
+    // drive-by-edit tripwire: the shipped crossovers, pinned. A
+    // change here is a deliberate re-route, not an accident.
+    assert(Quotient.PROBE_BOUND === (1 << 20), "row-probe crossover moved")
+    assert(Quotient.MAX_CLASSES === 100000, "class-domain crossover moved")
+    assert(Quotient.probeBound(spark) === Quotient.PROBE_BOUND)
+    assert(Quotient.maxClasses(spark) === Quotient.MAX_CLASSES)
+    // the 7 Dispatch-routed quotient operators (A13/A20/A21/A26/A28/
+    // A30/A31): the class probe answers Some at the shipped SF ⇒
+    // every one takes the quotient fast path
+    assert(Dispatch.probe(Dispatch.partVertices(spark, sfDir)).isDefined,
+      "shipped part table must route to the quotient fast paths")
+    // A29 DagDepth class DP + A33 bridges: class domain within the
+    // single-sourced maxClasses ⇒ in-process driver route
+    val classes = Dispatch.partVertices(spark, sfDir)
+      .select("brand", "size").distinct().count()
+    assert(classes <= Quotient.maxClasses(spark),
+      s"$classes part classes exceed maxClasses — DagDepth/Bridges would fall back")
+    // A10/A22 all-pairs BFS spine + A23 Brandes σ: the dim-bounded
+    // trade graph within the single-sourced probeBound ⇒ in-process
+    // sweep route
+    val trade = GraphBuilder.tradeEdges(spark, sfDir).count()
+    assert(trade <= Quotient.probeBound(spark),
+      s"$trade trade edges exceed probeBound — the BFS spine would fall back")
+    // single-sourcing is LIVE in the formerly-hardcoded sites: a conf
+    // bound of 1 must reach bfsBounded's and sigmaBounded's guards
+    spark.conf.set(Quotient.PROBE_BOUND_KEY, "1")
+    try {
+      import spark.implicits._
+      val tiny = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+      val exB = intercept[IllegalArgumentException] {
+        Bfs.bfsBounded(tiny, Seq(1L).toDF("node")).collect()
+      }
+      assert(exB.getMessage.contains("exceeds 1 rows"))
+      val exS = intercept[IllegalArgumentException] {
+        Betweenness.sigmaBounded(tiny).collect()
+      }
+      assert(exS.getMessage.contains("exceeds 1 rows"))
+    } finally spark.conf.unset(Quotient.PROBE_BOUND_KEY)
+    // DagDepth consults maxClasses now (was a private 2^16): a conf
+    // cap of 1 must route its class DP to the distributed fallback —
+    // which still answers and agrees with the driver DP
+    val viaDriver = asRows(DagDepth.partEditDepth(spark, sfDir))
+    spark.conf.set(Quotient.MAX_CLASSES_KEY, "1")
+    try assert(asRows(DagDepth.partEditDepth(spark, sfDir)) === viaDriver,
+      "DagDepth conf-forced distributed route diverged from the driver DP")
+    finally spark.conf.unset(Quotient.MAX_CLASSES_KEY)
+  }
 }
