@@ -84,6 +84,17 @@ object JpegDecode {
     var blocksH: Int = 0
     var compW: Int = 0 // downsampled (cropped) dims
     var compH: Int = 0
+    // progressive scan-sequence state (T.81 §G.1.1.1.1, round-13
+    // ADVICE): the successive-approximation point each band has been
+    // decoded to so far — −1 = not yet decoded. dcAl covers the DC
+    // band; acAl(k) covers AC coefficient k (allocated on the
+    // component's first AC scan). progressiveScan bails on an AC scan
+    // before the DC first pass, a duplicate first pass (overlapping
+    // re-decode), or a refinement whose Ah is not the band's current
+    // point — a scan-script-illegal stream decodes to None, never to
+    // Some(wrong pixels).
+    var dcAl: Int = -1
+    var acAl: Array[Int] = _
   }
 
   /** Decode failure as control flow, caught at the [[pixels]] seam —
@@ -729,6 +740,47 @@ object JpegDecode {
     // refinement scan is raw bits — no table needed)
     if (dcScan && ah == 0 && scanComps.exists(ci => comps(ci).dcTab == null)) bail()
     if (!dcScan && comps(scanComps(0)).acTab == null) bail()
+    // scan-sequence legality (T.81 §G.1.1.1.1, round-13 ADVICE): a
+    // component may appear only once per SOS; every band must be
+    // decoded first-pass-then-refinements with contiguous points. The
+    // old behavior — decoding an illegal script to Some(wrong
+    // pixels) — broke the seam's "bad bytes are data → None" contract.
+    var dup = 0
+    while (dup < ns) {
+      var dup2 = dup + 1
+      while (dup2 < ns) {
+        if (scanComps(dup) == scanComps(dup2)) bail()
+        dup2 += 1
+      }
+      dup += 1
+    }
+    sc = 0
+    while (sc < ns) {
+      val comp = comps(scanComps(sc))
+      if (dcScan) {
+        if (ah == 0) { if (comp.dcAl >= 0) bail() } // duplicate first pass
+        else if (comp.dcAl != ah) bail() // refinement off the current point
+      } else {
+        if (comp.dcAl < 0) bail() // AC before the component's DC first pass
+        if (comp.acAl == null) comp.acAl = Array.fill(64)(-1)
+        var k = ss
+        while (k <= se) {
+          if (ah == 0) { if (comp.acAl(k) >= 0) bail() }
+          else if (comp.acAl(k) != ah) bail()
+          k += 1
+        }
+      }
+      sc += 1
+    }
+    // record the band points up front: a mid-scan bail aborts the
+    // whole decode, so there is no partial-progress state to unwind
+    sc = 0
+    while (sc < ns) {
+      val comp = comps(scanComps(sc))
+      if (dcScan) comp.dcAl = al
+      else { var k = ss; while (k <= se) { comp.acAl(k) = al; k += 1 } }
+      sc += 1
+    }
 
     comps.foreach(_.pred = 0)
     var eobrun = 0

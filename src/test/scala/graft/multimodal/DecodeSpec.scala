@@ -347,6 +347,80 @@ class DecodeSpec extends SparkSpec {
     assert(Decode.featureSeam(base) === Decode.featuresOf(JpegDecode.pixels(base).get))
   }
 
+  /** (start, entropyEnd) of every SOS segment in a JPEG stream:
+    * `start` is the FF of the SOS marker, `entropyEnd` the FF of the
+    * next true marker (stuffed FF00 and RSTn ride inside). */
+  private def sosSegments(p: Array[Byte]): Seq[(Int, Int)] = {
+    def u8(i: Int) = p(i) & 0xff
+    val out = Seq.newBuilder[(Int, Int)]
+    var i = 2
+    var done = false
+    while (!done && i + 3 < p.length) {
+      var j = i
+      while (u8(j + 1) == 0xff) j += 1
+      val marker = u8(j + 1)
+      if (marker == 0xd9) done = true
+      else if ((marker >= 0xd0 && marker <= 0xd8) || marker == 0x01) i = j + 2
+      else {
+        val len = (u8(j + 2) << 8) | u8(j + 3)
+        if (marker == 0xda) {
+          var k = j + 2 + len
+          var end = -1
+          while (end < 0) {
+            if (u8(k) == 0xff && u8(k + 1) != 0x00 &&
+              !(u8(k + 1) >= 0xd0 && u8(k + 1) <= 0xd7)) end = k
+            else k += 1
+          }
+          out += ((j, end))
+          i = end
+        } else i = j + 2 + len
+      }
+    }
+    out.result()
+  }
+
+  test("JPEG progressive: scan-script-illegal streams decode to None, never Some(wrong pixels)") {
+    // round-13 ADVICE: the T.81 §G.1.1.1.1 scan-sequence rules are
+    // enforced, not assumed — each illegal stream below decoded to
+    // Some(garbage) before the per-band point tracking.
+    val gray = encodeProgressive(img(32, 24, BufferedImage.TYPE_BYTE_GRAY))
+    val color = encodeProgressive(img(32, 24, BufferedImage.TYPE_INT_RGB))
+    assert(JpegDecode.pixels(gray).isDefined && JpegDecode.pixels(color).isDefined)
+    for (base <- Seq(gray, color)) {
+      val scans = sosSegments(base)
+      assert(scans.length >= 3, "IJG progressive script should be multi-scan")
+      // duplicating ANY scan re-decodes an already-decoded band
+      // (first pass) or refines off a stale point (refinement) —
+      // every duplicate must kill the decode
+      scans.foreach { case (s, e) =>
+        val dup = base.take(e) ++ base.slice(s, e) ++ base.drop(e)
+        assert(JpegDecode.pixels(dup) === None,
+          s"duplicated scan at $s decoded instead of bailing")
+      }
+    }
+    // duplicate component id inside ONE interleaved SOS header: the
+    // color script's first scan is the ns=3 DC pass — overwrite the
+    // second component's id with the first's
+    val (s0, _) = sosSegments(color).head
+    assert((color(s0 + 4) & 0xff) === 3, "first color scan should be interleaved")
+    val dupComp = color.clone()
+    dupComp(s0 + 7) = dupComp(s0 + 5) // cid2 := cid1
+    assert(JpegDecode.pixels(dupComp) === None,
+      "duplicate scan component decoded instead of bailing")
+    // an AC scan with no prior DC first pass for its component
+    val acScan = sosSegments(gray).find { case (s, _) =>
+      val ns = gray(s + 4) & 0xff
+      (gray(s + 5 + 2 * ns) & 0xff) > 0 // Ss > 0
+    }
+    assert(acScan.isDefined, "IJG gray script should contain an AC scan")
+    val (as, ae) = acScan.get
+    val (firstSos, _) = sosSegments(gray).head
+    val acFirst = gray.take(firstSos) ++ gray.slice(as, ae) ++
+      Array(0xff.toByte, 0xd9.toByte)
+    assert(JpegDecode.pixels(acFirst) === None,
+      "AC-before-DC stream decoded instead of bailing")
+  }
+
   test("JPEG pixels: corrupt and truncated payloads fall back, never throw") {
     val base = encode(img(24, 24, BufferedImage.TYPE_INT_RGB), "jpg")
     assert(JpegDecode.pixels(base).isDefined)
