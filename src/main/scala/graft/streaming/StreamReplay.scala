@@ -225,11 +225,20 @@ object StreamReplay {
       // IOException routes this run to re-stage instead of adopting a
       // deleted directory, and once the touch lands a sweep reading
       // the fresh mtime leaves the staging alone.
+      // A residual race stays open after the touch: a peer's
+      // sweepAged that already READ the stale mtime can still delete
+      // between this touch and its own unlink. The grace re-verify
+      // below (round-13 ADVICE) narrows it to that peer's in-flight
+      // delete completing inside the sleep — a window of one unlink
+      // syscall, down from the whole sweep scan. Still best-effort by
+      // declared design; an exclusive lock file is the full fix if it
+      // ever bites.
       val adopted =
         try {
           java.nio.file.Files.setLastModifiedTime(target.resolve("_STAGED"),
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
-          true
+          Thread.sleep(20)
+          java.nio.file.Files.exists(target.resolve("_STAGED"))
         } catch { case _: java.io.IOException => false }
       if (adopted) target
       else {
