@@ -149,4 +149,16 @@ object Dispatch {
       case None => NodeSimilarity.jaccard(s,
         GraphBuilder.blowupEdges(parts, Seq(1L, 2L), symmetric = true))
     }
+
+  /** B8 corpus-wide graphlet census over the wide (±1, ±2) blow-up
+    * of `parts` (round-13). */
+  def graphlets(s: SparkSession, parts: DataFrame,
+                bound: Int = -1): DataFrame =
+    probe(parts, bound) match {
+      case Some(classes) =>
+        GraphletCensus.toDF(s, GraphletCensus.quotientCounts(classes))
+      case None => GraphletCensus.distributed(s,
+        GraphBuilder.blowupEdges(parts, Seq(1L, 2L), symmetric = true)
+          .select(col("src"), col("dst")))
+    }
 }

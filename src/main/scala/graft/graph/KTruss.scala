@@ -62,8 +62,9 @@ object KTruss {
 
   /** All triangles of the canonical edge set `e(a, b), a < b` as
     * sorted vertex triples (x < y < z) — each triangle's three edges
-    * are then exactly (x,y), (x,z), (y,z). Runs ONCE per call. */
-  private def triangles(s: SparkSession, e: DataFrame): DataFrame = {
+    * are then exactly (x,y), (x,z), (y,z). Runs ONCE per call.
+    * (`private[graph]`: [[GraphletCensus]] reuses the enumeration.) */
+  private[graph] def triangles(s: SparkSession, e: DataFrame): DataFrame = {
     import s.implicits._
     val deg = e.select($"a".as("n")).union(e.select($"b".as("n")))
       .groupBy($"n").agg(count(lit(1)).as("deg"))

@@ -235,6 +235,20 @@ object SubgraphPack extends QueryPack {
         .toDF()
     },
 
+    // B8 (round-13): corpus-wide 3/4-node graphlet census over the
+    // WHOLE widened edit graph — the global twin of B1's per-entity
+    // census (Pržulj's graphlet spectrum as one readout per corpus,
+    // not per molecule). Routed through [[Dispatch]]: the
+    // class-structured blow-up answers via exact closed forms over
+    // the (brand, size) class graph (members of a class share their
+    // neighborhood, so every count collapses to bounded integer
+    // sums — see [[GraphletCensus]]); an unstructured graph routes to
+    // the distributed engine. The oracle re-derives the same closed
+    // forms independently in SQL over the class table.
+    "g_graphlets" -> { (s, d) =>
+      Dispatch.graphlets(s, Dispatch.partVertices(s, d))
+    },
+
     // B5: pairwise Tanimoto + approx GED over a bounded order range
     // (mcs.py:285-346), ON THE HARD SIGNAL: shared-class counts,
     // Tanimoto and approx GED are raw IEEE ratios of integer class-set
@@ -416,6 +430,80 @@ object SubgraphPack extends QueryPack {
          |FROM cls c JOIN map m ON m.ck = c.ck
          |WHERE m.sz = 3
          |GROUP BY m.h, c.ck""".stripMargin,
+    // B8: the closed forms re-derived independently over the class
+    // table (deg/S_ab/triple/quadruple sums — integer-exact, so the
+    // eight counts hash-match with no quantization protocol). Integer
+    // division only where the dividend is provably divisible (C(x,2),
+    // C(x,3) products of consecutive integers; the cycle4 total
+    // counts every 4-cycle twice).
+    "g_graphlets" ->
+      """WITH cls AS (
+        | SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS size,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM part GROUP BY 1, 2),
+        |adjp AS (
+        | SELECT a.brand, a.size AS sa, b.size AS sb, a.n AS na, b.n AS nb
+        | FROM cls a JOIN cls b
+        |  ON a.brand = b.brand AND abs(a.size - b.size) IN (1, 2)),
+        |degt AS (SELECT brand, sa AS size, CAST(SUM(nb) AS BIGINT) AS d
+        |         FROM adjp GROUP BY 1, 2),
+        |cd AS (SELECT c.brand, c.size, c.n, COALESCE(d.d, 0) AS d
+        |       FROM cls c LEFT JOIN degt d USING (brand, size)),
+        |tri AS (
+        | SELECT a.brand, a.size AS s1, b.size AS s2, c.size AS s3,
+        |        a.n AS n1, b.n AS n2, c.n AS n3
+        | FROM cls a
+        | JOIN cls b ON b.brand = a.brand AND b.size > a.size AND b.size - a.size IN (1, 2)
+        | JOIN cls c ON c.brand = a.brand AND c.size > b.size
+        |  AND c.size - b.size IN (1, 2) AND c.size - a.size IN (1, 2)),
+        |trin AS (SELECT CAST(COALESCE(SUM(n1 * n2 * n3), 0) AS BIGINT) AS v FROM tri),
+        |cedge AS (SELECT brand, sa, sb, na, nb FROM adjp WHERE sa < sb),
+        |spair AS (
+        | SELECT x.brand, x.size AS sa, y.size AS sb, CAST(SUM(c.n) AS BIGINT) AS s
+        | FROM cls x
+        | JOIN cls y ON y.brand = x.brand AND x.size <= y.size
+        | JOIN cls c ON c.brand = x.brand
+        |  AND abs(c.size - x.size) IN (1, 2) AND abs(c.size - y.size) IN (1, 2)
+        | GROUP BY 1, 2, 3),
+        |quad AS (
+        | SELECT a.n AS n1, b.n AS n2, c.n AS n3, d.n AS n4
+        | FROM cls a
+        | JOIN cls b ON b.brand = a.brand AND b.size > a.size AND b.size - a.size IN (1, 2)
+        | JOIN cls c ON c.brand = a.brand AND c.size > b.size
+        |  AND c.size - b.size IN (1, 2) AND c.size - a.size IN (1, 2)
+        | JOIN cls d ON d.brand = a.brand AND d.size > c.size
+        |  AND d.size - c.size IN (1, 2) AND d.size - b.size IN (1, 2)
+        |  AND d.size - a.size IN (1, 2))
+        |SELECT 'wedge' AS graphlet,
+        | CAST(COALESCE((SELECT SUM(n * (d * (d - 1) // 2)) FROM cd), 0) AS BIGINT) AS n
+        |UNION ALL SELECT 'triangle', (SELECT v FROM trin)
+        |UNION ALL SELECT 'claw',
+        | CAST(COALESCE((SELECT SUM(n * (d * (d - 1) * (d - 2) // 6)) FROM cd), 0) AS BIGINT)
+        |UNION ALL SELECT 'path4',
+        | CAST(COALESCE((SELECT SUM(e.na * e.nb * (da.d - 1) * (db.d - 1))
+        |  FROM cedge e
+        |  JOIN cd da ON da.brand = e.brand AND da.size = e.sa
+        |  JOIN cd db ON db.brand = e.brand AND db.size = e.sb), 0) AS BIGINT)
+        |  - 3 * (SELECT v FROM trin)
+        |UNION ALL SELECT 'tailed_triangle',
+        | CAST(COALESCE((SELECT SUM(t.n1 * t.n2 * t.n3 * (d1.d + d2.d + d3.d - 6))
+        |  FROM tri t
+        |  JOIN cd d1 ON d1.brand = t.brand AND d1.size = t.s1
+        |  JOIN cd d2 ON d2.brand = t.brand AND d2.size = t.s2
+        |  JOIN cd d3 ON d3.brand = t.brand AND d3.size = t.s3), 0) AS BIGINT)
+        |UNION ALL SELECT 'cycle4',
+        | CAST(COALESCE((SELECT SUM(
+        |    (CASE WHEN p.sa = p.sb THEN x.n * (x.n - 1) // 2 ELSE x.n * y.n END)
+        |    * (p.s * (p.s - 1) // 2))
+        |  FROM spair p
+        |  JOIN cls x ON x.brand = p.brand AND x.size = p.sa
+        |  JOIN cls y ON y.brand = p.brand AND y.size = p.sb), 0) // 2 AS BIGINT)
+        |UNION ALL SELECT 'diamond',
+        | CAST(COALESCE((SELECT SUM(e.na * e.nb * (s.s * (s.s - 1) // 2))
+        |  FROM cedge e
+        |  JOIN spair s ON s.brand = e.brand AND s.sa = e.sa AND s.sb = e.sb), 0) AS BIGINT)
+        |UNION ALL SELECT 'clique4',
+        | CAST(COALESCE((SELECT SUM(n1 * n2 * n3 * n4) FROM quad), 0) AS BIGINT)""".stripMargin,
     // B7: the MCS maxima re-derived from the same brute-force census.
     // The engine intersects WL-hash sets, the oracle canon-key sets —
     // the 9-entry dictionary is bijective (spec-pinned), so the

@@ -88,6 +88,7 @@ class DispatchSpec extends SparkSpec {
         bothRoutes(b => Dispatch.anf(spark, parts, sampleMod = 1, tol = 0.4, bound = b),
           s"trial $trial anf")
         bothRoutes(b => Dispatch.jaccard(spark, parts, bound = b), s"trial $trial jaccard")
+        bothRoutes(b => Dispatch.graphlets(spark, parts, bound = b), s"trial $trial graphlets")
       }
     }
     assert(trialsRun >= 2, s"only $trialsRun non-degenerate trials — routing under-exercised")
