@@ -29,20 +29,52 @@ object GraphStore {
   private def fs(s: SparkSession, root: String) =
     new Path(root).getFileSystem(s.sparkContext.hadoopConfiguration)
 
-  /** Latest COMMITTED snapshot version under `root`, 0 if none.
-    * Only `v=<digits>` directories carrying the writer's `_SUCCESS`
-    * marker count: in-flight staging directories (different name
-    * shape), failed writes (no marker) and foreign entries (v=old,
-    * v=2.bak) are all ignored instead of poisoning every reader. */
-  def latestVersion(s: SparkSession, root: String): Int = {
+  /** Committed `v=<digits>` snapshot DIRECTORY versions under `root`
+    * (compacted-away versions not included — see
+    * [[committedVersions]]). Only directories carrying the writer's
+    * `_SUCCESS` marker count: in-flight staging directories
+    * (different name shape), failed writes (no marker) and foreign
+    * entries (v=old, v=2.bak) are all ignored instead of poisoning
+    * every reader. */
+  private def dirVersions(s: SparkSession, root: String): Seq[Int] = {
     val p = new Path(root)
     val f = fs(s, root)
-    if (!f.exists(p)) 0
-    else f.listStatus(p).map(_.getPath)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath).toSeq
       .filter(q => q.getName.matches("v=\\d+") && f.exists(new Path(q, "_SUCCESS")))
       .map(_.getName.drop(2).toInt)
-      .foldLeft(0)(math.max)
   }
+
+  /** Committed compaction directories (`c=<maxV>-<k>` with
+    * `_SUCCESS`), newest-coverage first. */
+  private def compactDirs(s: SparkSession, root: String): Seq[Path] = {
+    val p = new Path(root)
+    val f = fs(s, root)
+    if (!f.exists(p)) Seq.empty
+    else f.listStatus(p).map(_.getPath).toSeq
+      .filter(q => q.getName.matches("c=\\d+-\\d+") && f.exists(new Path(q, "_SUCCESS")))
+      .sortBy(q => -q.getName.drop(2).takeWhile(_ != '-').toInt)
+  }
+
+  /** The version list a compaction directory covers, from its
+    * `_MANIFEST` (one comma-separated line — the time-travel index
+    * [[compact]] preserves). */
+  private def manifest(s: SparkSession, root: String, c: Path): Seq[Int] = {
+    val in = fs(s, root).open(new Path(c, "_MANIFEST"))
+    try scala.io.Source.fromInputStream(in).mkString.trim
+      .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+    finally in.close()
+  }
+
+  /** Every readable snapshot version: live `v=N` directories plus
+    * versions preserved inside compaction directories. */
+  def committedVersions(s: SparkSession, root: String): Seq[Int] =
+    (dirVersions(s, root) ++
+      compactDirs(s, root).flatMap(manifest(s, root, _))).distinct.sorted
+
+  /** Latest committed snapshot version under `root`, 0 if none. */
+  def latestVersion(s: SparkSession, root: String): Int =
+    committedVersions(s, root).foldLeft(0)(math.max)
 
   private def snapshotPath(root: String, v: Int) = s"$root/v=$v"
 
@@ -65,7 +97,9 @@ object GraphStore {
         .filter(_.getName.matches("v=\\d+"))
         .map(_.getName.drop(2).toInt)
         .foldLeft(0)(math.max)
-    occupied + 1
+    // compacted-away versions stay occupied too: re-issuing a rolled
+    // version number would let a new snapshot shadow history
+    math.max(occupied, latestVersion(s, root)) + 1
   }
 
   /** Snapshot publish protocol: write to a staging directory invisible
@@ -129,16 +163,89 @@ object GraphStore {
   def read(s: SparkSession, root: String): DataFrame = {
     val v = latestVersion(s, root)
     require(v > 0, s"GraphStore at $root is empty")
-    s.read.parquet(snapshotPath(root, v))
+    readVersion(s, root, v)
   }
 
   /** Read a specific snapshot version (snapshots are immutable, so
-    * every historical version stays queryable — time travel).
-    * Version numbers may have gaps where a dead uncommitted slot was
-    * skipped; only committed snapshots are readable. */
+    * every historical version stays queryable — time travel, also
+    * THROUGH [[compact]]ion: a rolled version reads as the interval
+    * slice of its compaction directory). Version numbers may have
+    * gaps where a dead uncommitted slot was skipped; only committed
+    * snapshots are readable. */
   def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
-    require(v > 0 && committed(s, root, v), s"no committed snapshot v=$v at $root")
-    s.read.parquet(snapshotPath(root, v))
+    require(v > 0, s"no committed snapshot v=$v at $root")
+    if (committed(s, root, v)) s.read.parquet(snapshotPath(root, v))
+    else {
+      val c = compactDirs(s, root).find(manifest(s, root, _).contains(v))
+        .getOrElse(throw new IllegalArgumentException(
+          s"requirement failed: no committed snapshot v=$v at $root"))
+      s.read.parquet(c.toString)
+        .filter(col("__first") <= v && col("__last") >= v)
+        .drop("__first", "__last")
+    }
+  }
+
+  /** OPTIMIZE — roll every committed snapshot into ONE
+    * interval-encoded dataset, preserving time travel (the lakehouse
+    * maintenance primitive: N full-copy snapshot directories, each a
+    * fleet of small part files, become a single compact dataset whose
+    * size is the number of distinct (edge, attrs, presence-run)
+    * intervals, not N × edges).
+    *
+    * Encoding: each surviving row carries `__first`/`__last` — the
+    * raw version range of one CONTIGUOUS presence run (contiguity
+    * over the committed-version sequence, so skipped dead slots
+    * inside a run don't split it, and they stay unreadable because
+    * the `_MANIFEST` — the comma-separated covered-version list —
+    * never contains them). An edge that vanished in a [[write]] reset
+    * and returned later, or returned with different attributes, gets
+    * one row per run. [[readVersion]] of a rolled version is an
+    * interval filter; [[diff]] composes unchanged.
+    *
+    * Publish protocol mirrors [[commit]]: staging write + `_MANIFEST`,
+    * one atomic rename to `c=<maxV>-<k>`, THEN the rolled `v=N`
+    * directories and superseded compaction directories are deleted —
+    * a crash mid-cleanup leaves duplicate readable copies (dir wins
+    * in [[readVersion]]), never a hole; the next compact cleans up.
+    * Returns the number of snapshot versions rolled. */
+  def compact(s: SparkSession, root: String): Int = {
+    import org.apache.spark.sql.expressions.Window
+    val versions = committedVersions(s, root)
+    require(versions.nonEmpty, s"GraphStore at $root is empty")
+    val priorDirs = dirVersions(s, root).sorted
+    val priorCompacts = compactDirs(s, root)
+    if (priorDirs.isEmpty && priorCompacts.size == 1) return 0 // already compact
+    val f = fs(s, root)
+    // dense index over the committed sequence defines run contiguity
+    val idxDf = s.createDataFrame(versions.zipWithIndex.map {
+      case (v, i) => (v, i.toLong)
+    }).toDF("__v", "__vidx")
+    val all = versions.map(v => readVersion(s, root, v).withColumn("__v", lit(v)))
+      .reduce(_ unionByName _)
+      .join(broadcast(idxDf), "__v")
+    val dataCols = all.columns.filterNot(Seq("__v", "__vidx").contains).toSeq
+    val w = Window.partitionBy(dataCols.map(col): _*).orderBy(col("__vidx"))
+    val runs = all
+      .withColumn("__run", col("__vidx") - row_number().over(w))
+      .groupBy(dataCols.map(col) :+ col("__run"): _*)
+      .agg(min(col("__v")).as("__first"), max(col("__v")).as("__last"))
+      .drop("__run")
+      .repartition(col("src"))
+    val staging = new Path(s"$root/.staging-c-${java.util.UUID.randomUUID()}")
+    runs.write.mode("overwrite").parquet(staging.toString)
+    val mf = f.create(new Path(staging, "_MANIFEST"))
+    try mf.write(versions.mkString(",").getBytes("UTF-8")) finally mf.close()
+    val maxV = versions.max
+    val target = Iterator.from(0).map(k => new Path(s"$root/c=$maxV-$k"))
+      .find(!f.exists(_)).get
+    if (!f.rename(staging, target)) {
+      f.delete(staging, true)
+      throw new IllegalStateException(
+        s"concurrent GraphStore compact under $root (rename race; retry)")
+    }
+    priorDirs.foreach(v => f.delete(new Path(snapshotPath(root, v)), true))
+    priorCompacts.foreach(c => f.delete(c, true))
+    priorDirs.size + priorCompacts.size
   }
 
   /** Edge diff between two snapshots: (src, dst, change) with change

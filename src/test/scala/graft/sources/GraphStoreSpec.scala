@@ -138,6 +138,52 @@ class GraphStoreSpec extends SparkSpec {
     }
   }
 
+  test("compact (round-13): read-equivalence for every version, diff stability, store stays writable") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // v1 write, v2 upsert (adds), v3 reset (removes + re-adds with
+    // changed attrs), v4 upsert — exercises presence runs that break
+    // and restart and attrs that change across a reset
+    val v1 = GraphStore.write(Seq((1L, 2L, "a"), (2L, 3L, "b")).toDF("src", "dst", "tag"), root)
+    val v2 = GraphStore.upsert(spark, root, Seq((3L, 4L, "c")).toDF("src", "dst", "tag"))
+    val v3 = GraphStore.write(Seq((1L, 2L, "a2"), (5L, 6L, "d")).toDF("src", "dst", "tag"), root)
+    val v4 = GraphStore.upsert(spark, root, Seq((2L, 3L, "b2")).toDF("src", "dst", "tag"))
+    def snap(v: Int): Set[(Long, Long, String)] =
+      GraphStore.readVersion(spark, root, v).as[(Long, Long, String)].collect().toSet
+    def diffRows(a: Int, b: Int): Set[(Long, Long, String)] =
+      GraphStore.diff(spark, root, a, b).as[(Long, Long, String)].collect().toSet
+    val before = Seq(v1, v2, v3, v4).map(v => v -> snap(v)).toMap
+    val diffsBefore = Seq((v1, v2), (v2, v3), (v1, v4)).map { case (a, b) =>
+      (a, b) -> diffRows(a, b) }.toMap
+    val rolled = GraphStore.compact(spark, root)
+    assert(rolled === 4, "four snapshot directories should have been rolled")
+    // time travel preserved, bit-identical, through the interval slice
+    assert(GraphStore.committedVersions(spark, root) === Seq(v1, v2, v3, v4))
+    assert(GraphStore.latestVersion(spark, root) === v4)
+    Seq(v1, v2, v3, v4).foreach(v => assert(snap(v) === before(v), s"v=$v diverged"))
+    diffsBefore.foreach { case ((a, b), want) =>
+      assert(diffRows(a, b) === want, s"diff($a, $b) diverged") }
+    assert(GraphStore.read(spark, root).as[(Long, Long, String)].collect().toSet === before(v4))
+    // rolled directories are gone; re-compacting is a no-op
+    assert(!Files.exists(java.nio.file.Paths.get(root, s"v=$v4")))
+    assert(GraphStore.compact(spark, root) === 0)
+    // a rolled version number is never re-issued, and the store keeps
+    // accepting upserts on top of the compacted history
+    val v5 = GraphStore.upsert(spark, root, Seq((7L, 8L, "e")).toDF("src", "dst", "tag"))
+    assert(v5 === v4 + 1)
+    assert(snap(v5) === before(v4) + ((7L, 8L, "e")))
+    assert(snap(v2) === before(v2)) // history still intact after new writes
+    // and a SECOND compaction rolls the new dir plus the old compact
+    assert(GraphStore.compact(spark, root) === 2)
+    assert(GraphStore.committedVersions(spark, root) === Seq(v1, v2, v3, v4, v5))
+    Seq(v1, v3, v5).foreach(v => assert(snap(v) === (if (v == v5) before(v4) + ((7L, 8L, "e")) else before(v))))
+    // a version that never existed stays unreadable through the manifest
+    val ex = intercept[IllegalArgumentException] {
+      GraphStore.readVersion(spark, root, 99).collect()
+    }
+    assert(ex.getMessage.contains("no committed snapshot"))
+  }
+
   test("dedup survivor within one input is deterministic across reruns") {
     import spark.implicits._
     val dup = Seq((1L, 2L, "zz"), (1L, 2L, "aa"), (3L, 4L, "c")).toDF("src", "dst", "tag")
