@@ -354,8 +354,15 @@ object Bench {
       .take(15)
       .map { case (k, r1, med) => jsonStr(k) + s":[${ms(r1)},${ms(med)}]" }
       .mkString("{", ",", "}")
-    val failed = results.collect { case (k, v) if v < 0 => jsonStr(k) }
-      .mkString("[", ",", "]")
+    val allFailed = results.collect { case (k, v) if v < 0 => k }
+    // capped like `drifted`: a mass-failure run (broken build, bad
+    // sfDir) would otherwise push the final line past the capture on
+    // exactly the run whose artifact most needs to parse; n_failed
+    // marks truncation (round-13 review)
+    val failed =
+      (allFailed.take(12).map(jsonStr) ++
+        (if (allFailed.size > 12) Seq(jsonStr(s"+${allFailed.size - 12} more")) else Nil))
+        .mkString("[", ",", "]")
     // ---- budgeted compact tail (round-13, verdict #4): the driver
     // captures the LAST ~2000 stdout chars and parses the final line,
     // so the line must stay under that capture — but within it, spend
@@ -386,7 +393,8 @@ object Bench {
         s""""light_ref":${ms(runRefSent)},"drift_thr":${ms(driftThr)},""" +
         s""""run_skewed":$runSkewed,"n_drifted":${drifted.size},"drifted":$driftedTail,""" +
         s""""stream_floor_sec":${ms(streamFloor)},""" +
-        s""""packs":$packs,"rep1_gap":$rep1Gap,"failed":$failed,"sf":${jsonStr(sfDir)}"""
+        s""""packs":$packs,"rep1_gap":$rep1Gap,""" +
+        s""""n_failed":${allFailed.size},"failed":$failed,"sf":${jsonStr(sfDir)}"""
     var line2 = core
     def tryAdd(frag: String): Boolean = {
       val fits = line2.length + frag.length + 3 <= tailBudget
@@ -403,9 +411,12 @@ object Bench {
       tryAdd(s""""$name":${entries.take(k).mkString("{", ",", "}")}""")
     }
     val probeByKey = chosen.map { case (n, s, _) => n -> s }.toMap
+    // probes through the locale-pinned Measure.ms — an f"%.2f" here
+    // would emit comma decimals (invalid JSON) on comma locales, the
+    // exact bug ms exists to prevent (round-13 review)
     if (drifted.nonEmpty)
       greedy("drift_probes", drifted.sortBy(-probeByKey(_))
-        .map(n => jsonStr(n) + ":" + f"${probeByKey(n)}%.2f"))
+        .map(n => jsonStr(n) + ":" + ms(probeByKey(n))))
     tryAdd(s""""stream_share":$streamShare"""): Unit
     if (!tryAdd(s""""queries":$qs"""))
       greedy("slowest", results.filter(_._2 >= 0).sortBy(-_._2)

@@ -388,6 +388,14 @@ object MultimodalPack extends QueryPack {
     ds.mapPartitions { batch =>
         batch.flatMap { case (id, payload) =>
           WavDecode.decode(payload).map { case (meta, samples) =>
+            // energy SATURATES at Long.MaxValue (round-13 review):
+            // with the decode seam emitting 24-bit-grid samples, a
+            // full-scale clip overflows Σs² past ~2^17 samples
+            // (per-sample s² ≤ 2^46); a wrapped-negative energy is
+            // garbage, a saturated one is an honest "≥ 2^63−1". The
+            // 8/16-bit corpus paths (and the m_audio oracle) stay
+            // exact: their true Σ can't reach the rail
+            // (2^28 samples × 2^30 max s² = 2^58).
             var energy = 0L
             var peak = 0L
             var zc = 0L
@@ -395,7 +403,8 @@ object MultimodalPack extends QueryPack {
             var i = 0
             while (i < samples.length) {
               val v = samples(i)
-              energy += v.toLong * v
+              val sq = v.toLong * v
+              energy = if (energy > Long.MaxValue - sq) Long.MaxValue else energy + sq
               val a = math.abs(v).toLong
               if (a > peak) peak = a
               if (a <= AUDIO_SILENCE) silent += 1

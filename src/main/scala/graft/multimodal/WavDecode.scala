@@ -23,8 +23,9 @@ final case class WavMeta(channels: Int, sampleRate: Int, bitsPerSample: Int)
   *      are fixed-point-centered to the 24-bit grid:
   *      clamp(floor(f·2²³ + 0.5), −2²³, 2²³−1), NaN → 0 (one
   *      documented deterministic mapping into the integer-exact
-  *      stats pipeline; ±1.0 full-scale floats land on ±2²³ like a
-  *      24-bit clip would). Channels stay frame-interleaved.
+  *      stats pipeline; −1.0 lands exactly on −2²³ and +1.0 CLIPS to
+  *      2²³−1, exactly as a 24-bit DAC clips its positive rail).
+  *      Channels stay frame-interleaved.
   *
   * Scope (loudly bounded like the image decoders): integer PCM
   * (format tag 1) at 8/16/24-bit and IEEE-float PCM (format tag 3)

@@ -58,13 +58,18 @@ object GraphStore {
 
   /** The version list a compaction directory covers, from its
     * `_MANIFEST` (one comma-separated line — the time-travel index
-    * [[compact]] preserves). */
-  private def manifest(s: SparkSession, root: String, c: Path): Seq[Int] = {
-    val in = fs(s, root).open(new Path(c, "_MANIFEST"))
-    try scala.io.Source.fromInputStream(in).mkString.trim
-      .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-    finally in.close()
-  }
+    * [[compact]] preserves). Empty for a missing or unparseable
+    * manifest: a foreign/partial `c=N-k`-shaped entry must be IGNORED
+    * like any other foreign directory, not poison every reader
+    * through [[committedVersions]] (round-13 review — the same
+    * contract [[dirVersions]] documents). */
+  private def manifest(s: SparkSession, root: String, c: Path): Seq[Int] =
+    try {
+      val in = fs(s, root).open(new Path(c, "_MANIFEST"))
+      try scala.io.Source.fromInputStream(in).mkString.trim
+        .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
   /** Every readable snapshot version: live `v=N` directories plus
     * versions preserved inside compaction directories. */
@@ -203,18 +208,24 @@ object GraphStore {
     * interval filter; [[diff]] composes unchanged.
     *
     * Publish protocol mirrors [[commit]]: staging write + `_MANIFEST`,
-    * one atomic rename to `c=<maxV>-<k>`, THEN the rolled `v=N`
-    * directories and superseded compaction directories are deleted —
-    * a crash mid-cleanup leaves duplicate readable copies (dir wins
-    * in [[readVersion]]), never a hole; the next compact cleans up.
-    * Returns the number of snapshot versions rolled. */
+    * one atomic rename to `c=<maxV>-<k>`. Compaction DELETES NOTHING
+    * (round-13 review): the rolled `v=N` directories stay readable —
+    * [[readVersion]] prefers the directory copy — so a lazy DataFrame
+    * held across the compact never loses its files. Space is
+    * reclaimed by the separate [[vacuum]], the explicitly destructive
+    * maintenance call (the OPTIMIZE / VACUUM split every table format
+    * makes, for the same reader-isolation reason). Returns the number
+    * of snapshot versions rolled into the new directory. */
   def compact(s: SparkSession, root: String): Int = {
     import org.apache.spark.sql.expressions.Window
     val versions = committedVersions(s, root)
     require(versions.nonEmpty, s"GraphStore at $root is empty")
     val priorDirs = dirVersions(s, root).sorted
     val priorCompacts = compactDirs(s, root)
-    if (priorDirs.isEmpty && priorCompacts.size == 1) return 0 // already compact
+    // no-op when the newest compaction already covers every committed
+    // version — nothing new to roll, vacuumed or not
+    if (priorCompacts.headOption.exists(c =>
+        manifest(s, root, c).toSet == versions.toSet)) return 0
     val f = fs(s, root)
     // dense index over the committed sequence defines run contiguity
     val idxDf = s.createDataFrame(versions.zipWithIndex.map {
@@ -243,9 +254,32 @@ object GraphStore {
       throw new IllegalStateException(
         s"concurrent GraphStore compact under $root (rename race; retry)")
     }
-    priorDirs.foreach(v => f.delete(new Path(snapshotPath(root, v)), true))
-    priorCompacts.foreach(c => f.delete(c, true))
     priorDirs.size + priorCompacts.size
+  }
+
+  /** VACUUM — delete snapshot directories and superseded compaction
+    * directories whose versions are fully covered by the NEWEST
+    * committed compaction directory. Destructive by design: a reader
+    * whose lazy DataFrame still references a covered `v=N` directory
+    * will fail once its files vanish — run it when no readers hold
+    * pre-vacuum plans (the retention decision every table format's
+    * VACUUM delegates to the operator). Time travel itself is
+    * unaffected: every covered version remains readable through the
+    * compaction directory. Returns the number of directories
+    * deleted. */
+  def vacuum(s: SparkSession, root: String): Int = {
+    val f = fs(s, root)
+    compactDirs(s, root) match {
+      case newest +: rest =>
+        val covered = manifest(s, root, newest).toSet
+        val deadDirs = dirVersions(s, root).filter(covered.contains)
+        val deadCompacts = rest.filter(c =>
+          manifest(s, root, c).forall(covered.contains))
+        deadDirs.foreach(v => f.delete(new Path(snapshotPath(root, v)), true))
+        deadCompacts.foreach(c => f.delete(c, true))
+        deadDirs.size + deadCompacts.size
+      case _ => 0 // nothing compacted ⇒ nothing is redundant
+    }
   }
 
   /** Edge diff between two snapshots: (src, dst, change) with change

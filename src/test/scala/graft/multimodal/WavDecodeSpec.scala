@@ -117,6 +117,31 @@ class WavDecodeSpec extends SparkSpec {
     assert(r.getLong(4) === samples.map(v => v.toLong * v).sum)
   }
 
+  test("audioStatsOf: energy saturates at Long.MaxValue on full-scale wide samples, never wraps") {
+    // round-13 review: 24-bit-grid samples square to 2⁴⁶, so a
+    // full-scale clip overflows Σs² past ~2¹⁷ samples — the
+    // accumulator must clamp, not wrap negative
+    val n = (1 << 17) + 1024
+    val bb = java.nio.ByteBuffer.allocate(n * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until n).foreach(_ => bb.putFloat(-1.0f)) // −1.0 → −2²³ exactly
+    val fmt = new AudioFormat(AudioFormat.Encoding.PCM_FLOAT,
+      16000f, 32, 1, 4, 16000f, false)
+    val wav = soundWav(bb.array(), fmt)
+    import spark.implicits._
+    val r = MultimodalPack.audioStatsOf(spark, Seq((13L, wav)).toDS()).head()
+    assert(r.getLong(4) === Long.MaxValue, "energy must clamp at the rail")
+    assert(r.getLong(5) === 8388608L) // peak |−2²³| is unaffected
+    // a clip just UNDER the rail stays exact
+    val m = 1 << 16
+    val bb2 = java.nio.ByteBuffer.allocate(m * 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    (0 until m).foreach(_ => bb2.putFloat(-1.0f))
+    val r2 = MultimodalPack.audioStatsOf(spark,
+      Seq((14L, soundWav(bb2.array(), fmt))).toDS()).head()
+    assert(r2.getLong(4) === m.toLong * (1L << 46))
+  }
+
   test("the wrapper's own container: decode identity AND javax.sound agreement") {
     val rng = new scala.util.Random(23)
     val pcm = Array.fill(513)(rng.nextInt(256).toByte)

@@ -155,26 +155,40 @@ class GraphStoreSpec extends SparkSpec {
     val before = Seq(v1, v2, v3, v4).map(v => v -> snap(v)).toMap
     val diffsBefore = Seq((v1, v2), (v2, v3), (v1, v4)).map { case (a, b) =>
       (a, b) -> diffRows(a, b) }.toMap
+    // a reader holding a LAZY plan across the whole maintenance pass:
+    // compact must never pull files out from under it (round-13
+    // review — the OPTIMIZE/VACUUM split)
+    val held = GraphStore.read(spark, root)
     val rolled = GraphStore.compact(spark, root)
-    assert(rolled === 4, "four snapshot directories should have been rolled")
-    // time travel preserved, bit-identical, through the interval slice
+    assert(rolled === 4, "four snapshot versions should have been rolled")
+    // compact deletes nothing: directories survive, the held plan
+    // still executes, and dir copies win over the interval slice
+    assert(Files.exists(java.nio.file.Paths.get(root, s"v=$v4")))
+    assert(held.as[(Long, Long, String)].collect().toSet === before(v4))
+    // time travel bit-identical (still via dirs here)
     assert(GraphStore.committedVersions(spark, root) === Seq(v1, v2, v3, v4))
     assert(GraphStore.latestVersion(spark, root) === v4)
     Seq(v1, v2, v3, v4).foreach(v => assert(snap(v) === before(v), s"v=$v diverged"))
+    // re-compacting with nothing new is a no-op
+    assert(GraphStore.compact(spark, root) === 0)
+    // VACUUM reclaims the rolled directories; reads now route through
+    // the interval slice and stay bit-identical
+    assert(GraphStore.vacuum(spark, root) === 4)
+    assert(!Files.exists(java.nio.file.Paths.get(root, s"v=$v4")))
+    assert(GraphStore.committedVersions(spark, root) === Seq(v1, v2, v3, v4))
+    Seq(v1, v2, v3, v4).foreach(v => assert(snap(v) === before(v), s"v=$v diverged post-vacuum"))
     diffsBefore.foreach { case ((a, b), want) =>
       assert(diffRows(a, b) === want, s"diff($a, $b) diverged") }
     assert(GraphStore.read(spark, root).as[(Long, Long, String)].collect().toSet === before(v4))
-    // rolled directories are gone; re-compacting is a no-op
-    assert(!Files.exists(java.nio.file.Paths.get(root, s"v=$v4")))
-    assert(GraphStore.compact(spark, root) === 0)
     // a rolled version number is never re-issued, and the store keeps
     // accepting upserts on top of the compacted history
     val v5 = GraphStore.upsert(spark, root, Seq((7L, 8L, "e")).toDF("src", "dst", "tag"))
     assert(v5 === v4 + 1)
     assert(snap(v5) === before(v4) + ((7L, 8L, "e")))
     assert(snap(v2) === before(v2)) // history still intact after new writes
-    // and a SECOND compaction rolls the new dir plus the old compact
+    // a SECOND compact+vacuum rolls the new dir plus the old compact
     assert(GraphStore.compact(spark, root) === 2)
+    assert(GraphStore.vacuum(spark, root) === 2)
     assert(GraphStore.committedVersions(spark, root) === Seq(v1, v2, v3, v4, v5))
     Seq(v1, v3, v5).foreach(v => assert(snap(v) === (if (v == v5) before(v4) + ((7L, 8L, "e")) else before(v))))
     // a version that never existed stays unreadable through the manifest
@@ -182,6 +196,13 @@ class GraphStoreSpec extends SparkSpec {
       GraphStore.readVersion(spark, root, 99).collect()
     }
     assert(ex.getMessage.contains("no committed snapshot"))
+    // a foreign c=N-k-shaped entry without a readable manifest is
+    // ignored, never a store-wide poison (round-13 review)
+    val junk = java.nio.file.Paths.get(root, "c=99-0")
+    Files.createDirectories(junk)
+    Files.createFile(junk.resolve("_SUCCESS"))
+    assert(GraphStore.committedVersions(spark, root) === Seq(v1, v2, v3, v4, v5))
+    assert(snap(v5) === before(v4) + ((7L, 8L, "e")))
   }
 
   test("dedup survivor within one input is deterministic across reruns") {
