@@ -354,15 +354,17 @@ object Bench {
       .take(15)
       .map { case (k, r1, med) => jsonStr(k) + s":[${ms(r1)},${ms(med)}]" }
       .mkString("{", ",", "}")
-    val allFailed = results.collect { case (k, v) if v < 0 => k }
-    // capped like `drifted`: a mass-failure run (broken build, bad
-    // sfDir) would otherwise push the final line past the capture on
-    // exactly the run whose artifact most needs to parse; n_failed
-    // marks truncation (round-13 review)
-    val failed =
-      (allFailed.take(12).map(jsonStr) ++
-        (if (allFailed.size > 12) Seq(jsonStr(s"+${allFailed.size - 12} more")) else Nil))
+    /** Capped JSON name array with a "+N more" truncation marker —
+      * ONE definition for `failed` and `drifted` so the cap and
+      * marker format cannot desynchronize. An unbounded list here
+      * could push the final line past the capture on exactly the run
+      * whose artifact most needs to parse (round-13 review). */
+    def cappedNames(xs: Seq[String]): String =
+      (xs.take(12).map(jsonStr) ++
+        (if (xs.size > 12) Seq(jsonStr(s"+${xs.size - 12} more")) else Nil))
         .mkString("[", ",", "]")
+    val allFailed = results.collect { case (k, v) if v < 0 => k }
+    val failed = cappedNames(allFailed)
     // ---- budgeted compact tail (round-13, verdict #4): the driver
     // captures the LAST ~2000 stdout chars and parses the final line,
     // so the line must stay under that capture — but within it, spend
@@ -383,10 +385,7 @@ object Bench {
     // Greedy by that priority; nothing here can push the line past
     // the capture, so the final line ALWAYS parses.
     val tailBudget = 1900
-    val driftedTail =
-      (drifted.take(12).map(jsonStr) ++
-        (if (drifted.size > 12) Seq(jsonStr(s"+${drifted.size - 12} more")) else Nil))
-        .mkString("[", ",", "]")
+    val driftedTail = cappedNames(drifted)
     val core =
       s""""metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
         s""""reps":$reps,"sentinel_sec":[${ms(sentinelStart)},${ms(sentinelEnd)}],""" +

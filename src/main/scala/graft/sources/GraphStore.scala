@@ -46,15 +46,28 @@ object GraphStore {
   }
 
   /** Committed compaction directories (`c=<maxV>-<k>` with
-    * `_SUCCESS`), newest-coverage first. */
+    * `_SUCCESS`), unordered and unvalidated — callers that need
+    * coverage go through [[readableCompacts]]. */
   private def compactDirs(s: SparkSession, root: String): Seq[Path] = {
     val p = new Path(root)
     val f = fs(s, root)
     if (!f.exists(p)) Seq.empty
     else f.listStatus(p).map(_.getPath).toSeq
       .filter(q => q.getName.matches("c=\\d+-\\d+") && f.exists(new Path(q, "_SUCCESS")))
-      .sortBy(q => -q.getName.drop(2).takeWhile(_ != '-').toInt)
   }
+
+  /** Compaction directories WITH a readable, non-empty `_MANIFEST`,
+    * paired with their coverage and sorted newest-coverage first —
+    * by ACTUAL manifest content, never by directory name (round-13
+    * review: a foreign `c=<bigN>-k`-shaped entry must not be able to
+    * outrank the real compaction, disable [[vacuum]], or defeat
+    * [[compact]]'s no-op check). */
+  private def readableCompacts(s: SparkSession,
+                               root: String): Seq[(Path, Seq[Int])] =
+    compactDirs(s, root)
+      .map(c => c -> manifest(s, root, c))
+      .filter(_._2.nonEmpty)
+      .sortBy { case (_, vs) => (-vs.max, -vs.size) }
 
   /** The version list a compaction directory covers, from its
     * `_MANIFEST` (one comma-separated line — the time-travel index
@@ -75,7 +88,7 @@ object GraphStore {
     * versions preserved inside compaction directories. */
   def committedVersions(s: SparkSession, root: String): Seq[Int] =
     (dirVersions(s, root) ++
-      compactDirs(s, root).flatMap(manifest(s, root, _))).distinct.sorted
+      readableCompacts(s, root).flatMap(_._2)).distinct.sorted
 
   /** Latest committed snapshot version under `root`, 0 if none. */
   def latestVersion(s: SparkSession, root: String): Int =
@@ -181,7 +194,9 @@ object GraphStore {
     require(v > 0, s"no committed snapshot v=$v at $root")
     if (committed(s, root, v)) s.read.parquet(snapshotPath(root, v))
     else {
-      val c = compactDirs(s, root).find(manifest(s, root, _).contains(v))
+      val c = readableCompacts(s, root).collectFirst {
+          case (p, vs) if vs.contains(v) => p
+        }
         .getOrElse(throw new IllegalArgumentException(
           s"requirement failed: no committed snapshot v=$v at $root"))
       s.read.parquet(c.toString)
@@ -215,17 +230,19 @@ object GraphStore {
     * reclaimed by the separate [[vacuum]], the explicitly destructive
     * maintenance call (the OPTIMIZE / VACUUM split every table format
     * makes, for the same reader-isolation reason). Returns the number
-    * of snapshot versions rolled into the new directory. */
+    * of PRIOR DIRECTORIES (snapshot + compaction) rolled into the new
+    * one — the count [[vacuum]] can then reclaim, not the count of
+    * versions preserved (a rolled compaction carries many). */
   def compact(s: SparkSession, root: String): Int = {
     import org.apache.spark.sql.expressions.Window
     val versions = committedVersions(s, root)
     require(versions.nonEmpty, s"GraphStore at $root is empty")
     val priorDirs = dirVersions(s, root).sorted
-    val priorCompacts = compactDirs(s, root)
-    // no-op when the newest compaction already covers every committed
-    // version — nothing new to roll, vacuumed or not
-    if (priorCompacts.headOption.exists(c =>
-        manifest(s, root, c).toSet == versions.toSet)) return 0
+    val priorCompacts = readableCompacts(s, root).map(_._1)
+    // no-op when the newest READABLE compaction already covers every
+    // committed version — nothing new to roll, vacuumed or not
+    if (readableCompacts(s, root).headOption.exists(_._2.toSet == versions.toSet))
+      return 0
     val f = fs(s, root)
     // dense index over the committed sequence defines run contiguity
     val idxDf = s.createDataFrame(versions.zipWithIndex.map {
@@ -269,12 +286,18 @@ object GraphStore {
     * deleted. */
   def vacuum(s: SparkSession, root: String): Int = {
     val f = fs(s, root)
-    compactDirs(s, root) match {
-      case newest +: rest =>
-        val covered = manifest(s, root, newest).toSet
+    readableCompacts(s, root) match {
+      case (_, newestCover) +: rest =>
+        val covered = newestCover.toSet
         val deadDirs = dirVersions(s, root).filter(covered.contains)
-        val deadCompacts = rest.filter(c =>
-          manifest(s, root, c).forall(covered.contains))
+        // only compactions whose coverage is KNOWN (readable,
+        // non-empty manifest) and fully subsumed may die — an
+        // unreadable manifest means unknown contents, and deleting
+        // unknown contents is the opposite of the ignore-foreign-
+        // entries contract (round-13 review)
+        val deadCompacts = rest.collect {
+          case (c, vs) if vs.forall(covered.contains) => c
+        }
         deadDirs.foreach(v => f.delete(new Path(snapshotPath(root, v)), true))
         deadCompacts.foreach(c => f.delete(c, true))
         deadDirs.size + deadCompacts.size

@@ -239,7 +239,13 @@ object StreamReplay {
             java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis()))
           Thread.sleep(20)
           java.nio.file.Files.exists(target.resolve("_STAGED"))
-        } catch { case _: java.io.IOException => false }
+        } catch {
+          case _: java.io.IOException => false
+          // a cancellation interrupt inside the grace sleep degrades
+          // to re-stage like every other adoption failure, with the
+          // interrupt flag restored for the caller (round-13 review)
+          case _: InterruptedException => Thread.currentThread().interrupt(); false
+        }
       if (adopted) target
       else {
         // evict stale stagings of this (sfDir, chunks) identity —

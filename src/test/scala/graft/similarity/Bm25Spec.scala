@@ -20,10 +20,15 @@ class Bm25Spec extends SparkSpec {
 
   /** The full E17 contract in plain JVM arithmetic. */
   private def jvmBm25(): Map[Long, Seq[(Long, Long)]] = {
+    // trim strips ASCII SPACES ONLY — Spark's (and DuckDB's) trim
+    // semantics; java.lang.String.trim would also strip \t/\n and
+    // silently diverge from a CORRECT engine on documents with
+    // non-space edge whitespace (round-13 review)
     val docs = Tables.documents(spark, sfDir)
       .select("doc_id", "text").collect()
       .map(r => r.getLong(0) ->
-        r.getString(1).trim.toLowerCase(Locale.ROOT).replaceAll("\\s+", " ").split(" ", -1))
+        r.getString(1).replaceAll("^ +| +$", "").toLowerCase(Locale.ROOT)
+          .replaceAll("\\s+", " ").split(" ", -1))
       .toMap
     val tf: Map[(Long, String), Long] = docs.toSeq
       .flatMap { case (id, ws) => ws.map(w => (id, w)) }

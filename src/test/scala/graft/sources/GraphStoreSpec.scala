@@ -197,12 +197,24 @@ class GraphStoreSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("no committed snapshot"))
     // a foreign c=N-k-shaped entry without a readable manifest is
-    // ignored, never a store-wide poison (round-13 review)
+    // ignored, never a store-wide poison (round-13 review) — even
+    // though its NAME outranks the real compaction: coverage comes
+    // from manifests, so reads still route, compact stays a no-op,
+    // and vacuum neither stalls on it nor DELETES it (unknown
+    // contents are not provably redundant)
     val junk = java.nio.file.Paths.get(root, "c=99-0")
     Files.createDirectories(junk)
     Files.createFile(junk.resolve("_SUCCESS"))
     assert(GraphStore.committedVersions(spark, root) === Seq(v1, v2, v3, v4, v5))
     assert(snap(v5) === before(v4) + ((7L, 8L, "e")))
+    assert(GraphStore.compact(spark, root) === 0)
+    assert(GraphStore.vacuum(spark, root) === 0)
+    assert(Files.exists(junk), "vacuum must never delete unknown-coverage directories")
+    // ...and new history keeps flowing around it
+    val v6 = GraphStore.upsert(spark, root, Seq((9L, 9L, "f")).toDF("src", "dst", "tag"))
+    assert(v6 === v5 + 1 && GraphStore.compact(spark, root) === 2)
+    assert(GraphStore.vacuum(spark, root) === 2 && Files.exists(junk))
+    assert(snap(v2) === before(v2))
   }
 
   test("dedup survivor within one input is deterministic across reruns") {
