@@ -69,6 +69,13 @@ object SimilarityPack extends QueryPack {
     * not as Scala values, so the two engines can never disagree on
     * the double they denote. */
   private val BM25_SCALE = 1000000L // fixed-point term-score scale
+  /** E19 MMR: candidate-pool width and the λ relevance/diversity
+    * trade-off (Carbonell–Goldstein 1998's standard 0.7). λ appears
+    * only as the decimal literals 0.7/0.3 written identically in the
+    * Spark plan and the oracle, so both engines score with the same
+    * doubles. */
+  private val MMR_POOL = 10
+
   /** E17 query-term budget: each query retrieves through its
     * QTERM_BUDGET RAREST terms (df ASC, term ASC — deterministic).
     * This is the scale bound on the inverted-index join — a query can
@@ -618,6 +625,73 @@ object SimilarityPack extends QueryPack {
         .select($"q_id", $"fused_rank", $"n_id", $"rank_cos", $"rank_lex", $"rrf_scaled")
     },
 
+    // E19 (round-13): MMR DIVERSIFIED re-ranking (Carbonell–
+    // Goldstein 1998) — the search-diversification surface every
+    // retrieval stack puts behind its top-k: greedily select K of the
+    // top-MMR_POOL relevance candidates, each pick the argmax of
+    //   mmr = 0.7·rel − 0.3·max_{s ∈ selected} sim(cand, s)
+    // (max_sim = 0.0 for the first pick — the uniform form of the
+    // rule), ties broken by n_id. Both rel and the pairwise sims are
+    // the E1 exact-quantized-dot cosine contract, so every double is
+    // cross-engine bit-identical and the greedy argmax sequence is
+    // exact. Scale shape: the pool is the bounded TopKByScore
+    // aggregate (one corpus scan); pairwise sims live entirely in the
+    // ≤ queries·POOL² pool space; each of the K−1 selection rounds is
+    // an anti-join + bounded-key aggregation + one rank window over
+    // ≤ queries·POOL rows — nothing after the pool build ever touches
+    // the corpus again.
+    "s_mmr" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val wq = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"mmr".desc, $"n_id".asc)
+      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      val q = e.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      val c = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+      val pool = topK(c.crossJoin(broadcast(q))
+          .filter($"q_id" =!= $"n_id")
+          .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")),
+        MMR_POOL)
+        .select($"q_id", $"n_id", $"cosine".as("rel"))
+        .localCheckpoint(true) // ≤ queries × POOL rows; read every round
+      val pv = pool.join(c, "n_id").select($"q_id", $"n_id", $"ne", $"nn")
+      val sims = pv.as("x").join(pv.as("y"),
+          col("x.q_id") === col("y.q_id") && col("x.n_id") =!= col("y.n_id"))
+        .select(col("x.q_id").as("q_id"), col("x.n_id").as("a_id"),
+          col("y.n_id").as("b_id"),
+          (VectorOps.dotDecFast(col("x.ne"), col("y.ne")) /
+            (col("x.nn") * col("y.nn"))).as("sim"))
+        .localCheckpoint(true) // ≤ queries × POOL² rows
+      // first pick ranks by RAW rel (not 0.7·rel): multiplying by λ
+      // is monotone but can collapse distinct doubles into ties, and
+      // the two engines must break the SAME ties — both rank the
+      // unscaled value
+      val wrel = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"rel".desc, $"n_id".asc)
+      var all = pool
+        .withColumn("rk", row_number().over(wrel))
+        .filter($"rk" === 1)
+        .withColumn("max_sim", lit(0.0))
+        .withColumn("mmr", lit(0.7) * $"rel" - lit(0.3) * $"max_sim")
+        .select($"q_id", $"n_id", lit(1L).as("mmr_rank"), $"rel", $"max_sim", $"mmr")
+      for (t <- 2 to K) {
+        val selIds = all.select($"q_id", $"n_id".as("b_id"))
+        val ms = sims.join(selIds, Seq("q_id", "b_id"))
+          .groupBy($"q_id", $"a_id".as("n_id"))
+          .agg(max($"sim").as("max_sim"))
+        val pick = pool
+          .join(all.select($"q_id", $"n_id"), Seq("q_id", "n_id"), "left_anti")
+          .join(ms, Seq("q_id", "n_id"))
+          .withColumn("mmr", lit(0.7) * $"rel" - lit(0.3) * $"max_sim")
+          .withColumn("rk", row_number().over(wq))
+          .filter($"rk" === 1)
+          .select($"q_id", $"n_id", lit(t.toLong).as("mmr_rank"), $"rel", $"max_sim", $"mmr")
+        all = all.unionByName(pick).localCheckpoint(true)
+      }
+      all.select($"q_id", $"mmr_rank", $"n_id", $"rel", $"max_sim", $"mmr")
+    },
+
     // E6: composed embedding pipeline — semantic-dedup survivors
     // (D7's linear screen) flowing straight into int8 quantization as
     // ONE DataFrame plan (the embedding-side twin of t_pipeline:
@@ -1071,6 +1145,62 @@ object SimilarityPack extends QueryPack {
          | SELECT q_id, n_id, rank_cos, rank_lex, rrf_scaled,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rrf_scaled DESC, n_id ASC) AS BIGINT) AS fused_rank
          | FROM fused) WHERE fused_rank <= $K""".stripMargin,
+    // E19: pool + pairwise sims re-derived from dims (the E1 dot
+    // contract), then the greedy unrolled — pick_t = argmax of
+    // 0.7·rel − 0.3·max-sim-to-selected over the not-yet-selected
+    // pool, exactly K steps.
+    "s_mmr" -> {
+      val steps = (2 to K).map { t =>
+        val prev = s"all${t - 1}"
+        s"""pick$t AS (SELECT q_id, n_id, rel, max_sim, mmr FROM (
+           | SELECT q_id, n_id, rel, max_sim, mmr,
+           |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY mmr DESC, n_id ASC) AS BIGINT) AS rk
+           | FROM (
+           |  SELECT p.q_id, p.n_id, p.rel, m.max_sim,
+           |   0.7 * p.rel - 0.3 * m.max_sim AS mmr
+           |  FROM pool p
+           |  JOIN (SELECT s.q_id, s.a_id, MAX(s.sim) AS max_sim
+           |        FROM sims s JOIN $prev u ON u.q_id = s.q_id AND u.n_id = s.b_id
+           |        GROUP BY 1, 2) m ON m.q_id = p.q_id AND m.a_id = p.n_id
+           |  WHERE NOT EXISTS (SELECT 1 FROM $prev u2
+           |                    WHERE u2.q_id = p.q_id AND u2.n_id = p.n_id)))
+           | WHERE rk = 1),
+           |all$t AS (SELECT q_id, n_id, mmr_rank, rel, max_sim, mmr FROM $prev
+           |          UNION ALL
+           |          SELECT q_id, n_id, CAST($t AS BIGINT), rel, max_sim, mmr FROM pick$t)"""
+      }.mkString(",\n")
+      s"""WITH $dimsSql,
+         |dot AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+         |         CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |        FROM dims q JOIN dims c ON q.i = c.i AND q.vec_id <> c.vec_id
+         |        WHERE q.vec_id < $N_QUERIES
+         |        GROUP BY q.vec_id, c.vec_id),
+         |pool AS (SELECT q_id, n_id, rel FROM (
+         |          SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS rel,
+         |           CAST(ROW_NUMBER() OVER (PARTITION BY d.q_id
+         |             ORDER BY d.dp / (nq.n * nc.n) DESC, d.n_id ASC) AS BIGINT) AS rk
+         |          FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id
+         |           JOIN nrm nc ON nc.vec_id = d.n_id)
+         |         WHERE rk <= $MMR_POOL),
+         |pdot AS (SELECT a.q_id, a.n_id AS a_id, b.n_id AS b_id,
+         |          CAST(SUM(CAST(floor(da.x * db.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         |         FROM pool a JOIN pool b ON b.q_id = a.q_id AND b.n_id <> a.n_id
+         |          JOIN dims da ON da.vec_id = a.n_id
+         |          JOIN dims db ON db.vec_id = b.n_id AND db.i = da.i
+         |         GROUP BY 1, 2, 3),
+         |sims AS (SELECT p.q_id, p.a_id, p.b_id, p.dp / (na.n * nb.n) AS sim
+         |         FROM pdot p JOIN nrm na ON na.vec_id = p.a_id
+         |          JOIN nrm nb ON nb.vec_id = p.b_id),
+         |all1 AS (SELECT q_id, n_id, CAST(1 AS BIGINT) AS mmr_rank, rel,
+         |          CAST(0.0 AS DOUBLE) AS max_sim,
+         |          0.7 * rel - 0.3 * CAST(0.0 AS DOUBLE) AS mmr
+         |         FROM (SELECT q_id, n_id, rel,
+         |                CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY rel DESC, n_id ASC) AS BIGINT) AS rk
+         |               FROM pool)
+         |         WHERE rk = 1),
+         |$steps
+         |SELECT q_id, mmr_rank, n_id, rel, max_sim, mmr FROM all$K""".stripMargin
+    },
     "s_knn_ann" -> {
       val width = PLANES / BANDS
       s"""WITH $dimsSql,

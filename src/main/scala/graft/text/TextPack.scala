@@ -74,6 +74,9 @@ object TextPack extends QueryPack {
   private val PACK_BUDGET = 256
   private val PACK_SHARDS = 16
 
+  /** F25 BPE merge-learning steps (each learns one merge rule). */
+  private val BPE_STEPS = 6
+
   /** Corpus-mixing weights by source: >1 upsamples (emit ⌊w⌋ or ⌈w⌉
     * copies), <1 downsamples (keep with probability w). Sources not
     * listed get [[MIX_DEFAULT]]. */
@@ -622,6 +625,31 @@ object TextPack extends QueryPack {
         .select($"rank", $"wa", $"wb", $"c_ab", $"lift")
     },
 
+    // F25 (round-13): BPE MERGE LEARNING — the tokenizer-training
+    // primitive itself (Sennrich 2016), next to F1's tokenize-WITH-a-
+    // tokenizer and F20's collocation candidates: BPE_STEPS rounds of
+    //   (1) count adjacent token pairs corpus-wide,
+    //   (2) take the argmax pair (count desc, then lexicographic —
+    //       a unique total order, so the learned table is exact),
+    //   (3) merge every adjacent occurrence into one token,
+    // over word-level sequences (word-boundary-respecting merges —
+    // the word-internal character stage is the same algorithm one
+    // level down). EQUAL-token pairs are excluded from candidacy, the
+    // documented determinism contract: with l ≠ r two matches can
+    // never overlap (a mark at i and i+1 would need tok_{i+1} = l =
+    // r), so the merge pass is ONE window expression with no
+    // greedy-chain ambiguity for either engine to resolve.
+    // Scale shape: pair counting is a lead() over the doc-partitioned
+    // window + a partial-aggregable groupBy; the argmax is
+    // TakeOrderedAndProject (bounded heaps, one row to the driver —
+    // the merge RULE is driver state by nature, exactly like a real
+    // tokenizer trainer's); the merge pass is two window functions
+    // over the same doc partitioning; each round's sequences are
+    // checkpointed so round k+1 reads blocks, not a k-deep window
+    // tower. K is a constant; total cost K × (one window + one
+    // bounded-key shuffle) — linear in the corpus at any scale.
+    "t_bpe" -> { (s, d) => bpeMerges(s, d, BPE_STEPS) },
+
     // F18: deterministic weighted sampling WITHOUT replacement — an
     // exact-size sample of SAMPLE_N docs where selection probability
     // rises with an integer per-source weight, via the min-of-w-hashes
@@ -743,6 +771,52 @@ object TextPack extends QueryPack {
     },
   )
 
+  /** F25's trainer body: `steps` rounds of count → argmax → merge
+    * over the word-level sequences (see the key comment for the
+    * contract). Returns the learned merge table
+    * (step, lhs, rhs, pair_count); stops early if a round finds no
+    * candidate pair (single-token documents only). */
+  private def bpeMerges(s: SparkSession, d: String, steps: Int): DataFrame = {
+    import s.implicits._
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    var toks = Tables.documents(s, d)
+      .select($"doc_id", posexplode(split(TextOps.norm($"text"), " ")).as(Seq("pos", "tok")))
+      .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
+      .localCheckpoint(true)
+    val learned = Seq.newBuilder[(Long, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= steps && !exhausted) {
+      val paired = toks.withColumn("nxt", lead($"tok", 1).over(wdoc))
+      // the argmax rule: TakeOrderedAndProject ships ONE row per
+      // partition to the driver — the rule is driver state by nature
+      val top = paired
+        .filter($"nxt".isNotNull && $"tok" =!= $"nxt")
+        .groupBy($"tok".as("l"), $"nxt".as("r")).agg(count(lit(1)).as("c"))
+        .orderBy($"c".desc, $"l".asc, $"r".asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r, c) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
+        learned += ((k.toLong, l, r, c))
+        // one window pass applies the rule: a marked row swallows its
+        // successor (l ≠ r ⇒ marks are never adjacent, so `consumed`
+        // is exactly lag(mark))
+        toks = paired
+          .withColumn("mark",
+            coalesce($"tok" === lit(l) && $"nxt" === lit(r), lit(false)))
+          .withColumn("consumed", coalesce(lag($"mark", 1).over(wdoc), lit(false)))
+          .filter(!$"consumed")
+          .select($"doc_id", row_number().over(wdoc).cast("long").as("pos"),
+            when($"mark", lit(s"$l $r")).otherwise($"tok").as("tok"))
+          .localCheckpoint(true)
+        k += 1
+      }
+    }
+    learned.result().toDF("step", "lhs", "rhs", "pair_count")
+  }
+
   override def oracles: Map[String, String] = {
     val nrmSql = TextOps.nrmSql
     Map(
@@ -764,6 +838,42 @@ object TextPack extends QueryPack {
            | n_$c1 + n_$c2 + n_$c3 = 0 AS clean
            |FROM s3""".stripMargin
       },
+      // F25: the trainer unrolled — per step k, pair counts (pk) →
+      // the unique argmax (mk: count desc, lexicographic) → the merge
+      // applied by the same mark/consumed window algebra (sk → tk).
+      // LEFT JOIN m ON TRUE keeps sequences flowing when a step finds
+      // no pair (mark = false everywhere), matching the engine's
+      // early stop: later steps then also find no pair and the merge
+      // table simply ends.
+      "t_bpe" -> {
+        val steps = (1 to BPE_STEPS).map { k =>
+          val t = s"t${k - 1}"
+          s"""p$k AS (SELECT tok AS l, nxt AS r, CAST(COUNT(*) AS BIGINT) AS c FROM (
+             |  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $t)
+             | WHERE nxt IS NOT NULL AND tok <> nxt GROUP BY 1, 2),
+             |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+             |s$k AS (SELECT doc_id, pos, tok, mark,
+             |         lag(mark) OVER (PARTITION BY doc_id ORDER BY pos) AS consumed, l, r
+             |        FROM (SELECT t.doc_id, t.pos, t.tok,
+             |                coalesce(t.tok = m.l AND lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) = m.r, FALSE) AS mark,
+             |                m.l AS l, m.r AS r
+             |              FROM $t t LEFT JOIN m$k m ON TRUE)),
+             |t$k AS (SELECT doc_id,
+             |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos,
+             |         CASE WHEN mark THEN l || ' ' || r ELSE tok END AS tok
+             |        FROM s$k WHERE NOT coalesce(consumed, FALSE))""".stripMargin
+        }.mkString(",\n")
+        val out = (1 to BPE_STEPS).map(k =>
+          s"SELECT CAST($k AS BIGINT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM m$k")
+          .mkString("\nUNION ALL ")
+        s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
+           |t0 AS (
+           | SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[CAST(t.i AS INT)] AS tok
+           | FROM toks, UNNEST(range(1, len(w) + 1)) t(i)),
+           |$steps
+           |$out""".stripMargin
+      },
+
       // lift = one IEEE division of exact integer products (the log
       // step of PMI is monotone, so the rank order is PMI's)
       "t_colloc" ->

@@ -40,7 +40,8 @@ class PlanShapeSpec extends SparkSpec {
       "s_recall", // composes s_knn_brute/ann, inheriting their shapes
       "s_rrf", // composes s_knn_brute + its own bounded query broadcast (E16)
       "s_bm25", // one-row corpus-stats broadcast onto the bounded query-term set (E17)
-      "s_rrf_hybrid") // composes s_knn_brute + s_bm25 (E18)
+      "s_rrf_hybrid", // composes s_knn_brute + s_bm25 (E18)
+      "s_mmr") // E1's bounded query broadcast builds the pool (E19)
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
