@@ -645,23 +645,9 @@ object SimilarityPack extends QueryPack {
       graft.functions.GraftFunctions.register(s)
       val wq = org.apache.spark.sql.expressions.Window
         .partitionBy($"q_id").orderBy($"mmr".desc, $"n_id".asc)
-      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
-      val q = e.filter($"vec_id" < N_QUERIES)
-        .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
-      val c = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
-      val pool = topK(c.crossJoin(broadcast(q))
-          .filter($"q_id" =!= $"n_id")
-          .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")),
-        MMR_POOL)
-        .select($"q_id", $"n_id", $"cosine".as("rel"))
+      val pool = mmrPool(s, d)
         .localCheckpoint(true) // ≤ queries × POOL rows; read every round
-      val pv = pool.join(c, "n_id").select($"q_id", $"n_id", $"ne", $"nn")
-      val sims = pv.as("x").join(pv.as("y"),
-          col("x.q_id") === col("y.q_id") && col("x.n_id") =!= col("y.n_id"))
-        .select(col("x.q_id").as("q_id"), col("x.n_id").as("a_id"),
-          col("y.n_id").as("b_id"),
-          (VectorOps.dotDecFast(col("x.ne"), col("y.ne")) /
-            (col("x.nn") * col("y.nn"))).as("sim"))
+      val sims = mmrSims(s, d, pool)
         .localCheckpoint(true) // ≤ queries × POOL² rows
       // first pick ranks by RAW rel (not 0.7·rel): multiplying by λ
       // is monotone but can collapse distinct doubles into ties, and
@@ -710,6 +696,39 @@ object SimilarityPack extends QueryPack {
         .select($"vec_id", $"cluster_id", $"scale", $"q_checksum", $"max_abs_err")
     },
   )
+
+  /** E19's relevance pool — UNcheckpointed, factored out so MmrSpec
+    * can assert its plan shape directly (the key checkpoints it,
+    * which truncates the plan PlanShapeSpec's all-keys sweep sees to
+    * a LogicalRDD scan; the deliberate broadcast-cross lives HERE). */
+  private[similarity] def mmrPool(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    graft.functions.GraftFunctions.register(s)
+    val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+    val q = e.filter($"vec_id" < N_QUERIES)
+      .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+    val c = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+    topK(c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"n_id")
+        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")),
+      MMR_POOL)
+      .select($"q_id", $"n_id", $"cosine".as("rel"))
+  }
+
+  /** E19's pool-pairwise sims over a (checkpointed) pool frame —
+    * equi-join keyed work only; spec-asserted shape. */
+  private[similarity] def mmrSims(s: SparkSession, d: String, pool: DataFrame): DataFrame = {
+    import s.implicits._
+    val c = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      .select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+    val pv = pool.join(c, "n_id").select($"q_id", $"n_id", $"ne", $"nn")
+    pv.as("x").join(pv.as("y"),
+        col("x.q_id") === col("y.q_id") && col("x.n_id") =!= col("y.n_id"))
+      .select(col("x.q_id").as("q_id"), col("x.n_id").as("a_id"),
+        col("y.n_id").as("b_id"),
+        (VectorOps.dotDecFast(col("x.ne"), col("y.ne")) /
+          (col("x.nn") * col("y.nn"))).as("sim"))
+  }
 
   /** E17's BM25 top-K, single-sourced for the s_bm25 key and E18's
     * lexical fusion arm. Returns (q_id, rank, n_id, score_scaled,

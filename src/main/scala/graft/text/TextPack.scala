@@ -788,7 +788,12 @@ object TextPack extends QueryPack {
     var k = 1
     var exhausted = false
     while (k <= steps && !exhausted) {
+      // checkpointed: BOTH the argmax action and the merge pass read
+      // this round's lead() window from blocks — un-checkpointed, the
+      // full-corpus window sort would run twice per round (round-13
+      // third review pass)
       val paired = toks.withColumn("nxt", lead($"tok", 1).over(wdoc))
+        .localCheckpoint(true)
       // the argmax rule: TakeOrderedAndProject ships ONE row per
       // partition to the driver — the rule is driver state by nature
       val top = paired
@@ -803,6 +808,9 @@ object TextPack extends QueryPack {
         // one window pass applies the rule: a marked row swallows its
         // successor (l ≠ r ⇒ marks are never adjacent, so `consumed`
         // is exactly lag(mark))
+        // no checkpoint here: the merged table is consumed exactly
+        // once (by the next round's checkpointed `paired`), and its
+        // lineage is row-local ops over this round's blocks
         toks = paired
           .withColumn("mark",
             coalesce($"tok" === lit(l) && $"nxt" === lit(r), lit(false)))
@@ -810,7 +818,6 @@ object TextPack extends QueryPack {
           .filter(!$"consumed")
           .select($"doc_id", row_number().over(wdoc).cast("long").as("pos"),
             when($"mark", lit(s"$l $r")).otherwise($"tok").as("tok"))
-          .localCheckpoint(true)
         k += 1
       }
     }

@@ -40,8 +40,14 @@ class PlanShapeSpec extends SparkSpec {
       "s_recall", // composes s_knn_brute/ann, inheriting their shapes
       "s_rrf", // composes s_knn_brute + its own bounded query broadcast (E16)
       "s_bm25", // one-row corpus-stats broadcast onto the bounded query-term set (E17)
-      "s_rrf_hybrid", // composes s_knn_brute + s_bm25 (E18)
-      "s_mmr") // E1's bounded query broadcast builds the pool (E19)
+      "s_rrf_hybrid") // composes s_knn_brute + s_bm25 (E18)
+  // NOTE (round-13): s_mmr and t_bpe return post-checkpoint /
+  // driver-assembled frames, so the all-keys sweeps below see only
+  // LogicalRDD / LocalRelation scans for them. Their PRE-checkpoint
+  // shapes are asserted directly: MmrSpec pins the pool's deliberate
+  // bounded-query broadcast and the keyed sims join; t_bpe's trainer
+  // is join-free by construction (windows + partial-aggregable
+  // groupBy + TakeOrderedAndProject only).
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

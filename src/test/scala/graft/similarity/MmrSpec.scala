@@ -1,7 +1,5 @@
 package graft.similarity
 
-import java.math.{BigDecimal => JBig, RoundingMode}
-
 import graft.{SparkEntry, SparkSpec, Tables}
 
 /** E19 (round-13): MMR diversified re-ranking — the engine's greedy
@@ -20,12 +18,17 @@ class MmrSpec extends SparkSpec {
     val embs = Tables.embeddings(spark, sfDir).select("vec_id", "embedding").collect()
       .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
     def nrm(v: Array[Float]): Double = {
-      var acc = JBig.ZERO
+      // BigDecimal.decimal (shortest-string / valueOf) — the SAME
+      // double→decimal conversion Spark's CAST(DOUBLE AS DECIMAL)
+      // performs; new BigDecimal(double) would take the exact binary
+      // expansion and can round differently at the 12th digit
+      // (round-13 third review pass)
+      var acc = BigDecimal(0)
       v.foreach { x =>
         val xd = x.toDouble
-        acc = acc.add(new JBig(xd * xd).setScale(12, RoundingMode.HALF_UP))
+        acc += BigDecimal.decimal(xd * xd).setScale(12, BigDecimal.RoundingMode.HALF_UP)
       }
-      math.sqrt(acc.doubleValue())
+      math.sqrt(acc.doubleValue)
     }
     val norms = embs.map { case (id, v) => id -> nrm(v) }
     def cos(a: Long, b: Long): Double = {
@@ -43,7 +46,6 @@ class MmrSpec extends SparkSpec {
         .map(n => (n, cos(q, n)))
         .sortBy { case (n, rel) => (-rel, n) }
         .take(POOL)
-      val relOf = pool.toMap
       val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Double, Double)]
       val first = pool.head // pool is (rel desc, id asc) sorted
       sel += ((first._1, 1L, first._2, 0.0, 0.7 * first._2 - 0.3 * 0.0))
@@ -100,11 +102,28 @@ class MmrSpec extends SparkSpec {
     // the operator is non-vacuous: on the shipped corpus EVERY query
     // reorders vs pure top-K relevance (uniform-random embeddings
     // keep near-duplicate relevance scores, so the diversity term
-    // decides) — if at least ONE stops differing, diversification
-    // has silently become the identity
+    // decides) — if even ONE stops differing, diversification has
+    // silently degraded toward the identity somewhere
     val mmrLists = rows.groupBy(_.getLong(0))
       .map { case (q, rs) => q -> rs.sortBy(_.getLong(1)).map(_.getLong(2)).toSeq }
-    assert(mmrLists.exists { case (q, l) => l !== brute(q).take(K) },
-      "MMR never diverged from pure relevance — diversification is vacuous")
+    mmrLists.foreach { case (q, l) =>
+      assert(l !== brute(q).take(K),
+        s"query $q: MMR equals pure relevance — diversification vacuous there")
+    }
+  }
+
+  test("s_mmr plan shapes: the pool broadcast is the one deliberate cross; sims stay keyed") {
+    // the key checkpoints both frames, so PlanShapeSpec's all-keys
+    // sweep sees only LogicalRDD scans — assert the PRE-checkpoint
+    // shapes here (round-13 third review pass)
+    val pool = SimilarityPack.mmrPool(spark, sfDir)
+    val pp = pool.queryExecution.sparkPlan.toString
+    assert(!pp.contains("CartesianProduct"), s"pool has a cartesian:\n$pp")
+    assert(pp.contains("BroadcastNestedLoopJoin"),
+      "the bounded query broadcast should plan as the deliberate BNLJ")
+    val sims = SimilarityPack.mmrSims(spark, sfDir, pool.localCheckpoint(true))
+    val sp = sims.queryExecution.sparkPlan.toString
+    assert(!sp.contains("CartesianProduct") && !sp.contains("BroadcastNestedLoopJoin"),
+      s"sims must be keyed equi-join work only:\n$sp")
   }
 }

@@ -13,14 +13,42 @@ class BpeSpec extends SparkSpec {
 
   private val STEPS = 6
 
-  /** The whole trainer re-derived in plain Scala (spaces-only trim —
-    * Spark/DuckDB trim semantics). */
+  /** The engine's tokenization, mirrored once for every test:
+    * spaces-only trim (Spark/DuckDB trim semantics), ROOT lowercase,
+    * whitespace collapse, space split. */
+  private def tokens(text: String): Array[String] =
+    text.replaceAll("^ +| +$", "").toLowerCase(Locale.ROOT)
+      .replaceAll("\\s+", " ").split(" ", -1)
+
+  private def corpus(): Seq[Array[String]] =
+    Tables.documents(spark, sfDir).select("text").collect()
+      .map(r => tokens(r.getString(0))).toSeq
+
+  /** Apply one merge rule left-to-right (l ≠ r ⇒ no overlap). */
+  private def applyMerge(seqs: Seq[Array[String]], l: String, r: String): Seq[Array[String]] =
+    seqs.map { ws =>
+      val out = Seq.newBuilder[String]
+      var i = 0
+      while (i < ws.length) {
+        if (i + 1 < ws.length && ws(i) == l && ws(i + 1) == r) {
+          out += s"$l $r"; i += 2
+        } else { out += ws(i); i += 1 }
+      }
+      out.result().toArray
+    }
+
+  /** CODE-POINT string order — the order Spark's UTF8String binary
+    * comparison and DuckDB's default collation both implement.
+    * java.lang.String's natural order is UTF-16 code-unit order,
+    * which ranks supplementary-plane characters BELOW U+E000–U+FFFF
+    * (round-13 third review pass). */
+  private val cpOrder: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(a.getBytes("UTF-8"), b.getBytes("UTF-8"))
+
+  /** The whole trainer re-derived in plain Scala. */
   private def jvmBpe(): Seq[(Long, String, String, Long)] = {
-    var seqs: Seq[Array[String]] = Tables.documents(spark, sfDir)
-      .select("text").collect()
-      .map(_.getString(0).replaceAll("^ +| +$", "").toLowerCase(Locale.ROOT)
-        .replaceAll("\\s+", " ").split(" ", -1))
-      .toSeq
+    implicit val ord: Ordering[String] = cpOrder
+    var seqs = corpus()
     val learned = Seq.newBuilder[(Long, String, String, Long)]
     var k = 1L
     var done = false
@@ -36,18 +64,10 @@ class BpeSpec extends SparkSpec {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }
+        val ((l, r), c) = counts.toSeq.minBy { case ((a, b), n) => (-n, a, b) }(
+          Ordering.Tuple3(Ordering.Long, ord, ord))
         learned += ((k, l, r, c))
-        seqs = seqs.map { ws =>
-          val out = Seq.newBuilder[String]
-          var i = 0
-          while (i < ws.length) {
-            if (i + 1 < ws.length && ws(i) == l && ws(i + 1) == r) {
-              out += s"$l $r"; i += 2
-            } else { out += ws(i); i += 1 }
-          }
-          out.result().toArray
-        }
+        seqs = applyMerge(seqs, l, r)
         k += 1
       }
     }
@@ -78,9 +98,7 @@ class BpeSpec extends SparkSpec {
     // concatenations of EARLIER-learned merges (the BPE vocabulary
     // closure property)
     val vocab = scala.collection.mutable.Set.empty[String]
-    Tables.documents(spark, sfDir).select("text").collect().foreach(r =>
-      r.getString(0).replaceAll("^ +| +$", "").toLowerCase(Locale.ROOT)
-        .replaceAll("\\s+", " ").split(" ", -1).foreach(vocab += _))
+    corpus().foreach(_.foreach(vocab += _))
     rows.foreach { case (_, l, r, _) =>
       Seq(l, r).foreach(side =>
         assert(vocab.contains(side), s"rule side '$side' not in the closed vocabulary"))
@@ -88,34 +106,13 @@ class BpeSpec extends SparkSpec {
     }
   }
 
-  test("t_bpe: merging strictly shrinks the corpus token count by each rule's match count") {
-    // after K merges the total token count must equal the original
-    // minus Σ pair_count? NOT in general (later merges count pairs in
-    // the ALREADY-merged stream — their matches each still remove
-    // exactly one token). Verify the exact conservation:
-    // tokens_after = tokens_before − Σ_k pair_count_k.
+  test("t_bpe: every learned match removes exactly one token (conservation law)") {
     val rows = SparkEntry.queries("t_bpe")(spark, sfDir).collect()
     val removed = rows.map(_.getLong(3)).sum
-    val before = Tables.documents(spark, sfDir).select("text").collect()
-      .map(_.getString(0).replaceAll("^ +| +$", "").toLowerCase(Locale.ROOT)
-        .replaceAll("\\s+", " ").split(" ", -1).length.toLong).sum
-    // replay the merges in-JVM and count what's left
-    var seqs: Seq[Array[String]] = Tables.documents(spark, sfDir)
-      .select("text").collect()
-      .map(_.getString(0).replaceAll("^ +| +$", "").toLowerCase(Locale.ROOT)
-        .replaceAll("\\s+", " ").split(" ", -1)).toSeq
+    var seqs = corpus()
+    val before = seqs.map(_.length.toLong).sum
     rows.sortBy(_.getLong(0)).foreach { r =>
-      val (l, rr) = (r.getString(1), r.getString(2))
-      seqs = seqs.map { ws =>
-        val out = Seq.newBuilder[String]
-        var i = 0
-        while (i < ws.length) {
-          if (i + 1 < ws.length && ws(i) == l && ws(i + 1) == rr) {
-            out += s"$l $rr"; i += 2
-          } else { out += ws(i); i += 1 }
-        }
-        out.result().toArray
-      }
+      seqs = applyMerge(seqs, r.getString(1), r.getString(2))
     }
     assert(seqs.map(_.length.toLong).sum === before - removed,
       "every learned match must remove exactly one token")
