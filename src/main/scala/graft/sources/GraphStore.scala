@@ -11,16 +11,29 @@ import org.apache.spark.sql.functions._
   * `INSERT OR IGNORE`, main.py:143-153's UNIQUE constraint).
   *
   * Storage layout is versioned snapshots (`v=1`, `v=2`, …) under one
-  * root: an upsert reads the latest snapshot, unions the delta,
-  * dedups on (src, dst) keeping the FIRST-seen attribute row (the
-  * OR-IGNORE rule: existing edges win), and writes the next version —
-  * parquet is immutable, so snapshot-then-advance is the idiomatic
-  * warehouse shape (what table formats do under the hood), and
-  * readers are never exposed to a half-written update.
+  * root. A [[write]] (init/reset) is a FULL snapshot. An [[upsert]]
+  * is a DELTA snapshot (round 14 — the Delta/Iceberg move): only the
+  * genuinely-new (src, dst) rows are written, plus a `_PARENT` marker
+  * naming the version the delta extends; a reader composes the
+  * parent chain by pure union — no dedup at read time, because the
+  * writer's anti-join guarantees chain keys are disjoint. This keeps
+  * the OR-IGNORE rule (existing edges win — a clobbering delta row is
+  * simply never written) while cutting the per-upsert write from one
+  * FULL edge-set rewrite plus a full-width ROW_NUMBER dedup window to
+  * one keys-only anti-join plus a delta-sized write. Parquet is
+  * immutable, so snapshot-then-advance is the idiomatic warehouse
+  * shape, and readers are never exposed to a half-written update.
+  * Long parent chains are collapsed by [[compact]] — the same
+  * maintenance call that rolls full snapshots.
   *
-  * Scale shape: the dedup is one hash shuffle on (src, dst); the
-  * write is hash-partitioned by `src` so degree scans and
-  * frontier-join BFS read co-partitioned data. No driver-side state.
+  * Scale shape: write()'s dedup is ONE hash shuffle on the edge key
+  * (a map-side-combining distinct when the edge set carries no
+  * attribute columns); upsert()'s anti-join shuffles only the
+  * 2-column key projection of the store plus the delta; diff() is one
+  * full-outer key join. Snapshots are written straight out of the
+  * dedup's partitioning — no extra layout shuffle (plain parquet
+  * carries no bucketing metadata, so a layout shuffle would be pure
+  * write-path cost). No driver-side state.
   */
 object GraphStore {
 
@@ -124,12 +137,20 @@ object GraphStore {
     * to [[latestVersion]], then a single atomic rename exposes the
     * fully-written snapshot. A crash leaves only an ignored staging
     * dir; a concurrent committer loses the rename race and fails
-    * loudly instead of silently overwriting. */
-  private def commit(df: DataFrame, root: String, v: Int): Int = {
+    * loudly instead of silently overwriting. A delta snapshot carries
+    * its `_PARENT` marker from birth — it is staged BEFORE the rename,
+    * so no reader can ever observe a delta directory without its
+    * chain pointer. */
+  private def commit(df: DataFrame, root: String, v: Int,
+                     parent: Option[Int] = None): Int = {
     val session = df.sparkSession
     val f = fs(session, root)
     val staging = new Path(s"$root/.staging-v$v-${java.util.UUID.randomUUID()}")
     df.write.mode("overwrite").parquet(staging.toString)
+    parent.foreach { p =>
+      val out = f.create(new Path(staging, "_PARENT"))
+      try out.write(p.toString.getBytes("UTF-8")) finally out.close()
+    }
     val target = new Path(snapshotPath(root, v))
     if (f.exists(target) || !f.rename(staging, target)) {
       f.delete(staging, true)
@@ -140,6 +161,28 @@ object GraphStore {
     v
   }
 
+  /** The version a committed DELTA snapshot extends, `None` for a
+    * full snapshot (no `_PARENT` marker) or for a version not present
+    * as a directory (vacuumed — the compaction path needs no chain).
+    * A PRESENT but unparseable marker throws: silently treating a
+    * damaged delta as a full snapshot would truncate every descendant
+    * read to the delta rows alone. */
+  private def parentOf(s: SparkSession, root: String, v: Int): Option[Int] = {
+    val f = fs(s, root)
+    val marker = new Path(new Path(snapshotPath(root, v)), "_PARENT")
+    if (!f.exists(marker)) None
+    else {
+      val in = f.open(marker)
+      val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+        finally in.close()
+      val p = try txt.toInt catch {
+        case _: NumberFormatException => throw new IllegalStateException(
+          s"corrupt _PARENT marker at ${snapshotPath(root, v)}: '$txt'")
+      }
+      Some(p)
+    }
+  }
+
   /** First-seen-wins dedup on (src, dst) — attribute columns of the
     * surviving row come from the lowest `rank` source (0 = existing
     * store, 1 = delta), mirroring INSERT OR IGNORE. Ties within a
@@ -148,13 +191,24 @@ object GraphStore {
     * partitionings, not shuffle-order luck. */
   private def dedup(edges: DataFrame): DataFrame = {
     val attrs = edges.columns.filterNot(c => EDGE_COLS.contains(c) || c == "__rank")
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("src"), col("dst"))
-      .orderBy(col("__rank").asc +: attrs.map(col(_).asc): _*)
-    edges
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select((EDGE_COLS ++ attrs).map(col): _*)
+    if (attrs.isEmpty)
+      // attribute-less edge set: every duplicate row is IDENTICAL, so
+      // first-seen-wins degenerates to set semantics — a hash
+      // aggregate with map-side partial combine (round 14), not a
+      // row_number window (which shuffles the full bag and sorts).
+      // Dropping __rank first keeps the output hash-partitioned on
+      // exactly (src, dst), so a downstream key-join reuses the
+      // exchange instead of re-shuffling.
+      edges.select(EDGE_COLS.map(col): _*).distinct()
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("src"), col("dst"))
+        .orderBy(col("__rank").asc +: attrs.map(col(_).asc): _*)
+      edges
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1)
+        .select((EDGE_COLS ++ attrs).map(col): _*)
+    }
   }
 
   /** Initialize (or reset) the store with `edges`; duplicates on
@@ -162,19 +216,36 @@ object GraphStore {
     * first row. Returns the snapshot version written. */
   def write(edges: DataFrame, root: String): Int = {
     val v = nextVersion(edges.sparkSession, root)
-    commit(dedup(edges.withColumn("__rank", lit(0))).repartition(col("src")), root, v)
+    // the dedup output is already hash-partitioned (and its partition
+    // count is the session shuffle parallelism) — writing it directly
+    // saves a full edge-sized repartition shuffle per snapshot.
+    // A layout shuffle would buy nothing at read time anyway: plain
+    // parquet carries no bucketing metadata, so readers re-shuffle on
+    // their own keys regardless (round 14 — the old repartition(src)
+    // was pure write-path cost).
+    commit(dedup(edges.withColumn("__rank", lit(0))), root, v)
   }
 
   /** INSERT-OR-IGNORE upsert: existing edges keep their attributes,
     * genuinely new (src, dst) pairs are appended. Returns the new
-    * snapshot version. */
+    * snapshot version.
+    *
+    * Round-14 delta rework: the new snapshot is a DELTA — only the
+    * surviving new rows plus a `_PARENT` pointer to the version the
+    * anti-join ran against. Existing edges "keeping their attributes"
+    * is free (their rows are never rewritten); the within-delta dedup
+    * window runs over the DELTA alone, and the only store-sized work
+    * is one keys-only anti-join. Readers compose the chain by union
+    * ([[readVersion]]); [[compact]] collapses it. */
   def upsert(s: SparkSession, root: String, delta: DataFrame): Int = {
-    require(latestVersion(s, root) > 0, s"GraphStore at $root is empty - call write() first")
-    val existing = read(s, root).withColumn("__rank", lit(0))
-    val incoming = delta.select(existing.columns.filter(_ != "__rank").map(col): _*)
-      .withColumn("__rank", lit(1))
-    commit(dedup(existing.unionByName(incoming)).repartition(col("src")), root,
-      nextVersion(s, root))
+    val parent = latestVersion(s, root)
+    require(parent > 0, s"GraphStore at $root is empty - call write() first")
+    val existing = readVersion(s, root, parent)
+    val incoming = dedup(
+      delta.select(existing.columns.map(col): _*).withColumn("__rank", lit(1)))
+    val fresh = incoming
+      .join(existing.select(EDGE_COLS.map(col): _*), EDGE_COLS, "left_anti")
+    commit(fresh, root, nextVersion(s, root), Some(parent))
   }
 
   /** Read the latest snapshot. */
@@ -192,8 +263,17 @@ object GraphStore {
     * snapshots are readable. */
   def readVersion(s: SparkSession, root: String, v: Int): DataFrame = {
     require(v > 0, s"no committed snapshot v=$v at $root")
-    if (committed(s, root, v)) s.read.parquet(snapshotPath(root, v))
-    else {
+    if (committed(s, root, v)) {
+      val own = s.read.parquet(snapshotPath(root, v))
+      parentOf(s, root, v) match {
+        // delta snapshot: the version's contents are its parent chain
+        // plus the delta rows — a pure union, no dedup (writer-side
+        // anti-join keeps chain keys disjoint). The recursion falls
+        // back to the compaction path for any vacuumed ancestor.
+        case Some(p) => readVersion(s, root, p).unionByName(own)
+        case None    => own
+      }
+    } else {
       val c = readableCompacts(s, root).collectFirst {
           case (p, vs) if vs.contains(v) => p
         }
@@ -266,11 +346,29 @@ object GraphStore {
     val maxV = versions.max
     val target = Iterator.from(0).map(k => new Path(s"$root/c=$maxV-$k"))
       .find(!f.exists(_)).get
-    if (!f.rename(staging, target)) {
+    // mirror commit()'s guard (round-14 ADVICE): Hadoop rename onto an
+    // EXISTING directory moves the source INSIDE it and returns true,
+    // so a bare !rename check never fires in the race it names —
+    // re-check existence immediately before renaming, then verify the
+    // published manifest is OURS. A racing compaction of the same
+    // store carries identical coverage, but a nested staging dir must
+    // still be detected and cleaned, not leaked.
+    if (f.exists(target) || !f.rename(staging, target)) {
       f.delete(staging, true)
       throw new IllegalStateException(
         s"concurrent GraphStore compact under $root (rename race; retry)")
     }
+    val nested = new Path(target, staging.getName)
+    if (f.exists(nested)) {
+      f.delete(nested, true)
+      throw new IllegalStateException(
+        s"concurrent GraphStore compact under $root (lost the rename race " +
+          "into an existing target; retry — the winner's coverage stands)")
+    }
+    if (manifest(s, root, target) != versions)
+      throw new IllegalStateException(
+        s"GraphStore compact verification failed under $root: published " +
+          s"manifest at $target does not match the versions just rolled")
     priorDirs.size + priorCompacts.size
   }
 
@@ -287,7 +385,19 @@ object GraphStore {
   def vacuum(s: SparkSession, root: String): Int = {
     val f = fs(s, root)
     readableCompacts(s, root) match {
-      case (_, newestCover) +: rest =>
+      case (newest, newestCover) +: rest =>
+        // the manifest CLAIMS coverage; before destroying the only
+        // other copy, verify the compaction DATA is actually readable
+        // (round-14 ADVICE: a surviving manifest over damaged parquet
+        // would turn vacuum into permanent data loss). A footer-only
+        // count touches every part file's metadata without scanning
+        // rows; any unreadable footer or missing interval column
+        // aborts the delete.
+        val readable = try {
+          val c = s.read.parquet(newest.toString)
+          Seq("__first", "__last").forall(c.columns.contains) && { c.count(); true }
+        } catch { case scala.util.control.NonFatal(_) => false }
+        if (!readable) return 0
         val covered = newestCover.toSet
         val deadDirs = dirVersions(s, root).filter(covered.contains)
         // only compactions whose coverage is KNOWN (readable,
@@ -305,15 +415,55 @@ object GraphStore {
     }
   }
 
+  /** The delta directories from `toV` back (exclusive) to `fromV`
+    * along `_PARENT` pointers, when the WHOLE chain is present as
+    * committed delta directories — the proof that `toV` is `fromV`
+    * plus pure additions. `None` once the walk leaves directory-land
+    * (full snapshot, vacuumed dir, or fromV never reached). */
+  private def deltaChain(s: SparkSession, root: String,
+                         fromV: Int, toV: Int): Option[Seq[Int]] = {
+    @scala.annotation.tailrec
+    def walk(v: Int, acc: List[Int]): Option[Seq[Int]] =
+      if (v == fromV) Some(acc)
+      else if (v < fromV || !committed(s, root, v)) None
+      else parentOf(s, root, v) match {
+        case Some(p) => walk(p, v :: acc)
+        case None    => None
+      }
+    walk(toV, Nil)
+  }
+
   /** Edge diff between two snapshots: (src, dst, change) with change
     * 'added' or 'removed' (upserts only add, but [[write]] resets, so
-    * both directions exist). One anti-join per direction on the
-    * (src, dst) identity — no full-table comparison state. */
-  def diff(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame = {
-    val from = readVersion(s, root, fromV).select("src", "dst")
-    val to = readVersion(s, root, toV).select("src", "dst")
-    to.join(from, EDGE_COLS, "left_anti").withColumn("change", lit("added"))
-      .unionByName(
-        from.join(to, EDGE_COLS, "left_anti").withColumn("change", lit("removed")))
-  }
+    * both directions exist). Fast path: when `toV` reaches `fromV`
+    * through an unbroken delta chain, the diff IS the chained delta
+    * rows (all 'added', nothing removed — the writer's anti-join
+    * guarantees it) with zero store-sized work. Otherwise one
+    * anti-join per direction on the (src, dst) identity — no
+    * full-table comparison state. */
+  def diff(s: SparkSession, root: String, fromV: Int, toV: Int): DataFrame =
+    deltaChain(s, root, fromV, toV) match {
+      case Some(chain) if chain.nonEmpty =>
+        chain.map(v => s.read.parquet(snapshotPath(root, v)).select("src", "dst"))
+          .reduce(_ unionByName _)
+          .withColumn("change", lit("added"))
+      case _ =>
+        // ONE full-outer join with presence markers instead of two
+        // anti-joins (round 14): the anti-join pair scanned and
+        // shuffled EACH snapshot twice — and Catalyst pushing an
+        // anti-join through a delta-chain union duplicated the other
+        // side once per chain link. Snapshot keys are unique by
+        // construction (writer-side dedup; chain keys disjoint), so
+        // the full outer is 1:1 and a missing side IS the change
+        // direction.
+        val from = readVersion(s, root, fromV).select("src", "dst")
+          .withColumn("__from", lit(true))
+        val to = readVersion(s, root, toV).select("src", "dst")
+          .withColumn("__to", lit(true))
+        from.join(to, EDGE_COLS, "full_outer")
+          .filter(col("__from").isNull || col("__to").isNull)
+          .select(col("src"), col("dst"),
+            when(col("__from").isNull, lit("added"))
+              .otherwise(lit("removed")).as("change"))
+    }
 }

@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** Fault-injection coverage for [[GraphStore]]'s damage rails —
+  * separated from GraphStoreSpec because intentionally-corrupted
+  * files make Spark tasks fail-and-retry, which the healthy suites'
+  * no-silent-retries guard forbids. */
+class GraphStoreFaultSpec extends SparkSpec {
+
+  override protected def allowsTaskFailures: Boolean = true
+
+  private def tmpRoot(): String =
+    Files.createTempDirectory("graft-store-fault").resolve("edges").toString
+
+  /** Overwrite a file's bytes AND drop its Hadoop local-FS checksum
+    * sibling, so the read fails on the CONTENT (the scenario under
+    * test), not on a .crc mismatch. */
+  private def damage(f: java.io.File, bytes: Array[Byte]): Unit = {
+    Files.write(f.toPath, bytes)
+    val crc = new java.io.File(f.getParentFile, s".${f.getName}.crc")
+    if (crc.exists()) crc.delete()
+  }
+
+  test("a corrupt _PARENT marker fails loudly instead of truncating the chain") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "a")).toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root, Seq((2L, 3L, "b")).toDF("src", "dst", "tag"))
+    damage(new java.io.File(new java.io.File(root, "v=2"), "_PARENT"),
+      "not-a-version".getBytes("UTF-8"))
+    val ex = intercept[IllegalStateException] {
+      GraphStore.readVersion(spark, root, 2).collect()
+    }
+    assert(ex.getMessage.contains("corrupt _PARENT"))
+  }
+
+  test("vacuum aborts when the covering compaction's data is unreadable") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "a")).toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root, Seq((2L, 3L, "b")).toDF("src", "dst", "tag"))
+    assert(GraphStore.compact(spark, root) === 2)
+    // damage the compaction parquet while its _MANIFEST survives — the
+    // exact scenario where a manifest-trusting vacuum would become
+    // permanent data loss (round-14 ADVICE)
+    val cDir = new java.io.File(root).listFiles().find(_.getName.startsWith("c=")).get
+    cDir.listFiles().filter(_.getName.endsWith(".parquet"))
+      .foreach(f => damage(f, Array.fill(16)(0x5a.toByte)))
+    assert(GraphStore.vacuum(spark, root) === 0, "vacuum must abort, not delete")
+    // the snapshot directories survive and reads still work through them
+    assert(GraphStore.readVersion(spark, root, 2).as[(Long, Long, String)]
+      .collect().toSet === Set((1L, 2L, "a"), (2L, 3L, "b")))
+  }
+}

@@ -217,6 +217,53 @@ class GraphStoreSpec extends SparkSpec {
     assert(snap(v2) === before(v2))
   }
 
+  test("upsert writes a DELTA snapshot: only new rows on disk, _PARENT names the base") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "a"), (2L, 3L, "b")).toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root,
+      Seq((1L, 2L, "CLOBBER"), (3L, 4L, "c"), (3L, 4L, "c-dup")).toDF("src", "dst", "tag"))
+    // the v=2 directory holds ONLY the surviving new row — the
+    // existing edge was never rewritten, the within-delta duplicate
+    // was deduped writer-side
+    val raw = spark.read.parquet(s"$root/v=2").as[(Long, Long, String)].collect().toSet
+    assert(raw === Set((3L, 4L, "c")))
+    assert(java.nio.file.Files.readString(
+      java.nio.file.Paths.get(root, "v=2", "_PARENT")).trim === "1")
+    // the composed read is the full store
+    assert(GraphStore.readVersion(spark, root, 2).as[(Long, Long, String)]
+      .collect().toSet === Set((1L, 2L, "a"), (2L, 3L, "b"), (3L, 4L, "c")))
+  }
+
+  test("diff walks an unbroken delta chain without touching the base snapshot") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "a")).toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root, Seq((2L, 3L, "b")).toDF("src", "dst", "tag"))
+    GraphStore.upsert(spark, root, Seq((3L, 4L, "c")).toDF("src", "dst", "tag"))
+    // v1 -> v3 crosses two chained deltas: all added, nothing removed
+    assert(GraphStore.diff(spark, root, 1, 3).as[(Long, Long, String)].collect().toSet
+      === Set((2L, 3L, "added"), (3L, 4L, "added")))
+    assert(GraphStore.diff(spark, root, 2, 3).as[(Long, Long, String)].collect().toSet
+      === Set((3L, 4L, "added")))
+    // reverse direction has no chain: the general path reports removals
+    assert(GraphStore.diff(spark, root, 3, 1).as[(Long, Long, String)].collect().toSet
+      === Set((2L, 3L, "removed"), (3L, 4L, "removed")))
+  }
+
+  test("attribute-less edge sets dedup by set semantics (write and upsert)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L), (1L, 2L), (2L, 3L)).toDF("src", "dst"), root)
+    assert(GraphStore.read(spark, root).as[(Long, Long)].collect().toSet
+      === Set((1L, 2L), (2L, 3L)))
+    GraphStore.upsert(spark, root, Seq((1L, 2L), (3L, 4L), (3L, 4L)).toDF("src", "dst"))
+    assert(spark.read.parquet(s"$root/v=2").as[(Long, Long)].collect().toSet
+      === Set((3L, 4L)))
+    assert(GraphStore.read(spark, root).as[(Long, Long)].collect().toSet
+      === Set((1L, 2L), (2L, 3L), (3L, 4L)))
+  }
+
   test("dedup survivor within one input is deterministic across reruns") {
     import spark.implicits._
     val dup = Seq((1L, 2L, "zz"), (1L, 2L, "aa"), (3L, 4L, "c")).toDF("src", "dst", "tag")
