@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   * until the vertex set is stable; return each core vertex with its
   * in-core degree.
   *
-  * Scale shape (round-12 rework — delta peeling): the edge set is
-  * checkpointed ONCE and the loop maintains a VERTEX-sized degree
-  * table instead of rewriting the edge set every round. Each round
+  * Scale shape (round-12 rework — delta peeling; round-14 rework —
+  * lazy edge pinning): the loop maintains a VERTEX-sized degree
+  * table instead of rewriting the edge set every round, and the edge
+  * set is checkpointed AT MOST once — lazily, the first time the
+  * cascade tail proves it will keep re-scanning it (see the
+  * materialization note in [[run]]); a shallow cascade never pays the
+  * edge-sized disk write at all. Each round
   * classifies the doomed vertices (deg < k) from the checkpointed
   * degree table, then either
   *   - BULK round (doomed is a large fraction of the survivors, i.e.
@@ -80,9 +84,21 @@ object KCore {
     // never defined — refuse the degenerate parameter loudly
     require(k >= 1, s"k-core needs k >= 1, got $k")
     val free = KTruss.freeCheckpoint _
+    // LAZY edge materialization (round 14): the up-front edge-sized
+    // DISK checkpoint is pure overhead when the cascade is shallow —
+    // at the sf1x rung the widened part graph converges in ONE round,
+    // so the old eager checkpoint wrote ~52M rows to disk that were
+    // scanned back exactly once. The edge set stays a lazy plan until
+    // a round proves repeated scans are coming: a bulk rewrite
+    // checkpoints its PRUNED set (as before), and a delta round in
+    // the cascade tail (iter >= 1) checkpoints before scanning. Until
+    // then each scan re-evaluates the (cheap, join-built) edge plan —
+    // at most two extra evaluations, traded against an edge-sized
+    // write + read-back.
     var edges = edges0
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .localCheckpoint(true, EDGE_LEVEL)
+    var edgesOnDisk = false
+    def freeEdges(): Unit = if (edgesOnDisk) free(edges)
     var deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)
     var aliveV = deg.count()
@@ -119,13 +135,21 @@ object KCore {
           .select($"node", coalesce($"deg", lit(0L)).as("deg"))
           .localCheckpoint(true)
         aliveV = deg2.count()
-        free(edges); free(deg); free(doomed)
+        freeEdges(); free(deg); free(doomed)
         edges = pruned
+        edgesOnDisk = true
         deg = deg2
       } else {
         // delta round: per-survivor losses = edges into the doomed
         // set (inner join keeps bag multiplicity; the doomed set is
-        // distinct by construction — it comes out of a groupBy)
+        // distinct by construction — it comes out of a groupBy).
+        // A tail delta round (iter >= 1) is the signal that the
+        // cascade will keep re-scanning the same edge set — pin it to
+        // disk now if it is still a lazy plan.
+        if (iter >= 1 && !edgesOnDisk) {
+          edges = edges.localCheckpoint(true, EDGE_LEVEL)
+          edgesOnDisk = true
+        }
         val lostEdges =
           if (iter > 0)
             edges.join(broadcast(doomed.select($"node".as("dst"))), Seq("dst"))
@@ -159,13 +183,13 @@ object KCore {
     // (mirrors ConnectedComponents' non-convergence guard; the SQL
     // oracle's unroll margin emits a poison sentinel for the same case)
     if (!converged) {
-      free(edges); free(deg) // a thrown run must not leak blocks
+      freeEdges(); free(deg) // a thrown run must not leak blocks
       throw new IllegalStateException(
         s"k-core peeling did not converge within $maxIter rounds ($aliveV vertices still cascading)")
     }
-    // the result is the (checkpointed) degree table alone — the edge
+    // the result is the (checkpointed) degree table alone — any edge
     // blocks are dead the moment the loop exits
-    free(edges)
+    freeEdges()
     deg.select($"node", $"deg".as("core_degree"))
   }
 }
