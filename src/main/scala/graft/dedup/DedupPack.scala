@@ -79,6 +79,9 @@ object DedupPack extends QueryPack {
   // cosine-to-assigned-centroid distribution on this corpus).
   private val SEM_K = 8
   private val SEM_TAU = 0.3
+  // D14 substring dedup: a span is "duplicated" when a verbatim run of
+  // at least SUBSTR_K tokens also appears in another document.
+  private val SUBSTR_K = 8
 
   /** All ordered (a < b) pairs of a bucket's doc ids — the
     * within-bucket candidate enumeration. Bucket size is capped by
@@ -427,6 +430,62 @@ object DedupPack extends QueryPack {
     // no vector-vector join anywhere, so cost is O(nK), not O(n²).
     "d_semantic" -> { (s, d) => semanticScreen(s, d) },
 
+    // D14: exact SUBSTRING-level dedup (the Lee et al. 2022
+    // deduplicate-text-datasets case) — verbatim token runs of length
+    // ≥ SUBSTR_K shared ACROSS documents, inside otherwise-distinct
+    // texts, which doc-level (D1), near-dup (D2–D5) and line-level
+    // (F16) dedup all miss. Fixed-width anchor shingles stand in for
+    // a suffix array: a shared run of length L ≥ K contains exactly
+    // L−K+1 overlapping K-anchors, so the union of flagged anchor
+    // intervals [pos, pos+K−1] reconstructs every maximal duplicated
+    // span — found with groupBys and a per-doc window, never a
+    // corpus-wide suffix sort inside one task.
+    // Scale shape: the anchor stream is O(total tokens); cross-doc
+    // detection is one map-side-distinct + one partial-aggregable
+    // count per anchor text (no posting list is ever materialized —
+    // the D4 discipline); the flag returns by a semi-join on the
+    // anchor text; island-merging the intervals is a window whose
+    // partitions are DOC-bounded. Per doc: merged span count,
+    // duplicated token mass, longest span, duplicated-mass ratio
+    // (one IEEE division of exact longs).
+    "d_substring" -> { (s, d) =>
+      import s.implicits._
+      val K = SUBSTR_K
+      val toks = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id", TextOps.words($"text").as("w"))
+        .filter(size($"w") >= K)
+        .localCheckpoint(false)
+      val anch = toks.select($"doc_id",
+          explode(sequence(lit(1), size($"w") - (K - 1))).as("pos"),
+          $"w")
+        .select($"doc_id", $"pos".cast("long").as("pos"),
+          array_join(slice($"w", $"pos", lit(K)), " ").as("sh"))
+      val dupSh = anch.select($"sh", $"doc_id").distinct()
+        .groupBy($"sh").agg(count(lit(1)).as("nd"))
+        .filter($"nd" >= 2).select($"sh")
+      val flagged = anch.join(dupSh, Seq("sh"), "left_semi")
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val wRun = org.apache.spark.sql.expressions.Window
+        .partitionBy($"doc_id").orderBy($"pos")
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val spans = flagged
+        .withColumn("brk",
+          when($"pos" > coalesce(max($"pos" + lit(K - 1L)).over(wPrev), lit(-1L)), 1L)
+            .otherwise(0L))
+        .withColumn("island", sum($"brk").over(wRun))
+        .groupBy($"doc_id", $"island")
+        .agg(min($"pos").as("s"), (max($"pos") + lit(K - 1L)).as("e"))
+      spans.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"),
+          sum($"e" - $"s" + 1L).as("dup_tokens"),
+          max($"e" - $"s" + 1L).as("max_span"))
+        .join(toks.select($"doc_id", size($"w").cast("long").as("n_tokens")), "doc_id")
+        .select($"doc_id", $"n_tokens", $"n_dup_spans", $"dup_tokens", $"max_span",
+          ($"dup_tokens".cast("double") / $"n_tokens".cast("double")).as("dup_ratio"))
+    },
+
     // D5: embedding-cosine near-dup pairs via deterministic
     // random-hyperplane LSH banding.
     "d_embed_dup" -> { (s, d) =>
@@ -695,6 +754,35 @@ object DedupPack extends QueryPack {
       s"""WITH $semanticSqlCtes
          |SELECT vec_id, cluster_id, centroid_sim, (NOT dup) OR rn = 1 AS is_kept
          |FROM flagged""".stripMargin,
+    "d_substring" ->
+      s"""WITH toks AS (
+         | SELECT doc_id, string_split(regexp_replace(lower(trim(text)),'\\s+',' ','g'), ' ') AS w
+         | FROM documents),
+         |anch AS (
+         | SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |  list_aggregate(w[i:i+${SUBSTR_K - 1}], 'string_agg', ' ') AS sh
+         | FROM toks, UNNEST(range(1, len(w)-${SUBSTR_K - 2})) t(i) WHERE len(w) >= $SUBSTR_K),
+         |dup AS (SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM anch)
+         |        GROUP BY sh HAVING COUNT(*) >= 2),
+         |da AS (SELECT a.doc_id, a.pos FROM anch a JOIN dup USING (sh)),
+         |isl AS (SELECT doc_id, pos,
+         |         CASE WHEN pos > COALESCE(MAX(pos + ${SUBSTR_K - 1}) OVER (
+         |           PARTITION BY doc_id ORDER BY pos
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+         |          THEN 1 ELSE 0 END AS brk
+         |        FROM da),
+         |isl2 AS (SELECT doc_id, pos, SUM(brk) OVER (
+         |          PARTITION BY doc_id ORDER BY pos
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+         |         FROM isl),
+         |spans AS (SELECT doc_id, island, MIN(pos) AS s, MAX(pos) + ${SUBSTR_K - 1} AS e
+         |          FROM isl2 GROUP BY doc_id, island),
+         |n AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens FROM toks)
+         |SELECT s.doc_id, n.n_tokens, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+         | CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens,
+         | CAST(MAX(e - s + 1) AS BIGINT) AS max_span,
+         | CAST(SUM(e - s + 1) AS DOUBLE) / CAST(n.n_tokens AS DOUBLE) AS dup_ratio
+         |FROM spans s JOIN n USING (doc_id) GROUP BY s.doc_id, n.n_tokens""".stripMargin,
     "d_embed_dup" ->
       s"""WITH dims AS (
          | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
