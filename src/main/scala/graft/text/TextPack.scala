@@ -650,6 +650,33 @@ object TextPack extends QueryPack {
     // bounded-key shuffle) — linear in the corpus at any scale.
     "t_bpe" -> { (s, d) => bpeMerges(s, d, BPE_STEPS) },
 
+    // F26 (round-14): BPE ENCODE — the apply half of F25's trainer,
+    // making the tokenizer end-to-end: learn merges (cached — one
+    // trainer run feeds both keys), then encode the RAW corpus by
+    // applying the merge table greedily in learned step order (the
+    // standard BPE apply loop; see [[bpeEncode]]). Per doc: raw and
+    // encoded token counts, merges applied (their difference — token
+    // conservation: every merge removes exactly one token), and an
+    // order-sensitive md5 of the encoded sequence, which the oracle
+    // recomputes from ITS OWN unrolled trainer chain — so the
+    // encoder's reconstruction of the trainer's final sequences is
+    // cross-engine verified token for token, not just counted.
+    "t_bpe_encode" -> { (s, d) =>
+      import s.implicits._
+      val rules = bpeLearn(s, d, BPE_STEPS).map { case (_, l, r, _) => (l, r) }
+      val toks0 = bpeTokens(s, d)
+      val raw = toks0.groupBy($"doc_id").agg(count(lit(1)).as("n_raw"))
+      val enc = bpeEncode(toks0, rules)
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_encoded"),
+          TextOps.md5s(array_join(
+            transform(array_sort(collect_list(struct($"pos", $"tok"))),
+              x => x.getField("tok")), "|")).as("seq_hash"))
+      raw.join(enc, "doc_id")
+        .select($"doc_id", $"n_raw", $"n_encoded",
+          ($"n_raw" - $"n_encoded").as("n_merged"), $"seq_hash")
+    },
+
     // F18: deterministic weighted sampling WITHOUT replacement — an
     // exact-size sample of SAMPLE_N docs where selection probability
     // rises with an integer per-source weight, via the min-of-w-hashes
@@ -778,12 +805,37 @@ object TextPack extends QueryPack {
     * candidate pair (single-token documents only). */
   private def bpeMerges(s: SparkSession, d: String, steps: Int): DataFrame = {
     import s.implicits._
-    val wdoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    var toks = Tables.documents(s, d)
+    bpeLearn(s, d, steps).toDF("step", "lhs", "rhs", "pair_count")
+  }
+
+  /** The raw word-level `(doc_id, pos, tok)` sequence table both the
+    * trainer and the encoder start from. */
+  private def bpeTokens(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, d)
       .select($"doc_id", posexplode(split(TextOps.norm($"text"), " ")).as(Seq("pos", "tok")))
       .select($"doc_id", $"pos".cast("long").as("pos"), $"tok")
-      .localCheckpoint(true)
+  }
+
+  /** One merge-table learn per (session, scale dir): F25's trainer
+    * output is 6 driver-side rows consumed by BOTH t_bpe (the table
+    * itself) and t_bpe_encode (the rules the encoder broadcasts into
+    * its literal merge passes) — cache the rules, not the run. */
+  private val bpeRuleCache =
+    new graft.SessionCache[Seq[(Long, String, String, Long)]]
+
+  private def bpeLearn(s: SparkSession, d: String,
+                       steps: Int): Seq[(Long, String, String, Long)] =
+    bpeRuleCache.getOrCompute(s, s"$d|$steps") {
+      bpeLearnUncached(s, d, steps)
+    }
+
+  private def bpeLearnUncached(s: SparkSession, d: String,
+                               steps: Int): Seq[(Long, String, String, Long)] = {
+    import s.implicits._
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    var toks = bpeTokens(s, d).localCheckpoint(true)
     val learned = Seq.newBuilder[(Long, String, String, Long)]
     var k = 1
     var exhausted = false
@@ -821,7 +873,70 @@ object TextPack extends QueryPack {
         k += 1
       }
     }
-    learned.result().toDF("step", "lhs", "rhs", "pair_count")
+    learned.result()
+  }
+
+  /** F26's standalone BPE ENCODER: apply an already-learned merge
+    * table to a `(doc_id, pos, tok)` sequence table, rules in learned
+    * step order — the standard greedy BPE apply loop, each rule as
+    * ONE mark/consumed window pass (identical algebra to the
+    * trainer's merge step, so encode(raw, rules) reproduces the
+    * trainer's final sequences exactly — the reconciliation the
+    * oracle and BpeEncodeSpec pin). The rules are driver-side
+    * constants compiled into the passes as literals (a tokenizer's
+    * merge table IS broadcast state); all data-sized work is K
+    * window passes over the same doc partitioning — one shuffle,
+    * then per-pass in-partition sorts. */
+  private[text] def bpeEncode(toks0: DataFrame,
+                              rules: Seq[(String, String)]): DataFrame = {
+    val s = toks0.sparkSession
+    import s.implicits._
+    val wdoc = org.apache.spark.sql.expressions.Window
+      .partitionBy($"doc_id").orderBy($"pos")
+    rules.foldLeft(toks0) { case (toks, (l, r)) =>
+      toks
+        .withColumn("nxt", lead($"tok", 1).over(wdoc))
+        .withColumn("mark",
+          coalesce($"tok" === lit(l) && $"nxt" === lit(r), lit(false)))
+        .withColumn("consumed", coalesce(lag($"mark", 1).over(wdoc), lit(false)))
+        .filter(!$"consumed")
+        .select($"doc_id", row_number().over(wdoc).cast("long").as("pos"),
+          when($"mark", lit(s"$l $r")).otherwise($"tok").as("tok"))
+    }
+  }
+
+  /** F25/F26's shared oracle scaffold: the trainer unrolled — word
+    * sequences `t0`, then per step k pair counts (`pk`) → the unique
+    * argmax (`mk`: count desc, lexicographic) → the merge applied by
+    * the same mark/consumed window algebra (`sk` → `tk`). LEFT JOIN m
+    * ON TRUE keeps sequences flowing when a step finds no pair
+    * (mark = false everywhere), matching the engine's early stop:
+    * later steps then also find no pair and the merge table simply
+    * ends. Returns the CTE list from `toks` through `t$BPE_STEPS`
+    * (no leading WITH). */
+  private def bpeChainSql(nrmSql: String): String = {
+    val steps = (1 to BPE_STEPS).map { k =>
+      val t = s"t${k - 1}"
+      s"""p$k AS (SELECT tok AS l, nxt AS r, CAST(COUNT(*) AS BIGINT) AS c FROM (
+         |  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $t)
+         | WHERE nxt IS NOT NULL AND tok <> nxt GROUP BY 1, 2),
+         |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
+         |s$k AS (SELECT doc_id, pos, tok, mark,
+         |         lag(mark) OVER (PARTITION BY doc_id ORDER BY pos) AS consumed, l, r
+         |        FROM (SELECT t.doc_id, t.pos, t.tok,
+         |                coalesce(t.tok = m.l AND lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) = m.r, FALSE) AS mark,
+         |                m.l AS l, m.r AS r
+         |              FROM $t t LEFT JOIN m$k m ON TRUE)),
+         |t$k AS (SELECT doc_id,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos,
+         |         CASE WHEN mark THEN l || ' ' || r ELSE tok END AS tok
+         |        FROM s$k WHERE NOT coalesce(consumed, FALSE))""".stripMargin
+    }.mkString(",\n")
+    s"""toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
+       |t0 AS (
+       | SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[CAST(t.i AS INT)] AS tok
+       | FROM toks, UNNEST(range(1, len(w) + 1)) t(i)),
+       |$steps""".stripMargin
   }
 
   override def oracles: Map[String, String] = {
@@ -853,33 +968,25 @@ object TextPack extends QueryPack {
       // early stop: later steps then also find no pair and the merge
       // table simply ends.
       "t_bpe" -> {
-        val steps = (1 to BPE_STEPS).map { k =>
-          val t = s"t${k - 1}"
-          s"""p$k AS (SELECT tok AS l, nxt AS r, CAST(COUNT(*) AS BIGINT) AS c FROM (
-             |  SELECT tok, lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt FROM $t)
-             | WHERE nxt IS NOT NULL AND tok <> nxt GROUP BY 1, 2),
-             |m$k AS (SELECT l, r, c FROM p$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
-             |s$k AS (SELECT doc_id, pos, tok, mark,
-             |         lag(mark) OVER (PARTITION BY doc_id ORDER BY pos) AS consumed, l, r
-             |        FROM (SELECT t.doc_id, t.pos, t.tok,
-             |                coalesce(t.tok = m.l AND lead(t.tok) OVER (PARTITION BY t.doc_id ORDER BY t.pos) = m.r, FALSE) AS mark,
-             |                m.l AS l, m.r AS r
-             |              FROM $t t LEFT JOIN m$k m ON TRUE)),
-             |t$k AS (SELECT doc_id,
-             |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT) AS pos,
-             |         CASE WHEN mark THEN l || ' ' || r ELSE tok END AS tok
-             |        FROM s$k WHERE NOT coalesce(consumed, FALSE))""".stripMargin
-        }.mkString(",\n")
         val out = (1 to BPE_STEPS).map(k =>
           s"SELECT CAST($k AS BIGINT) AS step, l AS lhs, r AS rhs, c AS pair_count FROM m$k")
           .mkString("\nUNION ALL ")
-        s"""WITH toks AS (SELECT doc_id, string_split($nrmSql, ' ') AS w FROM documents),
-           |t0 AS (
-           | SELECT doc_id, CAST(t.i AS BIGINT) AS pos, w[CAST(t.i AS INT)] AS tok
-           | FROM toks, UNNEST(range(1, len(w) + 1)) t(i)),
-           |$steps
+        s"""WITH ${bpeChainSql(nrmSql)}
            |$out""".stripMargin
       },
+      // F26: the encode oracle re-derives the trainer's final
+      // sequences (t$BPE_STEPS) through the SAME unrolled chain and
+      // hashes them per doc — cross-checking that the engine's
+      // standalone encoder reproduces the trainer token for token.
+      "t_bpe_encode" ->
+        s"""WITH ${bpeChainSql(nrmSql)},
+           |raw AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_raw FROM t0 GROUP BY 1),
+           |enc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_encoded,
+           |         md5(string_agg(tok, '|' ORDER BY pos)) AS seq_hash
+           |        FROM t$BPE_STEPS GROUP BY 1)
+           |SELECT r.doc_id, r.n_raw, e.n_encoded,
+           | r.n_raw - e.n_encoded AS n_merged, e.seq_hash
+           |FROM raw r JOIN enc e USING (doc_id)""".stripMargin,
 
       // lift = one IEEE division of exact integer products (the log
       // step of PMI is monotone, so the rank order is PMI's)
