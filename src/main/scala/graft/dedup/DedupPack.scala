@@ -82,6 +82,12 @@ object DedupPack extends QueryPack {
   // D14 substring dedup: a span is "duplicated" when a verbatim run of
   // at least SUBSTR_K tokens also appears in another document.
   private val SUBSTR_K = 8
+  // D11 block-size cap (round 14): a primary block larger than this
+  // re-blocks through the secondary rung, keeping per-block pairwise
+  // work bounded even when the primary key domain saturates. Above
+  // every block observed at the shipped SFs (max 57), so the rail is
+  // data-inert there and pinned by its own spec fixture.
+  private val ER_BLOCK_CAP = 128
 
   /** All ordered (a < b) pairs of a bucket's doc ids — the
     * within-bucket candidate enumeration. Bucket size is capped by
@@ -283,12 +289,25 @@ object DedupPack extends QueryPack {
     // in any engine — so the match set has a cross-engine bit
     // contract. Blocking recall tradeoff (documented, standard): a
     // near-match differing inside the blocking prefix is missed.
+    // Round-14 cap rail: a primary block larger than ER_BLOCK_CAP
+    // re-blocks through a SECONDARY rung (two more name digits), so
+    // per-block pairwise work stays bounded even if the primary key
+    // domain saturates at much larger corpora — the block-size audit
+    // is one partial-aggregable count + one equi-join back, and the
+    // cap never fires at the shipped SFs (max observed block 57), so
+    // the recall contract there is unchanged.
     "d_er" -> { (s, d) =>
       import s.implicits._
-      val b = Tables.customer(s, d)
+      val b0 = Tables.customer(s, d)
         .select($"c_custkey".cast("long").as("custkey"), $"c_name", $"c_nationkey",
           concat($"c_nationkey".cast("string"), lit("|"),
-            substring(regexp_replace($"c_name", "[^0-9]", ""), 1, 6)).as("blk"))
+            substring(regexp_replace($"c_name", "[^0-9]", ""), 1, 6)).as("blk1"),
+          substring(regexp_replace($"c_name", "[^0-9]", ""), 7, 2).as("sfx"))
+      val sizes = b0.groupBy($"blk1").agg(count(lit(1)).as("bn"))
+      val b = b0.join(sizes, "blk1")
+        .withColumn("blk",
+          when($"bn" > ER_BLOCK_CAP, concat($"blk1", lit(":"), $"sfx"))
+            .otherwise($"blk1"))
       val x = b.select($"blk", $"custkey".as("custkey_a"), $"c_name".as("name_a"),
         $"c_nationkey".cast("long").as("nationkey"))
       val y = b.select($"blk", $"custkey".as("custkey_b"), $"c_name".as("name_b"))
@@ -646,15 +665,21 @@ object DedupPack extends QueryPack {
          |FROM spec s CROSS JOIN tot t""".stripMargin,
     // D6's closure + per-cluster argmax by (n_chars DESC, doc_id ASC)
     "d_er" ->
-      """WITH b AS (
-        | SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,
-        |  CAST(c_nationkey AS BIGINT) AS nationkey,
-        |  c_nationkey || '|' || substr(regexp_replace(c_name, '[^0-9]', '', 'g'), 1, 6) AS blk
-        | FROM customer)
-        |SELECT x.custkey AS custkey_a, y.custkey AS custkey_b,
-        | x.nationkey, CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS lev
-        |FROM b x JOIN b y ON x.blk = y.blk AND x.custkey < y.custkey
-        |WHERE levenshtein(x.c_name, y.c_name) <= 1""".stripMargin,
+      s"""WITH b0 AS (
+         | SELECT CAST(c_custkey AS BIGINT) AS custkey, c_name,
+         |  CAST(c_nationkey AS BIGINT) AS nationkey,
+         |  c_nationkey || '|' || substr(regexp_replace(c_name, '[^0-9]', '', 'g'), 1, 6) AS blk1,
+         |  substr(regexp_replace(c_name, '[^0-9]', '', 'g'), 7, 2) AS sfx
+         | FROM customer),
+         |sz AS (SELECT blk1, COUNT(*) AS bn FROM b0 GROUP BY 1),
+         |b AS (SELECT b0.custkey, b0.c_name, b0.nationkey,
+         |       CASE WHEN sz.bn > $ER_BLOCK_CAP THEN b0.blk1 || ':' || b0.sfx
+         |            ELSE b0.blk1 END AS blk
+         |      FROM b0 JOIN sz USING (blk1))
+         |SELECT x.custkey AS custkey_a, y.custkey AS custkey_b,
+         | x.nationkey, CAST(levenshtein(x.c_name, y.c_name) AS BIGINT) AS lev
+         |FROM b x JOIN b y ON x.blk = y.blk AND x.custkey < y.custkey
+         |WHERE levenshtein(x.c_name, y.c_name) <= 1""".stripMargin,
     "d_canonical" ->
       s"""WITH RECURSIVE $minhashCandSql,
          |e AS (SELECT doc_a AS src, doc_b AS dst FROM cand

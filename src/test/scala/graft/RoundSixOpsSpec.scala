@@ -172,6 +172,35 @@ class RoundSixOpsSpec extends SparkSpec {
     assert(m.map(r => (r.getLong(0), r.getLong(1))).toSet === brute)
   }
 
+  test("d_er: an over-full primary block re-blocks through the secondary rung (round-14 cap)") {
+    import spark.implicits._
+    // 200 same-nation customers whose names share the 6-digit primary
+    // prefix (digits 000000, suffixes 000..199) — primary block size
+    // 200 > cap 128, so the secondary rung (digits 7-8) must split it
+    // into twenty ~10-member sub-blocks. Nation 8's five customers
+    // stay under the cap and keep primary blocking.
+    val dir = java.nio.file.Files.createTempDirectory("graft_er_cap").toString
+    val over = (0 until 200).map(i => (i.toLong, f"Customer#000000$i%03d", 7))
+    val small = (0 until 5).map(i => (1000L + i, f"Customer#00900000$i%01d", 8))
+    (over ++ small).toDF("c_custkey", "c_name", "c_nationkey")
+      .write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val m = SparkEntry.queries("d_er")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // within a sub-block (same first 8 digits) every pair differs in
+    // only the last digit: lev = 1, all C(10,2) = 45 pairs found
+    val expectedOver = (for {
+      g <- 0 until 20; i <- g * 10 until g * 10 + 10; j <- i + 1 until g * 10 + 10
+    } yield (i.toLong, j.toLong, 7L)).toSet
+    val expectedSmall = (for {
+      i <- 0 until 5; j <- i + 1 until 5
+    } yield (1000L + i, 1000L + j, 8L)).toSet
+    assert(m === expectedOver ++ expectedSmall)
+    // the documented recall tradeoff of the cap: a lev-1 pair whose
+    // names differ INSIDE the secondary digits (e.g. 010 vs 110)
+    // falls in different sub-blocks and is not emitted
+    assert(!m.contains((10L, 110L, 7L)))
+  }
+
   test("d_er: blocking keeps block sizes (and with them per-block pair work) bounded at sf0.01") {
     import spark.implicits._
     // the scale contract behind D11 (round-11 verdict #6): candidate
