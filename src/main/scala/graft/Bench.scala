@@ -400,14 +400,21 @@ object Bench {
       if (fits) line2 += "," + frag
       fits
     }
-    /** As many of `entries` as fit under the budget, as `"name":{…}`. */
+    /** As many of `entries` as fit under the budget, as `"name":{…}`.
+      * The per-entry estimate and tryAdd's exact arithmetic differ by
+      * a separator, so on a failed add the prefix SHRINKS until it
+      * fits instead of dropping the whole section; when not even one
+      * entry fits, nothing is emitted (an empty `"name":{}` would
+      * spend budget to say nothing) — round-14 ADVICE. */
     def greedy(name: String, entries: Seq[String]): Boolean = {
       var used = line2.length + s""","$name":{}""".length + 1
       var k = 0
       while (k < entries.length && used + entries(k).length + 1 <= tailBudget) {
         used += entries(k).length + 1; k += 1
       }
-      tryAdd(s""""$name":${entries.take(k).mkString("{", ",", "}")}""")
+      while (k > 0 &&
+        !tryAdd(s""""$name":${entries.take(k).mkString("{", ",", "}")}""")) k -= 1
+      k > 0
     }
     val probeByKey = chosen.map { case (n, s, _) => n -> s }.toMap
     // probes through the locale-pinned Measure.ms — an f"%.2f" here

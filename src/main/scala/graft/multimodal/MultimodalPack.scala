@@ -393,8 +393,10 @@ object MultimodalPack extends QueryPack {
             // full-scale clip overflows Σs² past ~2^17 samples
             // (per-sample s² ≤ 2^46); a wrapped-negative energy is
             // garbage, a saturated one is an honest "≥ 2^63−1". The
-            // 8/16-bit corpus paths (and the m_audio oracle) stay
-            // exact: their true Σ can't reach the rail
+            // m_audio oracle mirrors the rail (LEAST over a HUGEINT
+            // sum — round-14 ADVICE), so the cross-engine contract
+            // holds even for wide-sample fixtures that clip; the
+            // 8/16-bit corpus paths stay exact regardless
             // (2^28 samples × 2^30 max s² = 2^58).
             var energy = 0L
             var peak = 0L
@@ -607,8 +609,16 @@ object MultimodalPack extends QueryPack {
         |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
         |  WHERE length(text) >= 1
         |), agg AS (
+        |  -- energy mirrors the engine's Long.MaxValue saturation rail
+        |  -- (round-14 ADVICE): a running-clamped sum of nonnegative
+        |  -- increments equals LEAST(exact total, 2^63-1), so the
+        |  -- HUGEINT sum + LEAST reproduces the engine bit-for-bit even
+        |  -- on a future wide-sample fixture that clips (the shipped
+        |  -- 8-bit corpus can't reach the rail; this keeps the contract
+        |  -- honest rather than input-bounded)
         |  SELECT doc_id, MAX(n) AS n,
-        |         SUM(CAST(v AS BIGINT) * CAST(v AS BIGINT)) AS energy,
+        |         LEAST(SUM(CAST(v AS HUGEINT) * v),
+        |               CAST(9223372036854775807 AS HUGEINT)) AS energy,
         |         MAX(ABS(v)) AS peak,
         |         SUM(CASE WHEN ABS(v) <= $AUDIO_SILENCE THEN 1 ELSE 0 END) AS silent
         |  FROM s GROUP BY doc_id
