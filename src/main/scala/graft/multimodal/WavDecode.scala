@@ -29,10 +29,13 @@ final case class WavMeta(channels: Int, sampleRate: Int, bitsPerSample: Int)
   *
   * Scope (loudly bounded like the image decoders): integer PCM
   * (format tag 1) at 8/16/24-bit and IEEE-float PCM (format tag 3)
-  * at 32-bit, 1–2 channels. ADPCM, WAVE_FORMAT_EXTENSIBLE, 32-bit
-  * int, 64-bit float and malformed/truncated/ragged containers
-  * return None — bad bytes are data, not exceptions, at a 100 TB
-  * decode seam. The spec pins output sample-exact against
+  * at 32-bit, 1–2 channels — directly tagged, or wrapped in
+  * WAVE_FORMAT_EXTENSIBLE (tag 0xFFFE, round-14: the SubFormat GUID
+  * indirection modern encoders emit for anything ≥ 2 channels or
+  * > 16 bits; a header-walk-only unwrap). ADPCM and other foreign
+  * SubFormat GUIDs, sub-width valid bits, 32-bit int, 64-bit float
+  * and malformed/truncated/ragged containers return None — bad
+  * bytes are data, not exceptions, at a 100 TB decode seam. The spec pins output sample-exact against
   * `javax.sound.sampled` (the JDK's independent WAV reader) on
   * round-trip and hand-assembled containers; a `bitsPerSample` of 32
   * in the returned meta always means float (int32 is out of scope,
@@ -71,10 +74,36 @@ object WavDecode {
       id match {
         case "fmt " =>
           if (len < 16) return None
-          val fmt = u16le(p, off)
+          val rawFmt = u16le(p, off)
           val ch = u16le(p, off + 2)
           val rate = u32le(p, off + 4)
           val bits = u16le(p, off + 14)
+          // WAVE_FORMAT_EXTENSIBLE (0xFFFE, round-14): the real tag is
+          // indirected through the SubFormat GUID — Data1 carries the
+          // wrapped tag, and the 12-byte KSDATAFORMAT suffix
+          // {….-0000-0010-8000-00aa00389b71} pins the GUID family.
+          // A header-walk-only change: the sample paths see tag 1/3
+          // exactly as if the container were plain. wValidBitsPerSample
+          // must equal the container width (or 0 = unspecified) —
+          // sub-width valid bits (e.g. 20-in-24) change sample
+          // semantics and stay out of scope.
+          val fmt =
+            if (rawFmt != 0xfffe) rawFmt
+            else {
+              if (len < 40 || u16le(p, off + 16) < 22) return None
+              val validBits = u16le(p, off + 18)
+              if (validBits != 0 && validBits != bits) return None
+              val d1 = u32le(p, off + 24)
+              val suffix = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+                0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
+              var j = 0
+              while (j < 12) {
+                if ((p(off + 28 + j) & 0xff) != suffix(j)) return None
+                j += 1
+              }
+              if (d1 != 1L && d1 != 3L) return None // ADPCM etc. GUIDs
+              d1.toInt
+            }
           // tag 1 = integer PCM (8/16/24), tag 3 = IEEE float (32)
           val widthOk = (fmt == 1 && (bits == 8 || bits == 16 || bits == 24)) ||
             (fmt == 3 && bits == 32)

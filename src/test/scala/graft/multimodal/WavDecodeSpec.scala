@@ -172,6 +172,80 @@ class WavDecodeSpec extends SparkSpec {
     assert(got.get._2.toSeq === pcm.map(b => (b & 0xff) - 128).toSeq)
   }
 
+  /** Hand-assemble a WAVE_FORMAT_EXTENSIBLE container: 40-byte fmt
+    * chunk (tag 0xFFFE, cbSize 22, wValidBitsPerSample, channel mask
+    * 0, SubFormat GUID = d1 + the KSDATAFORMAT suffix) around the
+    * given raw data bytes. */
+  private def extensibleWav(data: Array[Byte], ch: Int, rate: Int, bits: Int,
+                            d1: Int, validBits: Int = 0,
+                            guidSuffix: Array[Int] = Array(0x00, 0x00, 0x10, 0x00,
+                              0x80, 0x00, 0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)): Array[Byte] = {
+    val out = new Array[Byte](12 + 8 + 40 + 8 + data.length)
+    def w16(i: Int, v: Int): Unit = { out(i) = (v & 0xff).toByte; out(i + 1) = ((v >> 8) & 0xff).toByte }
+    def w32(i: Int, v: Long): Unit = (0 to 3).foreach(k => out(i + k) = ((v >> (8 * k)) & 0xff).toByte)
+    def tag4(i: Int, s: String): Unit = (0 to 3).foreach(k => out(i + k) = s.charAt(k).toByte)
+    tag4(0, "RIFF"); w32(4, out.length - 8L); tag4(8, "WAVE")
+    tag4(12, "fmt "); w32(16, 40)
+    w16(20, 0xfffe); w16(22, ch); w32(24, rate.toLong)
+    w32(28, rate.toLong * ch * (bits / 8)); w16(32, ch * (bits / 8)); w16(34, bits)
+    w16(36, 22) // cbSize
+    w16(38, validBits); w32(40, 0L) // channel mask
+    w32(44, d1.toLong)
+    guidSuffix.zipWithIndex.foreach { case (b, k) => out(48 + k) = b.toByte }
+    tag4(60, "data"); w32(64, data.length.toLong)
+    System.arraycopy(data, 0, out, 68, data.length)
+    out
+  }
+
+  test("extensible-wrapped PCM decodes identically to the plain tag (round-14)") {
+    // 16-bit stereo signed LE frames
+    val data = Array[Byte](0, 1, -1, 127, 34, -12, 0, -128, 9, 9, -7, 3)
+    val plain = soundWav(data, new AudioFormat(8000f, 16, 2, true, false))
+    val ext = extensibleWav(data, ch = 2, rate = 8000, bits = 16, d1 = 1)
+    val (mp, sp) = WavDecode.decode(plain).get
+    val (me, se) = WavDecode.decode(ext).get
+    assert(me === mp && se.toSeq === sp.toSeq)
+    // explicit wValidBitsPerSample equal to the container width is fine
+    val extV = extensibleWav(data, 2, 8000, 16, d1 = 1, validBits = 16)
+    assert(WavDecode.decode(extV).get._2.toSeq === sp.toSeq)
+    // float32 through the GUID indirection (d1 = 3)
+    val f = Array(0.5f, -1.0f, 0.25f, -0.125f)
+    val fBytes = f.flatMap { x =>
+      val b = java.lang.Float.floatToIntBits(x)
+      Array((b & 0xff).toByte, ((b >> 8) & 0xff).toByte,
+        ((b >> 16) & 0xff).toByte, ((b >> 24) & 0xff).toByte)
+    }
+    val extF = extensibleWav(fBytes, ch = 2, rate = 16000, bits = 32, d1 = 3)
+    val (mf, sf) = WavDecode.decode(extF).get
+    assert(mf === WavMeta(2, 16000, 32))
+    // pinned against the documented fixed-point centering contract
+    assert(sf.toSeq === f.toSeq.map(x =>
+      math.max(-8388608.0, math.min(8388607.0, math.floor(x * 8388608.0 + 0.5))).toInt))
+  }
+
+  test("extensible rails: foreign GUIDs, sub-width valid bits, short fmt all refuse (round-14)") {
+    val data = Array[Byte](0, 1, 2, 3)
+    // ADPCM SubFormat (d1 = 2) is out of scope
+    assert(WavDecode.decode(extensibleWav(data, 2, 8000, 16, d1 = 2)) === None)
+    // a non-KSDATAFORMAT GUID suffix must not be trusted as PCM
+    val badSuffix = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+      0x00, 0xaa, 0x00, 0x38, 0x9b, 0x72)
+    assert(WavDecode.decode(
+      extensibleWav(data, 2, 8000, 16, d1 = 1, guidSuffix = badSuffix)) === None)
+    // 20 valid bits in a 24-bit container changes sample semantics
+    val d24 = Array.tabulate(12)(_.toByte)
+    assert(WavDecode.decode(
+      extensibleWav(d24, 2, 8000, 24, d1 = 1, validBits = 20)) === None)
+    // a 0xFFFE tag with a bare 16-byte fmt chunk is malformed
+    val short = extensibleWav(data, 2, 8000, 16, d1 = 1)
+    short(16) = 16 // fmt len shrunk under the extensible minimum
+    assert(WavDecode.decode(short) === None)
+    // cbSize below 22 cannot hold the GUID
+    val cb = extensibleWav(data, 2, 8000, 16, d1 = 1)
+    cb(36) = 20
+    assert(WavDecode.decode(cb) === None)
+  }
+
   test("out-of-scope and malformed containers fall back to None, never throw") {
     val pcm = Array.tabulate(64)(i => i.toByte)
     val base = WavDecode.wrapPcm8Mono(pcm, 8000)
