@@ -97,7 +97,18 @@ object KCore {
     // write + read-back.
     var edges = edges0
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
+    // lazy evaluation re-reads the edge PLAN up to three times (degree
+    // build, round-0 delta scan, tail pin) — only sound when every
+    // evaluation yields the same rows. A nondeterministic input plan
+    // (sampling, rand-salts) is pinned eagerly instead, restoring the
+    // one-materialization guarantee the eager checkpoint used to give
+    // every caller (round-14 review).
     var edgesOnDisk = false
+    if (edges0.queryExecution.analyzed
+        .find(_.expressions.exists(e => !e.deterministic)).isDefined) {
+      edges = edges.localCheckpoint(true, EDGE_LEVEL)
+      edgesOnDisk = true
+    }
     def freeEdges(): Unit = if (edgesOnDisk) free(edges)
     var deg = edges.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
       .localCheckpoint(true)

@@ -48,6 +48,13 @@ object WavDecode {
     * decoders' guards). */
   private val MAX_SAMPLES = 1L << 28
 
+  /** The fixed KSDATAFORMAT_SUBTYPE suffix (bytes 5–16 of the
+    * SubFormat GUID) every PCM/float extensible container carries —
+    * a constant, not a per-decode allocation (decode() is the
+    * per-payload hot path). */
+  private val KS_SUFFIX = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
+    0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
+
   private def u16le(p: Array[Byte], i: Int): Int =
     (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
   private def u32le(p: Array[Byte], i: Int): Long =
@@ -94,11 +101,9 @@ object WavDecode {
               val validBits = u16le(p, off + 18)
               if (validBits != 0 && validBits != bits) return None
               val d1 = u32le(p, off + 24)
-              val suffix = Array(0x00, 0x00, 0x10, 0x00, 0x80, 0x00,
-                0x00, 0xaa, 0x00, 0x38, 0x9b, 0x71)
               var j = 0
               while (j < 12) {
-                if ((p(off + 28 + j) & 0xff) != suffix(j)) return None
+                if ((p(off + 28 + j) & 0xff) != KS_SUFFIX(j)) return None
                 j += 1
               }
               if (d1 != 1L && d1 != 3L) return None // ADPCM etc. GUIDs

@@ -179,6 +179,14 @@ object GraphStore {
         case _: NumberFormatException => throw new IllegalStateException(
           s"corrupt _PARENT marker at ${snapshotPath(root, v)}: '$txt'")
       }
+      // a parent must be a strictly OLDER positive version: a
+      // self-pointer or forward pointer would spin the chain walk and
+      // the readVersion recursion forever — numeric-but-wrong markers
+      // get the same loud failure as unparseable ones (round-14
+      // review)
+      if (p < 1 || p >= v) throw new IllegalStateException(
+        s"corrupt _PARENT marker at ${snapshotPath(root, v)}: " +
+          s"'$txt' is not an older version")
       Some(p)
     }
   }
@@ -243,8 +251,14 @@ object GraphStore {
     val existing = readVersion(s, root, parent)
     val incoming = dedup(
       delta.select(existing.columns.map(col): _*).withColumn("__rank", lit(1)))
-    val fresh = incoming
-      .join(existing.select(EDGE_COLS.map(col): _*), EDGE_COLS, "left_anti")
+    // NULL-SAFE anti-join (round-14 review): the old window dedup
+    // grouped null keys together (SQL partitionBy semantics), so a
+    // (null, x) edge upserted twice kept one row — a plain key-column
+    // anti-join would re-insert it forever because NULL = NULL never
+    // matches
+    val ex = existing.select(EDGE_COLS.map(col): _*)
+    val fresh = incoming.join(ex,
+      incoming("src") <=> ex("src") && incoming("dst") <=> ex("dst"), "left_anti")
     commit(fresh, root, nextVersion(s, root), Some(parent))
   }
 

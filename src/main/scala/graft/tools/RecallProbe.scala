@@ -12,7 +12,10 @@ object RecallProbe {
         val r = graft.SparkEntry.queries(key)(s, d)
           .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"),
             count(lit(1)).as("n")).head()
-        println(f"RECALL dir=$d key=$key mean=${r.getDouble(0)}%.4f min=${r.getDouble(1)}%.4f n=${r.getLong(2)}")
+        // an empty rung aggregates to (null, null, 0) — report it
+        // instead of tripping over getDouble(null)
+        if (r.getLong(2) == 0L) println(s"RECALL dir=$d key=$key n=0 (no queries)")
+        else println(f"RECALL dir=$d key=$key mean=${r.getDouble(0)}%.4f min=${r.getDouble(1)}%.4f n=${r.getLong(2)}")
       }
     }
   }

@@ -37,6 +37,26 @@ class GraphStoreFaultSpec extends SparkSpec {
     assert(ex.getMessage.contains("corrupt _PARENT"))
   }
 
+  test("a numeric-but-wrong _PARENT (self-pointer) fails loudly instead of spinning") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((1L, 2L, "a")).toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root, Seq((2L, 3L, "b")).toDF("src", "dst", "tag"))
+    damage(new java.io.File(new java.io.File(root, "v=2"), "_PARENT"),
+      "2".getBytes("UTF-8")) // self-pointer: would recurse forever
+    val ex = intercept[IllegalStateException] {
+      GraphStore.readVersion(spark, root, 2).collect()
+    }
+    assert(ex.getMessage.contains("not an older version"))
+    // a forward pointer is equally corrupt
+    damage(new java.io.File(new java.io.File(root, "v=2"), "_PARENT"),
+      "9".getBytes("UTF-8"))
+    val ex2 = intercept[IllegalStateException] {
+      GraphStore.diff(spark, root, 1, 2).collect()
+    }
+    assert(ex2.getMessage.contains("not an older version"))
+  }
+
   test("vacuum aborts when the covering compaction's data is unreadable") {
     import spark.implicits._
     val root = tmpRoot()

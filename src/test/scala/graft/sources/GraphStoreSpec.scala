@@ -264,6 +264,24 @@ class GraphStoreSpec extends SparkSpec {
       === Set((1L, 2L), (2L, 3L), (3L, 4L)))
   }
 
+  test("null edge keys keep INSERT-OR-IGNORE semantics through delta upserts") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((Some(1L), Some(2L), "a"), (None, Some(5L), "n"))
+      .toDF("src", "dst", "tag"), root)
+    // re-upserting the null-keyed edge must NOT re-insert it (the
+    // null-safe anti-join — a plain key join would append it forever)
+    GraphStore.upsert(spark, root,
+      Seq((None: Option[Long], Some(5L), "n2")).toDF("src", "dst", "tag"))
+    assert(spark.read.parquet(s"$root/v=2").count() === 0)
+    GraphStore.upsert(spark, root,
+      Seq((None: Option[Long], Some(6L), "new")).toDF("src", "dst", "tag"))
+    val got = GraphStore.read(spark, root)
+      .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2))).toSet
+    assert(got === Set((Some(1L), Some(2L), "a"), (None, Some(5L), "n"),
+      (None, Some(6L), "new")))
+  }
+
   test("dedup survivor within one input is deterministic across reruns") {
     import spark.implicits._
     val dup = Seq((1L, 2L, "zz"), (1L, 2L, "aa"), (3L, 4L, "c")).toDF("src", "dst", "tag")
