@@ -249,6 +249,53 @@ object SubgraphPack extends QueryPack {
       Dispatch.graphlets(s, Dispatch.partVertices(s, d))
     },
 
+    // B9 (round-14): graphlet SIGNIFICANCE — B8's observed census
+    // against the Erdős–Rényi G(n, p) null model with the same vertex
+    // and edge count (p = 2m / n(n−1)), the standard motif readout
+    // (Milo 2002's significance profile, lift form): for a graphlet
+    // with v vertices, e edges and automorphism group size a, the
+    // expected non-induced count is (v!/a)·C(n,v)·p^e — closed form,
+    // no sampling, so both engines compute it as the SAME IEEE
+    // multiplication chain and the lifts hash bit-identically. n and
+    // m come from the class-space quotient (one class-count groupBy
+    // + one class-pair join — bounded by brand×size, corpus-free),
+    // the same space the census itself rides.
+    "g_graphlet_sig" -> { (s, d) =>
+      import s.implicits._
+      val obs = Dispatch.graphlets(s, Dispatch.partVertices(s, d))
+      val cls = Dispatch.partVertices(s, d)
+        .groupBy($"brand", $"size").agg(count(lit(1)).as("cn"))
+      val stats = cls.agg(sum($"cn").cast("double").as("nv"))
+        .crossJoin(
+          cls.as("a").join(cls.as("b"),
+              col("a.brand") === col("b.brand") &&
+                abs(col("a.size") - col("b.size")).isin(1, 2))
+            .agg(coalesce(sum(col("a.cn") * col("b.cn")), lit(0L))
+              .cast("double").as("m2")))
+      // (graphlet, v!/|Aut|, vertices, edges) — P3: a=2; K3: a=6;
+      // K1,3: a=6; P4: a=2; tailed triangle: a=2; C4: a=8; diamond:
+      // a=4; K4: a=24
+      val look = Seq(
+        ("wedge", 3.0, 3, 2), ("triangle", 1.0, 3, 3), ("claw", 4.0, 4, 3),
+        ("path4", 12.0, 4, 3), ("tailed_triangle", 12.0, 4, 4),
+        ("cycle4", 3.0, 4, 4), ("diamond", 6.0, 4, 5), ("clique4", 1.0, 4, 6))
+        .toDF("graphlet", "coef", "vv", "ee")
+      obs.join(broadcast(look), "graphlet").crossJoin(broadcast(stats))
+        .withColumn("p", $"m2" / ($"nv" * ($"nv" - 1.0)))
+        .withColumn("cnv",
+          when($"vv" === 3, $"nv" * ($"nv" - 1.0) * ($"nv" - 2.0) / 6.0)
+            .otherwise($"nv" * ($"nv" - 1.0) * ($"nv" - 2.0) * ($"nv" - 3.0) / 24.0))
+        .withColumn("pk",
+          when($"ee" === 2, $"p" * $"p")
+            .when($"ee" === 3, $"p" * $"p" * $"p")
+            .when($"ee" === 4, $"p" * $"p" * $"p" * $"p")
+            .when($"ee" === 5, $"p" * $"p" * $"p" * $"p" * $"p")
+            .otherwise($"p" * $"p" * $"p" * $"p" * $"p" * $"p"))
+        .withColumn("expected", $"coef" * $"cnv" * $"pk")
+        .select($"graphlet", $"n".as("observed"), $"expected",
+          ($"n".cast("double") / $"expected").as("lift"))
+    },
+
     // B5: pairwise Tanimoto + approx GED over a bounded order range
     // (mcs.py:285-346), ON THE HARD SIGNAL: shared-class counts,
     // Tanimoto and approx GED are raw IEEE ratios of integer class-set
@@ -377,6 +424,79 @@ object SubgraphPack extends QueryPack {
       |  ('4:5:2233', 'eca5e60d4f0a1fe8cec33d62c710d1fb', 4),
       |  ('4:6:3333', '5688ca8e2136fda0029dee1dd3074496', 4)) m(ck, h, sz))""".stripMargin
 
+  /** B8's oracle scaffold, split for reuse by B9: the class-space
+    * quotient CTEs and the 8-row observed-count select. */
+  private val graphletCtes: String =
+    """cls AS (
+        | SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS size,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        | FROM part GROUP BY 1, 2),
+        |adjp AS (
+        | SELECT a.brand, a.size AS sa, b.size AS sb, a.n AS na, b.n AS nb
+        | FROM cls a JOIN cls b
+        |  ON a.brand = b.brand AND abs(a.size - b.size) IN (1, 2)),
+        |degt AS (SELECT brand, sa AS size, CAST(SUM(nb) AS BIGINT) AS d
+        |         FROM adjp GROUP BY 1, 2),
+        |cd AS (SELECT c.brand, c.size, c.n, COALESCE(d.d, 0) AS d
+        |       FROM cls c LEFT JOIN degt d USING (brand, size)),
+        |tri AS (
+        | SELECT a.brand, a.size AS s1, b.size AS s2, c.size AS s3,
+        |        a.n AS n1, b.n AS n2, c.n AS n3
+        | FROM cls a
+        | JOIN cls b ON b.brand = a.brand AND b.size > a.size AND b.size - a.size IN (1, 2)
+        | JOIN cls c ON c.brand = a.brand AND c.size > b.size
+        |  AND c.size - b.size IN (1, 2) AND c.size - a.size IN (1, 2)),
+        |trin AS (SELECT CAST(COALESCE(SUM(n1 * n2 * n3), 0) AS BIGINT) AS v FROM tri),
+        |cedge AS (SELECT brand, sa, sb, na, nb FROM adjp WHERE sa < sb),
+        |spair AS (
+        | SELECT x.brand, x.size AS sa, y.size AS sb, CAST(SUM(c.n) AS BIGINT) AS s
+        | FROM cls x
+        | JOIN cls y ON y.brand = x.brand AND x.size <= y.size
+        | JOIN cls c ON c.brand = x.brand
+        |  AND abs(c.size - x.size) IN (1, 2) AND abs(c.size - y.size) IN (1, 2)
+        | GROUP BY 1, 2, 3),
+        |quad AS (
+        | SELECT a.n AS n1, b.n AS n2, c.n AS n3, d.n AS n4
+        | FROM cls a
+        | JOIN cls b ON b.brand = a.brand AND b.size > a.size AND b.size - a.size IN (1, 2)
+        | JOIN cls c ON c.brand = a.brand AND c.size > b.size
+        |  AND c.size - b.size IN (1, 2) AND c.size - a.size IN (1, 2)
+        | JOIN cls d ON d.brand = a.brand AND d.size > c.size
+        |  AND d.size - c.size IN (1, 2) AND d.size - b.size IN (1, 2)
+        |  AND d.size - a.size IN (1, 2))""".stripMargin
+
+  private val graphletObsSql: String =
+    """|SELECT 'wedge' AS graphlet,
+        | CAST(COALESCE((SELECT SUM(n * (d * (d - 1) // 2)) FROM cd), 0) AS BIGINT) AS n
+        |UNION ALL SELECT 'triangle', (SELECT v FROM trin)
+        |UNION ALL SELECT 'claw',
+        | CAST(COALESCE((SELECT SUM(n * (d * (d - 1) * (d - 2) // 6)) FROM cd), 0) AS BIGINT)
+        |UNION ALL SELECT 'path4',
+        | CAST(COALESCE((SELECT SUM(e.na * e.nb * (da.d - 1) * (db.d - 1))
+        |  FROM cedge e
+        |  JOIN cd da ON da.brand = e.brand AND da.size = e.sa
+        |  JOIN cd db ON db.brand = e.brand AND db.size = e.sb), 0) AS BIGINT)
+        |  - 3 * (SELECT v FROM trin)
+        |UNION ALL SELECT 'tailed_triangle',
+        | CAST(COALESCE((SELECT SUM(t.n1 * t.n2 * t.n3 * (d1.d + d2.d + d3.d - 6))
+        |  FROM tri t
+        |  JOIN cd d1 ON d1.brand = t.brand AND d1.size = t.s1
+        |  JOIN cd d2 ON d2.brand = t.brand AND d2.size = t.s2
+        |  JOIN cd d3 ON d3.brand = t.brand AND d3.size = t.s3), 0) AS BIGINT)
+        |UNION ALL SELECT 'cycle4',
+        | CAST(COALESCE((SELECT SUM(
+        |    (CASE WHEN p.sa = p.sb THEN x.n * (x.n - 1) // 2 ELSE x.n * y.n END)
+        |    * (p.s * (p.s - 1) // 2))
+        |  FROM spair p
+        |  JOIN cls x ON x.brand = p.brand AND x.size = p.sa
+        |  JOIN cls y ON y.brand = p.brand AND y.size = p.sb), 0) // 2 AS BIGINT)
+        |UNION ALL SELECT 'diamond',
+        | CAST(COALESCE((SELECT SUM(e.na * e.nb * (s.s * (s.s - 1) // 2))
+        |  FROM cedge e
+        |  JOIN spair s ON s.brand = e.brand AND s.sa = e.sa AND s.sb = e.sb), 0) AS BIGINT)
+        |UNION ALL SELECT 'clique4',
+        | CAST(COALESCE((SELECT SUM(n1 * n2 * n3 * n4) FROM quad), 0) AS BIGINT)""".stripMargin
+
   override def oracles: Map[String, String] = Map(
     // B6: validation verdicts recomputed arithmetically — the size
     // cap runs on DISTINCT nodes (validate() dedups first), a
@@ -436,74 +556,34 @@ object SubgraphPack extends QueryPack {
     // division only where the dividend is provably divisible (C(x,2),
     // C(x,3) products of consecutive integers; the cycle4 total
     // counts every 4-cycle twice).
-    "g_graphlets" ->
-      """WITH cls AS (
-        | SELECT p_brand AS brand, CAST(p_size AS BIGINT) AS size,
-        |  CAST(COUNT(*) AS BIGINT) AS n
-        | FROM part GROUP BY 1, 2),
-        |adjp AS (
-        | SELECT a.brand, a.size AS sa, b.size AS sb, a.n AS na, b.n AS nb
-        | FROM cls a JOIN cls b
-        |  ON a.brand = b.brand AND abs(a.size - b.size) IN (1, 2)),
-        |degt AS (SELECT brand, sa AS size, CAST(SUM(nb) AS BIGINT) AS d
-        |         FROM adjp GROUP BY 1, 2),
-        |cd AS (SELECT c.brand, c.size, c.n, COALESCE(d.d, 0) AS d
-        |       FROM cls c LEFT JOIN degt d USING (brand, size)),
-        |tri AS (
-        | SELECT a.brand, a.size AS s1, b.size AS s2, c.size AS s3,
-        |        a.n AS n1, b.n AS n2, c.n AS n3
-        | FROM cls a
-        | JOIN cls b ON b.brand = a.brand AND b.size > a.size AND b.size - a.size IN (1, 2)
-        | JOIN cls c ON c.brand = a.brand AND c.size > b.size
-        |  AND c.size - b.size IN (1, 2) AND c.size - a.size IN (1, 2)),
-        |trin AS (SELECT CAST(COALESCE(SUM(n1 * n2 * n3), 0) AS BIGINT) AS v FROM tri),
-        |cedge AS (SELECT brand, sa, sb, na, nb FROM adjp WHERE sa < sb),
-        |spair AS (
-        | SELECT x.brand, x.size AS sa, y.size AS sb, CAST(SUM(c.n) AS BIGINT) AS s
-        | FROM cls x
-        | JOIN cls y ON y.brand = x.brand AND x.size <= y.size
-        | JOIN cls c ON c.brand = x.brand
-        |  AND abs(c.size - x.size) IN (1, 2) AND abs(c.size - y.size) IN (1, 2)
-        | GROUP BY 1, 2, 3),
-        |quad AS (
-        | SELECT a.n AS n1, b.n AS n2, c.n AS n3, d.n AS n4
-        | FROM cls a
-        | JOIN cls b ON b.brand = a.brand AND b.size > a.size AND b.size - a.size IN (1, 2)
-        | JOIN cls c ON c.brand = a.brand AND c.size > b.size
-        |  AND c.size - b.size IN (1, 2) AND c.size - a.size IN (1, 2)
-        | JOIN cls d ON d.brand = a.brand AND d.size > c.size
-        |  AND d.size - c.size IN (1, 2) AND d.size - b.size IN (1, 2)
-        |  AND d.size - a.size IN (1, 2))
-        |SELECT 'wedge' AS graphlet,
-        | CAST(COALESCE((SELECT SUM(n * (d * (d - 1) // 2)) FROM cd), 0) AS BIGINT) AS n
-        |UNION ALL SELECT 'triangle', (SELECT v FROM trin)
-        |UNION ALL SELECT 'claw',
-        | CAST(COALESCE((SELECT SUM(n * (d * (d - 1) * (d - 2) // 6)) FROM cd), 0) AS BIGINT)
-        |UNION ALL SELECT 'path4',
-        | CAST(COALESCE((SELECT SUM(e.na * e.nb * (da.d - 1) * (db.d - 1))
-        |  FROM cedge e
-        |  JOIN cd da ON da.brand = e.brand AND da.size = e.sa
-        |  JOIN cd db ON db.brand = e.brand AND db.size = e.sb), 0) AS BIGINT)
-        |  - 3 * (SELECT v FROM trin)
-        |UNION ALL SELECT 'tailed_triangle',
-        | CAST(COALESCE((SELECT SUM(t.n1 * t.n2 * t.n3 * (d1.d + d2.d + d3.d - 6))
-        |  FROM tri t
-        |  JOIN cd d1 ON d1.brand = t.brand AND d1.size = t.s1
-        |  JOIN cd d2 ON d2.brand = t.brand AND d2.size = t.s2
-        |  JOIN cd d3 ON d3.brand = t.brand AND d3.size = t.s3), 0) AS BIGINT)
-        |UNION ALL SELECT 'cycle4',
-        | CAST(COALESCE((SELECT SUM(
-        |    (CASE WHEN p.sa = p.sb THEN x.n * (x.n - 1) // 2 ELSE x.n * y.n END)
-        |    * (p.s * (p.s - 1) // 2))
-        |  FROM spair p
-        |  JOIN cls x ON x.brand = p.brand AND x.size = p.sa
-        |  JOIN cls y ON y.brand = p.brand AND y.size = p.sb), 0) // 2 AS BIGINT)
-        |UNION ALL SELECT 'diamond',
-        | CAST(COALESCE((SELECT SUM(e.na * e.nb * (s.s * (s.s - 1) // 2))
-        |  FROM cedge e
-        |  JOIN spair s ON s.brand = e.brand AND s.sa = e.sa AND s.sb = e.sb), 0) AS BIGINT)
-        |UNION ALL SELECT 'clique4',
-        | CAST(COALESCE((SELECT SUM(n1 * n2 * n3 * n4) FROM quad), 0) AS BIGINT)""".stripMargin,
+    "g_graphlets" -> s"WITH $graphletCtes\n$graphletObsSql",
+    // B9: same observed CTEs, then the closed-form ER expectation as
+    // the IDENTICAL multiplication chain the engine builds (left-
+    // associative, doubles throughout) — lift hashes bit for bit.
+    "g_graphlet_sig" ->
+      s"""WITH $graphletCtes,
+         |obs AS ($graphletObsSql),
+         |nv_ AS (SELECT CAST(SUM(n) AS DOUBLE) AS nv FROM cls),
+         |m2_ AS (SELECT CAST(COALESCE(SUM(na * nb), 0) AS DOUBLE) AS m2 FROM adjp),
+         |p_ AS (SELECT m2 / (nv * (nv - 1.0)) AS p FROM nv_, m2_),
+         |look(graphlet, coef, vv, ee) AS (VALUES
+         |  ('wedge', 3.0, 3, 2), ('triangle', 1.0, 3, 3), ('claw', 4.0, 4, 3),
+         |  ('path4', 12.0, 4, 3), ('tailed_triangle', 12.0, 4, 4),
+         |  ('cycle4', 3.0, 4, 4), ('diamond', 6.0, 4, 5), ('clique4', 1.0, 4, 6)),
+         |scored AS (
+         | SELECT o.graphlet, o.n AS observed,
+         |  CAST(l.coef AS DOUBLE)
+         |   * (CASE WHEN l.vv = 3 THEN s.nv * (s.nv - 1.0) * (s.nv - 2.0) / 6.0
+         |           ELSE s.nv * (s.nv - 1.0) * (s.nv - 2.0) * (s.nv - 3.0) / 24.0 END)
+         |   * (CASE l.ee WHEN 2 THEN p.p * p.p
+         |                WHEN 3 THEN p.p * p.p * p.p
+         |                WHEN 4 THEN p.p * p.p * p.p * p.p
+         |                WHEN 5 THEN p.p * p.p * p.p * p.p * p.p
+         |                ELSE p.p * p.p * p.p * p.p * p.p * p.p END) AS expected
+         | FROM obs o JOIN look l USING (graphlet), nv_ s, p_ p)
+         |SELECT graphlet, observed, expected,
+         | CAST(observed AS DOUBLE) / expected AS lift
+         |FROM scored""".stripMargin,
     // B7: the MCS maxima re-derived from the same brute-force census.
     // The engine intersects WL-hash sets, the oracle canon-key sets —
     // the 9-entry dictionary is bijective (spec-pinned), so the

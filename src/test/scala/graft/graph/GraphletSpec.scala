@@ -106,4 +106,43 @@ class GraphletSpec extends SparkSpec {
     // the widened ladder is triangle-rich (s, s+1, s+2 triples)
     assert(out("triangle") > 0L && out("wedge") > out("triangle"))
   }
+  test("g_graphlet_sig (B9): lifts reconcile with an independent ER-null recomputation") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sig = SubgraphPack.queries("g_graphlet_sig")(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(sig.keySet === Set("wedge", "triangle", "claw", "path4",
+      "tailed_triangle", "cycle4", "diamond", "clique4"))
+    // independent n / m / observed recomputation from the raw tables,
+    // then the SAME closed form evaluated in plain Scala doubles
+    val parts = Dispatch.partVertices(spark, sfDir)
+    val nv = parts.count().toDouble
+    val m2 = GraphBuilder.blowupEdges(parts, Seq(1L, 2L), symmetric = true)
+      .count().toDouble // symmetric store: ordered pair count = 2m
+    val p = m2 / (nv * (nv - 1.0))
+    val obs = Dispatch.graphlets(spark, parts)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val spec = Map(
+      "wedge" -> ((3.0, 3, 2)), "triangle" -> ((1.0, 3, 3)),
+      "claw" -> ((4.0, 4, 3)), "path4" -> ((12.0, 4, 3)),
+      "tailed_triangle" -> ((12.0, 4, 4)), "cycle4" -> ((3.0, 4, 4)),
+      "diamond" -> ((6.0, 4, 5)), "clique4" -> ((1.0, 4, 6)))
+    spec.foreach { case (g, (coef, v, e)) =>
+      val cnv =
+        if (v == 3) nv * (nv - 1.0) * (nv - 2.0) / 6.0
+        else nv * (nv - 1.0) * (nv - 2.0) * (nv - 3.0) / 24.0
+      val pk = (1 to e).map(_ => p).product // left-assoc chain, same order
+      val expected = coef * cnv * pk
+      val (gotObs, gotExp, gotLift) = sig(g)
+      assert(gotObs === obs(g), s"$g observed")
+      assert(gotExp === expected, s"$g expected (bit-exact chain)")
+      assert(gotLift === gotObs.toDouble / expected, s"$g lift")
+    }
+    // the part graph is brand-banded, i.e. heavily clustered: closed
+    // shapes must be enriched against the ER null (clique4 only when
+    // the tiny spec SF has any K4 at all)
+    assert(sig("triangle")._3 > 1.0)
+    if (sig("clique4")._1 > 0L) assert(sig("clique4")._3 > 1.0)
+  }
 }
