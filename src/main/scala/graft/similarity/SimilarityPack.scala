@@ -459,20 +459,9 @@ object SimilarityPack extends QueryPack {
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
-      val cb = e.filter($"vec_id" < PQ_NCODES)
-        .select($"vec_id".cast("int").as("code"), $"embedding".as("cbe"))
       // (vec, m, code) → exact quantized sub-space L2² in picos
-      val subDists = e.crossJoin(broadcast(cb))
-        .select($"vec_id", $"code",
-          explode(sequence(lit(1), lit(PQ_M))).as("m"), $"embedding", $"cbe")
-        .withColumn("dst", expr(
-          s"""aggregate(
-             |  zip_with(slice(embedding, (m-1)*$PQ_SUBDIM + 1, $PQ_SUBDIM),
-             |           slice(cbe, (m-1)*$PQ_SUBDIM + 1, $PQ_SUBDIM),
-             |    (x, y) -> CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
-             |      * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)),
-             |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
-        .select($"vec_id", $"m", $"code", $"dst")
+      // (shared with E20's IVF-PQ composition)
+      val subDists = pqSubDists(e)
       // encode: per (vector, sub-space) the nearest codeword
       // (min dist, tie → min code; exact integer compare)
       val codes = subDists
@@ -484,6 +473,44 @@ object SimilarityPack extends QueryPack {
         .select($"vec_id".as("q_id"), $"m", $"code", $"dst")
       val adc = codes.join(broadcast(qd), Seq("m", "code"))
         .filter($"q_id" =!= $"n_id")
+        .groupBy($"q_id", $"n_id")
+        .agg(sum($"dst").as("dist"))
+      adc.groupBy($"q_id")
+        .agg(graft.functions.GraftFunctions.topK(
+          (-$"dist").cast("double"), $"n_id", K).as("tk"))
+        .select($"q_id", posexplode($"tk").as(Seq("pos", "t")))
+        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
+          $"t.id".as("n_id"), (-$"t.score" / lit(1e12)).as("adc_dist"))
+    },
+
+    // E20 (round-14): IVF-PQ composed ANN — the production FAISS
+    // serving shape, built from E3's coarse quantizer and E5's code
+    // machinery: queries probe their NPROBE nearest cells, and ADC
+    // distance is evaluated ONLY over the probed cells' code rows.
+    // Scale story: the serving join carries (n_id, cell, m, code)
+    // rows (M bytes of code per corpus vector) restricted to probed
+    // cells — candidate volume is (corpus/nlist)·nprobe per query
+    // instead of the whole corpus, on 32×-compressed codes; the ADC
+    // lookup table broadcasts like a dimension. Distances stay exact
+    // integer picos end to end, so cells, codes, ADC sums and the
+    // ranking are bit-deterministic in both engines.
+    "s_knn_ivfpq" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val (ccell, qcell) = ivfAssign(e, N_QUERIES, NLIST, NPROBE)
+      val subDists = pqSubDists(e)
+      val codes = subDists
+        .groupBy($"vec_id", $"m")
+        .agg(min(struct($"dst", $"code")).as("mn"))
+        .select($"vec_id".as("n_id"), $"m", $"mn.code".as("code"))
+      val qd = subDists.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"m", $"code", $"dst")
+      val cand = qcell.join(ccell, "cell")
+        .filter($"q_id" =!= $"n_id")
+        .select($"q_id", $"n_id")
+      val adc = cand.join(codes, "n_id")
+        .join(broadcast(qd), Seq("q_id", "m", "code"))
         .groupBy($"q_id", $"n_id")
         .agg(sum($"dst").as("dist"))
       adc.groupBy($"q_id")
@@ -808,7 +835,12 @@ object SimilarityPack extends QueryPack {
     * queries are vec_id < nQueries, centroids the deterministic first
     * `nlist` vectors. Shared by the `s_knn_ivf` query and the
     * clustered-data recall spec. */
-  def ivfTopK(e0: DataFrame, nQueries: Int, nlist: Int, nprobe: Int, k: Int): DataFrame = {
+  /** E3's coarse-quantizer assignment, shared with E20's IVF-PQ
+    * composition: every corpus vector to its ONE nearest centroid
+    * cell, every query to its `nprobe` nearest cells. Returns
+    * (ccell(n_id, cell), qcell(q_id, cell)). */
+  def ivfAssign(e0: DataFrame, nQueries: Int, nlist: Int,
+                nprobe: Int): (DataFrame, DataFrame) = {
     val e = e0.withColumn("nrm", VectorOps.normDec("embedding"))
     val cents = e.filter(col("vec_id") < nlist)
       .select(col("vec_id").as("c_id"), col("embedding").as("ce"), col("nrm").as("cn"))
@@ -826,6 +858,12 @@ object SimilarityPack extends QueryPack {
       e.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("q_id"), col("embedding").as("ve"), col("nrm").as("vn")),
       "q_id", nprobe)
+    (ccell, qcell)
+  }
+
+  def ivfTopK(e0: DataFrame, nQueries: Int, nlist: Int, nprobe: Int, k: Int): DataFrame = {
+    val e = e0.withColumn("nrm", VectorOps.normDec("embedding"))
+    val (ccell, qcell) = ivfAssign(e0, nQueries, nlist, nprobe)
     val cand = qcell.join(ccell, "cell")
       .filter(col("q_id") =!= col("n_id"))
       .select(col("q_id"), col("n_id"))
@@ -837,6 +875,24 @@ object SimilarityPack extends QueryPack {
         VectorOps.dotDecFast(col("qe"), col("ne")) / (col("qn") * col("nn"))),
       k)
   }
+
+  /** E5's per-(vector, sub-space, codeword) exact quantized L2² table
+    * in integer picos — the shared front half of PQ encode and the
+    * query-side ADC lookup, reused by E20. */
+  private def pqSubDists(e: DataFrame): DataFrame =
+    e.crossJoin(broadcast(
+        e.filter(col("vec_id") < PQ_NCODES)
+          .select(col("vec_id").cast("int").as("code"), col("embedding").as("cbe"))))
+      .select(col("vec_id"), col("code"),
+        explode(sequence(lit(1), lit(PQ_M))).as("m"), col("embedding"), col("cbe"))
+      .withColumn("dst", expr(
+        s"""aggregate(
+           |  zip_with(slice(embedding, (m-1)*$PQ_SUBDIM + 1, $PQ_SUBDIM),
+           |           slice(cbe, (m-1)*$PQ_SUBDIM + 1, $PQ_SUBDIM),
+           |    (x, y) -> CAST(floor((CAST(x AS DOUBLE) - CAST(y AS DOUBLE))
+           |      * (CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * 1e12 + 0.5) AS BIGINT)),
+           |  CAST(0 AS BIGINT), (acc, v) -> acc + v)""".stripMargin))
+      .select(col("vec_id"), col("m"), col("code"), col("dst"))
 
   /** E17's lexical CTE chain, single-sourced for the s_bm25 and
     * s_rrf_hybrid oracles: ends in `lexranked(q_id, n_id,
@@ -879,6 +935,37 @@ object SimilarityPack extends QueryPack {
       |         FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
       |nrm AS (SELECT vec_id, sqrt(CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE)) AS n
       |        FROM dims GROUP BY vec_id)""".stripMargin
+
+  /** E3's coarse-cell CTE chain (expects `dims`/`nrm` in scope):
+    * ends in `ccell(n_id, cell)` and `qcell(q_id, cell)` — shared by
+    * the s_knn_ivf and s_knn_ivfpq oracles. */
+  private val ivfCellSql: String =
+    s"""adot AS (SELECT v.vec_id AS vid, k.vec_id AS cid,
+       |          CAST(SUM(CAST(floor(v.x * k.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+       |         FROM dims v JOIN dims k ON k.i = v.i AND k.vec_id < $NLIST
+       |         GROUP BY v.vec_id, k.vec_id),
+       |acos AS (SELECT a.vid, a.cid, a.dp / (nv.n * nc.n) AS c
+       |         FROM adot a JOIN nrm nv ON nv.vec_id = a.vid JOIN nrm nc ON nc.vec_id = a.cid),
+       |ranked_cells AS (SELECT vid, cid,
+       |                  ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, cid ASC) AS rn
+       |                 FROM acos),
+       |ccell AS (SELECT vid AS n_id, cid AS cell FROM ranked_cells WHERE rn = 1),
+       |qcell AS (SELECT vid AS q_id, cid AS cell FROM ranked_cells
+       |          WHERE vid < $N_QUERIES AND rn <= $NPROBE)""".stripMargin
+
+  /** E5's codebook/encode CTE chain (expects `dims` in scope): ends
+    * in `sd(vec_id, code, m, dst)` and `enc(n_id, m, code)` — shared
+    * by the s_knn_pq and s_knn_ivfpq oracles. */
+  private val pqEncSql: String =
+    s"""cb AS (SELECT vec_id AS code, i, x FROM dims WHERE vec_id < $PQ_NCODES),
+       |sd AS (
+       | SELECT v.vec_id, c.code, (v.i - 1) // $PQ_SUBDIM + 1 AS m,
+       |  SUM(CAST(floor((v.x - c.x) * (v.x - c.x) * 1e12 + 0.5) AS BIGINT)) AS dst
+       | FROM dims v JOIN cb c ON c.i = v.i
+       | GROUP BY v.vec_id, c.code, (v.i - 1) // $PQ_SUBDIM + 1),
+       |enc AS (
+       | SELECT vec_id AS n_id, m, code FROM sd
+       | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dst ASC, code ASC) = 1)""".stripMargin
 
   /** Shared unrolled-Lloyd's oracle CTEs ending in `kasg`
     * (vec_id, cluster_id, dist2) — consumed by the s_kmeans and
@@ -1247,18 +1334,7 @@ object SimilarityPack extends QueryPack {
     },
     "s_knn_ivf" ->
       s"""WITH $dimsSql,
-         |adot AS (SELECT v.vec_id AS vid, k.vec_id AS cid,
-         |          CAST(SUM(CAST(floor(v.x * k.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
-         |         FROM dims v JOIN dims k ON k.i = v.i AND k.vec_id < $NLIST
-         |         GROUP BY v.vec_id, k.vec_id),
-         |acos AS (SELECT a.vid, a.cid, a.dp / (nv.n * nc.n) AS c
-         |         FROM adot a JOIN nrm nv ON nv.vec_id = a.vid JOIN nrm nc ON nc.vec_id = a.cid),
-         |ranked_cells AS (SELECT vid, cid,
-         |                  ROW_NUMBER() OVER (PARTITION BY vid ORDER BY c DESC, cid ASC) AS rn
-         |                 FROM acos),
-         |ccell AS (SELECT vid AS n_id, cid AS cell FROM ranked_cells WHERE rn = 1),
-         |qcell AS (SELECT vid AS q_id, cid AS cell FROM ranked_cells
-         |          WHERE vid < $N_QUERIES AND rn <= $NPROBE),
+         |$ivfCellSql,
          |cand AS (SELECT q.q_id, c.n_id FROM qcell q JOIN ccell c USING (cell)
          |         WHERE q.q_id <> c.n_id),
          |dot AS (SELECT cd.q_id, cd.n_id, CAST(SUM(CAST(floor(dq.x * dc.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
@@ -1275,20 +1351,31 @@ object SimilarityPack extends QueryPack {
       s"""WITH dims AS (
          | SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
          | FROM embeddings, UNNEST(range(1, len(embedding)+1)) t(i)),
-         |cb AS (SELECT vec_id AS code, i, x FROM dims WHERE vec_id < $PQ_NCODES),
-         |sd AS (
-         | SELECT v.vec_id, c.code, (v.i - 1) // $PQ_SUBDIM + 1 AS m,
-         |  SUM(CAST(floor((v.x - c.x) * (v.x - c.x) * 1e12 + 0.5) AS BIGINT)) AS dst
-         | FROM dims v JOIN cb c ON c.i = v.i
-         | GROUP BY v.vec_id, c.code, (v.i - 1) // $PQ_SUBDIM + 1),
-         |enc AS (
-         | SELECT vec_id AS n_id, m, code FROM sd
-         | QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY dst ASC, code ASC) = 1),
+         |$pqEncSql,
          |adc AS (
          | SELECT q.vec_id AS q_id, e.n_id, SUM(q.dst) AS dist
          | FROM enc e JOIN sd q ON q.m = e.m AND q.code = e.code
          | WHERE q.vec_id < $N_QUERIES AND q.vec_id <> e.n_id
          | GROUP BY q.vec_id, e.n_id),
+         |ranked AS (
+         | SELECT q_id, n_id, dist,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rank
+         | FROM adc)
+         |SELECT q_id, rank, n_id, CAST(dist AS DOUBLE) / 1e12 AS adc_dist
+         |FROM ranked WHERE rank <= $K""".stripMargin,
+    // E20: the two shared chains composed — ADC evaluated only over
+    // candidate pairs from the probed cells.
+    "s_knn_ivfpq" ->
+      s"""WITH $dimsSql,
+         |$ivfCellSql,
+         |$pqEncSql,
+         |cand AS (SELECT q.q_id, c.n_id FROM qcell q JOIN ccell c USING (cell)
+         |         WHERE q.q_id <> c.n_id),
+         |adc AS (
+         | SELECT cd.q_id, cd.n_id, SUM(q.dst) AS dist
+         | FROM cand cd JOIN enc e ON e.n_id = cd.n_id
+         |  JOIN sd q ON q.vec_id = cd.q_id AND q.m = e.m AND q.code = e.code
+         | GROUP BY cd.q_id, cd.n_id),
          |ranked AS (
          | SELECT q_id, n_id, dist,
          |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS BIGINT) AS rank
