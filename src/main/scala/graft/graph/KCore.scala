@@ -104,8 +104,15 @@ object KCore {
     // one-materialization guarantee the eager checkpoint used to give
     // every caller (round-14 review).
     var edgesOnDisk = false
-    if (edges0.queryExecution.analyzed
-        .find(_.expressions.exists(e => !e.deterministic)).isDefined) {
+    val nondet = edges0.queryExecution.analyzed.find {
+      // Sample carries its seed as a constructor arg, not a
+      // nondeterministic Expression — it must be caught at the PLAN
+      // level or a sampled input would re-draw per evaluation
+      // (second review pass)
+      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
+      case p => p.expressions.exists(e => !e.deterministic)
+    }.isDefined
+    if (nondet) {
       edges = edges.localCheckpoint(true, EDGE_LEVEL)
       edgesOnDisk = true
     }

@@ -24,11 +24,11 @@ import graft.{QueryPack, Tables}
 object SimilarityPack extends QueryPack {
 
   private val K = 5
-  private val N_QUERIES = 10 // query set: vec_id < 10
+  private[similarity] val N_QUERIES = 10 // query set: vec_id < 10
   private val PLANES = 16
   private val BANDS = 8
-  private val NLIST = 16 // IVF coarse cells
-  private val NPROBE = 4 // cells probed per query
+  private[similarity] val NLIST = 16 // IVF coarse cells
+  private[similarity] val NPROBE = 4 // cells probed per query
   // E5 product quantization: M subspaces of SUBDIM dims, NCODES
   // codewords per subspace (codebook = sub-vectors of the first
   // NCODES vectors — deterministic, like the IVF centroid policy).
@@ -456,31 +456,8 @@ object SimilarityPack extends QueryPack {
     // integer picos end to end, so encode argmin, ADC sums and the
     // final ranking are bit-deterministic in both engines.
     "s_knn_pq" -> { (s, d) =>
-      import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d)
-      // (vec, m, code) → exact quantized sub-space L2² in picos
-      // (shared with E20's IVF-PQ composition)
-      val subDists = pqSubDists(e)
-      // encode: per (vector, sub-space) the nearest codeword
-      // (min dist, tie → min code; exact integer compare)
-      val codes = subDists
-        .groupBy($"vec_id", $"m")
-        .agg(min(struct($"dst", $"code")).as("mn"))
-        .select($"vec_id".as("n_id"), $"m", $"mn.code".as("code"))
-      // ADC: query sub-distance lookup table, broadcast to the codes
-      val qd = subDists.filter($"vec_id" < N_QUERIES)
-        .select($"vec_id".as("q_id"), $"m", $"code", $"dst")
-      val adc = codes.join(broadcast(qd), Seq("m", "code"))
-        .filter($"q_id" =!= $"n_id")
-        .groupBy($"q_id", $"n_id")
-        .agg(sum($"dst").as("dist"))
-      adc.groupBy($"q_id")
-        .agg(graft.functions.GraftFunctions.topK(
-          (-$"dist").cast("double"), $"n_id", K).as("tk"))
-        .select($"q_id", posexplode($"tk").as(Seq("pos", "t")))
-        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
-          $"t.id".as("n_id"), (-$"t.score" / lit(1e12)).as("adc_dist"))
+      pqAdcTopK(Tables.embeddings(s, d), cand = None)
     },
 
     // E20 (round-14): IVF-PQ composed ANN — the production FAISS
@@ -499,26 +476,10 @@ object SimilarityPack extends QueryPack {
       graft.functions.GraftFunctions.register(s)
       val e = Tables.embeddings(s, d)
       val (ccell, qcell) = ivfAssign(e, N_QUERIES, NLIST, NPROBE)
-      val subDists = pqSubDists(e)
-      val codes = subDists
-        .groupBy($"vec_id", $"m")
-        .agg(min(struct($"dst", $"code")).as("mn"))
-        .select($"vec_id".as("n_id"), $"m", $"mn.code".as("code"))
-      val qd = subDists.filter($"vec_id" < N_QUERIES)
-        .select($"vec_id".as("q_id"), $"m", $"code", $"dst")
       val cand = qcell.join(ccell, "cell")
         .filter($"q_id" =!= $"n_id")
         .select($"q_id", $"n_id")
-      val adc = cand.join(codes, "n_id")
-        .join(broadcast(qd), Seq("q_id", "m", "code"))
-        .groupBy($"q_id", $"n_id")
-        .agg(sum($"dst").as("dist"))
-      adc.groupBy($"q_id")
-        .agg(graft.functions.GraftFunctions.topK(
-          (-$"dist").cast("double"), $"n_id", K).as("tk"))
-        .select($"q_id", posexplode($"tk").as(Seq("pos", "t")))
-        .select($"q_id", ($"pos" + 1).cast("long").as("rank"),
-          $"t.id".as("n_id"), (-$"t.score" / lit(1e12)).as("adc_dist"))
+      pqAdcTopK(e, cand = Some(cand))
     },
 
     // E4: symmetric int8 quantization of the embedding column — the
@@ -831,10 +792,6 @@ object SimilarityPack extends QueryPack {
                |  CAST(0 AS DOUBLE), (a, v) -> greatest(a, v))""".stripMargin)
           .as("max_abs_err"): _*)
 
-  /** IVF top-k over an embeddings DF (`vec_id`, `embedding`):
-    * queries are vec_id < nQueries, centroids the deterministic first
-    * `nlist` vectors. Shared by the `s_knn_ivf` query and the
-    * clustered-data recall spec. */
   /** E3's coarse-quantizer assignment, shared with E20's IVF-PQ
     * composition: every corpus vector to its ONE nearest centroid
     * cell, every query to its `nprobe` nearest cells. Returns
@@ -861,6 +818,10 @@ object SimilarityPack extends QueryPack {
     (ccell, qcell)
   }
 
+  /** IVF top-k over an embeddings DF (`vec_id`, `embedding`):
+    * queries are vec_id < nQueries, centroids the deterministic first
+    * `nlist` vectors. Shared by the `s_knn_ivf` query and the
+    * clustered-data recall spec. */
   def ivfTopK(e0: DataFrame, nQueries: Int, nlist: Int, nprobe: Int, k: Int): DataFrame = {
     val e = e0.withColumn("nrm", VectorOps.normDec("embedding"))
     val (ccell, qcell) = ivfAssign(e0, nQueries, nlist, nprobe)
@@ -874,6 +835,38 @@ object SimilarityPack extends QueryPack {
       .withColumn("cosine",
         VectorOps.dotDecFast(col("qe"), col("ne")) / (col("qn") * col("nn"))),
       k)
+  }
+
+  /** E5/E20's shared back half (second review pass — one pipeline,
+    * not two divergable copies): PQ-encode every corpus vector from
+    * the sub-distance table (min dist, tie → min code; exact integer
+    * compare), evaluate ADC either over ALL query–corpus pairs
+    * (`cand = None`, E5) or restricted to a candidate-pair set
+    * (E20's probed cells), and rank the top K per query with the
+    * bounded-heap topK (tie → min id). */
+  private def pqAdcTopK(e: DataFrame, cand: Option[DataFrame]): DataFrame = {
+    val subDists = pqSubDists(e)
+    val codes = subDists
+      .groupBy(col("vec_id"), col("m"))
+      .agg(min(struct(col("dst"), col("code"))).as("mn"))
+      .select(col("vec_id").as("n_id"), col("m"), col("mn.code").as("code"))
+    // ADC: query sub-distance lookup table, broadcast to the codes
+    val qd = subDists.filter(col("vec_id") < N_QUERIES)
+      .select(col("vec_id").as("q_id"), col("m"), col("code"), col("dst"))
+    val adc = (cand match {
+      case Some(c) => c.join(codes, "n_id")
+        .join(broadcast(qd), Seq("q_id", "m", "code"))
+      case None => codes.join(broadcast(qd), Seq("m", "code"))
+        .filter(col("q_id") =!= col("n_id"))
+    })
+      .groupBy(col("q_id"), col("n_id"))
+      .agg(sum(col("dst")).as("dist"))
+    adc.groupBy(col("q_id"))
+      .agg(graft.functions.GraftFunctions.topK(
+        (-col("dist")).cast("double"), col("n_id"), K).as("tk"))
+      .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
+      .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("t.id").as("n_id"), (-col("t.score") / lit(1e12)).as("adc_dist"))
   }
 
   /** E5's per-(vector, sub-space, codeword) exact quantized L2² table

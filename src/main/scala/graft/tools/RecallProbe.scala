@@ -18,5 +18,6 @@ object RecallProbe {
         else println(f"RECALL dir=$d key=$key mean=${r.getDouble(0)}%.4f min=${r.getDouble(1)}%.4f n=${r.getLong(2)}")
       }
     }
+    s.stop()
   }
 }

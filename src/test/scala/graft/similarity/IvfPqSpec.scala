@@ -18,7 +18,8 @@ class IvfPqSpec extends SparkSpec {
     assert(out.count() > 0)
     // cell containment: (q, n) only if n's cell is among q's probes
     val (ccell, qcell) = SimilarityPack.ivfAssign(
-      graft.Tables.embeddings(spark, sfDir), 10, 16, 4)
+      graft.Tables.embeddings(spark, sfDir), SimilarityPack.N_QUERIES,
+      SimilarityPack.NLIST, SimilarityPack.NPROBE)
     val legal = qcell.join(ccell, "cell").select($"q_id", $"n_id")
     assert(out.select($"q_id", $"n_id")
       .join(legal, Seq("q_id", "n_id"), "left_anti").count() === 0,
