@@ -90,7 +90,8 @@ final class PipelineDB(s: SparkSession, root: String) {
     *                   `embeddings`)
     *   - "semantic"  → SemDeDup-style centroid screen (D7, needs
     *                   `embeddings`)
-    *   - "sorted"    → sorted-neighborhood window pairs (D13) */
+    *   - "sorted"    → sorted-neighborhood window pairs (D13)
+    *   - "substring" → cross-doc duplicated token-span masses (D14) */
   def dedup(strategy: String = "minhash"): DataFrame =
     run(PipelineDB.route("dedup strategy", PipelineDB.dedupKeys, strategy))
 
@@ -103,13 +104,15 @@ final class PipelineDB(s: SparkSession, root: String) {
   /** Top-k similarity search over the imported `embeddings`, by
     * method: "brute" (E1 exact), "lsh" (E2), "ivf" (E3), "pq" (E5),
     * "binary" (E12), "filtered" (E13 metadata-predicated),
-    * "maxsim" (E9 multi-vector late interaction). */
+    * "maxsim" (E9 multi-vector late interaction), "ivfpq" (E20
+    * composed cells + codes). */
   def knn(method: String = "brute"): DataFrame =
     run(PipelineDB.route("knn method", PipelineDB.knnKeys, method))
 
   /** Text-quality signals over the imported `documents`, by signal:
     * "quality" (F2), "langid" (F3), "tokens" (F1), "repetition"
-    * (F10), "readability" (F24), "fingerprint" (F4), "scrub" (F22). */
+    * (F10), "readability" (F24), "fingerprint" (F4), "scrub" (F22),
+    * "bpe" (F26 learned-merge encoding). */
   def textSignals(signal: String = "quality"): DataFrame =
     run(PipelineDB.route("text signal", PipelineDB.textKeys, signal))
 
@@ -209,12 +212,13 @@ object PipelineDB {
     "exact" -> "d_exact", "minhash" -> "d_minhash_lsh",
     "simhash" -> "d_simhash", "ngram" -> "d_ngram_jaccard",
     "embedding" -> "d_embed_dup", "semantic" -> "d_semantic",
-    "sorted" -> "d_sorted_nbr")
+    "sorted" -> "d_sorted_nbr", "substring" -> "d_substring")
 
   private val knnKeys = Map(
     "brute" -> "s_knn_brute", "lsh" -> "s_knn_ann", "ivf" -> "s_knn_ivf",
     "pq" -> "s_knn_pq", "binary" -> "s_knn_binary",
-    "filtered" -> "s_knn_filtered", "maxsim" -> "s_maxsim")
+    "filtered" -> "s_knn_filtered", "maxsim" -> "s_maxsim",
+    "ivfpq" -> "s_knn_ivfpq")
 
   private val streamKeys = Map(
     "window" -> "e_stream_window", "sessions" -> "e_stream_sessions",
@@ -235,7 +239,8 @@ object PipelineDB {
   private val textKeys = Map(
     "quality" -> "t_quality", "langid" -> "t_langid", "tokens" -> "t_tokens",
     "repetition" -> "t_repetition", "readability" -> "t_readability",
-    "fingerprint" -> "t_fingerprint", "scrub" -> "t_scrub")
+    "fingerprint" -> "t_fingerprint", "scrub" -> "t_scrub",
+    "bpe" -> "t_bpe_encode")
 
   private def route(what: String, m: Map[String, String], k: String): String =
     m.getOrElse(k, throw new IllegalArgumentException(
