@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * Three tiers, thinnest first:
   *
-  *   - [[run]]: every SURVEY §2 query key (181, DuckDB-oracled) by
+  *   - [[run]]: every SURVEY §2 query key (185, DuckDB-oracled) by
   *     name — `db.run("d_minhash_lsh")`, `db.run("q_asof")` — over
   *     whatever tables this root holds. The full engine behind ONE
   *     method.
@@ -235,6 +235,13 @@ object PipelineDB {
     * drift silently: this map names intents by hand, the registry is
     * semantic). */
   private[graft] def streamRoutedKeys: Set[String] = streamKeys.values.toSet
+
+  /** Every verb-routed key across the dedup/knn/text maps — spec-
+    * pinned to be registry members (third close-pass review: a
+    * typo'd map value would otherwise compile and fail only at user
+    * runtime). */
+  private[graft] def verbRoutedKeys: Set[String] =
+    (dedupKeys.values ++ knnKeys.values ++ textKeys.values).toSet
 
   private val textKeys = Map(
     "quality" -> "t_quality", "langid" -> "t_langid", "tokens" -> "t_tokens",

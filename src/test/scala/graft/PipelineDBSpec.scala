@@ -75,6 +75,10 @@ class PipelineDBSpec extends SparkSpec {
     assert(PipelineDB.streamRoutedKeys === SparkEntry.replayBackedKeys)
     // every replay-backed key is routable through run() too
     assert(SparkEntry.replayBackedKeys.subsetOf(db.keys.toSet))
+    // and every dedup/knn/text verb route lands on a real registry
+    // key — a typo'd map value must fail HERE, not at user runtime
+    assert(PipelineDB.verbRoutedKeys.subsetOf(SparkEntry.queries.keySet),
+      s"unroutable verb keys: ${PipelineDB.verbRoutedKeys -- SparkEntry.queries.keySet}")
   }
 
   test("store() runs the A36 versioned lifecycle with the key's semantics") {

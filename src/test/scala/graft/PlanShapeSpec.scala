@@ -40,7 +40,9 @@ class PlanShapeSpec extends SparkSpec {
       "s_recall", // composes s_knn_brute/ann, inheriting their shapes
       "s_rrf", // composes s_knn_brute + its own bounded query broadcast (E16)
       "s_bm25", // one-row corpus-stats broadcast onto the bounded query-term set (E17)
-      "s_rrf_hybrid") // composes s_knn_brute + s_bm25 (E18)
+      "s_rrf_hybrid", // composes s_knn_brute + s_bm25 (E18)
+      "s_knn_ivfpq", // bounded centroid + codebook broadcasts (E3 × E5's shapes)
+      "g_graphlet_sig") // one-row n/m stats broadcast onto 8 census rows (B9)
   // NOTE (round-13): s_mmr and t_bpe return post-checkpoint /
   // driver-assembled frames, so the all-keys sweeps below see only
   // LogicalRDD / LocalRelation scans for them. Their PRE-checkpoint
