@@ -18,7 +18,7 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
   *
   * Three tiers, thinnest first:
   *
-  *   - [[run]]: every SURVEY §2 query key (185, DuckDB-oracled) by
+  *   - [[run]]: every SURVEY §2 query key (186, DuckDB-oracled) by
   *     name — `db.run("d_minhash_lsh")`, `db.run("q_asof")` — over
   *     whatever tables this root holds. The full engine behind ONE
   *     method.

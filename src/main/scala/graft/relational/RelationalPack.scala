@@ -38,6 +38,33 @@ object RelationalPack extends QueryPack {
     * mirroring the oracle's `CAST(x AS DECIMAL(18,2))`. */
   private def dec(c: org.apache.spark.sql.Column) = c.cast(D)
 
+  /** C34's per-slice partial aggregate: the maintained-view state row
+    * per (returnflag, linestatus) — exact DECIMAL sum, count, min,
+    * max of l_quantity. */
+  private def partAgg(li: DataFrame): DataFrame =
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(dec(col("l_quantity"))).as("s"),
+        count(lit(1)).as("n"),
+        min(dec(col("l_quantity"))).as("mn"),
+        max(dec(col("l_quantity"))).as("mx"))
+
+  /** C34's state merge: full-outer on the group key, partial states
+    * combined by the aggregate algebra (sum ⊕ sum, count ⊕ count,
+    * least/greatest with SQL null-skipping — both engines skip nulls
+    * in LEAST/GREATEST). Group-count-sized work; no fact rescan.
+    * Package-private so the spec can feed a MATERIALIZED base state
+    * and prove merge ≡ recompute independently. */
+  private[relational] def incrMerge(base: DataFrame, delta: DataFrame): DataFrame =
+    base.join(delta
+        .withColumnRenamed("s", "ds").withColumnRenamed("n", "dn")
+        .withColumnRenamed("mn", "dmn").withColumnRenamed("mx", "dmx"),
+      Seq("l_returnflag", "l_linestatus"), "full_outer")
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (coalesce(col("s"), lit(0).cast(D)) + coalesce(col("ds"), lit(0).cast(D))).as("s"),
+        (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
+        least(col("mn"), col("dmn")).as("mn"),
+        greatest(col("mx"), col("dmx")).as("mx"))
+
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // C2: group-by aggregation (TPC-H Q1 pricing summary)
     "q1_pricing" -> { (s, d) =>
@@ -50,6 +77,36 @@ object RelationalPack extends QueryPack {
           dsum(dec($"l_extendedprice")).as("sum_base_price"),
           dsum(dec($"l_extendedprice") * (lit(1).cast(D) - dec($"l_discount"))).as("sum_disc_price"),
           count(lit(1)).as("count_order"))
+    },
+
+    // C34 (round-14): INCREMENTAL AGGREGATE MAINTENANCE — the
+    // materialized-view delta-merge pattern behind every incremental
+    // warehouse pipeline (and Spark's own partial-aggregation
+    // algebra, lifted to the storage layer): a maintained per-group
+    // state table (sum / count / min / max) absorbs a newly-arrived
+    // batch by aggregating ONLY the delta and full-outer-merging the
+    // two partial states on the group key — the base FACTS are never
+    // rescanned (here the "maintained table" is derived in-plan from
+    // the base slice; at 100 TB it is a stored table and the delta
+    // pass is the only fact-scale work). The ORACLE is the full
+    // recompute over base ∪ delta — merge ≡ recompute IS the
+    // incremental-view-maintenance law under the cross-engine hash.
+    // Inserts-only delta by declared contract: sum/count would also
+    // maintain under signed CDC deletes (q_cdc's surface), min/max
+    // are famously NOT delete-maintainable without a per-group
+    // rescan — the standard IVM caveat, stated rather than fudged.
+    "q_incr_agg" -> { (s, d) =>
+      import s.implicits._
+      val li = Tables.lineitem(s, d)
+      val base = partAgg(li.filter($"l_orderkey" % 10 =!= 0))
+      val delta = partAgg(li.filter($"l_orderkey" % 10 === 0))
+      incrMerge(base, delta)
+        .select($"l_returnflag", $"l_linestatus",
+          round($"s", 2).cast("double").as("sum_qty"),
+          $"n".as("n_rows"),
+          $"mn".cast("double").as("min_qty"),
+          $"mx".cast("double").as("max_qty"),
+          (round($"s", 2).cast("double") / $"n").as("avg_qty"))
     },
 
     // C1: scan + filter + project pushdown (TPC-H Q6 forecast revenue)
@@ -890,6 +947,16 @@ object RelationalPack extends QueryPack {
         | COUNT(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-12-01'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    // C34: the oracle IS the full recompute — merge ≡ recompute is
+    // the IVM law being verified.
+    "q_incr_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) AS sum_qty,
+        | COUNT(*) AS n_rows,
+        | CAST(MIN(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS min_qty,
+        | CAST(MAX(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS max_qty,
+        | CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,2))),2) AS DOUBLE) / COUNT(*) AS avg_qty
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
     "q6_filter_agg" ->
       """SELECT
         | CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))),2) AS DOUBLE) AS revenue,

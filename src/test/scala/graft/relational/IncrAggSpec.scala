@@ -1,0 +1,60 @@
+package graft.relational
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** q_incr_agg (C34): the incremental-view-maintenance law — merging
+  * a MATERIALIZED base state with a delta's partial aggregate must
+  * equal the full recompute, for every state column. The DuckDB
+  * oracle pins exactly this at the data SFs (its SQL is the full
+  * recompute); these specs drive the merge through a stored base
+  * state (the production shape: the base is a table, not a plan) and
+  * cover the group-algebra edges. */
+class IncrAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def partAgg(df: DataFrame): DataFrame =
+    df.groupBy($"l_returnflag", $"l_linestatus")
+      .agg(sum($"l_quantity".cast("decimal(18,2)")).as("s"),
+        count(lit(1)).as("n"),
+        min($"l_quantity".cast("decimal(18,2)")).as("mn"),
+        max($"l_quantity".cast("decimal(18,2)")).as("mx"))
+
+  private def rows(df: DataFrame): Set[(String, String, BigDecimal, Long, BigDecimal, BigDecimal)] =
+    df.collect().map(r => (r.getString(0), r.getString(1),
+      BigDecimal(r.getDecimal(2)), r.getLong(3),
+      BigDecimal(r.getDecimal(4)), BigDecimal(r.getDecimal(5)))).toSet
+
+  test("merge of a MATERIALIZED base state with a delta equals the full recompute") {
+    val li = graft.Tables.lineitem(spark, sfDir)
+    val base = li.filter($"l_orderkey" % 10 =!= 0)
+    val delta = li.filter($"l_orderkey" % 10 === 0)
+    // materialize the base state to parquet — the maintained-table
+    // shape: the merge must work from STORED state, not a live plan
+    val dir = java.nio.file.Files.createTempDirectory("graft_incr").toString
+    partAgg(base).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val merged = RelationalPack.incrMerge(stored, partAgg(delta))
+    assert(rows(merged) === rows(partAgg(li)))
+  }
+
+  test("group algebra edges: empty delta is the identity; a brand-new group flows through") {
+    val mk = (rf: String, ls: String, qty: Double, ok: Long) =>
+      (rf, ls, BigDecimal(qty), ok)
+    val base = Seq(mk("A", "F", 10.0, 1L), mk("A", "F", 4.0, 11L), mk("R", "O", 7.0, 21L))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    val emptyDelta = base.filter(lit(false))
+    val idem = RelationalPack.incrMerge(partAgg(base), partAgg(emptyDelta))
+    assert(rows(idem) === rows(partAgg(base)))
+    // a delta introducing a group the base has never seen
+    val newGroup = Seq(mk("N", "X", 3.0, 30L), mk("A", "F", 1.0, 40L))
+      .toDF("l_returnflag", "l_linestatus", "l_quantity", "l_orderkey")
+    val merged = RelationalPack.incrMerge(partAgg(base), partAgg(newGroup))
+    assert(rows(merged) === rows(partAgg(base.unionByName(newGroup))))
+    // and the merged min/max really moved where the delta extended them
+    val af = merged.filter($"l_returnflag" === "A").head()
+    assert(BigDecimal(af.getDecimal(4)) === BigDecimal(1.0))
+    assert(BigDecimal(af.getDecimal(5)) === BigDecimal(10.0))
+  }
+}
