@@ -241,7 +241,9 @@ object PipelineDB {
     * typo'd map value would otherwise compile and fail only at user
     * runtime). */
   private[graft] def verbRoutedKeys: Set[String] =
-    (dedupKeys.values ++ knnKeys.values ++ textKeys.values).toSet
+    (dedupKeys.values ++ knnKeys.values ++ textKeys.values).toSet ++
+      // the verbs routed by literal, outside any map — same net
+      Set("d_cluster", "d_canonical", "t_split")
 
   private val textKeys = Map(
     "quality" -> "t_quality", "langid" -> "t_langid", "tokens" -> "t_tokens",

@@ -40,8 +40,9 @@ object RelationalPack extends QueryPack {
 
   /** C34's per-slice partial aggregate: the maintained-view state row
     * per (returnflag, linestatus) — exact DECIMAL sum, count, min,
-    * max of l_quantity. */
-  private def partAgg(li: DataFrame): DataFrame =
+    * max of l_quantity. Package-private so the spec proves the IVM
+    * law against the PRODUCTION state shape, not a copy. */
+  private[relational] def partAgg(li: DataFrame): DataFrame =
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(sum(dec(col("l_quantity"))).as("s"),
         count(lit(1)).as("n"),
@@ -60,7 +61,15 @@ object RelationalPack extends QueryPack {
         .withColumnRenamed("mn", "dmn").withColumnRenamed("mx", "dmx"),
       Seq("l_returnflag", "l_linestatus"), "full_outer")
       .select(col("l_returnflag"), col("l_linestatus"),
-        (coalesce(col("s"), lit(0).cast(D)) + coalesce(col("ds"), lit(0).cast(D))).as("s"),
+        // SUM keeps SQL null semantics: a group whose quantities are
+        // ALL NULL aggregates to NULL on both sides, and the merge
+        // must stay NULL — a bare coalesce-to-zero would conflate
+        // "side absent" (join null) with "present but all-null"
+        // (aggregate null) and diverge from the recompute oracle
+        // (round-14 close review)
+        when(col("s").isNull && col("ds").isNull, lit(null))
+          .otherwise(coalesce(col("s"), lit(0).cast(D)) + coalesce(col("ds"), lit(0).cast(D)))
+          .as("s"),
         (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L))).as("n"),
         least(col("mn"), col("dmn")).as("mn"),
         greatest(col("mx"), col("dmx")).as("mx"))

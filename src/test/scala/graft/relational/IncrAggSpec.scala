@@ -14,12 +14,9 @@ import org.apache.spark.sql.functions._
 class IncrAggSpec extends SparkSpec {
   import spark.implicits._
 
-  private def partAgg(df: DataFrame): DataFrame =
-    df.groupBy($"l_returnflag", $"l_linestatus")
-      .agg(sum($"l_quantity".cast("decimal(18,2)")).as("s"),
-        count(lit(1)).as("n"),
-        min($"l_quantity".cast("decimal(18,2)")).as("mn"),
-        max($"l_quantity".cast("decimal(18,2)")).as("mx"))
+  // the PRODUCTION partial aggregate — the law must be proven for
+  // the state shape the key actually maintains, not a spec copy
+  private def partAgg(df: DataFrame): DataFrame = RelationalPack.partAgg(df)
 
   private def rows(df: DataFrame): Set[(String, String, BigDecimal, Long, BigDecimal, BigDecimal)] =
     df.collect().map(r => (r.getString(0), r.getString(1),
@@ -57,4 +54,28 @@ class IncrAggSpec extends SparkSpec {
     assert(BigDecimal(af.getDecimal(4)) === BigDecimal(1.0))
     assert(BigDecimal(af.getDecimal(5)) === BigDecimal(10.0))
   }
+
+  test("a group whose quantities are ALL NULL merges to NULL, matching SQL SUM (close-pass review)") {
+    val base = Seq(
+      (Some(BigDecimal(5.0)), "A", "F", 1L),
+      (None: Option[BigDecimal], "Z", "Z", 2L))
+      .map { case (q, rf, ls, ok) => (q.orNull, rf, ls, ok) }
+      .toDF("l_quantity", "l_returnflag", "l_linestatus", "l_orderkey")
+    val delta = Seq((null.asInstanceOf[BigDecimal], "Z", "Z", 3L))
+      .toDF("l_quantity", "l_returnflag", "l_linestatus", "l_orderkey")
+    val merged = RelationalPack.incrMerge(partAgg(base), partAgg(delta))
+    val zz = merged.filter($"l_returnflag" === "Z").head()
+    // SUM over zero non-null values is NULL in every SQL engine — a
+    // coalesce-to-zero merge would claim 0.00 and diverge from the
+    // recompute oracle
+    assert(zz.isNullAt(2) && zz.getLong(3) === 2L && zz.isNullAt(4) && zz.isNullAt(5))
+    // recompute agreement including the null group
+    assert(rowsNullSafe(merged) === rowsNullSafe(partAgg(base.unionByName(delta))))
+  }
+
+  private def rowsNullSafe(df: DataFrame): Set[(String, String, Option[BigDecimal], Long, Option[BigDecimal], Option[BigDecimal])] =
+    df.collect().map(r => (r.getString(0), r.getString(1),
+      Option(r.getDecimal(2)).map(BigDecimal(_)), r.getLong(3),
+      Option(r.getDecimal(4)).map(BigDecimal(_)),
+      Option(r.getDecimal(5)).map(BigDecimal(_)))).toSet
 }
