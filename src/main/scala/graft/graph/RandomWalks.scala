@@ -73,10 +73,19 @@ object RandomWalks {
     // pos; lambda arithmetic matches the documented formula exactly
     // (src is BIGINT so the product is BIGINT; t·12345 ≤ steps·12345
     // never overflows INT for any sane steps).
+    // ONE exchange + ONE sort for the whole ranking (round 14): the
+    // old shape paid distinct()'s (src, dst) hash exchange AND the
+    // window's src exchange + sort back to back — but inside the
+    // window's own (src, dst) sort, a duplicate edge is simply a row
+    // equal to its predecessor, so the null-safe lag comparison
+    // dedups in the same pass (bit-identical to distinct, including
+    // equal-null collapsing) and the rank/degree windows reuse the
+    // sort the dedup rode in on.
     val byNode = Window.partitionBy(col("src")).orderBy(col("dst"))
     val picks = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-      .distinct()
+      .withColumn("__dup", lag(col("dst"), 1).over(byNode) <=> col("dst"))
+      .where(!col("__dup"))
       .withColumn("pos", row_number().over(byNode) - 1)
       .withColumn("deg", count(lit(1)).over(
         byNode.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
