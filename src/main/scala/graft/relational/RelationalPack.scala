@@ -54,13 +54,25 @@ object RelationalPack extends QueryPack {
     * least/greatest with SQL null-skipping — both engines skip nulls
     * in LEAST/GREATEST). Group-count-sized work; no fact rescan.
     * Package-private so the spec can feed a MATERIALIZED base state
-    * and prove merge ≡ recompute independently. */
+    * and prove merge ≡ recompute independently.
+    *
+    * NULL-SAFE group-key join (round-15, advice): GROUP BY puts null
+    * keys in ONE group, so the merge must match them too — a plain
+    * full-outer on the key columns would keep a null-keyed group as
+    * two separate state rows and break merge ≡ recompute. The keys
+    * ride `<=>` and the output key coalesces whichever side is
+    * present (on a match both agree null-safely, so coalesce is
+    * exact). */
   private[relational] def incrMerge(base: DataFrame, delta: DataFrame): DataFrame =
-    base.join(delta
+    base
+      .withColumnRenamed("l_returnflag", "brf").withColumnRenamed("l_linestatus", "bls")
+      .join(delta
+        .withColumnRenamed("l_returnflag", "drf").withColumnRenamed("l_linestatus", "dls")
         .withColumnRenamed("s", "ds").withColumnRenamed("n", "dn")
         .withColumnRenamed("mn", "dmn").withColumnRenamed("mx", "dmx"),
-      Seq("l_returnflag", "l_linestatus"), "full_outer")
-      .select(col("l_returnflag"), col("l_linestatus"),
+      col("brf") <=> col("drf") && col("bls") <=> col("dls"), "full_outer")
+      .select(coalesce(col("brf"), col("drf")).as("l_returnflag"),
+        coalesce(col("bls"), col("dls")).as("l_linestatus"),
         // SUM keeps SQL null semantics: a group whose quantities are
         // ALL NULL aggregates to NULL on both sides, and the merge
         // must stay NULL — a bare coalesce-to-zero would conflate

@@ -470,13 +470,26 @@ object GraphStore {
         // construction (writer-side dedup; chain keys disjoint), so
         // the full outer is 1:1 and a missing side IS the change
         // direction.
-        val from = readVersion(s, root, fromV).select("src", "dst")
-          .withColumn("__from", lit(true))
-        val to = readVersion(s, root, toV).select("src", "dst")
-          .withColumn("__to", lit(true))
-        from.join(to, EDGE_COLS, "full_outer")
+        // NULL-SAFE key equality (round-15, advice): upsert's anti-join
+        // already matches null keys with <=>, so a null-keyed edge is a
+        // first-class store citizen — a plain-equality full outer would
+        // never match it against itself and emit it as BOTH 'added' and
+        // 'removed', while the delta-chain fast path (correctly) emits
+        // nothing. Presence markers ride the null-safe join; the output
+        // key is coalesced from whichever side is present (on a match
+        // both sides agree under <=>, so coalesce is exact).
+        val from = readVersion(s, root, fromV)
+          .select(col("src").as("__f_src"), col("dst").as("__f_dst"),
+            lit(true).as("__from"))
+        val to = readVersion(s, root, toV)
+          .select(col("src").as("__t_src"), col("dst").as("__t_dst"),
+            lit(true).as("__to"))
+        from.join(to,
+            col("__f_src") <=> col("__t_src") && col("__f_dst") <=> col("__t_dst"),
+            "full_outer")
           .filter(col("__from").isNull || col("__to").isNull)
-          .select(col("src"), col("dst"),
+          .select(coalesce(col("__f_src"), col("__t_src")).as("src"),
+            coalesce(col("__f_dst"), col("__t_dst")).as("dst"),
             when(col("__from").isNull, lit("added"))
               .otherwise(lit("removed")).as("change"))
     }

@@ -113,6 +113,25 @@ class RoundFiveOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("g_walks: a (src, null) edge survives the in-window dedup like distinct() (round-15 advice)") {
+    // nulls sort FIRST, so the one surviving (src, null) copy is the
+    // partition-head row — a bare lag(dst) <=> dst marks it duplicate
+    // (no-previous-row null <=> null dst is true) and drops it,
+    // shifting deg and pos for that src. The struct-guarded dedup must
+    // keep exactly one copy, i.e. agree with distinct() bit-for-bit.
+    val edges = Seq((0L, Option(1L)), (0L, None), (0L, None), (0L, Option(2L)),
+      (1L, Option(0L)), (2L, Option(0L))).toDF("src", "dst")
+    val seeds = Seq(0L, 1L, 2L).toDF("seed")
+    val viaDistinct = graph.RandomWalks.run(spark, edges.distinct(), seeds, steps = 3)
+    val viaDedup = graph.RandomWalks.run(spark, edges, seeds, steps = 3)
+    assert(viaDedup.except(viaDistinct).count() === 0
+      && viaDistinct.except(viaDedup).count() === 0)
+    // and the null neighbor really is in the pick domain: node 0 has
+    // THREE distinct neighbors (null, 1, 2), not two
+    val deg0 = edges.distinct().filter($"src" === 0L).count()
+    assert(deg0 === 3L)
+  }
+
   test("e_markov: rows are a proper conditional distribution") {
     val out = streaming.EventsPack.queries("e_markov")(spark, sfDir).cache()
     // probabilities in (0, 1]; each from-row sums to ~1

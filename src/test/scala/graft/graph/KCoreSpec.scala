@@ -76,6 +76,28 @@ class KCoreSpec extends SparkSpec {
     assert(e2.getMessage.contains("k >= 1"))
   }
 
+  test("plan-level instability (Sample, un-ordered limit) is pinned eagerly (round-15 advice)") {
+    import spark.implicits._
+    // a limit without a total order may legally return DIFFERENT rows
+    // per evaluation — the lazy-pin path would evaluate the edge plan
+    // up to three times and could build a degree table inconsistent
+    // with later scans. Both inputs must be checkpointed up front
+    // (observable: the analyzed plan of a pinned run starts from a
+    // LogicalRDD scan, and the result is a valid fixpoint core).
+    val nodes = (1L to 6L)
+    val pairs = for (a <- nodes; b <- nodes if a < b) yield (a, b)
+    val base = edgesOf(pairs.toSeq: _*)
+    for (unstable <- Seq(base.limit(30), base.sample(withReplacement = false, 0.9, seed = 7))) {
+      val core = KCore.run(spark, unstable, k = 1).cache()
+      // whatever rows the ONE pinned evaluation drew, the output must
+      // be an internally consistent core: non-empty here (k=1 on a
+      // dense clique subset) with every reported degree ≥ k — an
+      // unpinned run mixing rows from different draws can violate this
+      assert(core.filter(col("core_degree") < 1L).count() === 0)
+      assert(core.count() > 0)
+    }
+  }
+
   test("core degrees never fall below k and the core is an induced-subgraph fixpoint") {
     val core = KCore.run(spark, GraphBuilder.partEdgesWide(spark, sfDir), k = 2).cache()
     assert(core.filter(col("core_degree") < 2L).count() === 0)

@@ -73,6 +73,29 @@ class IncrAggSpec extends SparkSpec {
     assert(rowsNullSafe(merged) === rowsNullSafe(partAgg(base.unionByName(delta))))
   }
 
+  test("a NULL group KEY present in both sides merges to one state row (round-15 advice)") {
+    // GROUP BY puts null keys in one group, so the merge must match
+    // them too — a plain-equality full outer would keep the null-keyed
+    // group as TWO state rows and break merge ≡ recompute
+    val base = Seq(
+      (BigDecimal(5.0), "A", "F", 1L),
+      (BigDecimal(2.0), null.asInstanceOf[String], "F", 2L))
+      .toDF("l_quantity", "l_returnflag", "l_linestatus", "l_orderkey")
+    val delta = Seq((BigDecimal(3.0), null.asInstanceOf[String], "F", 3L))
+      .toDF("l_quantity", "l_returnflag", "l_linestatus", "l_orderkey")
+    val merged = RelationalPack.incrMerge(partAgg(base), partAgg(delta))
+    assert(merged.count() === 2L) // not three — the null group matched itself
+    val nullGroup = merged.filter($"l_returnflag".isNull).head()
+    assert(BigDecimal(nullGroup.getDecimal(2)) === BigDecimal(5.0)
+      && nullGroup.getLong(3) === 2L)
+    val recomputed = partAgg(base.unionByName(delta))
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        BigDecimal(r.getDecimal(2)), r.getLong(3))).toSet
+    val got = merged.collect().map(r => (Option(r.getString(0)), r.getString(1),
+      BigDecimal(r.getDecimal(2)), r.getLong(3))).toSet
+    assert(got === recomputed)
+  }
+
   private def rowsNullSafe(df: DataFrame): Set[(String, String, Option[BigDecimal], Long, Option[BigDecimal], Option[BigDecimal])] =
     df.collect().map(r => (r.getString(0), r.getString(1),
       Option(r.getDecimal(2)).map(BigDecimal(_)), r.getLong(3),

@@ -282,6 +282,25 @@ class GraphStoreSpec extends SparkSpec {
       (None, Some(6L), "new")))
   }
 
+  test("diff's general path matches null-keyed edges null-safely (chain parity)") {
+    import spark.implicits._
+    val root = tmpRoot()
+    GraphStore.write(Seq((Some(1L), Some(2L), "a"), (None, Some(5L), "n"),
+      (Some(7L), None, "m")).toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root,
+      Seq((Some(3L), Some(4L), "b")).toDF("src", "dst", "tag"))
+    def diffSet(fromV: Int, toV: Int): Set[(Option[Any], Option[Any], String)] =
+      GraphStore.diff(spark, root, fromV, toV)
+        .collect().map(r => (Option(r.get(0)), Option(r.get(1)), r.getString(2))).toSet
+    // forward rides the delta chain: the null-keyed edges (unchanged)
+    // are silent and only the upserted edge appears
+    assert(diffSet(1, 2) === Set((Option(3L): Option[Any], Option(4L): Option[Any], "added")))
+    // reverse has no chain — the general full-outer path must AGREE: a
+    // plain-equality join would never match (null, 5) or (7, null)
+    // against themselves and emit each as both 'added' and 'removed'
+    assert(diffSet(2, 1) === Set((Option(3L): Option[Any], Option(4L): Option[Any], "removed")))
+  }
+
   test("dedup survivor within one input is deterministic across reruns") {
     import spark.implicits._
     val dup = Seq((1L, 2L, "zz"), (1L, 2L, "aa"), (3L, 4L, "c")).toDF("src", "dst", "tag")
