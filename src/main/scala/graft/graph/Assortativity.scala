@@ -27,9 +27,18 @@ object Assortativity {
   def of(edges: DataFrame): DataFrame = {
     val e = edges.select(col("src"), col("dst"))
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val m = e
+    ofStamped(e
       .join(deg.select(col("node").as("src"), col("deg").as("x")), "src")
-      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst")
+      .join(deg.select(col("node").as("dst"), col("deg").as("y")), "dst"))
+  }
+
+  /** The moment aggregate over an already degree-stamped edge list
+    * (columns x = deg src, y = deg dst) — split out (round 15) so the
+    * shipped key can feed the SessionCache'd, broadcast-joined stamp
+    * shared with g_richclub while [[of]] keeps the self-contained
+    * arbitrary-graph contract the specs pin. */
+  def ofStamped(stamped: DataFrame): DataFrame = {
+    val m = stamped
       .agg(count(lit(1)).as("n_edges"),
         sum(dd(col("x"))).as("sx"), sum(dd(col("y"))).as("sy"),
         sum(dd(col("x")) * dd(col("x"))).as("sxx"),

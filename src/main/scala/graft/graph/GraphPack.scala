@@ -156,6 +156,48 @@ object GraphPack extends QueryPack {
       LabelPropagation.run(s, vertices, GraphBuilder.partEdgesWide(s, d), LP_ITERS)
     }
 
+  /** One wide-edge DEGREE table per (session, scale dir) — the
+    * LPA-cache discipline applied to degrees (round 15):
+    * g_assortativity and g_richclub both key the SAME
+    * groupBy(src).count() over the 52M-row wide edit-graph, so the
+    * second consumer reuses the first's lazily-checkpointed result
+    * (vertex-sized blocks; NO eager materialization, so merely
+    * building a consumer's plan stays cheap). */
+  private val degCache = new graft.SessionCache[DataFrame]
+
+  /** Past this vertex count the degree table stops being broadcast
+    * and the stamp falls back to shuffle joins (KCore's BROADCAST_CAP
+    * discipline: 4M (long, long) rows ≈ 64 MB raw — fine; beyond
+    * that, let the exchange do its job). The gate probes the PART
+    * table's row count — the vertex domain, a parquet metadata read,
+    * never an edge-scale job at plan-build time. */
+  private val DEG_BROADCAST_CAP = 4L * 1000 * 1000
+
+  private def wideDegrees(s: SparkSession, d: String): DataFrame =
+    degCache.getOrCompute(s, d) {
+      import s.implicits._
+      GraphBuilder.partEdgesWide(s, d)
+        .groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+        .localCheckpoint(false)
+    }
+
+  /** The wide edit-graph with BOTH endpoint degrees stamped on every
+    * edge (x = deg src, y = deg dst) — the shared input of A32's
+    * moment aggregate and A34's min-degree histogram. When the vertex
+    * domain fits [[DEG_BROADCAST_CAP]] the two degree joins are
+    * map-side broadcast-hash lookups pipelined into ONE
+    * whole-stage-codegen pass over the edge scan — the old shape paid
+    * two EDGE-sized exchanges (by src, then by dst) per key, 4 across
+    * the two keys. */
+  private def stampedWide(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val deg0 = wideDegrees(s, d)
+    val deg = if (Tables.part(s, d).count() <= DEG_BROADCAST_CAP) broadcast(deg0) else deg0
+    GraphBuilder.partEdgesWide(s, d)
+      .join(deg.select($"node".as("src"), $"deg".as("x")), "src")
+      .join(deg.select($"node".as("dst"), $"deg".as("y")), "dst")
+  }
+
   /** Unrolled personalized-PageRank oracle — same contract as
     * [[PersonalizedPageRank.run]]: per round, rank = 0.85 ·
     * decimal-sum(edge contributions ∪ static teleport row p(v)/0.85),
@@ -433,9 +475,10 @@ object GraphPack extends QueryPack {
 
     // A32: degree assortativity over the widened part edit-graph —
     // see Assortativity.scala for the exact-moment plan contract.
-    "g_assortativity" -> { (s, d) =>
-      Assortativity.of(GraphBuilder.partEdgesWide(s, d))
-    },
+    // Fed from the SessionCache'd broadcast-joined degree stamp
+    // shared with g_richclub (round 15 — two edge exchanges cut to
+    // zero per key, one degree build across both keys).
+    "g_assortativity" -> { (s, d) => Assortativity.ofStamped(stampedWide(s, d)) },
 
     // A33: bridge (cut-edge) detection — A29's quotient pattern
     // applied to 2-edge-connectivity; see Bridges.scala. The oracle
@@ -455,16 +498,16 @@ object GraphPack extends QueryPack {
     // domain-bounded table (q_skyline's sanctioned shape), never the
     // fact-scaled graph. N·(N−1) in DECIMAL(38,0) (node counts can
     // square past long at scale); ONE IEEE division per k.
+    // Degrees and the degree-stamped edge list come from the
+    // SessionCache'd broadcast stamp shared with g_assortativity
+    // (round 15 — see stampedWide).
     "g_richclub" -> { (s, d) =>
       import s.implicits._
       val d38 = org.apache.spark.sql.types.DecimalType(38, 0)
-      val e = GraphBuilder.partEdgesWide(s, d)
-      val deg = e.groupBy($"src".as("node")).agg(count(lit(1)).as("deg"))
+      val deg = wideDegrees(s, d)
       val nodeHist = deg.groupBy($"deg".as("k")).agg(count(lit(1)).as("nn"))
-      val minHist = e
-        .join(deg.select($"node".as("src"), $"deg".as("dx")), "src")
-        .join(deg.select($"node".as("dst"), $"deg".as("dy")), "dst")
-        .groupBy(least($"dx", $"dy").as("k")).agg(count(lit(1)).as("ne"))
+      val minHist = stampedWide(s, d)
+        .groupBy(least($"x", $"y").as("k")).agg(count(lit(1)).as("ne"))
       import org.apache.spark.sql.expressions.Window
       val w = Window.orderBy($"k".desc)
         .rowsBetween(Window.unboundedPreceding, -1)
