@@ -461,10 +461,10 @@ object DedupPack extends QueryPack {
     // corpus-wide suffix sort inside one task.
     // Scale shape: the anchor stream is O(total tokens); cross-doc
     // detection is one map-side-distinct + one partial-aggregable
-    // count per anchor text (no posting list is ever materialized —
-    // the D4 discipline); the flag returns by a semi-join on the
-    // anchor text; island-merging the intervals is a window whose
-    // partitions are DOC-bounded. Per doc: merged span count,
+    // count per anchor DIGEST (32 fixed bytes — no posting list is
+    // ever materialized, the D4 discipline); the flag returns by a
+    // semi-join on the digest; island-merging the intervals is a
+    // window whose partitions are DOC-bounded. Per doc: merged span count,
     // duplicated token mass, longest span, duplicated-mass ratio
     // (one IEEE division of exact longs).
     "d_substring" -> { (s, d) =>
@@ -474,11 +474,24 @@ object DedupPack extends QueryPack {
         .select($"doc_id", TextOps.words($"text").as("w"))
         .filter(size($"w") >= K)
         .localCheckpoint(false)
+      // the anchor IDENTITY shuffled through the distinct/count/
+      // semi-join chain is a FIXED 32-byte md5-hex digest, not the
+      // ~50+-byte variable K-token string (round 15 — the F26
+      // sequence-hash discipline): the oracle hashes with the SAME
+      // md5 over the same text, so collision behavior is
+      // bit-identical cross-engine and the only semantic delta vs raw
+      // strings is a 2^-128-class md5 collision aliasing two distinct
+      // anchors corpus-wide (accepted, same class as every md5-keyed
+      // key in the repo). Hex STRING, not unhex'd 16-byte binary, by
+      // same-box A/B at sf1x: binary grouping read 4.40 s where hex
+      // reads 3.30 s against the raw string's 3.39 s — BinaryType
+      // keys miss the string fast paths and cost more than the 16
+      // saved bytes buy back.
       val anch = toks.select($"doc_id",
           explode(sequence(lit(1), size($"w") - (K - 1))).as("pos"),
           $"w")
         .select($"doc_id", $"pos".cast("long").as("pos"),
-          array_join(slice($"w", $"pos", lit(K)), " ").as("sh"))
+          md5(array_join(slice($"w", $"pos", lit(K)), " ")).as("sh"))
       val dupSh = anch.select($"sh", $"doc_id").distinct()
         .groupBy($"sh").agg(count(lit(1)).as("nd"))
         .filter($"nd" >= 2).select($"sh")
@@ -785,7 +798,7 @@ object DedupPack extends QueryPack {
          | FROM documents),
          |anch AS (
          | SELECT doc_id, CAST(i AS BIGINT) AS pos,
-         |  list_aggregate(w[i:i+${SUBSTR_K - 1}], 'string_agg', ' ') AS sh
+         |  md5(list_aggregate(w[i:i+${SUBSTR_K - 1}], 'string_agg', ' ')) AS sh
          | FROM toks, UNNEST(range(1, len(w)-${SUBSTR_K - 2})) t(i) WHERE len(w) >= $SUBSTR_K),
          |dup AS (SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM anch)
          |        GROUP BY sh HAVING COUNT(*) >= 2),
