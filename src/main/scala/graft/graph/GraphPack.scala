@@ -137,6 +137,7 @@ object GraphPack extends QueryPack {
 
   private val LP_ITERS = 4
   private[graft] val PPR_ITERS = 6
+  private val LOUVAIN_SWEEPS = 4
 
   /** One LPA run per (session, scale dir): g_labelprop and
     * g_modularity evaluate the SAME 4-round labeling, so the second
@@ -260,6 +261,50 @@ object GraphPack extends QueryPack {
   private def labelpropSql(iters: Int): String =
     s"""WITH ${labelpropCtes(iters)}
        |SELECT id, label FROM l$iters""".stripMargin
+
+  /** Unrolled one-level Louvain oracle — per sweep, the IDENTICAL
+    * move rule [[Louvain.run]] applies: per-vertex candidate
+    * communities from the edges⋈labels count, exact BIGINT gain
+    * (cnt − e_vA)·T + k·(D_A − D_C − k), strict gain > 0, the
+    * singleton-swap guard, argmax by (gain DESC, c ASC). The QUALIFY
+    * ranks by the RAW gain (cnt·T + k·(D_A − D_C − k)) like the
+    * engine's struct-min: the e_vA·T term is constant per src, so the
+    * winner is the same and only the threshold needs it. */
+  private def louvainSql(sweeps: Int): String = {
+    val steps = (1 to sweeps).map { i =>
+      s"""lst${i - 1} AS (
+         | SELECT l.id, l.label, COALESCE(d.k, CAST(0 AS BIGINT)) AS k
+         | FROM lv${i - 1} l LEFT JOIN ldeg d ON d.node = l.id),
+         |cm$i AS MATERIALIZED (
+         | SELECT label, SUM(k) AS dsum, COUNT(*) AS csize FROM lst${i - 1} GROUP BY label),
+         |ex$i AS MATERIALIZED (
+         | SELECT e.src, ld.label AS c, CAST(COUNT(*) AS BIGINT) AS cnt
+         | FROM wedges e JOIN lv${i - 1} ld ON ld.id = e.dst
+         | WHERE e.src % 2 = ${i % 2} GROUP BY e.src, ld.label),
+         |xx$i AS (
+         | SELECT x.src, x.c, x.cnt, s.label AS a, s.k, ca.dsum AS da, ca.csize AS sa,
+         |  cc.dsum AS dc, cc.csize AS sc,
+         |  MAX(CASE WHEN x.c = s.label THEN x.cnt END) OVER (PARTITION BY x.src) AS eva
+         | FROM ex$i x JOIN lst${i - 1} s ON s.id = x.src
+         |  JOIN cm$i ca ON ca.label = s.label
+         |  JOIN cm$i cc ON cc.label = x.c),
+         |mv$i AS (
+         | SELECT src, c AS new_label FROM xx$i
+         | WHERE c <> a AND NOT (sa = 1 AND sc = 1 AND c > a)
+         |  AND (cnt - COALESCE(eva, 0)) * (SELECT t FROM tt) + k * (da - dc - k) > 0
+         | QUALIFY ROW_NUMBER() OVER (PARTITION BY src
+         |  ORDER BY cnt * (SELECT t FROM tt) + k * (da - dc - k) DESC, c ASC) = 1),
+         |lv$i AS MATERIALIZED (
+         | SELECT l.id, COALESCE(m.new_label, l.label) AS label
+         | FROM lv${i - 1} l LEFT JOIN mv$i m ON m.src = l.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $wideEdgesSql,
+       |ldeg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS k FROM wedges GROUP BY src),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM wedges),
+       |lv0 AS (SELECT CAST(p_partkey AS BIGINT) AS id, CAST(p_partkey AS BIGINT) AS label FROM part),
+       |$steps
+       |SELECT id, label FROM lv$sweeps""".stripMargin
+  }
 
   /** g_query_pair probes: fast path on-graph (0,0) and off-graph
     * (9999,9999), ordinary reachable pairs, and an unreachable
@@ -709,6 +754,26 @@ object GraphPack extends QueryPack {
           sum($"qc").cast(S).cast("double").as("modularity"))
     },
 
+    // A37 (round-15): one-level Louvain modularity ascent — the
+    // community family's Q-OPTIMIZER next to A19 (LPA detects by
+    // vote) and A35 (the modularity fold evaluates Q). Fixed
+    // synchronous sweeps, exact-integer gain algebra (the T²/2
+    // scaling removes every float from the move decision — see
+    // Louvain.scala), Grappolo singleton-swap guard plus odd-even
+    // sub-sweeps against bipartite oscillation; the oracle
+    // replays the identical sweeps unrolled (the LPA-oracle
+    // discipline). Degrees come from the session degree cache shared
+    // with A32/A34.
+    "g_louvain" -> { (s, d) =>
+      import s.implicits._
+      Louvain.run(s,
+        Tables.part(s, d).select($"p_partkey".cast("long").as("id")),
+        GraphBuilder.partEdgesWide(s, d),
+        LOUVAIN_SWEEPS,
+        degHint = Some(wideDegrees(s, d)),
+        broadcastState = Tables.part(s, d).count() <= DEG_BROADCAST_CAP)
+    },
+
     // A16: approximate neighborhood function (HyperANF) — per node,
     // the HLL-estimated |ball(v, 2)| on the part edit-graph (see
     // [[Anf]] for the register-propagation design: O(V × 256 B)
@@ -973,6 +1038,8 @@ object GraphPack extends QueryPack {
          |SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS ball2, TRUE AS anf_ok
          |FROM reach GROUP BY src""".stripMargin,
     "g_labelprop" -> labelpropSql(LP_ITERS),
+
+    "g_louvain" -> louvainSql(LOUVAIN_SWEEPS),
     "g_modularity" ->
       s"""WITH ${labelpropCtes(LP_ITERS)},
          |el AS (

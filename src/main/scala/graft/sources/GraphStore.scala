@@ -82,20 +82,33 @@ object GraphStore {
       .filter(_._2.nonEmpty)
       .sortBy { case (_, vs) => (-vs.max, -vs.size) }
 
-  /** The version list a compaction directory covers, from its
-    * `_MANIFEST` (one comma-separated line — the time-travel index
-    * [[compact]] preserves). Empty for a missing or unparseable
-    * manifest: a foreign/partial `c=N-k`-shaped entry must be IGNORED
-    * like any other foreign directory, not poison every reader
-    * through [[committedVersions]] (round-13 review — the same
-    * contract [[dirVersions]] documents). */
-  private def manifest(s: SparkSession, root: String, c: Path): Seq[Int] =
+  /** The version list a compaction directory covers plus its recorded
+    * CONTENT row count, from its `_MANIFEST` — line 1 is the
+    * comma-separated covered-version list (the time-travel index
+    * [[compact]] preserves), line 2 (round 15) is the row count of
+    * the compaction dataset at publish time, the checksum [[vacuum]]
+    * compares against the live count before destroying the only other
+    * copy. (None, empty) for a missing or unparseable manifest: a
+    * foreign/partial `c=N-k`-shaped entry must be IGNORED like any
+    * other foreign directory, not poison every reader through
+    * [[committedVersions]] (round-13 review — the same contract
+    * [[dirVersions]] documents); a one-line manifest from an earlier
+    * store parses with an unknown count (None), so pre-existing
+    * stores stay readable AND vacuumable. */
+  private def manifestFull(s: SparkSession, root: String,
+                           c: Path): (Seq[Int], Option[Long]) =
     try {
       val in = fs(s, root).open(new Path(c, "_MANIFEST"))
-      try scala.io.Source.fromInputStream(in).mkString.trim
+      val lines = try scala.io.Source.fromInputStream(in).getLines().toList
+        finally in.close()
+      val versions = lines.headOption.getOrElse("").trim
         .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-      finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+      val count = lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      (versions, count)
+    } catch { case scala.util.control.NonFatal(_) => (Seq.empty, None) }
+
+  private def manifest(s: SparkSession, root: String, c: Path): Seq[Int] =
+    manifestFull(s, root, c)._1
 
   /** Every readable snapshot version: live `v=N` directories plus
     * versions preserved inside compaction directories. */
@@ -355,8 +368,15 @@ object GraphStore {
       .repartition(col("src"))
     val staging = new Path(s"$root/.staging-c-${java.util.UUID.randomUUID()}")
     runs.write.mode("overwrite").parquet(staging.toString)
+    // count what was ACTUALLY staged (a footer-metadata read, no row
+    // scan) and embed it in the manifest — vacuum's checksum against
+    // partial row loss that leaves every remaining footer readable
+    // (round 15; a count from `runs` instead would checksum the plan,
+    // not the files)
+    val stagedRows = s.read.parquet(staging.toString).count()
     val mf = f.create(new Path(staging, "_MANIFEST"))
-    try mf.write(versions.mkString(",").getBytes("UTF-8")) finally mf.close()
+    try mf.write(s"${versions.mkString(",")}\n$stagedRows".getBytes("UTF-8"))
+    finally mf.close()
     val maxV = versions.max
     val target = Iterator.from(0).map(k => new Path(s"$root/c=$maxV-$k"))
       .find(!f.exists(_)).get
@@ -406,10 +426,23 @@ object GraphStore {
         // would turn vacuum into permanent data loss). A footer-only
         // count touches every part file's metadata without scanning
         // rows; any unreadable footer or missing interval column
-        // aborts the delete.
+        // aborts the delete. The count is then compared against the
+        // manifest-embedded publish-time count (round 15): a DELETED
+        // or truncated part file leaves every surviving footer
+        // readable, so readability alone cannot see partial row loss
+        // — the count mismatch can. Manifests from before the count
+        // line (None) keep the readability-only behavior.
+        val recorded = manifestFull(s, root, newest)._2
         val readable = try {
+          // probe the LIVE files: the session's file-status cache has
+          // no TTL by default, and a stale listing would read footers
+          // at wrong offsets (masking the count comparison) or count
+          // files that no longer exist
+          s.catalog.refreshByPath(newest.toString)
           val c = s.read.parquet(newest.toString)
-          Seq("__first", "__last").forall(c.columns.contains) && { c.count(); true }
+          val live = c.count()
+          Seq("__first", "__last").forall(c.columns.contains) &&
+            recorded.forall(_ == live)
         } catch { case scala.util.control.NonFatal(_) => false }
         if (!readable) return 0
         val covered = newestCover.toSet

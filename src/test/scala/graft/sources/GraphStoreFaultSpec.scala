@@ -57,6 +57,44 @@ class GraphStoreFaultSpec extends SparkSpec {
     assert(ex2.getMessage.contains("not an older version"))
   }
 
+  test("vacuum aborts on PARTIAL row loss: a deleted part file with readable survivors") {
+    import spark.implicits._
+    val root = tmpRoot()
+    // enough distinct rows to span several part files
+    GraphStore.write((1L to 64L).map(i => (i, i + 1000L, s"t$i"))
+      .toDF("src", "dst", "tag"), root)
+    GraphStore.upsert(spark, root,
+      (65L to 96L).map(i => (i, i + 1000L, s"t$i")).toDF("src", "dst", "tag"))
+    assert(GraphStore.compact(spark, root) === 2)
+    // swap ONE part file for a VALID 0-row parquet of the identical
+    // schema: every footer stays readable and every column is
+    // present, so the round-14 readability probe alone would pass —
+    // only the manifest-embedded publish-time row count can see the
+    // loss (round 15)
+    val cDir = new java.io.File(root).listFiles().find(_.getName.startsWith("c=")).get
+    val parts = cDir.listFiles().filter(_.getName.endsWith(".parquet"))
+    val victim = parts.maxBy(_.length)
+    val emptyDir = Files.createTempDirectory("graft-empty-parquet").toString
+    spark.read.parquet(cDir.toString).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(emptyDir)
+    val emptyPart = new java.io.File(emptyDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    damage(victim, Files.readAllBytes(emptyPart.toPath))
+    assert(GraphStore.vacuum(spark, root) === 0,
+      "vacuum must abort on a row-count mismatch, not delete the snapshots")
+    // the snapshot directories survive and reads still work through them
+    assert(GraphStore.readVersion(spark, root, 2).count() === 96L)
+    // sanity: an undamaged compaction still vacuums (count matches)
+    val root2 = tmpRoot()
+    GraphStore.write((1L to 64L).map(i => (i, i + 1000L, s"t$i"))
+      .toDF("src", "dst", "tag"), root2)
+    GraphStore.upsert(spark, root2,
+      (65L to 96L).map(i => (i, i + 1000L, s"t$i")).toDF("src", "dst", "tag"))
+    assert(GraphStore.compact(spark, root2) === 2)
+    assert(GraphStore.vacuum(spark, root2) === 2)
+    assert(GraphStore.readVersion(spark, root2, 2).count() === 96L)
+  }
+
   test("vacuum aborts when the covering compaction's data is unreadable") {
     import spark.implicits._
     val root = tmpRoot()
