@@ -59,6 +59,9 @@ object SimilarityPack extends QueryPack {
   // E12 binary quantization: hamming shortlist size before the exact
   // cosine re-rank
   private val BQ_RERANK = 50
+  // E21 IVF-PQ refine: ADC shortlist size before the exact cosine
+  // re-rank (the FAISS refine step; same budget as E12's shortlist)
+  private val PQ_RERANK = 50
   /** E16 RRF: the standard fusion constant (Cormack et al. 2009). */
   private val RRF_C = 60
 
@@ -482,6 +485,42 @@ object SimilarityPack extends QueryPack {
       pqAdcTopK(e, cand = Some(cand))
     },
 
+    // E21 (round-15): IVF-PQ with EXACT RE-RANK — the standard FAISS
+    // refine step, E12's two-phase discipline applied to E20: the ADC
+    // ranking produces a PQ_RERANK shortlist per query (still on
+    // 32×-compressed codes over probed cells only), and ONLY the
+    // O(queries × PQ_RERANK) survivors read real embeddings for the
+    // exact-cosine re-rank. This closes the quality gap PQ
+    // quantization leaves (measured at the rungs via
+    // tools/RecallProbe: plain E20 recall 0.16/0.06/0.64 at
+    // sf0.1/0.3x/1x on the uniform-synthetic worst case — the refine
+    // recovers every brute-force hit the shortlist contains). Both
+    // phases carry total orders ((adc ASC, n_id) then (cosine DESC,
+    // n_id)), so the composed result is deterministic cross-engine;
+    // the re-rank window sees ≤ PQ_RERANK rows per query.
+    "s_knn_ivfpq_r" -> { (s, d) =>
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d)
+      val (ccell, qcell) = ivfAssign(e, N_QUERIES, NLIST, NPROBE)
+      val cand = qcell.join(ccell, "cell")
+        .filter($"q_id" =!= $"n_id")
+        .select($"q_id", $"n_id")
+      val shortlist = pqAdcTopK(e, cand = Some(cand), k = PQ_RERANK)
+        .select($"q_id", $"n_id")
+      val emb = e.withColumn("nrm", VectorOps.normDec("embedding"))
+      val reranked = shortlist
+        .join(emb.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn")), "n_id")
+        .join(broadcast(emb.filter($"vec_id" < N_QUERIES)
+          .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))), "q_id")
+        .withColumn("cosine", VectorOps.dotDecFast($"qe", $"ne") / ($"qn" * $"nn"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"q_id").orderBy($"cosine".desc, $"n_id".asc)
+      reranked.withColumn("rank", row_number().over(w).cast("long"))
+        .filter($"rank" <= K)
+        .select($"q_id", $"rank", $"n_id", $"cosine")
+    },
+
     // E4: symmetric int8 quantization of the embedding column — the
     // storage/serving step of an embedding pipeline (4× smaller than
     // fp32, cheap SIMD dot products downstream). Entirely row-local
@@ -844,7 +883,8 @@ object SimilarityPack extends QueryPack {
     * (`cand = None`, E5) or restricted to a candidate-pair set
     * (E20's probed cells), and rank the top K per query with the
     * bounded-heap topK (tie → min id). */
-  private def pqAdcTopK(e: DataFrame, cand: Option[DataFrame]): DataFrame = {
+  private def pqAdcTopK(e: DataFrame, cand: Option[DataFrame],
+                        k: Int = K): DataFrame = {
     val subDists = pqSubDists(e)
     val codes = subDists
       .groupBy(col("vec_id"), col("m"))
@@ -863,7 +903,7 @@ object SimilarityPack extends QueryPack {
       .agg(sum(col("dst")).as("dist"))
     adc.groupBy(col("q_id"))
       .agg(graft.functions.GraftFunctions.topK(
-        (-col("dist")).cast("double"), col("n_id"), K).as("tk"))
+        (-col("dist")).cast("double"), col("n_id"), k).as("tk"))
       .select(col("q_id"), posexplode(col("tk")).as(Seq("pos", "t")))
       .select(col("q_id"), (col("pos") + 1).cast("long").as("rank"),
         col("t.id").as("n_id"), (-col("t.score") / lit(1e12)).as("adc_dist"))
@@ -1375,6 +1415,40 @@ object SimilarityPack extends QueryPack {
          | FROM adc)
          |SELECT q_id, rank, n_id, CAST(dist AS DOUBLE) / 1e12 AS adc_dist
          |FROM ranked WHERE rank <= $K""".stripMargin,
+    // E21: the E20 chain verbatim up to the ADC ranking, shortlist
+    // PQ_RERANK, then the s_knn_brute cosine formula restricted to
+    // the shortlist pairs — the same exact-integer dot both engines
+    // compute.
+    "s_knn_ivfpq_r" ->
+      s"""WITH $dimsSql,
+         |$ivfCellSql,
+         |$pqEncSql,
+         |cand AS (SELECT q.q_id, c.n_id FROM qcell q JOIN ccell c USING (cell)
+         |         WHERE q.q_id <> c.n_id),
+         |adc AS (
+         | SELECT cd.q_id, cd.n_id, SUM(q.dst) AS dist
+         | FROM cand cd JOIN enc e ON e.n_id = cd.n_id
+         |  JOIN sd q ON q.vec_id = cd.q_id AND q.m = e.m AND q.code = e.code
+         | GROUP BY cd.q_id, cd.n_id),
+         |short AS (
+         | SELECT q_id, n_id FROM (
+         |  SELECT q_id, n_id,
+         |   ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY dist ASC, n_id ASC) AS r
+         |  FROM adc) WHERE r <= $PQ_RERANK),
+         |dot AS (
+         | SELECT s.q_id, s.n_id,
+         |  CAST(SUM(CAST(floor(q.x * c.x * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12 AS dp
+         | FROM short s
+         |  JOIN dims q ON q.vec_id = s.q_id
+         |  JOIN dims c ON c.vec_id = s.n_id AND c.i = q.i
+         | GROUP BY s.q_id, s.n_id),
+         |cosv AS (SELECT d.q_id, d.n_id, d.dp / (nq.n * nc.n) AS cosine
+         |         FROM dot d JOIN nrm nq ON nq.vec_id = d.q_id
+         |          JOIN nrm nc ON nc.vec_id = d.n_id),
+         |rranked AS (SELECT q_id, n_id, cosine,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cosine DESC, n_id ASC) AS BIGINT) AS rank
+         | FROM cosv)
+         |SELECT q_id, rank, n_id, cosine FROM rranked WHERE rank <= $K""".stripMargin,
     "s_pipeline" ->
       s"""WITH ${graft.dedup.DedupPack.semanticSqlCtes},
          |kept AS (

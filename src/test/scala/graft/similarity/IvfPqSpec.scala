@@ -37,4 +37,36 @@ class IvfPqSpec extends SparkSpec {
     assert(perQ.filter($"n" =!= 5L || $"mx" =!= 5L).count() === 0)
     out.unpersist()
   }
+
+  test("E21 refine: cell containment holds and recall never falls below plain IVF-PQ") {
+    val refined = SimilarityPack.queries("s_knn_ivfpq_r")(spark, sfDir)
+      .select($"q_id", $"n_id").cache()
+    assert(refined.count() > 0)
+    // the refine only RE-RANKS: every emitted pair still comes from a
+    // probed cell (the candidate set is E20's, untouched)
+    val (ccell, qcell) = SimilarityPack.ivfAssign(
+      graft.Tables.embeddings(spark, sfDir), SimilarityPack.N_QUERIES,
+      SimilarityPack.NLIST, SimilarityPack.NPROBE)
+    val legal = qcell.join(ccell, "cell").select($"q_id", $"n_id")
+    assert(refined.join(legal, Seq("q_id", "n_id"), "left_anti").count() === 0,
+      "a refined pair escaped the probed cells")
+    // exact re-rank at EQUAL candidate volume must not lose recall:
+    // per query, |refined ∩ brute| >= |plain ivfpq ∩ brute| (the
+    // verdict's done criterion, pinned at the shipped SF; the rungs
+    // are measured by tools/RecallProbe — 0.52/0.34/0.68 vs
+    // 0.16/0.06/0.64 at sf0.1/0.3x/1x)
+    val brute = SimilarityPack.queries("s_knn_brute")(spark, sfDir)
+      .select($"q_id", $"n_id").cache()
+    def hitsPerQ(df: org.apache.spark.sql.DataFrame) =
+      df.join(brute, Seq("q_id", "n_id"), "left_semi")
+        .groupBy($"q_id").agg(count(lit(1)).as("h"))
+    val plain = SimilarityPack.queries("s_knn_ivfpq")(spark, sfDir)
+      .select($"q_id", $"n_id")
+    val cmp = hitsPerQ(plain).withColumnRenamed("h", "hp")
+      .join(hitsPerQ(refined).withColumnRenamed("h", "hr"), Seq("q_id"), "full_outer")
+      .select(coalesce($"hp", lit(0L)).as("hp"), coalesce($"hr", lit(0L)).as("hr"))
+    assert(cmp.filter($"hr" < $"hp").count() === 0,
+      "refine lost recall vs plain IVF-PQ on some query")
+    refined.unpersist(); brute.unpersist()
+  }
 }
