@@ -235,6 +235,32 @@ object EventStreams {
         (col("last.cents").cast("double") / 100.0).as("last_value"),
         col("n_ops"), col("n_deletes"))
 
+  /** Streaming INCREMENTAL AGGREGATE MAINTENANCE (round 15 — C34's
+    * state algebra on the replay harness): per (event_type, day), the
+    * full sum/count/min/max state that Spark's incremental engine
+    * merges across micro-batches is EXACTLY q_incr_agg's
+    * partial-aggregate algebra lifted from the storage layer to the
+    * state store — and min/max are legal here BY CONSTRUCTION: a
+    * stream is inserts-only, the one regime where they are
+    * maintainable without per-group rescans (the standard IVM caveat
+    * C34 states). The decimal sum is order-free, so merge ≡ recompute
+    * holds whatever the micro-batch boundaries; complete mode's sink
+    * holds the (type × day) dimension table, never the event
+    * stream. */
+  def incrAggState(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"),
+        col("value").cast("decimal(18,2)").as("v"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+      .select(col("event_type"), col("day"),
+        round(col("s"), 2).cast("double").as("sum_value"),
+        col("n").as("n_events"),
+        col("mn").cast("double").as("min_value"),
+        col("mx").cast("double").as("max_value"),
+        (round(col("s"), 2).cast("double") / col("n")).as("avg_value"))
+
   def userTotals(events: DataFrame): DataFrame =
     events
       .groupBy(col("user_id"))

@@ -29,7 +29,7 @@ object EventsPack extends QueryPack {
     "e_stream_ewma", "e_stream_uniques", "e_stream_dedup",
     "e_stream_hh", "e_stream_chain", "e_stream_totals",
     "e_stream_cdc", "e_stream_ingest", "e_stream_attrib",
-    "e_stream_outer")
+    "e_stream_outer", "e_stream_incr")
 
   private val D = DecimalType(18, 2)
   // shared with the streaming twins so batch/stream parity can't drift
@@ -815,6 +815,21 @@ object EventsPack extends QueryPack {
       }
     },
 
+    // Streaming incremental aggregate maintenance (round 15 —
+    // verdict optional 8, H27): C34's merge algebra IS Spark's
+    // streaming state-store contract, so the complete-mode twin
+    // maintained per micro-batch puts the IVM law (merge ≡ full
+    // recompute) on the replay harness — the oracle is the batch
+    // GROUP BY over all events, hash-exact. See
+    // EventStreams.incrAggState for the min/max inserts-only note.
+    "e_stream_incr" -> { (s, d) =>
+      import s.implicits._
+      StreamReplay.replay(s, d, mode = OutputMode.Complete())(
+        ds => EventStreams.incrAggState(ds.toDF())) {
+        out => out.filter($"event_type" =!= StreamReplay.SENTINEL_TYPE)
+      }
+    },
+
     // Streaming CDC materialization replay (H24): C28's tombstone
     // semantics maintained INCREMENTALLY — the replayed stream's
     // final state table must equal the batch q_cdc exactly (same
@@ -1109,6 +1124,16 @@ object EventsPack extends QueryPack {
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
         | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_value
         |FROM events GROUP BY user_id""".stripMargin,
+    // the streaming IVM twin promises merge ≡ the batch full
+    // recompute (C34's law on the replay harness)
+    "e_stream_incr" ->
+      """SELECT event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) AS sum_value,
+        | CAST(COUNT(*) AS BIGINT) AS n_events,
+        | CAST(MIN(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS min_value,
+        | CAST(MAX(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS max_value,
+        | CAST(ROUND(SUM(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
     // the ingest round-trip promises the sink EQUALS the source table
     "e_stream_ingest" ->
       """SELECT event_id, epoch_us(ts) AS ts_us, user_id, event_type,

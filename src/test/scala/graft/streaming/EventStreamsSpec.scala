@@ -149,6 +149,38 @@ class EventStreamsSpec extends SparkSpec {
     def toMap2: Map[Long, (Long, Double)] = rs.map(r => r._1 -> ((r._2, r._3))).toMap
   }
 
+  test("incrAggState maintains the full C34 state algebra across micro-batches (round 15)") {
+    implicit val sql = spark.sqlContext
+    import spark.implicits._
+    val in = MemoryStream[StreamEvent]
+    val q = EventStreams.incrAggState(in.toDF())
+      .writeStream.format("memory").queryName("incr_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      // batch 1 sets min and max; batch 2 must EXTEND the min and the
+      // sum/count while leaving the max alone — the inserts-only
+      // min/max maintenance the batch C34 key cannot claim under
+      // deletes
+      in.addData(ev(1, 0, typ = "click", v = 2.5), ev(2, 1, typ = "click", v = 7.0),
+        ev(3, 2, typ = "view", v = 4.0))
+      q.processAllAvailable()
+      in.addData(ev(4, 3, typ = "click", v = 0.5))
+      q.processAllAvailable()
+      val rows = spark.table("incr_out")
+        .collect().map(r => (r.getString(0), (r.getDouble(2), r.getLong(3),
+          r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+      assert(rows("click") === ((10.0, 3L, 0.5, 7.0, 10.0 / 3.0)))
+      assert(rows("view") === ((4.0, 1L, 4.0, 4.0, 4.0)))
+      // merge ≡ recompute: the final state equals the batch aggregate
+      // over every event seen (the IVM law, in-test twin)
+      val batch = EventStreams.incrAggState(
+        Seq(ev(1, 0, typ = "click", v = 2.5), ev(2, 1, typ = "click", v = 7.0),
+          ev(3, 2, typ = "view", v = 4.0), ev(4, 3, typ = "click", v = 0.5)).toDF())
+      assert(spark.table("incr_out").except(batch).count() === 0
+        && batch.except(spark.table("incr_out")).count() === 0)
+    } finally q.stop()
+  }
+
   test("windowedHeavyHitters merges the sketch across micro-batches per window") {
     implicit val sql = spark.sqlContext
     import spark.implicits._
