@@ -99,34 +99,16 @@ object KCore {
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
     // lazy evaluation re-reads the edge PLAN up to three times (degree
     // build, round-0 delta scan, tail pin) — only sound when every
-    // evaluation yields the same rows. A nondeterministic input plan
-    // (sampling, rand-salts) is pinned eagerly instead, restoring the
-    // one-materialization guarantee the eager checkpoint used to give
-    // every caller (round-14 review). The probe covers the plan-level
-    // nondeterminism Catalyst can NAME: Sample nodes, limits (a
-    // LocalLimit/GlobalLimit without a total order underneath may
-    // legally return different rows per evaluation — pinned
-    // unconditionally since a sorted limit costs only one redundant
-    // checkpoint, round-15 advice), and nondeterministic expressions
-    // anywhere in the tree. What it CANNOT see is a leaf whose
-    // re-evaluation is inherently unstable (an RDD scan recomputed
-    // from a nondeterministic upstream, an external source mutating
-    // between scans) — those carry no Catalyst marker at all, so the
-    // residual contract on edges0 is: leaf sources must yield the
-    // same rows on re-scan, or the caller checkpoints first. Every
-    // in-repo caller feeds parquet scans or checkpointed frames.
+    // evaluation yields the same rows. An unstable input plan is
+    // pinned eagerly instead, restoring the one-materialization
+    // guarantee the eager checkpoint used to give every caller
+    // (round-14 review; probe single-sourced in [[PlanStability]],
+    // round-15 — see there for what it can and cannot see; the
+    // residual contract on edges0 is leaf determinism on re-scan, and
+    // every in-repo caller feeds parquet scans or checkpointed
+    // frames).
     var edgesOnDisk = false
-    val nondet = edges0.queryExecution.analyzed.find {
-      // Sample carries its seed as a constructor arg, not a
-      // nondeterministic Expression — it must be caught at the PLAN
-      // level or a sampled input would re-draw per evaluation
-      // (second review pass)
-      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
-      case p => p.expressions.exists(e => !e.deterministic)
-    }.isDefined
-    if (nondet) {
+    if (PlanStability.isUnstable(edges0)) {
       edges = edges.localCheckpoint(true, EDGE_LEVEL)
       edgesOnDisk = true
     }

@@ -91,23 +91,17 @@ object Louvain {
     // (join-built, blow-up) edge plan costs ~2 s per evaluation — the
     // KCore lazy-pin lesson in reverse. Re-evaluation is only sound
     // when every evaluation yields the same rows, so plan-level
-    // instability (Sample, un-ordered limits, nondeterministic
-    // expressions — the KCore probe) pins ONE disk copy up front;
+    // instability ([[PlanStability]]'s shared probe) pins ONE disk
+    // copy up front;
     // leaf determinism on re-scan is the caller's contract, as for
     // KCore. The shuffle-join path keeps the dst-partitioned disk
     // checkpoint (it re-reads the edge set per sweep through a
     // shuffle join, LPA's shape).
     var e = edges.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
-    val nondet = edges.queryExecution.analyzed.find {
-      case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
-      case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
-      case p => p.expressions.exists(ex => !ex.deterministic)
-    }.isDefined
     if (!broadcastState) {
       e = e.repartition(col("dst"))
         .localCheckpoint(false, org.apache.spark.storage.StorageLevel.DISK_ONLY)
-    } else if (nondet) {
+    } else if (PlanStability.isUnstable(edges)) {
       e = e.localCheckpoint(true, org.apache.spark.storage.StorageLevel.DISK_ONLY)
     }
     val deg = degHint

@@ -80,20 +80,20 @@ object RandomWalks {
     // equal to its predecessor, so the null-safe lag comparison
     // dedups in the same pass (bit-identical to distinct, including
     // equal-null collapsing) and the rank/degree windows reuse the
-    // sort the dedup rode in on. The lag is wrapped in a struct for
-    // the FIRST-ROW guard (round-15, advice): a bare lag yields null
+    // sort the dedup rode in on. The lag wraps dst in a STRUCT for
+    // the first-row guard (round-15, advice): a bare lag yields null
     // at the partition head, and null <=> a null dst is TRUE — the
     // one surviving copy of a (src, null) edge would be dropped. A
     // lagged one-field struct is null ONLY when there is no previous
-    // row (a struct whose field is null is itself non-null), so the
-    // head row is never marked duplicate; both expressions share the
-    // one window sort.
+    // row (a struct whose field is null is itself non-null), and
+    // struct comparison treats equal-null FIELDS as equal — exactly
+    // distinct()'s grouping — so one null-safe struct comparison is
+    // both the guard and the dedup.
     val byNode = Window.partitionBy(col("src")).orderBy(col("dst"))
     val picks = edges
       .select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .withColumn("__dup",
-        lag(struct(col("dst")), 1).over(byNode).isNotNull &&
-          (lag(col("dst"), 1).over(byNode) <=> col("dst")))
+        lag(struct(col("dst")), 1).over(byNode) <=> struct(col("dst")))
       .where(!col("__dup"))
       .withColumn("pos", row_number().over(byNode) - 1)
       .withColumn("deg", count(lit(1)).over(

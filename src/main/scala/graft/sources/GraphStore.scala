@@ -103,7 +103,13 @@ object GraphStore {
         finally in.close()
       val versions = lines.headOption.getOrElse("").trim
         .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-      val count = lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty).map(_.toLong)
+      // the count line parses in ITS OWN Try (round-15 review): a
+      // torn/corrupt line 2 must degrade to "unknown count" — the
+      // documented legacy-manifest behavior — not discard the intact
+      // version index and turn the whole compaction foreign (which,
+      // post-vacuum, would orphan every covered version)
+      val count = lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)
+        .flatMap(t => scala.util.Try(t.toLong).toOption)
       (versions, count)
     } catch { case scala.util.control.NonFatal(_) => (Seq.empty, None) }
 
