@@ -182,6 +182,17 @@ object GraphPack extends QueryPack {
         .localCheckpoint(false)
     }
 
+  /** The broadcast-gate decision, cached per (session, dir) like the
+    * degree table itself (round-15 review: the part count cannot
+    * change within a (session, dir), so three consumers must not
+    * launch three identical count jobs at plan-build time). */
+  private val degBcastCache = new graft.SessionCache[java.lang.Boolean]
+
+  private def degBroadcastable(s: SparkSession, d: String): Boolean =
+    degBcastCache.getOrCompute(s, d) {
+      java.lang.Boolean.valueOf(Tables.part(s, d).count() <= DEG_BROADCAST_CAP)
+    }.booleanValue()
+
   /** The wide edit-graph with BOTH endpoint degrees stamped on every
     * edge (x = deg src, y = deg dst) — the shared input of A32's
     * moment aggregate and A34's min-degree histogram. When the vertex
@@ -193,7 +204,7 @@ object GraphPack extends QueryPack {
   private def stampedWide(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val deg0 = wideDegrees(s, d)
-    val deg = if (Tables.part(s, d).count() <= DEG_BROADCAST_CAP) broadcast(deg0) else deg0
+    val deg = if (degBroadcastable(s, d)) broadcast(deg0) else deg0
     GraphBuilder.partEdgesWide(s, d)
       .join(deg.select($"node".as("src"), $"deg".as("x")), "src")
       .join(deg.select($"node".as("dst"), $"deg".as("y")), "dst")
@@ -771,7 +782,7 @@ object GraphPack extends QueryPack {
         GraphBuilder.partEdgesWide(s, d),
         LOUVAIN_SWEEPS,
         degHint = Some(wideDegrees(s, d)),
-        broadcastState = Tables.part(s, d).count() <= DEG_BROADCAST_CAP)
+        broadcastState = degBroadcastable(s, d))
     },
 
     // A16: approximate neighborhood function (HyperANF) — per node,

@@ -24,6 +24,9 @@ object PlanStability {
       case _: org.apache.spark.sql.catalyst.plans.logical.Sample => true
       case _: org.apache.spark.sql.catalyst.plans.logical.LocalLimit => true
       case _: org.apache.spark.sql.catalyst.plans.logical.GlobalLimit => true
+      // Offset is the same un-ordered-row-selection class as limit
+      // (round-15 review, second pass)
+      case _: org.apache.spark.sql.catalyst.plans.logical.Offset => true
       case p => p.expressions.exists(e => !e.deterministic)
     }.isDefined
 }

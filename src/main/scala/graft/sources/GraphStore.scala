@@ -82,39 +82,42 @@ object GraphStore {
       .filter(_._2.nonEmpty)
       .sortBy { case (_, vs) => (-vs.max, -vs.size) }
 
-  /** The version list a compaction directory covers plus its recorded
-    * CONTENT row count, from its `_MANIFEST` — line 1 is the
-    * comma-separated covered-version list (the time-travel index
-    * [[compact]] preserves), line 2 (round 15) is the row count of
-    * the compaction dataset at publish time, the checksum [[vacuum]]
-    * compares against the live count before destroying the only other
-    * copy. (None, empty) for a missing or unparseable manifest: a
-    * foreign/partial `c=N-k`-shaped entry must be IGNORED like any
-    * other foreign directory, not poison every reader through
-    * [[committedVersions]] (round-13 review — the same contract
-    * [[dirVersions]] documents); a one-line manifest from an earlier
-    * store parses with an unknown count (None), so pre-existing
-    * stores stay readable AND vacuumable. */
-  private def manifestFull(s: SparkSession, root: String,
-                           c: Path): (Seq[Int], Option[Long]) =
+  /** The version list a compaction directory covers, from its
+    * `_MANIFEST` (one comma-separated line — the time-travel index
+    * [[compact]] preserves). Empty for a missing or unparseable
+    * manifest: a foreign/partial `c=N-k`-shaped entry must be IGNORED
+    * like any other foreign directory, not poison every reader
+    * through [[committedVersions]] (round-13 review — the same
+    * contract [[dirVersions]] documents). */
+  private def manifest(s: SparkSession, root: String, c: Path): Seq[Int] =
     try {
       val in = fs(s, root).open(new Path(c, "_MANIFEST"))
-      val lines = try scala.io.Source.fromInputStream(in).getLines().toList
-        finally in.close()
-      val versions = lines.headOption.getOrElse("").trim
+      try scala.io.Source.fromInputStream(in).mkString.trim
         .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-      // the count line parses in ITS OWN Try (round-15 review): a
-      // torn/corrupt line 2 must degrade to "unknown count" — the
-      // documented legacy-manifest behavior — not discard the intact
-      // version index and turn the whole compaction foreign (which,
-      // post-vacuum, would orphan every covered version)
-      val count = lines.drop(1).headOption.map(_.trim).filter(_.nonEmpty)
-        .flatMap(t => scala.util.Try(t.toLong).toOption)
-      (versions, count)
-    } catch { case scala.util.control.NonFatal(_) => (Seq.empty, None) }
+      finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
 
-  private def manifest(s: SparkSession, root: String, c: Path): Seq[Int] =
-    manifestFull(s, root, c)._1
+  /** The compaction's publish-time row count from its SIBLING
+    * `_COUNT` file (round 15) — the checksum [[vacuum]] compares
+    * against the live count before destroying the only other copy.
+    * A separate file, NOT a second manifest line, for compatibility
+    * in both directions: readers that predate the checksum never
+    * open `_COUNT`, and a torn/corrupt/missing count degrades to
+    * None (unknown — vacuum falls back to the readability-only
+    * probe) without touching the version index (round-15 review,
+    * both passes). */
+  private def recordedCount(s: SparkSession, root: String, c: Path): Option[Long] =
+    try {
+      val p = new Path(c, "_COUNT")
+      val f = fs(s, root)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
+          finally in.close()
+        scala.util.Try(txt.toLong).toOption
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Every readable snapshot version: live `v=N` directories plus
     * versions preserved inside compaction directories. */
@@ -375,14 +378,15 @@ object GraphStore {
     val staging = new Path(s"$root/.staging-c-${java.util.UUID.randomUUID()}")
     runs.write.mode("overwrite").parquet(staging.toString)
     // count what was ACTUALLY staged (a footer-metadata read, no row
-    // scan) and embed it in the manifest — vacuum's checksum against
+    // scan) into the sibling _COUNT file — vacuum's checksum against
     // partial row loss that leaves every remaining footer readable
     // (round 15; a count from `runs` instead would checksum the plan,
     // not the files)
     val stagedRows = s.read.parquet(staging.toString).count()
+    val cf = f.create(new Path(staging, "_COUNT"))
+    try cf.write(stagedRows.toString.getBytes("UTF-8")) finally cf.close()
     val mf = f.create(new Path(staging, "_MANIFEST"))
-    try mf.write(s"${versions.mkString(",")}\n$stagedRows".getBytes("UTF-8"))
-    finally mf.close()
+    try mf.write(versions.mkString(",").getBytes("UTF-8")) finally mf.close()
     val maxV = versions.max
     val target = Iterator.from(0).map(k => new Path(s"$root/c=$maxV-$k"))
       .find(!f.exists(_)).get
@@ -433,12 +437,13 @@ object GraphStore {
         // count touches every part file's metadata without scanning
         // rows; any unreadable footer or missing interval column
         // aborts the delete. The count is then compared against the
-        // manifest-embedded publish-time count (round 15): a DELETED
-        // or truncated part file leaves every surviving footer
-        // readable, so readability alone cannot see partial row loss
-        // — the count mismatch can. Manifests from before the count
-        // line (None) keep the readability-only behavior.
-        val recorded = manifestFull(s, root, newest)._2
+        // sibling _COUNT file's publish-time count (round 15): a
+        // DELETED or truncated part file leaves every surviving
+        // footer readable, so readability alone cannot see partial
+        // row loss — the count mismatch can. Compactions from before
+        // the checksum (no _COUNT) keep the readability-only
+        // behavior.
+        val recorded = recordedCount(s, root, newest)
         val readable = try {
           // probe the LIVE files: the session's file-status cache has
           // no TTL by default, and a stale listing would read footers

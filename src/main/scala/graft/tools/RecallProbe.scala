@@ -15,15 +15,17 @@ import org.apache.spark.sql.functions._
 object RecallProbe {
   def main(args: Array[String]): Unit = {
     val s = graft.GraftSession.local("32")
+    // one report format for both probe families — an empty rung
+    // aggregates to (null, null, 0): report it instead of tripping
+    // over getDouble(null)
+    def report(d: String, key: String, r: org.apache.spark.sql.Row): Unit =
+      if (r.getLong(2) == 0L) println(s"RECALL dir=$d key=$key n=0 (no queries)")
+      else println(f"RECALL dir=$d key=$key mean=${r.getDouble(0)}%.4f min=${r.getDouble(1)}%.4f n=${r.getLong(2)}")
     args.foreach { d =>
       Seq("s_recall", "s_matryoshka").foreach { key =>
-        val r = graft.SparkEntry.queries(key)(s, d)
+        report(d, key, graft.SparkEntry.queries(key)(s, d)
           .agg(avg(col("recall")).as("mean"), min(col("recall")).as("min"),
-            count(lit(1)).as("n")).head()
-        // an empty rung aggregates to (null, null, 0) — report it
-        // instead of tripping over getDouble(null)
-        if (r.getLong(2) == 0L) println(s"RECALL dir=$d key=$key n=0 (no queries)")
-        else println(f"RECALL dir=$d key=$key mean=${r.getDouble(0)}%.4f min=${r.getDouble(1)}%.4f n=${r.getLong(2)}")
+            count(lit(1)).as("n")).head())
       }
       // ground truth once per rung: the exact cosine top-k
       val brute = graft.SparkEntry.queries("s_knn_brute")(s, d)
@@ -33,11 +35,9 @@ object RecallProbe {
         val ann = graft.SparkEntry.queries(key)(s, d).select(col("q_id"), col("n_id"))
         val hits = ann.join(brute, Seq("q_id", "n_id"))
           .groupBy(col("q_id")).agg(count(lit(1)).as("hits"))
-        val r = kPer.join(hits, Seq("q_id"), "left")
+        report(d, key, kPer.join(hits, Seq("q_id"), "left")
           .select((coalesce(col("hits"), lit(0L)).cast("double") / col("k")).as("recall"))
-          .agg(avg(col("recall")), min(col("recall")), count(lit(1))).head()
-        if (r.getLong(2) == 0L) println(s"RECALL dir=$d key=$key n=0 (no queries)")
-        else println(f"RECALL dir=$d key=$key mean=${r.getDouble(0)}%.4f min=${r.getDouble(1)}%.4f n=${r.getLong(2)}")
+          .agg(avg(col("recall")), min(col("recall")), count(lit(1))).head())
       }
     }
     s.stop()
