@@ -218,7 +218,7 @@ object PipelineDB {
     "brute" -> "s_knn_brute", "lsh" -> "s_knn_ann", "ivf" -> "s_knn_ivf",
     "pq" -> "s_knn_pq", "binary" -> "s_knn_binary",
     "filtered" -> "s_knn_filtered", "maxsim" -> "s_maxsim",
-    "ivfpq" -> "s_knn_ivfpq")
+    "ivfpq" -> "s_knn_ivfpq", "ivfpq_refine" -> "s_knn_ivfpq_r")
 
   private val streamKeys = Map(
     "window" -> "e_stream_window", "sessions" -> "e_stream_sessions",
@@ -227,7 +227,7 @@ object PipelineDB {
     "heavy_hitters" -> "e_stream_hh", "totals" -> "e_stream_totals",
     "ingest" -> "e_stream_ingest", "chain" -> "e_stream_chain",
     "enrich" -> "e_stream_enrich", "cdc" -> "e_stream_cdc",
-    "outer_join" -> "e_stream_outer")
+    "outer_join" -> "e_stream_outer", "incremental" -> "e_stream_incr")
 
   /** The replay keys [[PipelineDB.stream]] can route — spec-pinned
     * equal to [[SparkEntry.replayBackedKeys]] so a new replay surface

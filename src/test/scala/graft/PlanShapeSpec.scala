@@ -27,6 +27,7 @@ class PlanShapeSpec extends SparkSpec {
       "g_eccentricity", // one-row diameter/radius extrema broadcast
       "s_maxsim", // bounded multi-vector query broadcast (E1's shape)
       "s_knn_binary", // ≤N_QUERIES-row sign-signature broadcast (E1's shape)
+      "s_knn_ivfpq_r", // E20's bounded codebook broadcast + the ≤N_QUERIES re-rank broadcast
       "s_knn_filtered", // pre-filtered corpus × query broadcast (E1's shape)
       "s_matryoshka", // truncated corpus × query broadcast (E1's shape)
       "q_basket_pairs", // one-row order-total broadcast
