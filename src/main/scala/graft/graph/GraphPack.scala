@@ -167,12 +167,13 @@ object GraphPack extends QueryPack {
   private val degCache = new graft.SessionCache[DataFrame]
 
   /** Past this vertex count the degree table stops being broadcast
-    * and the stamp falls back to shuffle joins (KCore's BROADCAST_CAP
-    * discipline: 4M (long, long) rows ≈ 64 MB raw — fine; beyond
-    * that, let the exchange do its job). The gate probes the PART
-    * table's row count — the vertex domain, a parquet metadata read,
-    * never an edge-scale job at plan-build time. */
-  private val DEG_BROADCAST_CAP = 4L * 1000 * 1000
+    * and the stamp falls back to shuffle joins — literally KCore's
+    * cap (ONE shared constant, round-15 close review: 4M (long,
+    * long) rows ≈ 64 MB raw is fine; beyond that, let the exchange
+    * do its job). The gate probes the PART table's row count — the
+    * vertex domain, a parquet metadata read, never an edge-scale job
+    * at plan-build time. */
+  private val DEG_BROADCAST_CAP = KCore.BROADCAST_CAP
 
   private def wideDegrees(s: SparkSession, d: String): DataFrame =
     degCache.getOrCompute(s, d) {

@@ -75,7 +75,7 @@ object KCore {
     * (a 4M-long broadcast is ~32 MB raw — fine; past that, let the
     * shuffle join handle it). In practice the REWRITE_FRACTION gate
     * fires long before this one at any realistic vertex count. */
-  private val BROADCAST_CAP = 4L * 1000 * 1000
+  private[graph] val BROADCAST_CAP = 4L * 1000 * 1000
 
   def run(s: SparkSession, edges0: DataFrame, k: Int, maxIter: Int = 100): DataFrame = {
     import s.implicits._

@@ -82,6 +82,21 @@ object GraphStore {
       .filter(_._2.nonEmpty)
       .sortBy { case (_, vs) => (-vs.max, -vs.size) }
 
+  /** Trimmed content of a small metadata file, None when missing or
+    * unreadable — the ONE read path for `_MANIFEST`/`_COUNT`/parent
+    * markers' siblings (round-15 close review: two hand-rolled
+    * copies of open/read/close/NonFatal had already appeared). */
+  private def readSmallFile(s: SparkSession, root: String, p: Path): Option[String] =
+    try {
+      val f = fs(s, root)
+      if (!f.exists(p)) None
+      else {
+        val in = f.open(p)
+        try Some(scala.io.Source.fromInputStream(in).mkString.trim)
+        finally in.close()
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
   /** The version list a compaction directory covers, from its
     * `_MANIFEST` (one comma-separated line — the time-travel index
     * [[compact]] preserves). Empty for a missing or unparseable
@@ -90,12 +105,10 @@ object GraphStore {
     * through [[committedVersions]] (round-13 review — the same
     * contract [[dirVersions]] documents). */
   private def manifest(s: SparkSession, root: String, c: Path): Seq[Int] =
-    try {
-      val in = fs(s, root).open(new Path(c, "_MANIFEST"))
-      try scala.io.Source.fromInputStream(in).mkString.trim
-        .split(",").filter(_.nonEmpty).map(_.toInt).toSeq
-      finally in.close()
-    } catch { case scala.util.control.NonFatal(_) => Seq.empty }
+    readSmallFile(s, root, new Path(c, "_MANIFEST"))
+      .flatMap(txt => scala.util.Try(
+        txt.split(",").filter(_.nonEmpty).map(_.toInt).toSeq).toOption)
+      .getOrElse(Seq.empty)
 
   /** The compaction's publish-time row count from its SIBLING
     * `_COUNT` file (round 15) — the checksum [[vacuum]] compares
@@ -107,17 +120,8 @@ object GraphStore {
     * probe) without touching the version index (round-15 review,
     * both passes). */
   private def recordedCount(s: SparkSession, root: String, c: Path): Option[Long] =
-    try {
-      val p = new Path(c, "_COUNT")
-      val f = fs(s, root)
-      if (!f.exists(p)) None
-      else {
-        val in = f.open(p)
-        val txt = try scala.io.Source.fromInputStream(in).mkString.trim
-          finally in.close()
-        scala.util.Try(txt.toLong).toOption
-      }
-    } catch { case scala.util.control.NonFatal(_) => None }
+    readSmallFile(s, root, new Path(c, "_COUNT"))
+      .flatMap(t => scala.util.Try(t.toLong).toOption)
 
   /** Every readable snapshot version: live `v=N` directories plus
     * versions preserved inside compaction directories. */
