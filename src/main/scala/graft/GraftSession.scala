@@ -34,6 +34,21 @@ object GraftSession {
       // the events table stores TIMESTAMP(NANOS) (see Tables.events);
       // declared up front rather than flipped mid-session
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // LOCAL-deployment streaming-checkpoint I/O (round 15): without
+      // the native hadoop library, Hadoop's local FS forks a `chmod`
+      // process per created checkpoint file — dozens per stateful
+      // micro-batch, intermittently stalling whole batches (driver
+      // thread dumps caught micro-batch threads in forkAndExec; the
+      // 2-4x streaming-key inflation in full-suite benches). The NIO
+      // manager does the same create/rename/read as direct syscalls.
+      // Cluster deployments checkpointing to HDFS/S3 build their own
+      // session and keep Spark's default manager. The Spark 4.1
+      // checksum sidecar (corruption detection for REMOTE checkpoint
+      // stores) is off for the same reason: it doubles local file
+      // creates to protect tmpfs scratch that is rebuilt on restart.
+      .config("spark.sql.streaming.checkpointFileManagerClass",
+        "graft.util.NioCheckpointFileManager")
+      .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
 
