@@ -49,6 +49,11 @@ object GraftSession {
       .config("spark.sql.streaming.checkpointFileManagerClass",
         "graft.util.NioCheckpointFileManager")
       .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
+      // same fork, batch half: every local file CREATE (parquet part
+      // files, crc sidecars, _SUCCESS, staged chunks) applies its
+      // permission through RawLocalFileSystem.setPermission = a
+      // forked `chmod` without the native lib. Same bits, via NIO.
+      .config("spark.hadoop.fs.file.impl", "graft.util.NioLocalFileSystem")
       .config("spark.ui.enabled", "false")
       .withExtensions(new graft.functions.GraftExtensions)
 

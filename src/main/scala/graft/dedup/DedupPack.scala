@@ -122,26 +122,37 @@ object DedupPack extends QueryPack {
     * sets are shared by the candidate join and both verify sides via
     * a lazy localCheckpoint (blocks reclaimed by the ContextCleaner).
     * Returns (per-doc shingle sets, candidate pairs da < db). */
-  private def ngramCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    import s.implicits._
-    graft.functions.GraftFunctions.register(s)
-    val sets = Tables.fanOut(s, Tables.documents(s, d))
-      .select($"doc_id",
-        Signatures.shingleSet(TextOps.words($"text")).as("set"))
-      .filter(size($"set") > 0)
-      .localCheckpoint(false)
-    val cand = sets.select($"doc_id", explode($"set").as("shingle"))
-      .groupBy($"shingle")
-      .agg(graft.functions.GraftFunctions
-        .collectCapped($"doc_id", NGRAM_MAX_DF).as("ds"))
-      .filter($"ds".isNotNull && size($"ds") >= 2)
-      .select(explode(bucketPairs($"ds")).as("p"))
-      .groupBy($"p._1".as("da"), $"p._2".as("db"))
-      .agg(count(lit(1)).as("n_common"))
-      .filter($"n_common" >= NGRAM_MIN_COMMON)
-      .select($"da", $"db")
-    (sets, cand)
-  }
+  private val ngramCache = new graft.SessionCache[(DataFrame, DataFrame)]
+
+  private def ngramCandidates(s: SparkSession, d: String): (DataFrame, DataFrame) =
+    // ONE candidate build per (session, scale dir): D4 and D8 consume
+    // the identical (sets, cand) machinery and differ only in the
+    // verify ratio, so the build computes once (the d_cluster /
+    // t_bpe SessionCache discipline; cold cost stays visible through
+    // Bench's rep1_gap report). `cand` is checkpointed too — without
+    // blocks the second consumer would silently re-run the whole
+    // posting-list chain through the cached frame's lineage.
+    ngramCache.getOrCompute(s, d) {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val sets = Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id",
+          Signatures.shingleSet(TextOps.words($"text")).as("set"))
+        .filter(size($"set") > 0)
+        .localCheckpoint(false)
+      val cand = sets.select($"doc_id", explode($"set").as("shingle"))
+        .groupBy($"shingle")
+        .agg(graft.functions.GraftFunctions
+          .collectCapped($"doc_id", NGRAM_MAX_DF).as("ds"))
+        .filter($"ds".isNotNull && size($"ds") >= 2)
+        .select(explode(bucketPairs($"ds")).as("p"))
+        .groupBy($"p._1".as("da"), $"p._2".as("db"))
+        .agg(count(lit(1)).as("n_common"))
+        .filter($"n_common" >= NGRAM_MIN_COMMON)
+        .select($"da", $"db")
+        .localCheckpoint(false)
+      (sets, cand)
+    }
 
   /** D2's candidate generation over a precomputed `(doc_id, sig)`
     * relation: LSH band keys, band equi-join → distinct ordered
@@ -161,14 +172,21 @@ object DedupPack extends QueryPack {
   }
 
   /** D2's candidate generation, shared with D6: per-doc k-min
-    * signature (map-side) feeding [[minhashPairsOf]]. */
-  private def minhashPairs(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    minhashPairsOf(Tables.fanOut(s, Tables.documents(s, d))
-      .select($"doc_id",
-        Signatures.minhashSig(MINHASH_K)(TextOps.words($"text")).as("sig"))
-      .filter($"sig".isNotNull))
-  }
+    * signature (map-side) feeding [[minhashPairsOf]]. ONE build per
+    * (session, scale dir) — the d_minhash_lsh key and the cluster
+    * closure consume the identical pair set (round 15, the
+    * ngramCandidates discipline; cold cost visible via rep1_gap). */
+  private val minhashCache = new graft.SessionCache[DataFrame]
+
+  private def minhashPairs(s: SparkSession, d: String): DataFrame =
+    minhashCache.getOrCompute(s, d) {
+      import s.implicits._
+      minhashPairsOf(Tables.fanOut(s, Tables.documents(s, d))
+        .select($"doc_id",
+          Signatures.minhashSig(MINHASH_K)(TextOps.words($"text")).as("sig"))
+        .filter($"sig".isNotNull))
+        .localCheckpoint(false)
+    }
 
   /** One dup-cluster closure per (session, scale dir): d_cluster,
     * d_canonical, and d_cluster_spec all consume the SAME

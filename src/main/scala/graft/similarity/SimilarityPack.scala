@@ -188,17 +188,12 @@ object SimilarityPack extends QueryPack {
 
   override def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // E1: brute-force cosine top-k per query vector.
-    "s_knn_brute" -> { (s, d) =>
-      import s.implicits._
-      graft.functions.GraftFunctions.register(s)
-      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
-      val q = e.filter($"vec_id" < N_QUERIES)
-        .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
-      val c = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
-      topK(c.crossJoin(broadcast(q))
-        .filter($"q_id" =!= $"n_id")
-        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
-    },
+    // ONE exact top-K per (session, scale dir) — the dense arm is
+    // consumed by FIVE keys (itself, recall, both RRF fusions, the
+    // matryoshka anchor), each of which re-ran the corpus × query
+    // scoring pass (round 15, the ngramCandidates discipline; cold
+    // cost visible via rep1_gap).
+    "s_knn_brute" -> { (s, d) => bruteTopK(s, d) },
 
     // E13: FILTERED vector search — top-k under a metadata predicate
     // (the "only lang=en docs" / "only this tenant" case every vector
@@ -661,48 +656,36 @@ object SimilarityPack extends QueryPack {
     // rule), ties broken by n_id. Both rel and the pairwise sims are
     // the E1 exact-quantized-dot cosine contract, so every double is
     // cross-engine bit-identical and the greedy argmax sequence is
-    // exact. Scale shape: the pool is the bounded TopKByScore
-    // aggregate (one corpus scan); pairwise sims live entirely in the
-    // ≤ queries·POOL² pool space; each of the K−1 selection rounds is
-    // an anti-join + bounded-key aggregation + one rank window over
-    // ≤ queries·POOL rows — nothing after the pool build ever touches
-    // the corpus again.
+    // exact. Scale shape (round 15): the pool is the bounded
+    // TopKByScore aggregate (one corpus scan); pairwise sims live
+    // entirely in the ≤ queries·POOL² pool space; the greedy itself
+    // then runs PER QUERY over its own ≤ POOL candidates + ≤ POOL²
+    // sims — a bounded local fold ([[mmrGreedy]]) on the grouped
+    // rows, replacing the old K−1 round DataFrame loop whose every
+    // round paid an anti-join + aggregation + rank window + EAGER
+    // checkpoint job over tiny data (measured 3.1 s, nearly all
+    // scheduler round-trips — guide §1.2: per-task work after the
+    // shape is right). The per-group state is POOL²-bounded by
+    // construction at any corpus scale, and every double the greedy
+    // compares was computed by the SAME engine expressions as before
+    // (rel/sim collected verbatim; mmr = 0.7·rel − 0.3·max_sim in
+    // identical IEEE order — MmrSpec pins the selection bit-exact
+    // against an independent JVM greedy).
     "s_mmr" -> { (s, d) =>
       import s.implicits._
       graft.functions.GraftFunctions.register(s)
-      val wq = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy($"mmr".desc, $"n_id".asc)
-      val pool = mmrPool(s, d)
-        .localCheckpoint(true) // ≤ queries × POOL rows; read every round
+      val pool = mmrPool(s, d).localCheckpoint(false) // feeds sims too
       val sims = mmrSims(s, d, pool)
-        .localCheckpoint(true) // ≤ queries × POOL² rows
-      // first pick ranks by RAW rel (not 0.7·rel): multiplying by λ
-      // is monotone but can collapse distinct doubles into ties, and
-      // the two engines must break the SAME ties — both rank the
-      // unscaled value
-      val wrel = org.apache.spark.sql.expressions.Window
-        .partitionBy($"q_id").orderBy($"rel".desc, $"n_id".asc)
-      var all = pool
-        .withColumn("rk", row_number().over(wrel))
-        .filter($"rk" === 1)
-        .withColumn("max_sim", lit(0.0))
-        .withColumn("mmr", lit(0.7) * $"rel" - lit(0.3) * $"max_sim")
-        .select($"q_id", $"n_id", lit(1L).as("mmr_rank"), $"rel", $"max_sim", $"mmr")
-      for (t <- 2 to K) {
-        val selIds = all.select($"q_id", $"n_id".as("b_id"))
-        val ms = sims.join(selIds, Seq("q_id", "b_id"))
-          .groupBy($"q_id", $"a_id".as("n_id"))
-          .agg(max($"sim").as("max_sim"))
-        val pick = pool
-          .join(all.select($"q_id", $"n_id"), Seq("q_id", "n_id"), "left_anti")
-          .join(ms, Seq("q_id", "n_id"))
-          .withColumn("mmr", lit(0.7) * $"rel" - lit(0.3) * $"max_sim")
-          .withColumn("rk", row_number().over(wq))
-          .filter($"rk" === 1)
-          .select($"q_id", $"n_id", lit(t.toLong).as("mmr_rank"), $"rel", $"max_sim", $"mmr")
-        all = all.unionByName(pick).localCheckpoint(true)
-      }
-      all.select($"q_id", $"mmr_rank", $"n_id", $"rel", $"max_sim", $"mmr")
+      val pg = pool.groupBy($"q_id")
+        .agg(collect_list(struct($"n_id".as("_1"), $"rel".as("_2"))).as("pool"))
+      val sg = sims.groupBy($"q_id")
+        .agg(collect_list(struct($"a_id".as("_1"), $"b_id".as("_2"), $"sim".as("_3"))).as("sims"))
+      pg.join(sg, Seq("q_id"), "left")
+        .select($"q_id".as("_1"), $"pool".as("_2"), $"sims".as("_3"))
+        .as[(Long, Seq[(Long, Double)], Option[Seq[(Long, Long, Double)]])]
+        .flatMap { case (q, pl, sm) => mmrGreedy(q, pl, sm.getOrElse(Nil), K) }
+        .toDF("q_id", "mmr_rank", "n_id", "rel", "max_sim", "mmr")
+        .select($"q_id", $"mmr_rank", $"n_id", $"rel", $"max_sim", $"mmr")
     },
 
     // E6: composed embedding pipeline — semantic-dedup survivors
@@ -728,6 +711,66 @@ object SimilarityPack extends QueryPack {
     * can assert its plan shape directly (the key checkpoints it,
     * which truncates the plan PlanShapeSpec's all-keys sweep sees to
     * a LogicalRDD scan; the deliberate broadcast-cross lives HERE). */
+  /** E19's bounded per-query greedy (round 15): selects up to `k` of
+    * the pool by mmr = 0.7·rel − 0.3·max sim-to-selected, first pick
+    * by RAW rel (multiplying by λ could collapse distinct doubles
+    * into ties; both engines rank the unscaled value), ties by n_id
+    * asc. Candidate arithmetic and tie order replicate the old
+    * DataFrame round loop exactly: a candidate needs ≥ 1 sim row to
+    * the selected set (the inner-join semantics; sims are pairwise-
+    * complete within a pool, so this only gates degenerate pools).
+    * Returns (q_id, mmr_rank, n_id, rel, max_sim, mmr) tuples. */
+  private[similarity] def mmrGreedy(q: Long, pool: Seq[(Long, Double)],
+      sims: Seq[(Long, Long, Double)], k: Int)
+      : Seq[(Long, Long, Long, Double, Double, Double)] = {
+    if (pool.isEmpty) return Nil
+    val sim = sims.map(t => (t._1, t._2) -> t._3).toMap
+    val first = pool.minBy { case (n, rel) => (-rel, n) }
+    val out = scala.collection.mutable.ArrayBuffer(
+      (q, 1L, first._1, first._2, 0.0, 0.7 * first._2 - 0.3 * 0.0))
+    val selected = scala.collection.mutable.ArrayBuffer(first._1)
+    var t = 2
+    var exhausted = false
+    while (t <= k && !exhausted) {
+      val cands = pool.iterator
+        .filterNot(p => selected.contains(p._1))
+        .flatMap { case (n, rel) =>
+          val ss = selected.iterator.flatMap(b => sim.get((n, b))).toSeq
+          if (ss.isEmpty) None
+          else {
+            val ms = ss.max
+            Some((n, rel, ms, 0.7 * rel - 0.3 * ms))
+          }
+        }.toSeq
+      if (cands.isEmpty) exhausted = true
+      else {
+        val p = cands.minBy { case (n, _, _, mmr) => (-mmr, n) }
+        out += ((q, t.toLong, p._1, p._2, p._3, p._4))
+        selected += p._1
+        t += 1
+      }
+    }
+    out.toSeq
+  }
+
+  private val bruteCache = new graft.SessionCache[DataFrame]
+
+  /** E1's exact cosine top-K, single-sourced and session-cached (see
+    * the s_knn_brute key note). */
+  private def bruteTopK(s: SparkSession, d: String): DataFrame =
+    bruteCache.getOrCompute(s, d) {
+      import s.implicits._
+      graft.functions.GraftFunctions.register(s)
+      val e = Tables.embeddings(s, d).withColumn("nrm", VectorOps.normDec("embedding"))
+      val q = e.filter($"vec_id" < N_QUERIES)
+        .select($"vec_id".as("q_id"), $"embedding".as("qe"), $"nrm".as("qn"))
+      val c = e.select($"vec_id".as("n_id"), $"embedding".as("ne"), $"nrm".as("nn"))
+      topK(c.crossJoin(broadcast(q))
+        .filter($"q_id" =!= $"n_id")
+        .withColumn("cosine", VectorOps.dotDecFast(col("qe"), col("ne")) / ($"qn" * $"nn")))
+        .localCheckpoint(false)
+    }
+
   private[similarity] def mmrPool(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
@@ -764,7 +807,14 @@ object SimilarityPack extends QueryPack {
     * df, corpus totals, query terms, candidates); dl rides the
     * posting rows via a window over the doc key so candidates never
     * pay a separate doc-length join. */
-  private def bm25TopK(s: SparkSession, d: String): DataFrame = {
+  private val bm25Cache = new graft.SessionCache[DataFrame]
+
+  /** ONE BM25 top-K per (session, scale dir): consumed by s_bm25 AND
+    * s_rrf_hybrid's lexical arm (round 15, the bruteTopK discipline). */
+  private def bm25TopK(s: SparkSession, d: String): DataFrame =
+    bm25Cache.getOrCompute(s, d) { bm25TopKUncached(s, d).localCheckpoint(false) }
+
+  private def bm25TopKUncached(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     graft.functions.GraftFunctions.register(s)
     val toks = Tables.documents(s, d)

@@ -878,31 +878,73 @@ object TextPack extends QueryPack {
 
   /** F26's standalone BPE ENCODER: apply an already-learned merge
     * table to a `(doc_id, pos, tok)` sequence table, rules in learned
-    * step order — the standard greedy BPE apply loop, each rule as
-    * ONE mark/consumed window pass (identical algebra to the
-    * trainer's merge step, so encode(raw, rules) reproduces the
-    * trainer's final sequences exactly — the reconciliation the
-    * oracle and BpeEncodeSpec pin). The rules are driver-side
-    * constants compiled into the passes as literals (a tokenizer's
-    * merge table IS broadcast state); all data-sized work is K
-    * window passes over the same doc partitioning — one shuffle,
-    * then per-pass in-partition sorts. */
+    * step order — the standard greedy BPE apply loop, each rule by
+    * the SAME mark/consumed algebra as the trainer's merge step, so
+    * encode(raw, rules) reproduces the trainer's final sequences
+    * exactly — the reconciliation the oracle and BpeEncodeSpec pin.
+    * The rules are driver-side constants (a tokenizer's merge table
+    * IS broadcast state).
+    *
+    * Scale shape (round 15): ONE doc-partitioned sort, then every
+    * rule applied locally per document in a single mapPartitions
+    * pass. The old form ran each rule as its own window pass — K
+    * in-partition sorts of the whole corpus plus 3K window evals for
+    * an algebra whose scope is one document (measured 3.0 s at sf0.1
+    * with the trainer cached; guide §1.2 step 2). Per-task state is
+    * one document\'s token buffer — the identical bound the window
+    * partition already imposed. [[bpeApplyRule]] replicates the
+    * mark/consumed pass verbatim: marks against the sequence state
+    * BEFORE the pass, a position is consumed by the mark to its
+    * LEFT (lag semantics — the previous POSITION, consumed or not). */
+  private[text] def bpeApplyRule(toks: collection.IndexedSeq[String], l: String,
+                                 r: String): collection.IndexedSeq[String] = {
+    val n = toks.length
+    val mark = new Array[Boolean](n)
+    var i = 0
+    while (i < n) {
+      mark(i) = i + 1 < n && toks(i) == l && toks(i + 1) == r
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[String](n)
+    i = 0
+    while (i < n) {
+      if (!(i > 0 && mark(i - 1))) out += (if (mark(i)) s"$l $r" else toks(i))
+      i += 1
+    }
+    out
+  }
+
   private[text] def bpeEncode(toks0: DataFrame,
                               rules: Seq[(String, String)]): DataFrame = {
     val s = toks0.sparkSession
     import s.implicits._
-    val wdoc = org.apache.spark.sql.expressions.Window
-      .partitionBy($"doc_id").orderBy($"pos")
-    rules.foldLeft(toks0) { case (toks, (l, r)) =>
-      toks
-        .withColumn("nxt", lead($"tok", 1).over(wdoc))
-        .withColumn("mark",
-          coalesce($"tok" === lit(l) && $"nxt" === lit(r), lit(false)))
-        .withColumn("consumed", coalesce(lag($"mark", 1).over(wdoc), lit(false)))
-        .filter(!$"consumed")
-        .select($"doc_id", row_number().over(wdoc).cast("long").as("pos"),
-          when($"mark", lit(s"$l $r")).otherwise($"tok").as("tok"))
-    }
+    toks0
+      .select($"doc_id".cast("long").as("_1"), $"pos".cast("long").as("_2"),
+        $"tok".as("_3"))
+      .repartition($"_1")
+      .sortWithinPartitions($"_1", $"_2")
+      .as[(Long, Long, String)]
+      .mapPartitions { it =>
+        // contiguous same-doc runs (guaranteed by the sort) fold
+        // through the rules one document at a time
+        new Iterator[(Long, Long, String)] {
+          private val buf = it.buffered
+          private var out: Iterator[(Long, Long, String)] = Iterator.empty
+          private def refill(): Unit =
+            while (!out.hasNext && buf.hasNext) {
+              val doc = buf.head._1
+              val toks = new scala.collection.mutable.ArrayBuffer[String]
+              while (buf.hasNext && buf.head._1 == doc) toks += buf.next()._3
+              val enc = rules.foldLeft(toks: collection.IndexedSeq[String]) {
+                case (t, (l, r)) => bpeApplyRule(t, l, r)
+              }
+              out = enc.iterator.zipWithIndex.map { case (t, i) => (doc, i + 1L, t) }
+            }
+          def hasNext: Boolean = { refill(); out.hasNext }
+          def next(): (Long, Long, String) = { refill(); out.next() }
+        }
+      }
+      .toDF("doc_id", "pos", "tok")
   }
 
   /** F25/F26's shared oracle scaffold: the trainer unrolled — word

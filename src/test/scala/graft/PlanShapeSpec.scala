@@ -43,14 +43,16 @@ class PlanShapeSpec extends SparkSpec {
       "s_bm25", // one-row corpus-stats broadcast onto the bounded query-term set (E17)
       "s_rrf_hybrid", // composes s_knn_brute + s_bm25 (E18)
       "s_knn_ivfpq", // bounded centroid + codebook broadcasts (E3 × E5's shapes)
-      "g_graphlet_sig") // one-row n/m stats broadcast onto 8 census rows (B9)
-  // NOTE (round-13): s_mmr and t_bpe return post-checkpoint /
-  // driver-assembled frames, so the all-keys sweeps below see only
-  // LogicalRDD / LocalRelation scans for them. Their PRE-checkpoint
-  // shapes are asserted directly: MmrSpec pins the pool's deliberate
-  // bounded-query broadcast and the keyed sims join; t_bpe's trainer
-  // is join-free by construction (windows + partial-aggregable
-  // groupBy + TakeOrderedAndProject only).
+      "g_graphlet_sig", // one-row n/m stats broadcast onto 8 census rows (B9)
+      "s_mmr") // E19's bounded query×corpus pool broadcast (E1's shape) —
+               // visible to the sweep since round 15 replaced the eager
+               // checkpoints with a lazy one (MmrSpec still asserts the
+               // pre-checkpoint pool/sims shapes directly)
+  // NOTE (round-13): t_bpe returns post-checkpoint / driver-assembled
+  // frames, so the all-keys sweeps below see only LogicalRDD /
+  // LocalRelation scans for it. Its PRE-checkpoint shape is asserted
+  // directly: the trainer is join-free by construction (windows +
+  // partial-aggregable groupBy + TakeOrderedAndProject only).
 
   private def df(name: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

@@ -40,11 +40,21 @@ class ProfilerSpec extends SparkSpec {
     assert(out("meta.tag") === ((1L, 1L)))
   }
 
-  test("the profile is one pass: a single scan of the input feeds every column's stats") {
+  test("plan shape: two sequential scans, and NOTHING table-scale is ever sorted") {
+    // Round 15: the old single-pass multi-countDistinct aggregate
+    // planned as SortAggregate end to end (string min/max buffers
+    // disqualify HashAggregate), sorting the (G+1)x-Expanded table.
+    // The profile now pays a second scan to keep every table-scale
+    // operator hash-based: pass A is a keyless fold (SortAggregate
+    // without grouping keys needs no Sort node), pass B dedups
+    // map-side through HashAggregate. The properties pinned here are
+    // exactly what the optimization bought: bounded scan count and
+    // zero Sort operators anywhere in the plan.
     val plan = Profiler.profile(graft.Tables.orders(spark, sfDir))
       .queryExecution.executedPlan.toString
     val scans = "FileScan parquet".r.findAllIn(plan).size
-    assert(scans === 1, s"profile must scan the table exactly once:\n$plan")
-    assert(plan.contains("Expand"), "exact multi-NDV should plan as Expand")
+    assert(scans === 2, s"profile is two sequential scans:\n$plan")
+    assert(!plan.contains("+- Sort "), s"no Sort operator anywhere:\n$plan")
+    assert(plan.contains("HashAggregate"), "the NDV dedup must be hash-based")
   }
 }
